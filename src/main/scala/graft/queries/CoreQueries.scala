@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sql.functions._
+import graft.feature.Gather
+
+/** Core relational + collectArray/Gather queries with DuckDB oracles.
+  *
+  * Conventions (driver compare contract):
+  *  - every computed column is aliased IDENTICALLY in Spark and oracle SQL
+  *  - double aggregates are rounded (fp-accumulation order differs between
+  *    Spark's partial aggregation and DuckDB's serial sum)
+  *  - arrays are element-sorted before emission so results are deterministic
+  */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-style scan + hash aggregate. Filter + 6-column projection
+    // push into the parquet scan; two-phase (partial/final) agg, shuffle on
+    // the 2 low-cardinality grouping keys only.
+    "q01_agg_pricing" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Join pipeline: fact (orders) joined to two dims; both dims are tiny at
+    // any SF (nation=25, region=5) → explicit broadcast, no shuffle on the
+    // dim side; single shuffle for the final group-by.
+    "q02_join_orders_by_nation" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+    }),
+
+    // collectArray (the reference's one SQL aggregate) — element-sorted for
+    // deterministic compare. ObjectHashAggregate with automatic partial/final.
+    "q03_collect_array" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_orderkey"))
+        .agg(
+          collectArraySorted(col("l_linenumber")).as("lines"),
+          size(collectArray(col("l_linenumber"))).as("n_lines"))
+    }),
+
+    // Gather round-trip: long→wide (array<struct>) then exploded back to
+    // flat rows, proving the collected structure is exactly the group-sum.
+    "q04_gather" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val gathered = new Gather()
+        .setPrimaryKeyCols("l_orderkey")
+        .setKeyCol("l_returnflag")
+        .setValueCol("l_quantity")
+        .setValueAgg("sum")
+        .setOutputCol("flags")
+        .transform(li)
+      gathered
+        .select(col("l_orderkey"), explode(col("flags")).as("g"))
+        .select(
+          col("l_orderkey"),
+          col("g.l_returnflag").as("key"),
+          col("g.l_quantity").as("value"))
+    }),
+
+    // Gather with count aggregation (the reference's other valueAgg mode).
+    "q05_gather_count" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val gathered = new Gather()
+        .setPrimaryKeyCols("l_suppkey")
+        .setKeyCol("l_returnflag")
+        .setValueCol("l_quantity")
+        .setValueAgg("count")
+        .setOutputCol("flags")
+        .transform(li)
+      gathered
+        .select(col("l_suppkey"), explode(col("flags")).as("g"))
+        .select(
+          col("l_suppkey"),
+          col("g.l_returnflag").as("key"),
+          col("g.l_quantity").as("value"))
+    }),
+
+    // Window functions: per-customer order sequence + running revenue.
+    "q06_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        row_number().over(w).as("rn"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"))
+    }),
+
+    // Semi/anti join + set op coverage: customers with orders above the
+    // global average price, minus those in a named region.
+    "q07_semi_anti" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val bigOrders = o.filter(col("o_totalprice") > lit(100000.0))
+      val withBig = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      val nation0 = n.filter(col("n_regionkey") === 0)
+      val excluded = c
+        .join(broadcast(nation0), c("c_nationkey") === nation0("n_nationkey"), "left_semi")
+      withBig.select(col("c_custkey"))
+        .except(excluded.select(col("c_custkey")))
+    }),
+
+    // Top-k pattern: 10 highest-revenue orders (global sort is a single
+    // TakeOrderedAndProject at any scale — no full sort materialized).
+    "q08_topk" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_orders_by_nation" ->
+      """SELECT n_name,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q03_collect_array" ->
+      """SELECT l_orderkey,
+        |  list_sort(list(l_linenumber)) AS lines,
+        |  count(l_linenumber) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_orderkey""".stripMargin,
+    "q04_gather" ->
+      """SELECT l_orderkey, l_returnflag AS key,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS value
+        |FROM lineitem
+        |GROUP BY l_orderkey, l_returnflag""".stripMargin,
+    "q05_gather_count" ->
+      """SELECT l_suppkey, l_returnflag AS key,
+        |  CAST(count(l_quantity) AS DOUBLE) AS value
+        |FROM lineitem
+        |GROUP BY l_suppkey, l_returnflag""".stripMargin,
+    "q06_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER w AS rn,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q07_semi_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+        |EXCEPT
+        |SELECT c_custkey FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)""".stripMargin,
+    "q08_topk" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin
+  )
+}
