@@ -23,12 +23,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ FeatureQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
     * records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles
+    CoreQueries.oracles ++ FeatureQueries.oracles
 }

@@ -1,0 +1,267 @@
+package graft.feature
+
+import scala.collection.mutable
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.attribute.{Attribute, AttributeGroup, NumericAttribute}
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared params for [[GatherEncoder]] / [[GatherEncoderModel]].
+  *
+  * Reference semantics: sparkext-mllib/src/main/scala/org/apache/spark/ml/
+  * feature/GatherEncoder.scala:115-261 (estimator) and :268-408 (model).
+  */
+private[feature] trait GatherEncoderParams extends Params {
+
+  final val inputCol = new Param[String](this, "inputCol",
+    "Input column: ARRAY<STRUCT<key, value>> (gathered format)")
+  final val outputCol = new Param[String](this, "outputCol", "Output vector column")
+  final val keyCol = new Param[String](this, "keyCol", "Key field name inside the struct")
+  final val valueCol = new Param[String](this, "valueCol", "Value field name inside the struct")
+  final val transformation = new Param[String](this, "transformation",
+    "Dimensionality reduction: top (cumulative cover %) | index (min support %)",
+    ParamValidators.inArray(Array("top", "index")))
+  final val support = new DoubleParam(this, "support",
+    "Minimum key frequency as % of total key count (index transformation)",
+    ParamValidators.inRange(0.0, 100.0))
+  final val cover = new DoubleParam(this, "cover",
+    "Cumulative key-frequency coverage % (top transformation)",
+    ParamValidators.inRange(0.0, 100.0))
+  final val allOther = new BooleanParam(this, "allOther",
+    "Add one extra slot accumulating the SUM of values of keys outside the model")
+  final val keepInputCol = new BooleanParam(this, "keepInputCol",
+    "Keep the input column in the output")
+  final val failOnEmptyKeys = new BooleanParam(this, "failOnEmptyKeys",
+    "Throw if the learned/model key set is empty")
+  final val excludeKeys = new Param[Set[Any]](this, "excludeKeys",
+    "Keys excluded from the model")
+
+  def getKeepInputCol: Boolean = $(keepInputCol)
+  def getInputCol: String = $(inputCol)
+  def getExcludeKeys: Set[Any] = $(excludeKeys)
+
+  protected def validateSchema(schema: StructType): Unit = {
+    val inputField = schema($(inputCol))
+    inputField.dataType match {
+      case ArrayType(s: StructType, _) =>
+        require(s.fieldNames.contains($(keyCol)),
+          s"Key field ${$(keyCol)} missing in ${inputField.name}")
+        val vf = s($(valueCol))
+        require(vf.dataType.isInstanceOf[NumericType],
+          s"Value field must be numeric, got ${vf.dataType}")
+      case other =>
+        throw new IllegalArgumentException(
+          s"Input column must be ARRAY<STRUCT<...>>, got $other")
+    }
+  }
+
+  protected def appendVectorColumn(schema: StructType, field: StructField): StructType = {
+    require(!schema.fieldNames.contains(field.name), s"Column ${field.name} already exists")
+    val appended = StructType(schema.fields :+ field)
+    if ($(keepInputCol)) appended
+    else StructType(appended.filter(_.name != $(inputCol)))
+  }
+}
+
+/** Learns the key→column-index dictionary for dummy-variable encoding of
+  * gathered `ARRAY<STRUCT<key, value>>` columns, with two dimensionality
+  * reductions (reference GatherEncoder.scala:151-221):
+  *
+  *  - '''top''': the smallest key set (by descending frequency) whose
+  *    cumulative frequency stays strictly below `cover`% — computed as
+  *    `scanLeft` prefix-sums + `takeWhile(_ < threshold)`, which keeps one
+  *    key past the threshold (the reference's exact arithmetic, verified by
+  *    the cover=95 → 8-of-9-keys fixture). `cover == 100` keeps ALL keys.
+  *  - '''index''': keys with frequency ≥ `support`% of the total count
+  *    (threshold computed before `excludeKeys` filtering, as in the
+  *    reference).
+  *
+  * Divergence from the reference (documented): key order in the model is
+  * deterministic here (count desc, then key string asc) — the reference's
+  * `sortBy(-count)` is unstable across runs for tied counts.
+  *
+  * Scale: the fit runs `explode → groupBy(key).count()` distributed (partial
+  * aggregation map-side, one shuffle on key), and collects only the key
+  * HISTOGRAM to the driver. That is bounded by key cardinality, not data
+  * size — the support/cover pruning exists precisely to keep dictionaries
+  * small. For unbounded-cardinality key domains at 100 TB, prune upstream
+  * or use the `index` transformation whose threshold filter runs
+  * distributed before the collect.
+  */
+class GatherEncoder(override val uid: String)
+    extends Estimator[GatherEncoderModel] with GatherEncoderParams {
+
+  def this() = this(Identifiable.randomUID("gatherEncoder"))
+
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+  def setKeyCol(value: String): this.type = set(keyCol, value)
+  def setValueCol(value: String): this.type = set(valueCol, value)
+  def setTransformation(value: String): this.type = set(transformation, value)
+  def setSupport(value: Double): this.type = set(support, value)
+  def setCover(value: Double): this.type = set(cover, value)
+  def setAllOther(value: Boolean): this.type = set(allOther, value)
+  def setKeepInputCol(value: Boolean): this.type = set(keepInputCol, value)
+  def setFailOnEmptyKeys(value: Boolean): this.type = set(failOnEmptyKeys, value)
+  def setExcludeKeys(value: Set[Any]): this.type = set(excludeKeys, value)
+
+  setDefault(transformation -> "top", support -> 0.1, cover -> 100.0,
+    allOther -> false, keepInputCol -> true, failOnEmptyKeys -> true,
+    excludeKeys -> Set.empty[Any])
+
+  /** Distributed key histogram: one explode + one shuffle, sorted
+    * deterministically (count desc, key-as-string asc).
+    */
+  private def keyCounts(dataset: Dataset[_]): Array[(Any, Long)] = {
+    val k = s"${uid}_key"
+    dataset.select(explode(col(s"${$(inputCol)}.${$(keyCol)}")).as(k))
+      .groupBy(col(k)).count()
+      .collect()
+      .map(r => (r.get(0), r.getLong(1)))
+      .sortBy { case (key, cnt) => (-cnt, String.valueOf(key)) }
+  }
+
+  private def computeTopKeys(dataset: Dataset[_]): Array[Any] = {
+    val topKeys = keyCounts(dataset).filter { case (k, _) => !getExcludeKeys.contains(k) }
+    if ($(cover) == 100.0) {
+      topKeys.map(_._1)
+    } else {
+      val threshold = ($(cover) / 100) * topKeys.map(_._2).sum
+      val below = topKeys.map(_._2).scanLeft(0L)(_ + _).takeWhile(_ < threshold).length
+      topKeys.take(below).map(_._1)
+    }
+  }
+
+  private def computeIndexKeys(dataset: Dataset[_]): Array[Any] = {
+    val counts = keyCounts(dataset)
+    val threshold = ($(support) / 100) * counts.map(_._2).sum
+    counts.filter { case (k, cnt) =>
+      cnt >= threshold && !getExcludeKeys.contains(k)
+    }.map(_._1)
+  }
+
+  override def fit(dataset: Dataset[_]): GatherEncoderModel = {
+    validateSchema(dataset.schema)
+    val gatherKeys = $(transformation) match {
+      case "top"   => computeTopKeys(dataset)
+      case "index" => computeIndexKeys(dataset)
+    }
+    copyValues(new GatherEncoderModel(uid, gatherKeys).setParent(this))
+  }
+
+  override def transformSchema(schema: StructType): StructType = {
+    validateSchema(schema)
+    appendVectorColumn(schema, new AttributeGroup($(outputCol)).toStructField())
+  }
+
+  override def copy(extra: ParamMap): GatherEncoder = defaultCopy(extra)
+}
+
+/** Encodes each row's gathered key/value array into a sparse vector of size
+  * `modelKeys.length` (+1 when `allOther`).
+  *
+  * Reference edge semantics preserved exactly (GatherEncoder.scala:326-370):
+  *  - duplicate key in one row → LATEST value wins (not summed)
+  *  - unseen key → value SUMMED into the all-other slot, or dropped
+  *  - null input array → empty sparse vector
+  *  - empty model keys → error when `failOnEmptyKeys`, else degenerate
+  *    empty dense vector
+  *  - output column carries an AttributeGroup of NumericAttributes labeled
+  *    with key strings (+ "all other")
+  *
+  * The encode is a row-local UDF — no shuffle, scales linearly.
+  */
+class GatherEncoderModel(override val uid: String, val modelKeys: Array[Any])
+    extends Model[GatherEncoderModel] with GatherEncoderParams {
+
+  def this(keys: Array[Any]) = this(Identifiable.randomUID("gatherEncoder"), keys)
+
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+  def setKeyCol(value: String): this.type = set(keyCol, value)
+  def setValueCol(value: String): this.type = set(valueCol, value)
+  def setAllOther(value: Boolean): this.type = set(allOther, value)
+  def setKeepInputCol(value: Boolean): this.type = set(keepInputCol, value)
+  def setFailOnEmptyKeys(value: Boolean): this.type = set(failOnEmptyKeys, value)
+
+  setDefault(cover -> 100.0, support -> 0.1, transformation -> "top",
+    allOther -> true, keepInputCol -> true, failOnEmptyKeys -> true,
+    excludeKeys -> Set.empty[Any])
+
+  private val labels: Array[String] = modelKeys.map(String.valueOf)
+  @transient private lazy val keyIndex: Map[Any, Int] = modelKeys.zipWithIndex.toMap
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    if (modelKeys.isEmpty && $(failOnEmptyKeys)) {
+      throw new IllegalArgumentException(
+        s"Can't encode gathered data with empty model keys. " +
+          s"Check that input column '$getInputCol' has data.")
+    }
+    val outputSchema = transformSchema(dataset.schema)
+
+    val allOtherEnabled = $(allOther)
+    val numModelKeys = modelKeys.length
+    val featureSize = if (allOtherEnabled) numModelKeys + 1 else numModelKeys
+    val index = keyIndex
+
+    val encoder = udf { (arr: Seq[Row]) =>
+      if (featureSize == 0) {
+        Vectors.dense(Array.empty[Double])
+      } else if (arr == null) {
+        Vectors.sparse(featureSize, Nil)
+      } else {
+        val elements = mutable.Map.empty[Int, Double]
+        arr.foreach { kv =>
+          if (kv != null) {
+            val key = kv.get(0)
+            val value = if (kv.isNullAt(1)) 0.0 else kv.getDouble(1)
+            index.get(key) match {
+              case Some(i) => elements(i) = value // latest value wins
+              case None if allOtherEnabled =>
+                elements(numModelKeys) = elements.getOrElse(numModelKeys, 0.0) + value
+              case None => // dropped
+            }
+          }
+        }
+        Vectors.sparse(featureSize, elements.toSeq.sortBy(_._1))
+      }
+    }
+
+    val metadata = outputSchema($(outputCol)).metadata
+    val kvStructs = transform_values_expr(dataset)
+    val encodedCol = encoder(kvStructs).as($(outputCol), metadata)
+
+    if ($(keepInputCol)) {
+      dataset.select(col("*"), encodedCol)
+    } else {
+      val cols = dataset.schema.fieldNames.filter(_ != $(inputCol)).map(col)
+      dataset.select(cols.toSeq :+ encodedCol: _*)
+    }
+  }
+
+  /** Normalize the input array to ARRAY<STRUCT<k: original, v: DOUBLE>> so
+    * the UDF sees a fixed shape regardless of extra struct fields.
+    */
+  private def transform_values_expr(dataset: Dataset[_]) =
+    org.apache.spark.sql.functions.transform(col($(inputCol)),
+      x => struct(x.getField($(keyCol)).as("k"),
+        x.getField($(valueCol)).cast(DoubleType).as("v")))
+
+  override def transformSchema(schema: StructType): StructType = {
+    validateSchema(schema)
+    val attrLabels = if ($(allOther)) labels :+ "all other" else labels
+    val attrs: Array[Attribute] = attrLabels.map(l => NumericAttribute.defaultAttr.withName(l))
+    val attrGroup = new AttributeGroup($(outputCol), attrs)
+    appendVectorColumn(schema, attrGroup.toStructField())
+  }
+
+  override def copy(extra: ParamMap): GatherEncoderModel = {
+    val copied = new GatherEncoderModel(uid, modelKeys)
+    copyValues(copied, extra).setParent(parent)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.feature.{Gather, GatherEncoder}
+
+/** ML-feature operator queries (Gather/GatherEncoder family) decoded back to
+  * flat rows so a DuckDB oracle can replay the semantics.
+  */
+object FeatureQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // GatherEncoder end-to-end: gather orders by priority, learn top keys at
+    // cover=80% (deterministic order: count desc, key asc), encode with
+    // all-other, then decode the vector back to (custkey, slot, value)
+    // triplets. Exercises fit (explode+groupBy+driver scan) and the encode
+    // UDF distributed.
+    "q09_gather_encoder_top" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val gathered = new Gather()
+        .setPrimaryKeyCols("o_custkey")
+        .setKeyCol("o_orderpriority")
+        .setValueCol("o_totalprice")
+        .setValueAgg("sum")
+        .setOutputCol("prio")
+        .transform(o)
+      val model = new GatherEncoder()
+        .setInputCol("prio").setOutputCol("features")
+        .setKeyCol("o_orderpriority").setValueCol("o_totalprice")
+        .setTransformation("top").setCover(80.0).setAllOther(true)
+        .fit(gathered)
+      val labels = model.modelKeys.map(String.valueOf) :+ "all other"
+      val labelDf = s.createDataFrame(
+        labels.zipWithIndex.map { case (l, i) => (i, l) }.toSeq).toDF("pos", "slot")
+      model.transform(gathered)
+        .select(col("o_custkey"),
+          posexplode(org.apache.spark.ml.functions.vector_to_array(col("features"))))
+        .join(broadcast(labelDf), "pos")
+        .filter(col("col") =!= 0.0)
+        .select(col("o_custkey"), col("slot"), round(col("col"), 2).as("value"))
+    }),
+
+    // Same encoder via the index (min-support) transformation, no all-other:
+    // keys below 15% frequency are dropped entirely.
+    "q10_gather_encoder_index" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val gathered = new Gather()
+        .setPrimaryKeyCols("l_suppkey")
+        .setKeyCol("l_returnflag")
+        .setValueCol("l_quantity")
+        .setValueAgg("sum")
+        .setOutputCol("flags")
+        .transform(li)
+      val model = new GatherEncoder()
+        .setInputCol("flags").setOutputCol("features")
+        .setKeyCol("l_returnflag").setValueCol("l_quantity")
+        .setTransformation("index").setSupport(15.0).setAllOther(false)
+        .fit(gathered)
+      val labels = model.modelKeys.map(String.valueOf)
+      val labelDf = s.createDataFrame(
+        labels.zipWithIndex.map { case (l, i) => (i, l) }.toSeq).toDF("pos", "slot")
+      model.transform(gathered)
+        .select(col("l_suppkey"),
+          posexplode(org.apache.spark.ml.functions.vector_to_array(col("features"))))
+        .join(broadcast(labelDf), "pos")
+        .filter(col("col") =!= 0.0)
+        .select(col("l_suppkey"), col("slot"), round(col("col"), 2).as("value"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q09_gather_encoder_top" ->
+      """WITH gathered AS (
+        |  SELECT o_custkey, o_orderpriority AS key,
+        |         CAST(sum(o_totalprice) AS DOUBLE) AS value
+        |  FROM orders GROUP BY 1, 2
+        |), counts AS (
+        |  SELECT key, count(*) AS cnt FROM gathered GROUP BY key
+        |), ordered AS (
+        |  SELECT key, cnt,
+        |         coalesce(sum(cnt) OVER (ORDER BY cnt DESC, key
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM counts
+        |), selected AS (
+        |  SELECT key FROM ordered
+        |  WHERE cum_before < 0.8 * (SELECT sum(cnt) FROM counts)
+        |)
+        |SELECT o_custkey,
+        |       CASE WHEN key IN (SELECT key FROM selected) THEN key
+        |            ELSE 'all other' END AS slot,
+        |       round(sum(value), 2) AS value
+        |FROM gathered GROUP BY 1, 2""".stripMargin,
+    "q10_gather_encoder_index" ->
+      """WITH gathered AS (
+        |  SELECT l_suppkey, l_returnflag AS key,
+        |         CAST(sum(l_quantity) AS DOUBLE) AS value
+        |  FROM lineitem GROUP BY 1, 2
+        |), counts AS (
+        |  SELECT key, count(*) AS cnt FROM gathered GROUP BY key
+        |), selected AS (
+        |  SELECT key FROM counts
+        |  WHERE cnt >= 0.15 * (SELECT sum(cnt) FROM counts)
+        |)
+        |SELECT l_suppkey, key AS slot, round(value, 2) AS value
+        |FROM gathered WHERE key IN (SELECT key FROM selected)""".stripMargin
+  )
+}

@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Singleton local session shared across all suites (reference pattern:
+  * sparkext-test/src/test/scala/com/collective/TestSparkContext.scala:9-28).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+abstract class SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  lazy val sqlc = spark.sqlContext
+  def sc = spark.sparkContext
+}
