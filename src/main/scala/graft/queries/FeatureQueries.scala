@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.feature.{Gather, GatherEncoder}
+import graft.feature.{Binning, Gather, GatherEncoder, StringToShortIndexer}
+import graft.sampling.Downsampling
 
 /** ML-feature operator queries (Gather/GatherEncoder family) decoded back to
   * flat rows so a DuckDB oracle can replay the semantics.
@@ -69,6 +70,41 @@ object FeatureQueries {
         .join(broadcast(labelDf), "pos")
         .filter(col("col") =!= 0.0)
         .select(col("l_suppkey"), col("slot"), round(col("col"), 2).as("value"))
+    }),
+
+    // Binning model with fixed splits: one-hot vector decoded back to the
+    // bin index. Row-local binary search — map-only plan, no shuffle.
+    "q11_binning" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val model = new Binning()
+        .setInputCol("o_totalprice").setOutputCol("price_bin")
+        .setSplits(Array(Double.NegativeInfinity, 150000.0, 300000.0, 450000.0,
+          Double.PositiveInfinity))
+      model.transform(o)
+        .select(col("o_orderkey"),
+          posexplode(org.apache.spark.ml.functions.vector_to_array(col("price_bin"))))
+        .filter(col("col") === 1.0)
+        .select(col("o_orderkey"), col("pos").cast("int").as("bin"))
+    }),
+
+    // StringToShortIndexer: frequency-descending label dictionary with
+    // deterministic tie-break (the sf data has an exact count tie).
+    "q12_string_indexer" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val model = new StringToShortIndexer()
+        .setInputCol("o_orderpriority").setOutputCol("idx")
+        .fit(o)
+      model.transform(o).select(col("o_orderkey"), col("o_orderpriority"), col("idx"))
+    }),
+
+    // Downsampling no-op path: class ratio ~2 is under maxClassRatio=30 so
+    // the model appends constant weight 1.0 (the deterministic branch; the
+    // sampling branch is covered by DownsamplingSpec's range assertions).
+    "q13_downsampling_noop" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("label", when(col("o_orderstatus") === "F", 1.0).otherwise(0.0))
+      val model = new Downsampling().setLabelCol("label").setOutputCol("w").fit(o)
+      model.transform(o).select(col("o_orderkey"), col("label"), col("w"))
     })
   )
 
@@ -106,6 +142,28 @@ object FeatureQueries {
         |  WHERE cnt >= 0.15 * (SELECT sum(cnt) FROM counts)
         |)
         |SELECT l_suppkey, key AS slot, round(value, 2) AS value
-        |FROM gathered WHERE key IN (SELECT key FROM selected)""".stripMargin
+        |FROM gathered WHERE key IN (SELECT key FROM selected)""".stripMargin,
+    "q11_binning" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 150000.0 THEN 0
+        |       WHEN o_totalprice < 300000.0 THEN 1
+        |       WHEN o_totalprice < 450000.0 THEN 2
+        |       ELSE 3 END AS bin
+        |FROM orders""".stripMargin,
+    "q12_string_indexer" ->
+      """WITH counts AS (
+        |  SELECT o_orderpriority AS label, count(*) AS cnt FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT label,
+        |         CAST(row_number() OVER (ORDER BY cnt DESC, label) - 1 AS SMALLINT) AS idx
+        |  FROM counts
+        |)
+        |SELECT o_orderkey, o_orderpriority, idx
+        |FROM orders JOIN ranked ON o_orderpriority = label""".stripMargin,
+    "q13_downsampling_noop" ->
+      """SELECT o_orderkey,
+        |  CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
+        |  CAST(1.0 AS DOUBLE) AS w
+        |FROM orders""".stripMargin
   )
 }

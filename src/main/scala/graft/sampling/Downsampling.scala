@@ -1,0 +1,112 @@
+package graft.sampling
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.param.shared.{HasLabelCol, HasOutputCol}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+private[sampling] trait DownsamplingParams extends Params with HasLabelCol with HasOutputCol {
+
+  final val primaryClass = new DoubleParam(this, "primaryClass",
+    "Primary class to keep (0.0 or 1.0)", (v: Double) => v == 0.0 || v == 1.0)
+  final val sampleWithReplacement = new BooleanParam(this, "sampleWithReplacement",
+    "Sample secondary class with replacement")
+
+  def getPrimaryClass: Double = $(primaryClass)
+  def getOutputColName: String = $(outputCol)
+
+  setDefault(outputCol -> (uid + "_sample_weight"))
+
+  protected def validateAndTransformSchema(schema: StructType): StructType = {
+    require(schema($(labelCol)).dataType == DoubleType,
+      s"Label column data type ${schema($(labelCol)).dataType} is not supported.")
+    StructType(schema.fields :+ StructField($(outputCol), DoubleType, nullable = false))
+  }
+}
+
+/** Class-ratio-capped negative downsampling (reference:
+  * sparkext-mllib/.../sampling/Downsampling.scala:44-96): if
+  * secondary/primary ≤ maxClassRatio the model is a no-op (weight 1.0),
+  * otherwise the secondary class is sampled down to
+  * `primary * maxClassRatio` rows, weighted 1/fraction.
+  *
+  * Scale: fit is two distributed `count()` jobs (combined into ONE pass
+  * here via conditional aggregation); transform is filter+sample+union —
+  * all narrow after the scan, no shuffle.
+  */
+class Downsampling(override val uid: String)
+    extends Estimator[DownsamplingModel] with DownsamplingParams {
+
+  def this() = this(Identifiable.randomUID("downsampling"))
+
+  final val maxClassRatio = new DoubleParam(this, "maxClassRatio", "Max class ratio",
+    (v: Double) => v > 0.0 && v <= 1000.0)
+
+  def setLabelCol(value: String): this.type = set(labelCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+  def setPrimaryClass(value: Double): this.type = set(primaryClass, value)
+  def setMaxClassRatio(value: Double): this.type = set(maxClassRatio, value)
+  def setSampleWithReplacement(value: Boolean): this.type = set(sampleWithReplacement, value)
+
+  setDefault(primaryClass -> 1.0, maxClassRatio -> 30.0, sampleWithReplacement -> false)
+
+  override def fit(dataset: Dataset[_]): DownsamplingModel = {
+    validateAndTransformSchema(dataset.schema)
+    // single scan: conditional count instead of the reference's two jobs
+    val row = dataset.select(
+      count(when(col($(labelCol)) === $(primaryClass), 1)).as("primary"),
+      count(when(col($(labelCol)) =!= $(primaryClass), 1)).as("secondary"))
+      .first()
+    val primaryCnt = row.getLong(0)
+    val secondaryCnt = row.getLong(1)
+    require(primaryCnt > 0, s"Primary class ${$(primaryClass)} should be present in dataset")
+
+    val classRatio = secondaryCnt.toDouble / primaryCnt
+    val fraction =
+      if (classRatio <= $(maxClassRatio)) None
+      else Some(primaryCnt * $(maxClassRatio) / secondaryCnt)
+    copyValues(new DownsamplingModel(uid, fraction).setParent(this))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): Downsampling = defaultCopy(extra)
+}
+
+class DownsamplingModel(override val uid: String, val sampleFraction: Option[Double])
+    extends Model[DownsamplingModel] with DownsamplingParams {
+
+  def this(sampleFraction: Option[Double]) =
+    this(Identifiable.randomUID("downsampling"), sampleFraction)
+
+  def setLabelCol(value: String): this.type = set(labelCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+  def setPrimaryClass(value: Double): this.type = set(primaryClass, value)
+  def setSampleWithReplacement(value: Boolean): this.type = set(sampleWithReplacement, value)
+
+  setDefault(primaryClass -> 1.0, sampleWithReplacement -> false)
+
+  override def transform(dataset: Dataset[_]): DataFrame = sampleFraction match {
+    case None =>
+      dataset.select(col("*"), lit(1.0).as($(outputCol)))
+    case Some(fraction) =>
+      val primary = dataset.filter(col($(labelCol)) === $(primaryClass))
+        .select(col("*"), lit(1.0).as($(outputCol)))
+      val secondary = dataset.filter(col($(labelCol)) =!= $(primaryClass))
+        .sample(withReplacement = $(sampleWithReplacement), fraction)
+        .select(col("*"), lit(1.0 / fraction).as($(outputCol)))
+      primary.unionByName(secondary)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): DownsamplingModel = {
+    val copied = new DownsamplingModel(uid, sampleFraction)
+    copyValues(copied, extra).setParent(parent)
+  }
+}

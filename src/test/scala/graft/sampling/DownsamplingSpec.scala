@@ -1,0 +1,53 @@
+package graft.sampling
+
+import graft.SparkTestBase
+
+/** Mirrors FIXTURES.md A7 (reference DownsamplingSpec.scala:15-69). */
+class DownsamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def data(pos: Int, neg: Int) =
+    ((1 to pos).map(i => (s"p$i", 1.0)) ++ (1 to neg).map(i => (s"n$i", 0.0)))
+      .toDF("cookie_id", "label")
+
+  test("ratio below max: no sampling, all weights 1.0") {
+    val df = data(100, 900) // ratio 9 < default 30
+    val model = new Downsampling().setLabelCol("label").setOutputCol("w").fit(df)
+    assert(model.sampleFraction.isEmpty)
+    val out = model.transform(df)
+    assert(out.count() === 1000)
+    assert(out.filter($"w" === 1.0).count() === 1000)
+  }
+
+  test("ratio above max: secondary sampled, weight = 1/fraction") {
+    val df = data(100, 9000)
+    val model = new Downsampling().setLabelCol("label").setOutputCol("w")
+      .setMaxClassRatio(29.0).fit(df)
+    val fraction = model.sampleFraction.get
+    assert(math.abs(fraction - 2900.0 / 9000.0) < 1e-9)
+    val out = model.transform(df).cache()
+    val positives = out.filter($"label" === 1.0)
+    assert(positives.count() === 100)
+    assert(positives.filter($"w" === 1.0).count() === 100)
+    val negatives = out.filter($"label" === 0.0)
+    val negCount = negatives.count()
+    assert(negCount > 2600 && negCount < 3200, s"sampled count $negCount out of range")
+    val w = negatives.select("w").first().getDouble(0)
+    assert(math.abs(w - 1.0 / fraction) < 1e-9)
+    out.unpersist()
+  }
+
+  test("primary class must be present") {
+    val df = data(0, 100)
+    intercept[IllegalArgumentException] {
+      new Downsampling().setLabelCol("label").fit(df)
+    }
+  }
+
+  test("non-double label rejected") {
+    val df = Seq((1, 1), (2, 0)).toDF("id", "label")
+    intercept[IllegalArgumentException] {
+      new Downsampling().setLabelCol("label").fit(df)
+    }
+  }
+}
