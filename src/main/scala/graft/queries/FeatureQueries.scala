@@ -105,6 +105,23 @@ object FeatureQueries {
         .withColumn("label", when(col("o_orderstatus") === "F", 1.0).otherwise(0.0))
       val model = new Downsampling().setLabelCol("label").setOutputCol("w").fit(o)
       model.transform(o).select(col("o_orderkey"), col("label"), col("w"))
+    }),
+
+    // S2 cell tokens over synthetic-but-deterministic lat/lon derived from
+    // customer keys; grouped per cell. No SQL oracle (cell math is not
+    // expressible in DuckDB) → rows-only check; semantics covered by
+    // S2Spec/S2CellTransformerSpec property tests.
+    "q14_s2_cell" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("lat", (col("c_custkey") % 160).cast("double") - 80.0
+          + col("c_acctbal") / 100000.0)
+        .withColumn("lon", (col("c_custkey") % 340).cast("double") - 170.0
+          + col("c_nationkey").cast("double") / 100.0)
+      new graft.feature.S2CellTransformer()
+        .setLatCol("lat").setLonCol("lon").setCellCol("cell").setLevel(4)
+        .transform(c)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_customers"))
     })
   )
 

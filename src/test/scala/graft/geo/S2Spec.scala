@@ -1,0 +1,95 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class S2Spec extends AnyFunSuite {
+
+  val rnd = new scala.util.Random(42)
+  def randLat(): Double = rnd.nextDouble() * 179.8 - 89.9
+  def randLon(): Double = rnd.nextDouble() * 359.8 - 179.9
+
+  test("axis points land on the right faces") {
+    def faceOf(lat: Double, lon: Double): Int =
+      (S2.fromLatLngDegrees(lat, lon) >>> 61).toInt
+    assert(faceOf(0, 0) === 0)     // +x
+    assert(faceOf(0, 90) === 1)    // +y
+    assert(faceOf(90, 0) === 2)    // +z
+    assert(faceOf(0, 180) === 3)   // -x
+    assert(faceOf(0, -90) === 4)   // -y
+    assert(faceOf(-90, 0) === 5)   // -z
+  }
+
+  test("face centers encode to centered i/j") {
+    val id = S2.fromLatLngDegrees(0, 0)
+    val (f, i, j) = S2.toFaceIJ(id)
+    assert(f === 0)
+    assert(math.abs(i - (1 << 29)) <= 1)
+    assert(math.abs(j - (1 << 29)) <= 1)
+  }
+
+  test("fromFaceIJ/toFaceIJ round-trip (1000 random cells)") {
+    for (_ <- 1 to 1000) {
+      val f = rnd.nextInt(6)
+      val i = rnd.nextInt(1 << 30)
+      val j = rnd.nextInt(1 << 30)
+      assert(S2.toFaceIJ(S2.fromFaceIJ(f, i, j)) === ((f, i, j)))
+    }
+  }
+
+  test("Hilbert curve continuity: consecutive leaf positions are adjacent cells") {
+    // strong structural check of the traversal tables: walking the curve
+    // moves exactly one step in i or j
+    val start = S2.fromFaceIJ(2, 12345, 67890)
+    var prev = S2.toFaceIJ(start)
+    for (step <- 1 to 4096) {
+      val id = start + 2L * step // next leaf position on the curve
+      val (f, i, j) = S2.toFaceIJ(id)
+      if (f == prev._1) {
+        val di = math.abs(i - prev._2)
+        val dj = math.abs(j - prev._3)
+        assert(di + dj === 1, s"step $step jumped by ($di,$dj)")
+      }
+      prev = (f, i, j)
+    }
+  }
+
+  test("parent is hierarchical and level() is consistent (1000 random points)") {
+    for (_ <- 1 to 1000) {
+      val (lat, lon, lvl) = (randLat(), randLon(), rnd.nextInt(30))
+      val leaf = S2.fromLatLngDegrees(lat, lon)
+      assert(S2.level(leaf) === 30)
+      val p = S2.parent(leaf, lvl)
+      assert(S2.level(p) === lvl)
+      assert(S2.parent(p, lvl) === p) // idempotent
+      // high bits (face + position above the level) agree between leaf and parent
+      val lsb = S2.lsbForLevel(lvl)
+      assert((leaf & -(lsb << 1)) === (p & -(lsb << 1)))
+    }
+  }
+
+  test("token round-trips (1000 random cells)") {
+    for (_ <- 1 to 1000) {
+      val id = S2.parent(S2.fromLatLngDegrees(randLat(), randLon()), rnd.nextInt(31))
+      assert(S2.fromToken(S2.token(id)) === id)
+    }
+  }
+
+  test("leaf center round-trip: re-encoding a leaf's center yields the same leaf") {
+    for (_ <- 1 to 1000) {
+      val (lat, lon) = (randLat(), randLon())
+      val leaf = S2.fromLatLngDegrees(lat, lon)
+      val (clat, clon) = S2.centerLatLngDegrees(leaf)
+      assert(math.abs(clat - lat) < 1e-3, s"center lat $clat vs $lat")
+      assert(S2.fromLatLngDegrees(clat, clon) === leaf)
+    }
+  }
+
+  test("center round-trip at coarse levels stays inside the cell") {
+    for (_ <- 1 to 1000) {
+      val lvl = 4 + rnd.nextInt(17)
+      val cell = S2.parent(S2.fromLatLngDegrees(randLat(), randLon()), lvl)
+      val (clat, clon) = S2.centerLatLngDegrees(cell)
+      assert(S2.parent(S2.fromLatLngDegrees(clat, clon), lvl) === cell)
+    }
+  }
+}
