@@ -23,12 +23,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ FeatureQueries.queries
+    CoreQueries.queries ++ FeatureQueries.queries ++ MetricsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
     * records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ FeatureQueries.oracles
+    CoreQueries.oracles ++ FeatureQueries.oracles ++ MetricsQueries.oracles
 }

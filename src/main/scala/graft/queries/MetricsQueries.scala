@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.evaluation.BinaryModelMetrics
+
+/** Evaluation-curve queries. Score/label pairs are derived deterministically
+  * from the orders table (multiplicative-hash pseudo-score, status flag
+  * label) so the DuckDB oracle can replay the exact same input.
+  */
+object MetricsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scoreAndLabels(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      (((col("o_orderkey") * 2654435761L) % 1000) / 1000.0).as("score"),
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"))
+
+  // shared oracle CTE prefix building per-score cumulative confusions
+  private val cumSql =
+    """WITH sl AS (
+      |  SELECT ((o_orderkey * 2654435761) % 1000) / 1000.0 AS score,
+      |         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label
+      |  FROM orders
+      |), by_score AS (
+      |  SELECT score, sum(label) AS pos, count(*) AS cnt FROM sl GROUP BY score
+      |), cum AS (
+      |  SELECT score,
+      |    sum(pos) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |    sum(cnt - pos) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+      |    sum(pos) OVER () AS p,
+      |    sum(cnt - pos) OVER () AS n
+      |  FROM by_score
+      |)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // gains chart (the reference's headline addition): distributed groupBy
+    // per score + window cumulative confusion counts.
+    "q15_gains_curve" -> ((s, dir) => {
+      new BinaryModelMetrics(scoreAndLabels(s, dir)).gains()
+        .select(round(col("reach"), 6).as("reach"), round(col("recall"), 6).as("recall"))
+    }),
+
+    // lift chart (reach, recall/reach)
+    "q16_lift_curve" -> ((s, dir) => {
+      new BinaryModelMetrics(scoreAndLabels(s, dir)).lift()
+        .select(round(col("reach"), 6).as("reach"), round(col("lift"), 6).as("lift"))
+    }),
+
+    // trapezoid AUC-ROC as a single row
+    "q17_auc_roc" -> ((s, dir) => {
+      val auc = new BinaryModelMetrics(scoreAndLabels(s, dir)).areaUnderROC()
+      s.range(1).select(round(lit(auc), 6).as("auc"))
+    }),
+
+    // precision/recall by threshold
+    "q18_precision_recall_by_threshold" -> ((s, dir) => {
+      val m = new BinaryModelMetrics(scoreAndLabels(s, dir))
+      m.precisionByThreshold()
+        .join(m.recallByThreshold(), "score")
+        .select(round(col("score"), 6).as("score"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q15_gains_curve" ->
+      (cumSql +
+        """
+          |SELECT round((tp + fp) / (p + n), 6) AS reach, round(tp / p, 6) AS recall FROM cum
+          |UNION ALL SELECT CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+          |UNION ALL SELECT CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)""".stripMargin),
+    "q16_lift_curve" ->
+      (cumSql +
+        """
+          |SELECT round((tp + fp) / (p + n), 6) AS reach,
+          |       round((tp / p) / ((tp + fp) / (p + n)), 6) AS lift
+          |FROM cum""".stripMargin),
+    "q17_auc_roc" ->
+      (cumSql +
+        """, pts AS (
+          |  SELECT 0 AS seq, CAST(0.0 AS DOUBLE) AS fpr, CAST(0.0 AS DOUBLE) AS tpr
+          |  UNION ALL
+          |  SELECT row_number() OVER (ORDER BY score DESC) AS seq,
+          |         fp / n AS fpr, tp / p AS tpr
+          |  FROM cum
+          |  UNION ALL
+          |  SELECT 9223372036854775807 AS seq, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+          |), segs AS (
+          |  SELECT fpr, tpr,
+          |         lag(fpr) OVER (ORDER BY seq) AS pfpr,
+          |         lag(tpr) OVER (ORDER BY seq) AS ptpr
+          |  FROM pts
+          |)
+          |SELECT round(sum((fpr - pfpr) * (tpr + ptpr) / 2), 6) AS auc
+          |FROM segs WHERE pfpr IS NOT NULL""".stripMargin),
+    "q18_precision_recall_by_threshold" ->
+      (cumSql +
+        """
+          |SELECT round(score, 6) AS score,
+          |       round(tp / (tp + fp), 6) AS precision,
+          |       round(tp / p, 6) AS recall
+          |FROM cum""".stripMargin)
+  )
+}
