@@ -1,24 +1,51 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver runs per-round at sf0.1 and records the ONE JSON
+  * line this prints. A warmup pass runs every query untimed first so the
+  * timed pass measures query execution, not session/JIT/parquet-footer
+  * warmup (round-1's first query absorbed ~8s of warmup). Failures are
+  * reported in an `errors` field instead of masquerading as wall time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // warmup: one untimed execution of each query
+    qs.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+
+    var errors = List.empty[(String, String)]
+    val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qJson = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val eJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

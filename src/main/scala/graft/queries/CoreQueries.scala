@@ -50,13 +50,15 @@ object CoreQueries {
           round(sum(col("o_totalprice")), 2).as("total_price"))
     }),
 
-    // collectArray (the reference's one SQL aggregate) — element-sorted for
-    // deterministic compare. ObjectHashAggregate with automatic partial/final.
+    // collectArray (the reference's one SQL aggregate) — element-sorted then
+    // joined to a string so the driver's pandas compare can hash the column
+    // (raw ARRAY output crashed its sort in round 1). ObjectHashAggregate
+    // with automatic partial/final.
     "q03_collect_array" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       li.groupBy(col("l_orderkey"))
         .agg(
-          collectArraySorted(col("l_linenumber")).as("lines"),
+          concat_ws(",", collectArraySorted(col("l_linenumber"))).as("lines"),
           size(collectArray(col("l_linenumber"))).as("n_lines"))
     }),
 
@@ -159,7 +161,7 @@ object CoreQueries {
         |GROUP BY n_name""".stripMargin,
     "q03_collect_array" ->
       """SELECT l_orderkey,
-        |  list_sort(list(l_linenumber)) AS lines,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
         |  count(l_linenumber) AS n_lines
         |FROM lineitem
         |GROUP BY l_orderkey""".stripMargin,

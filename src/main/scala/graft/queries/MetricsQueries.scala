@@ -52,10 +52,12 @@ object MetricsQueries {
         .select(round(col("reach"), 6).as("reach"), round(col("lift"), 6).as("lift"))
     }),
 
-    // trapezoid AUC-ROC as a single row
+    // trapezoid AUC-ROC as a single LAZY row — the whole area is one
+    // distributed sum (per-segment deltas derived row-locally), so building
+    // this DataFrame runs zero jobs.
     "q17_auc_roc" -> ((s, dir) => {
-      val auc = new BinaryModelMetrics(scoreAndLabels(s, dir)).areaUnderROC()
-      s.range(1).select(round(lit(auc), 6).as("auc"))
+      new BinaryModelMetrics(scoreAndLabels(s, dir)).areaUnderROCFrame()
+        .select(round(col("auc"), 6).as("auc"))
     }),
 
     // precision/recall by threshold
@@ -66,6 +68,13 @@ object MetricsQueries {
         .select(round(col("score"), 6).as("score"),
           round(col("precision"), 6).as("precision"),
           round(col("recall"), 6).as("recall"))
+    }),
+
+    // gains chart through the numBins down-sampling path (deterministic
+    // chunking of distinct scores into distinct/numBins-sized groups)
+    "q26_gains_binned" -> ((s, dir) => {
+      new BinaryModelMetrics(scoreAndLabels(s, dir), numBins = 100).gains()
+        .select(round(col("reach"), 6).as("reach"), round(col("recall"), 6).as("recall"))
     })
   )
 
@@ -106,6 +115,35 @@ object MetricsQueries {
           |SELECT round(score, 6) AS score,
           |       round(tp / (tp + fp), 6) AS precision,
           |       round(tp / p, 6) AS recall
-          |FROM cum""".stripMargin)
+          |FROM cum""".stripMargin),
+    "q26_gains_binned" ->
+      """WITH sl AS (
+        |  SELECT ((o_orderkey * 2654435761) % 1000) / 1000.0 AS score,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label
+        |  FROM orders
+        |), by_score AS (
+        |  SELECT score, sum(label) AS pos, count(*) AS cnt FROM sl GROUP BY score
+        |), ranked AS (
+        |  SELECT score, pos, cnt,
+        |    row_number() OVER (ORDER BY score DESC) AS seq,
+        |    count(*) OVER () AS nsc
+        |  FROM by_score
+        |), binned AS (
+        |  SELECT CASE WHEN nsc // 100 >= 2 THEN (seq - 1) // (nsc // 100) ELSE seq END AS bin,
+        |    max(score) AS score, sum(pos) AS pos, sum(cnt) AS cnt
+        |  FROM ranked GROUP BY 1
+        |), cum AS (
+        |  SELECT score,
+        |    sum(pos) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    sum(cnt - pos) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+        |    sum(pos) OVER () AS p,
+        |    sum(cnt - pos) OVER () AS n
+        |  FROM binned
+        |)
+        |SELECT round((tp + fp) / (p + n), 6) AS reach, round(tp / p, 6) AS recall FROM cum
+        |UNION ALL SELECT CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |UNION ALL SELECT CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)""".stripMargin
   )
 }
