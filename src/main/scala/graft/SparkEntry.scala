@@ -21,14 +21,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.queries("q04_gather")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (plus the
+    * LLM-pipeline extensions: dedup, similarity, text analysis).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ FeatureQueries.queries ++ MetricsQueries.queries
+    CoreQueries.queries ++ FeatureQueries.queries ++ MetricsQueries.queries ++
+      DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
     * records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ FeatureQueries.oracles ++ MetricsQueries.oracles
+    CoreQueries.oracles ++ FeatureQueries.oracles ++ MetricsQueries.oracles ++
+      DedupQueries.oracles
 }

@@ -1,0 +1,64 @@
+package graft.dedup
+
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact near-duplicate removal by content fingerprint: normalize the text
+  * column, hash it (sha2-256), and keep one canonical row per fingerprint
+  * (lowest id wins — deterministic).
+  *
+  * Beyond-reference operator (the reference has no dedup; this is the
+  * LLM-training-pipeline extension mandated by the build brief).
+  *
+  * Scale: one hash-partitioned window over the fingerprint — fully
+  * distributed, shuffles each row once on its 256-bit hash (uniform keys,
+  * no skew beyond genuine duplicate-group size). No driver state, no
+  * collect. At 100 TB this is the canonical exact-dedup plan: the
+  * fingerprint groupBy/window reduces before anything wide happens.
+  */
+class ExactDeduplicator(override val uid: String) extends Transformer {
+
+  def this() = this(Identifiable.randomUID("exactDedup"))
+
+  final val idCol: Param[String] = new Param[String](this, "idCol",
+    "Document id column (ties broken by smallest id)")
+  final val textCol: Param[String] = new Param[String](this, "textCol",
+    "Text column to fingerprint")
+  final val fingerprintCol: Param[String] = new Param[String](this, "fingerprintCol",
+    "Output fingerprint column name")
+  final val keepDuplicates: BooleanParam = new BooleanParam(this, "keepDuplicates",
+    "If true, keep all rows and only add fingerprint + is_canonical columns")
+
+  setDefault(idCol -> "doc_id", textCol -> "text",
+    fingerprintCol -> "fingerprint", keepDuplicates -> false)
+
+  def setIdCol(value: String): this.type = set(idCol, value)
+  def setTextCol(value: String): this.type = set(textCol, value)
+  def setFingerprintCol(value: String): this.type = set(fingerprintCol, value)
+  def setKeepDuplicates(value: Boolean): this.type = set(keepDuplicates, value)
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    val fp = sha2(TextNormalizer.normalize(col($(textCol))), 256)
+    val w = Window.partitionBy(col($(fingerprintCol))).orderBy(col($(idCol)))
+    val flagged = dataset
+      .withColumn($(fingerprintCol), fp)
+      .withColumn("is_canonical", row_number().over(w) === 1)
+    if ($(keepDuplicates)) flagged
+    else flagged.where(col("is_canonical")).drop("is_canonical")
+  }
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema.fieldNames.contains($(idCol)), s"id column ${$(idCol)} not found")
+    require(schema($(textCol)).dataType == StringType,
+      s"text column must be string, got ${schema($(textCol)).dataType}")
+    StructType(schema.fields :+ StructField($(fingerprintCol), StringType, nullable = true))
+  }
+
+  override def copy(extra: ParamMap): ExactDeduplicator = defaultCopy(extra)
+}

@@ -1,0 +1,141 @@
+package graft.dedup
+
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection via MinHash + locality-sensitive banding over
+  * character shingles — the shingle → minhash → band → bucket-join pipeline
+  * of Broder's "On the resemblance and containment of documents" (1997),
+  * built entirely from Catalyst expressions.
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build brief).
+  *
+  * Stages (each a narrow transformation or a keyed shuffle — NEVER an
+  * all-pairs product):
+  *
+  *  1. '''shingles''': explode positions 1..len-k+1, substring k chars,
+  *     distinct per doc.
+  *  2. '''minhash''': for seed j, h_j(s) = md5(j || ":" || s); signature_j =
+  *     min over shingles (min-wise independent family in hex-string order;
+  *     md5 keeps the hash deterministic AND replayable by the SQL oracle —
+  *     no JVM-private hash function). Partial aggregation makes the shuffle
+  *     carry only (doc, seed) minima, not doc×shingle rows.
+  *  3. '''bands''': the numHashes signatures are chunked into numBands
+  *     groups; each band's signature is md5 of its seed-ordered minhashes.
+  *  4. '''candidates''': equi-join docs on (band, signature) — bucketed;
+  *     two docs compare only if at least one band collides.
+  *  5. '''verify''': exact shingle-set Jaccard on the candidates only;
+  *     pairs ≥ threshold survive.
+  *
+  * Scale: the band join shuffles on (band, bandSig) — uniformly distributed
+  * 128-bit keys; bucket sizes are the LSH collision groups (tunable via
+  * numBands/rowsPerBand), so the quadratic blowup is confined to genuinely
+  * similar clusters. Verification joins shingles only for candidate ids
+  * (semi-join pushdown of the candidate set).
+  */
+class MinHashDeduplicator(override val uid: String) extends Transformer {
+
+  def this() = this(Identifiable.randomUID("minhashDedup"))
+
+  final val idCol: Param[String] = new Param[String](this, "idCol", "Document id column")
+  final val textCol: Param[String] = new Param[String](this, "textCol", "Text column")
+  final val shingleSize: IntParam = new IntParam(this, "shingleSize",
+    "Character shingle width k", ParamValidators.gtEq(2))
+  final val numHashes: IntParam = new IntParam(this, "numHashes",
+    "Number of minhash functions", ParamValidators.gtEq(2))
+  final val numBands: IntParam = new IntParam(this, "numBands",
+    "Number of LSH bands (must divide numHashes)", ParamValidators.gtEq(1))
+  final val threshold: DoubleParam = new DoubleParam(this, "threshold",
+    "Verified Jaccard similarity threshold", ParamValidators.inRange(0.0, 1.0))
+
+  setDefault(idCol -> "doc_id", textCol -> "text",
+    shingleSize -> 8, numHashes -> 12, numBands -> 4, threshold -> 0.5)
+
+  def setIdCol(value: String): this.type = set(idCol, value)
+  def setTextCol(value: String): this.type = set(textCol, value)
+  def setShingleSize(value: Int): this.type = set(shingleSize, value)
+  def setNumHashes(value: Int): this.type = set(numHashes, value)
+  def setNumBands(value: Int): this.type = set(numBands, value)
+  def setThreshold(value: Double): this.type = set(threshold, value)
+
+  private def id: Column = col($(idCol))
+
+  /** Distinct character k-shingles per document: (id, shingle). */
+  def shingles(dataset: Dataset[_]): DataFrame = {
+    val k = $(shingleSize)
+    dataset
+      .select(id, TextNormalizer.normalize(col($(textCol))).as("norm"))
+      .select(id, explode(expr(
+        s"transform(sequence(1, greatest(length(norm) - $k + 1, 1)), i -> substring(norm, i, $k))"))
+        .as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: (id, seed, minhash) — one row per doc per seed. */
+  def signatures(dataset: Dataset[_]): DataFrame = {
+    val h = $(numHashes)
+    shingles(dataset)
+      .select(id, explode(expr(s"sequence(0, ${h - 1})")).as("seed"), col("shingle"))
+      .groupBy(id, col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("minhash"))
+  }
+
+  /** LSH band signatures: (id, band, bandSig). */
+  def bandSignatures(dataset: Dataset[_]): DataFrame = {
+    val rowsPerBand = $(numHashes) / $(numBands)
+    require(rowsPerBand * $(numBands) == $(numHashes),
+      s"numBands (${$(numBands)}) must divide numHashes (${$(numHashes)})")
+    signatures(dataset)
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(id, col("band"))
+      .agg(md5(array_join(
+        expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> x.minhash)"),
+        ",")).as("bandSig"))
+  }
+
+  /** Candidate pairs (idA < idB) sharing at least one band signature. */
+  def candidatePairs(dataset: Dataset[_]): DataFrame = {
+    val bands = bandSignatures(dataset)
+    val a = bands.select(col($(idCol)).as("id_a"), col("band"), col("bandSig"))
+    val b = bands.select(col($(idCol)).as("id_b"), col("band"), col("bandSig"))
+    a.join(b, Seq("band", "bandSig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Verified near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold). */
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    val sh = shingles(dataset)
+    val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
+    val cand = candidatePairs(dataset)
+    val inter = cand
+      .join(sh.select(col($(idCol)).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col($(idCol)).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col($(idCol)).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col($(idCol)).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= $(threshold))
+  }
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema.fieldNames.contains($(idCol)), s"id column ${$(idCol)} not found")
+    require(schema($(textCol)).dataType == StringType,
+      s"text column must be string, got ${schema($(textCol)).dataType}")
+    val idType = schema($(idCol)).dataType
+    StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType),
+      StructField("jaccard", DoubleType)))
+  }
+
+  override def copy(extra: ParamMap): MinHashDeduplicator = defaultCopy(extra)
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.{ExactDeduplicator, MinHashDeduplicator, SimHasher}
+
+/** Deduplication queries over the documents table.
+  *
+  * The synthetic corpus has no natural duplicates, so each query seeds
+  * deterministic ones first: exact copies of every doc_id % 10 == 0 row
+  * (id + 100000) and suffix-mutated near-copies of every doc_id % 7 == 0
+  * row (id + 200000). The DuckDB oracle replays the identical seeding, so
+  * both sides dedup the same corpus.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def seeded(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.union(
+      d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .union(
+        d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" graft near dup probe")).as("text")))
+  }
+
+  private val seededSql =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' graft near dup probe'
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM base
+      |)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: normalize → sha2 fingerprint → keep lowest id per group.
+    // The 50 seeded identical copies collapse onto their originals.
+    "q19_dedup_exact" -> ((s, dir) => {
+      new ExactDeduplicator()
+        .setIdCol("doc_id").setTextCol("text").setFingerprintCol("fingerprint")
+        .transform(seeded(s, dir))
+        .select(col("doc_id"), col("fingerprint"))
+    }),
+
+    // MinHash-LSH near-dup: 8-char shingles, 12 hashes in 4 bands × 3 rows,
+    // candidates only from band-bucket collisions (never all-pairs),
+    // verified shingle Jaccard >= 0.5.
+    "q20_dedup_minhash" -> ((s, dir) => {
+      new MinHashDeduplicator()
+        .setIdCol("doc_id").setTextCol("text")
+        .setShingleSize(8).setNumHashes(12).setNumBands(4).setThreshold(0.5)
+        .transform(seeded(s, dir))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // 64-bit SimHash signature per original document (md5 bit votes).
+    "q25_simhash" -> ((s, dir) => {
+      new SimHasher().setIdCol("doc_id").setTextCol("text").setOutputCol("simhash")
+        .transform(Tables.documents(s, dir))
+    })
+  )
+
+  /** Programmatically generated 64-bit SimHash oracle (64 vote sums). */
+  private val simhashSql: String = {
+    val votes = (for (i <- 0 until 16; b <- 3 to 0 by -1) yield
+      s"sum(CASE WHEN (('0x' || substr(h, ${i + 1}, 1))::INT >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_${i}_$b")
+      .mkString(",\n    ")
+    val nibbles = (0 until 16).map { i =>
+      val v = (3 to 0 by -1)
+        .map(b => s"(CASE WHEN s_${i}_$b > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"substring('0123456789abcdef', ($v) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM norm
+       |), hashed AS (
+       |  SELECT doc_id, md5(tok) AS h FROM toks
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hashed GROUP BY doc_id
+       |)
+       |SELECT doc_id, $nibbles AS simhash FROM votes""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q19_dedup_exact" ->
+      (seededSql +
+        """
+          |SELECT doc_id, sha256(norm) AS fingerprint FROM norm
+          |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""".stripMargin),
+    "q20_dedup_minhash" ->
+      (seededSql +
+        """, sh AS (
+          |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
+          |  FROM norm CROSS JOIN range(1, 700) t(i)
+          |  WHERE i <= greatest(length(norm) - 7, 1)
+          |), sig AS (
+          |  SELECT doc_id, CAST(j AS INT) AS seed,
+          |         min(md5(j || ':' || shingle)) AS minhash
+          |  FROM sh CROSS JOIN range(0, 12) t(j)
+          |  GROUP BY 1, 2
+          |), bands AS (
+          |  SELECT doc_id, seed // 3 AS band,
+          |         md5(string_agg(minhash, ',' ORDER BY seed)) AS bandsig
+          |  FROM sig GROUP BY doc_id, seed // 3
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a
+          |  JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+          |), inter AS (
+          |  SELECT c.id_a, c.id_b, count(*) AS i
+          |  FROM cand c
+          |  JOIN sh x ON x.doc_id = c.id_a
+          |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+          |  GROUP BY 1, 2
+          |), jac AS (
+          |  SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+          |  FROM inter
+          |  JOIN sizes sa ON sa.doc_id = id_a
+          |  JOIN sizes sb ON sb.doc_id = id_b
+          |)
+          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
+          |WHERE jaccard >= 0.5""".stripMargin),
+    "q25_simhash" -> simhashSql
+  )
+}

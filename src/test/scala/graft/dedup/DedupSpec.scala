@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "the QUICK  brown fox jumps over the lazy dog!"), // exact dup of 1 after normalization
+    (3L, "The quick brown fox jumps over the lazy dog and then naps"), // near dup of 1
+    (4L, "completely different content about spark query engines"),
+    (5L, "another unrelated document mentioning hash aggregation plans"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup collapses normalization-equal texts, lowest id wins") {
+    val out = new ExactDeduplicator().setIdCol("doc_id").setTextCol("text")
+      .transform(docs)
+    val kept = out.select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L, 4L, 5L))
+  }
+
+  test("exact dedup keepDuplicates flags instead of dropping") {
+    val out = new ExactDeduplicator().setIdCol("doc_id").setTextCol("text")
+      .setKeepDuplicates(true).transform(docs)
+    assert(out.count() === 5)
+    val canon = out.where($"is_canonical").select("doc_id").as[Long].collect().sorted
+    assert(canon === Array(1L, 3L, 4L, 5L))
+    // duplicates share the canonical row's fingerprint
+    assert(out.select("fingerprint").distinct().count() === 4)
+  }
+
+  test("minhash finds the near-dup pair and nothing unrelated") {
+    val pairs = new MinHashDeduplicator()
+      .setIdCol("doc_id").setTextCol("text")
+      .setShingleSize(5).setNumHashes(12).setNumBands(4).setThreshold(0.4)
+      .transform(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L || a == 5L })
+  }
+
+  test("minhash signature is one row per (doc, seed) with md5-min values") {
+    val m = new MinHashDeduplicator().setIdCol("doc_id").setTextCol("text")
+      .setNumHashes(6).setNumBands(2)
+    val sig = m.signatures(docs)
+    assert(sig.count() === 5 * 6)
+    assert(sig.select("minhash").as[String].collect().forall(_.length === 32))
+  }
+
+  test("simhash: identical docs agree, near dups are close, unrelated far") {
+    def hamming(a: String, b: String): Int =
+      a.zip(b).map { case (x, y) =>
+        Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+      }.sum
+    val sh = new SimHasher().setIdCol("doc_id").setTextCol("text")
+      .transform(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(1L) === sh(2L)) // normalization-identical → same 64 bits
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+    assert(sh.values.forall(_.length === 16))
+  }
+
+  test("simhash candidatePairs finds low-hamming pairs via banding") {
+    val hasher = new SimHasher().setIdCol("doc_id").setTextCol("text")
+    val signed = hasher.transform(docs)
+    val pairs = hasher.candidatePairs(signed)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical signature → all bands collide
+  }
+
+  test("plans are bucketed joins, not cartesian products") {
+    val m = new MinHashDeduplicator().setIdCol("doc_id").setTextCol("text")
+    val plan = m.transform(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian in:\n$plan")
+  }
+}
