@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.{CosineTopK, RandomHyperplaneLSH}
+
+/** Similarity-search queries over the embeddings table.
+  *
+  * q21: exact brute-force top-k (broadcast query set) — the baseline.
+  * q22: LSH-bucketed near-duplicate pairs — the scale path. The corpus has
+  * no natural near-dups (max pairwise cosine ≈ 0.51), so q22 seeds
+  * deterministic perturbed copies (vec_id + 100000) that the oracle
+  * replays identically.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+  /** Original vectors plus small deterministic perturbations of every
+    * vec_id % 10 == 0 row: component d += 0.02*(((id + d*7919) % 97)/97 - ½).
+    */
+  private def seeded(s: SparkSession, dir: String): DataFrame = {
+    val e = vectors(s, dir)
+    val mutated = e.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr(
+          """zip_with(CAST(embedding AS ARRAY<DOUBLE>), sequence(0, size(embedding) - 1),
+            |  (x, d) -> x + 0.02 * ((((vec_id + d * 7919) % 97) / 97.0) - 0.5))""".stripMargin)
+          .as("embedding"))
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .union(mutated)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // exact top-5 cosine neighbors for 5 probe vectors: broadcast nested
+    // loop (big side streamed once), per-query window rank.
+    "q21_ann_topk" -> ((s, dir) => {
+      val e = vectors(s, dir)
+      new CosineTopK(5).search(e.where(col("vec_id") < 5), e)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
+    // embedding near-dup pairs: 32 hyperplane bits in 4 bands × 8 rows,
+    // candidates only from band collisions, verified cosine >= 0.9.
+    "q22_ann_lsh" -> ((s, dir) => {
+      new RandomHyperplaneLSH(numPlanes = 32, numBands = 4)
+        .nearDupPairs(seeded(s, dir), threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT qid, vec_id, list_cosine_similarity(qv, v) AS cos
+        |  FROM q JOIN e ON vec_id != qid
+        |), ranked AS (
+        |  SELECT qid AS query_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    "q22_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |comp AS (
+        |  SELECT vec_id, CAST(i AS INT) - 1 AS d, v[CAST(i AS INT)] AS x
+        |  FROM e CROSS JOIN range(1, 65) t(i) WHERE i <= len(v)
+        |), mutc AS (
+        |  SELECT vec_id, d, x + 0.02 * ((((vec_id + d * 7919) % 97) / 97.0) - 0.5) AS x
+        |  FROM comp WHERE vec_id % 10 = 0
+        |), mut AS (
+        |  SELECT vec_id + 100000 AS vec_id, list(x ORDER BY d) AS v FROM mutc GROUP BY vec_id
+        |), allv AS (
+        |  SELECT * FROM e UNION ALL SELECT * FROM mut
+        |), allc AS (
+        |  SELECT vec_id, CAST(i AS INT) - 1 AS d, v[CAST(i AS INT)] AS x
+        |  FROM allv CROSS JOIN range(1, 65) t(i) WHERE i <= len(v)
+        |), dots AS (
+        |  SELECT vec_id, CAST(r AS INT) AS r,
+        |         sum(x * ((((r * 2654435761 + d * 40503) % 1009) / 1009.0) - 0.5)) AS dot
+        |  FROM allc CROSS JOIN range(0, 32) t(r) GROUP BY 1, 2
+        |), sigs AS (
+        |  SELECT vec_id,
+        |         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY r) AS sig
+        |  FROM dots GROUP BY 1
+        |), bands AS (
+        |  SELECT vec_id, CAST(b AS INT) AS band,
+        |         substring(sig, CAST(b AS INT) * 8 + 1, 8) AS bandsig
+        |  FROM sigs CROSS JOIN range(0, 4) t(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.vec_id < b.vec_id
+        |), out AS (
+        |  SELECT id_a, id_b, list_cosine_similarity(x.v, y.v) AS cosine
+        |  FROM cand JOIN allv x ON x.vec_id = id_a JOIN allv y ON y.vec_id = id_b
+        |)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM out WHERE cosine >= 0.9""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // orthogonal basis + a near-copy of v1 and an opposite vector
+  lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // near-dup of 1
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (5L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks the near-copy first") {
+    val out = new CosineTopK(2)
+      .search(vecs.where($"vec_id" === 1), vecs)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).head === 3L) // rank 1 = near-copy
+    assert(out.head.getDouble(2) > 0.99)
+    assert(out.length === 2)
+  }
+
+  test("top-k excludes self and respects k") {
+    val out = new CosineTopK(3).search(vecs.where($"vec_id" < 3), vecs)
+    assert(out.where($"query_id" === $"vec_id").count() === 0)
+    assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) <= 3))
+  }
+
+  test("LSH puts the near-dup pair in a shared bucket and verifies cosine") {
+    val pairs = new RandomHyperplaneLSH(numPlanes = 16, numBands = 4)
+      .nearDupPairs(vecs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L))) // only the true near-dup survives verification
+  }
+
+  test("LSH signatures are deterministic across invocations") {
+    val lsh = new RandomHyperplaneLSH(numPlanes = 8, numBands = 2)
+    val a = lsh.bandSignatures(vecs).collect().map(_.toString).sorted
+    val b = lsh.bandSignatures(vecs).collect().map(_.toString).sorted
+    assert(a === b)
+    assert(a.length === 5 * 2)
+  }
+
+  test("LSH searchTopK finds the near-copy for the probe") {
+    val out = new RandomHyperplaneLSH(numPlanes = 8, numBands = 4)
+      .searchTopK(vecs.where($"vec_id" === 1), vecs, k = 2)
+      .collect()
+    assert(out.map(_.getLong(1)).contains(3L))
+  }
+
+  test("near-dup plan is a bucketed join, not a cartesian product") {
+    val plan = new RandomHyperplaneLSH(numPlanes = 16, numBands = 4)
+      .nearDupPairs(vecs, 0.9).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian in:\n$plan")
+  }
+}
