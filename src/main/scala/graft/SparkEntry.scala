@@ -26,7 +26,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FeatureQueries.queries ++ MetricsQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -34,5 +34,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FeatureQueries.oracles ++ MetricsQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles
 }

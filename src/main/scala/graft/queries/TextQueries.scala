@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions
+
+/** Text-analysis queries over the documents table, each mirrored by a
+  * DuckDB oracle computing the identical formula.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared oracle prelude: normalization + token list per document
+  private val normSql =
+    """WITH norm AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, text, string_split(norm, ' ') AS tl FROM norm
+      |)""".stripMargin
+
+  private val enList = TextFunctions.stopwords.toMap.apply("en")
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, Q] = Map(
+    // per-document statistics + composite quality score
+    "q23_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(t).as("n_tokens"),
+        round(TextFunctions.avgWordLength(t), 6).as("avg_word_len"),
+        round(TextFunctions.punctRatio(t), 6).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
+        TextFunctions.bpeTokenEstimate(t).cast("long").as("bpe_tokens"),
+        TextFunctions.qualityScore(t).as("quality"))
+    }),
+
+    // heuristic language ID with per-language stopword hit counts
+    "q30_lang_id" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.stopwordHits(t, "en").as("en_hits"),
+        TextFunctions.stopwordHits(t, "de").as("de_hits"),
+        TextFunctions.stopwordHits(t, "fr").as("fr_hits"),
+        TextFunctions.stopwordHits(t, "es").as("es_hits"),
+        TextFunctions.languageId(t).as("lang_guess"))
+    }),
+
+    // order-sensitive rolling-hash fingerprint over the token stream
+    "q31_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+    })
+  )
+
+  private def hitSql(lang: String): String = {
+    val list = TextFunctions.stopwords.toMap.apply(lang)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(tl, t -> list_contains($list, t)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q23_text_stats" ->
+      (normSql +
+        s"""
+           |SELECT doc_id,
+           |  len(tl) AS n_tokens,
+           |  round(list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl), 6) AS avg_word_len,
+           |  round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text), 6) AS punct_ratio,
+           |  round(${hitSql("en")} * 1.0 / len(tl), 6) AS stopword_ratio,
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+           |  round((
+           |    least(len(tl) / 100.0, 1.0) +
+           |    greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 4.0) +
+           |    least((${hitSql("en")} * 1.0 / len(tl)) * 3.0, 1.0) +
+           |    (CASE WHEN (list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+           |  ) / 4.0, 6) AS quality
+           |FROM toks""".stripMargin),
+    "q30_lang_id" ->
+      (normSql +
+        s"""
+           |, hits AS (
+           |  SELECT doc_id,
+           |    ${hitSql("en")} AS en_hits,
+           |    ${hitSql("de")} AS de_hits,
+           |    ${hitSql("fr")} AS fr_hits,
+           |    ${hitSql("es")} AS es_hits
+           |  FROM toks
+           |)
+           |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+           |  CASE
+           |    WHEN en_hits > 0 AND en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+           |    WHEN de_hits > 0 AND de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+           |    WHEN fr_hits > 0 AND fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+           |    WHEN es_hits > 0 AND es_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'es'
+           |    ELSE 'und'
+           |  END AS lang_guess
+           |FROM hits""".stripMargin),
+    "q31_fingerprint" ->
+      (normSql +
+        """
+          |SELECT doc_id,
+          |  list_reduce(
+          |    list_concat([CAST(0 AS BIGINT)],
+          |      list_transform(tl, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+          |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+          |FROM toks""".stripMargin)
+  )
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "The quick brown fox, and the lazy dog!"),
+    (2L, "der Hund und die Katze sind nicht da"),
+    (3L, "xyzzy plugh qwerty"),
+    (4L, "a b c 123 !!!"))
+    .toDF("doc_id", "text")
+
+  private def profiled = new TextProfiler().setTextCol("text").transform(docs)
+    .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("token and char counts") {
+    val p = profiled
+    assert(p(1L).getAs[Int]("n_tokens") === 8)
+    assert(p(3L).getAs[Int]("n_tokens") === 3)
+    assert(p(1L).getAs[Int]("n_chars") === 38)
+  }
+
+  test("punctuation ratio counts non-alphanumeric-space chars") {
+    val p = profiled
+    assert(p(3L).getAs[Double]("punct_ratio") === 0.0)
+    assert(p(1L).getAs[Double]("punct_ratio") === 2.0 / 38)
+    assert(p(4L).getAs[Double]("punct_ratio") === 3.0 / 13)
+  }
+
+  test("language ID picks the max-stopword-hit language") {
+    val p = profiled
+    assert(p(1L).getAs[String]("lang_guess") === "en") // the×2, and
+    assert(p(2L).getAs[String]("lang_guess") === "de") // der, und, die, nicht
+    assert(p(3L).getAs[String]("lang_guess") === "und") // no hits anywhere
+  }
+
+  test("stopword ratio is english hits over tokens") {
+    assert(profiled(1L).getAs[Double]("stopword_ratio") === 3.0 / 8)
+  }
+
+  test("bpe estimate counts alpha runs, digit runs, symbols") {
+    // "a b c 123 !!!" → a, b, c, 123, !, !, ! = 7
+    assert(profiled(4L).getAs[Int]("bpe_tokens") === 7)
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = udf((s: String) => s) // no-op to force two plans
+    val f1 = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val f2 = Seq((1L, "gamma beta alpha")).toDF("doc_id", "text")
+    def fpOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(TextFunctions.fingerprint($"text")).as[Long].head()
+    assert(fpOf(f1) !== fpOf(f2))
+    assert(fpOf(f1) === fpOf(f1))
+    assert(fpOf(f1) >= 0L && fpOf(f1) < 1000000007L)
+  }
+
+  test("quality score stays in [0,1] and favors natural text") {
+    val p = profiled
+    val q1 = p(1L).getAs[Double]("quality")
+    val q3 = p(3L).getAs[Double]("quality")
+    assert(q1 >= 0.0 && q1 <= 1.0 && q3 >= 0.0 && q3 <= 1.0)
+    assert(q1 > q3) // english sentence beats nonsense tokens
+  }
+
+  test("profiler is shuffle-free (no exchange in the plan)") {
+    val plan = new TextProfiler().setTextCol("text").transform(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}
