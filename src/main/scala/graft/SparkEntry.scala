@@ -26,7 +26,8 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FeatureQueries.queries ++ MetricsQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
+      ClassificationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
