@@ -48,8 +48,10 @@ class OptimalBinning(override val uid: String)
   final val sampleSize = new IntParam(this, "sampleSize",
     "Sample size for the lbfgs split optimizer", ParamValidators.gt(1000))
   final val method = new Param[String](this, "method",
-    "Split method: quantile (distributed approxQuantile) | lbfgs (reference parity)",
-    ParamValidators.inArray(Array("quantile", "lbfgs")))
+    "Split method: quantile (distributed approxQuantile) | exact (exact " +
+      "interpolating percentiles, memory ~ distinct values — parity/oracle " +
+      "path) | lbfgs (reference parity)",
+    ParamValidators.inArray(Array("quantile", "exact", "lbfgs")))
   final val relativeError = new DoubleParam(this, "relativeError",
     "approxQuantile relative error (quantile method)", ParamValidators.inRange(0.0, 1.0))
 
@@ -63,12 +65,23 @@ class OptimalBinning(override val uid: String)
 
   override def fit(dataset: Dataset[_]): Binning = {
     transformSchema(dataset.schema)
+    // lbfgs calls optimalSplit with numBins-1 splits, which requires >= 3
+    // (so a confusing failure deep in the optimizer becomes a clear one)
+    require($(method) != "lbfgs" || $(numBins) >= 4,
+      s"method=lbfgs needs numBins >= 4, got ${$(numBins)}")
     val inner = $(method) match {
       case "quantile" =>
         val percentiles = (1 until $(numBins)).map(_.toDouble / $(numBins)).toArray
         val qs = dataset.toDF().na.drop(Seq($(inputCol)))
           .select(col($(inputCol)).cast(DoubleType).as($(inputCol)))
           .stat.approxQuantile($(inputCol), percentiles, $(relativeError))
+        qs.distinct.sorted
+      case "exact" =>
+        val percentiles = (1 until $(numBins)).map(_.toDouble / $(numBins))
+        val qs = dataset.toDF().na.drop(Seq($(inputCol)))
+          .select(col($(inputCol)).cast(DoubleType).as("v"))
+          .agg(expr(s"percentile(v, array(${percentiles.mkString(", ")}))"))
+          .first().getSeq[Double](0).toArray
         qs.distinct.sorted
       case "lbfgs" =>
         val notNulls = dataset.filter(col($(inputCol)).isNotNull)
@@ -84,6 +97,10 @@ class OptimalBinning(override val uid: String)
     copyValues(new Binning(uid).setSplits(splits).setParent(this))
   }
 
+  /** NOTE: advertises `numBins` attributes; if the data has duplicate
+    * quantiles the fitted model can have fewer bins (splits shrink on
+    * `.distinct`) — the model's own transformSchema reports the real width.
+    */
   override def transformSchema(schema: StructType): StructType = {
     validateNumeric(schema)
     val attrGroup = new AttributeGroup($(outputCol), $(numBins))

@@ -107,6 +107,24 @@ object FeatureQueries {
       model.transform(o).select(col("o_orderkey"), col("label"), col("w"))
     }),
 
+    // OptimalBinning.fit through the exact interpolating-percentile path
+    // (matches DuckDB quantile_cont bit-for-bit when quantile indices hit
+    // data points), then the fitted one-hot model applied and decoded to
+    // per-bin row counts — pins both the learned splits and the [lo, hi)
+    // bucket semantics.
+    "q24_optimal_binning" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val model = new graft.feature.OptimalBinning()
+        .setInputCol("l_extendedprice").setOutputCol("price_bin")
+        .setNumBins(5).setMethod("exact")
+        .fit(li)
+      model.transform(li)
+        .select(posexplode(org.apache.spark.ml.functions.vector_to_array(col("price_bin"))))
+        .filter(col("col") === 1.0)
+        .groupBy(col("pos").cast("int").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // S2 cell tokens over synthetic-but-deterministic lat/lon derived from
     // customer keys; grouped per cell. No SQL oracle (cell math is not
     // expressible in DuckDB) → rows-only check; semantics covered by
@@ -181,6 +199,14 @@ object FeatureQueries {
       """SELECT o_orderkey,
         |  CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
         |  CAST(1.0 AS DOUBLE) AS w
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "q24_optimal_binning" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(l_extendedprice, [0.2, 0.4, 0.6, 0.8]) AS qs
+        |  FROM lineitem
+        |)
+        |SELECT CAST(len(list_filter(q.qs, s -> l_extendedprice >= s)) AS INT) AS bin,
+        |       count(*) AS cnt
+        |FROM lineitem, q GROUP BY 1""".stripMargin
   )
 }
