@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FeatureQueries.queries ++ MetricsQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
-      ClassificationQueries.queries
+      ClassificationQueries.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -35,5 +35,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FeatureQueries.oracles ++ MetricsQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
+      StreamingQueries.oracles
 }

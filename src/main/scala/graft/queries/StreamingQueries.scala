@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.Sessionize
+
+/** Event-stream queries (batch replay of the streaming operators over the
+  * events table, so the DuckDB oracle can verify the session semantics).
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // gap-based sessionization (4h gap) + per-session rollup. The events
+    // table stores NANOSECOND timestamps (Spark reads them as raw longs via
+    // nanosAsLong); both engines truncate to integer MICROseconds so the
+    // time axis is bit-identical.
+    "q28_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      Sessionize.batch(ev, tsCol = "ts_us",
+        gap = 14400L * 1000000L, toTicks = identity)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"),
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q28_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 14400000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts_us, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value,
+        |       min(ts_us) AS session_start_us,
+        |       max(ts_us) AS session_end_us
+        |FROM sess GROUP BY 1, 2""".stripMargin
+  )
+}
