@@ -27,7 +27,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ FeatureQueries.queries ++ MetricsQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
-      ClassificationQueries.queries ++ StreamingQueries.queries
+      ClassificationQueries.queries ++ StreamingQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -36,5 +37,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FeatureQueries.oracles ++ MetricsQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
-      StreamingQueries.oracles
+      StreamingQueries.oracles ++ MultimodalQueries.oracles
 }
