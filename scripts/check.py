@@ -52,12 +52,22 @@ def main(sf_dir, out_dir):
     names = [d for d in sorted(os.listdir(out_dir))
              if os.path.isdir(os.path.join(out_dir, d))]
     n_pass = n_fail = n_rowsonly = 0
+    # a query that threw inside Verify produces NO output directory — count
+    # every oracle-listed (and thus promised) query with no output as a
+    # failure instead of silently skipping it
+    for missing in sorted(set(oracles) - set(names)):
+        print(f"  {missing:<36} MISSING-OUTPUT (query failed in Verify?)")
+        n_fail += 1
     for name in names:
         files = [f for f in os.listdir(f"{out_dir}/{name}") if f.endswith(".parquet")]
         got = pq.read_table(f"{out_dir}/{name}")
         if name not in oracles:
-            status = "ROWS-ONLY" if got.num_rows > 0 else "EMPTY!"
-            n_rowsonly += 1
+            if got.num_rows > 0:
+                status = "ROWS-ONLY"
+                n_rowsonly += 1
+            else:
+                status = "EMPTY!"  # a rows-only query with no rows proves nothing
+                n_fail += 1
             print(f"  {name:<36} {status} ({got.num_rows} rows)")
             continue
         try:

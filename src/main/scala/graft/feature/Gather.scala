@@ -17,9 +17,13 @@ import org.apache.spark.sql.types._
   *     `groupBy(pk).agg(collect_list(struct(key, value)))`
   *   - the aggregated value is ALWAYS cast to Double regardless of the input
   *     numeric type (Gather.scala:83,111)
-  *   - nulls in the value column are skipped by sum/count — a key whose
-  *     values are all null aggregates to null and the (key, null) pair is
-  *     dropped (struct with null value filtered out before collect)
+  *   - DELIBERATE DIVERGENCE: a key whose values are ALL null aggregates to
+  *     null and we drop the (key, null) pair entirely. The reference keeps
+  *     it — its `collectArray(struct(key, value))` only skips null
+  *     top-level elements, and struct(key, null) is non-null
+  *     (reference Gather.scala:81-83 + aggregates.scala:37-56). We prefer
+  *     arrays without null values (`containsNull=false` holds for the
+  *     value field in practice); GatherSpec pins this behavior.
   *   - `copy` returns a Gather (the reference's copy() returning
   *     S2CellTransformer at Gather.scala:118 is a copy-paste bug we fix).
   *

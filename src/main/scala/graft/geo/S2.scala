@@ -41,11 +41,16 @@ object S2 {
     Array(SwapMask, 0, 0, InvertMask | SwapMask)
 
   /** Largest-absolute-component face selection: 0..2 for +x/+y/+z, +3 when
-    * the component is negative.
+    * the component is negative. Comparison order mirrors the S2 library's
+    * `largestAbsComponent` exactly (ax>ay then vs az), so exact-|component|
+    * ties resolve to z, then y — keeping face-boundary points token-
+    * compatible with the genuine library.
     */
-  private def face(x: Double, y: Double, z: Double): Int = {
+  private[geo] def face(x: Double, y: Double, z: Double): Int = {
     val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
-    val f = if (az > ax && az > ay) 2 else if (ay > ax) 1 else 0
+    val f =
+      if (ax > ay) { if (ax > az) 0 else 2 }
+      else { if (ay > az) 1 else 2 }
     val value = f match { case 0 => x; case 1 => y; case 2 => z }
     if (value < 0) f + 3 else f
   }

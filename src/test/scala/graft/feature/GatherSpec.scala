@@ -78,6 +78,21 @@ class GatherSpec extends SparkTestBase {
     assert(cookie2 === Map("bbc.com" -> 1.0, "auto.com" -> 1.0))
   }
 
+  test("all-null-value key drops the (key, null) pair — documented divergence") {
+    // the reference keeps struct(key, null) for an all-null group
+    // (Gather.scala:81-83 + aggregates.scala:37-56); we drop it
+    val withAllNull = spark.createDataFrame(sc.parallelize(Seq(
+      Row("cookie9", "nulls.com", null),
+      Row("cookie9", "nulls.com", null),
+      Row("cookie9", "live.com", 5L))), schema)
+    val gathered = new Gather()
+      .setPrimaryKeyCols("cookie_id").setKeyCol("site")
+      .setValueCol("impressions").setValueAgg("sum").setOutputCol("sites")
+      .transform(withAllNull)
+    val sites = gathered.first().getSeq[Row](1).map(_.getString(0))
+    assert(sites === Seq("live.com")) // nulls.com pair dropped, not kept as (key, null)
+  }
+
   test("gather copy returns Gather (reference Gather.scala:118 bug fixed)") {
     val g = new Gather().setPrimaryKeyCols("a").setKeyCol("k").setValueCol("v")
     assert(g.copy(org.apache.spark.ml.param.ParamMap.empty).isInstanceOf[Gather])

@@ -92,4 +92,27 @@ class S2Spec extends AnyFunSuite {
       assert(S2.parent(S2.fromLatLngDegrees(clat, clon), lvl) === cell)
     }
   }
+
+  test("level-0 tokens match the published S2 cell-id layout") {
+    // face cell ids are (face << 61) | 2^60 → tokens 1,3,5,7,9,b
+    // (s2geometry.io cell-id layout; verifiable against the real library)
+    def tok(lat: Double, lon: Double): String =
+      S2.token(S2.parent(S2.fromLatLngDegrees(lat, lon), 0))
+    assert(tok(0, 0) === "1")
+    assert(tok(0, 90) === "3")
+    assert(tok(90, 0) === "5")
+    assert(tok(0, 180) === "7")
+    assert(tok(0, -90) === "9")
+    assert(tok(-90, 0) === "b")
+  }
+
+  test("face ties prefer z then y, like S2 largestAbsComponent") {
+    assert(S2.face(1, 1, 1) === 2)    // three-way tie → z
+    assert(S2.face(1, 0, 1) === 2)    // x/z tie → z
+    assert(S2.face(0, 1, 1) === 2)    // y/z tie → z
+    assert(S2.face(1, 1, 0) === 1)    // x/y tie → y
+    assert(S2.face(-1, 1, 0) === 1)   // |x|/|y| tie → y
+    assert(S2.face(1, 1, -1) === 5)   // tie with negative z → face 2+3
+    assert(S2.face(2, 1, 1) === 0)    // clear x winner unchanged
+  }
 }
