@@ -19,11 +19,14 @@ import org.apache.spark.sql.types._
   *
   *  1. '''shingles''': explode positions 1..len-k+1, substring k chars,
   *     distinct per doc.
-  *  2. '''minhash''': for seed j, h_j(s) = md5(j || ":" || s); signature_j =
-  *     min over shingles (min-wise independent family in hex-string order;
-  *     md5 keeps the hash deterministic AND replayable by the SQL oracle —
-  *     no JVM-private hash function). Partial aggregation makes the shuffle
-  *     carry only (doc, seed) minima, not doc×shingle rows.
+  *  2. '''minhash''': ONE md5 per shingle, split into two 56-bit halves
+  *     (h1, h2); seed j's hash is g_j = (h1 + j*h2) mod 2^56 (Kirsch-
+  *     Mitzenmacher double hashing — the wrap-around is what decorrelates
+  *     the per-seed argmins; without it g_j is monotone in j and every
+  *     seed picks the same shingle). One md5 instead of numHashes of them;
+  *     md5 keeps the base hash deterministic AND replayable by the SQL
+  *     oracle — no JVM-private hash function. Partial aggregation makes
+  *     the shuffle carry only (doc, seed) minima, not doc×shingle rows.
   *  3. '''bands''': the numHashes signatures are chunked into numBands
   *     groups; each band's signature is md5 of its seed-ordered minhashes.
   *  4. '''candidates''': equi-join docs on (band, signature) — bucketed;
@@ -75,13 +78,18 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
       .distinct()
   }
 
-  /** MinHash signatures: (id, seed, minhash) — one row per doc per seed. */
+  /** MinHash signatures: (id, seed, minhash) — one row per doc per seed.
+    * Base hash halves are 56-bit (14 hex chars) so h1 + (numHashes-1)*h2
+    * stays far from Long overflow.
+    */
   def signatures(dataset: Dataset[_]): DataFrame = {
     val h = $(numHashes)
     shingles(dataset)
-      .select(id, explode(expr(s"sequence(0, ${h - 1})")).as("seed"), col("shingle"))
+      .withColumn("h1", conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("shingle")), 15, 14), 16, 10).cast("long"))
+      .select(id, explode(expr(s"sequence(0, ${h - 1})")).as("seed"), col("h1"), col("h2"))
       .groupBy(id, col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("minhash"))
+      .agg(min((col("h1") + col("seed") * col("h2")) % 72057594037927936L).as("minhash"))
   }
 
   /** LSH band signatures: (id, band, bandSig). */
@@ -93,7 +101,7 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy(id, col("band"))
       .agg(md5(array_join(
-        expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> x.minhash)"),
+        expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> CAST(x.minhash AS STRING))"),
         ",")).as("bandSig"))
   }
 

@@ -110,14 +110,19 @@ object DedupQueries {
           |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
           |  FROM norm CROSS JOIN range(1, 700) t(i)
           |  WHERE i <= greatest(length(norm) - 7, 1)
+          |), hashed AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+          |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+          |  FROM sh
           |), sig AS (
           |  SELECT doc_id, CAST(j AS INT) AS seed,
-          |         min(md5(j || ':' || shingle)) AS minhash
-          |  FROM sh CROSS JOIN range(0, 12) t(j)
+          |         min((h1 + j * h2) % 72057594037927936) AS minhash
+          |  FROM hashed CROSS JOIN range(0, 12) t(j)
           |  GROUP BY 1, 2
           |), bands AS (
           |  SELECT doc_id, seed // 3 AS band,
-          |         md5(string_agg(minhash, ',' ORDER BY seed)) AS bandsig
+          |         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS bandsig
           |  FROM sig GROUP BY doc_id, seed // 3
           |), cand AS (
           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

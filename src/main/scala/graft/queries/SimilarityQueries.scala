@@ -46,10 +46,11 @@ object SimilarityQueries {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
-    // embedding near-dup pairs: 32 hyperplane bits in 4 bands × 8 rows,
-    // candidates only from band collisions, verified cosine >= 0.9.
+    // embedding near-dup pairs: 64 hyperplane bits in 4 bands × 16 rows
+    // (~1/65k random-pair collision per band → candidate count stays near
+    // the true-pair count), verified cosine >= 0.9.
     "q22_ann_lsh" -> ((s, dir) => {
-      new RandomHyperplaneLSH(numPlanes = 32, numBands = 4)
+      new RandomHyperplaneLSH(numPlanes = 64, numBands = 4)
         .nearDupPairs(seeded(s, dir), threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     })
@@ -87,14 +88,14 @@ object SimilarityQueries {
         |), dots AS (
         |  SELECT vec_id, CAST(r AS INT) AS r,
         |         sum(x * ((((r * 2654435761 + d * 40503) % 1009) / 1009.0) - 0.5)) AS dot
-        |  FROM allc CROSS JOIN range(0, 32) t(r) GROUP BY 1, 2
+        |  FROM allc CROSS JOIN range(0, 64) t(r) GROUP BY 1, 2
         |), sigs AS (
         |  SELECT vec_id,
         |         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY r) AS sig
         |  FROM dots GROUP BY 1
         |), bands AS (
         |  SELECT vec_id, CAST(b AS INT) AS band,
-        |         substring(sig, CAST(b AS INT) * 8 + 1, 8) AS bandsig
+        |         substring(sig, CAST(b AS INT) * 16 + 1, 16) AS bandsig
         |  FROM sigs CROSS JOIN range(0, 4) t(b)
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

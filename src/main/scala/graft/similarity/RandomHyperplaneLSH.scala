@@ -41,13 +41,16 @@ class RandomHyperplaneLSH(
 
   private def dvec(c: Column): Column = c.cast("array<double>")
 
-  /** Per-vector sign-bit string of length numPlanes ('1' = positive side). */
-  private def signatureExpr: Column = expr(
-    s"""array_join(transform(sequence(0, ${numPlanes - 1}), r ->
-       |  CASE WHEN aggregate(
-       |    zip_with(CAST($vecCol AS ARRAY<DOUBLE>), sequence(0, size($vecCol) - 1),
-       |      (x, d) -> x * ((((r * 2654435761 + d * 40503) % 1009) / 1009.0) - 0.5)),
-       |    0.0D, (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END), '')""".stripMargin)
+  /** Per-vector sign-bit string of length numPlanes ('1' = positive side).
+    * A native codegen expression — the higher-order-function formulation
+    * (zip_with + aggregate) computes the identical bits but runs on the
+    * interpreted fallback path, ~10× slower on this numPlanes×dim loop.
+    */
+  private def signatureExpr: Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.HyperplaneSignature(
+        org.apache.spark.sql.GraftBridge.expression(dvec(col(vecCol))),
+        numPlanes))
 
   /** (id, band, bandSig): one row per vector per band. */
   def bandSignatures(vectors: DataFrame): DataFrame =

@@ -35,7 +35,7 @@ class DedupSpec extends SparkTestBase {
   test("minhash finds the near-dup pair and nothing unrelated") {
     val pairs = new MinHashDeduplicator()
       .setIdCol("doc_id").setTextCol("text")
-      .setShingleSize(5).setNumHashes(12).setNumBands(4).setThreshold(0.4)
+      .setShingleSize(5).setNumHashes(12).setNumBands(6).setThreshold(0.4)
       .transform(docs)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
@@ -43,12 +43,12 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L || a == 5L })
   }
 
-  test("minhash signature is one row per (doc, seed) with md5-min values") {
+  test("minhash signature is one row per (doc, seed), nonnegative 57-bit") {
     val m = new MinHashDeduplicator().setIdCol("doc_id").setTextCol("text")
       .setNumHashes(6).setNumBands(2)
     val sig = m.signatures(docs)
     assert(sig.count() === 5 * 6)
-    assert(sig.select("minhash").as[String].collect().forall(_.length === 32))
+    assert(sig.select("minhash").as[Long].collect().forall(v => v >= 0L))
   }
 
   test("simhash: identical docs agree, near dups are close, unrelated far") {
