@@ -137,12 +137,22 @@ class GatherEncoder(override val uid: String)
     }
   }
 
+  /** Unlike `top`, the support filter runs DISTRIBUTED (HAVING count >=
+    * threshold before the collect), so the driver sees only qualifying
+    * keys — safe for unbounded-cardinality key domains. Two jobs: a global
+    * count for the threshold, then the filtered histogram.
+    */
   private def computeIndexKeys(dataset: Dataset[_]): Array[Any] = {
-    val counts = keyCounts(dataset)
-    val threshold = ($(support) / 100) * counts.map(_._2).sum
-    counts.filter { case (k, cnt) =>
-      cnt >= threshold && !getExcludeKeys.contains(k)
-    }.map(_._1)
+    val k = s"${uid}_key"
+    val exploded = dataset.select(explode(col(s"${$(inputCol)}.${$(keyCol)}")).as(k))
+    val threshold = ($(support) / 100) * exploded.count()
+    exploded.groupBy(col(k)).count()
+      .where(col("count") >= threshold)
+      .collect()
+      .map(r => (r.get(0), r.getLong(1)))
+      .filter { case (key, _) => !getExcludeKeys.contains(key) }
+      .sortBy { case (key, cnt) => (-cnt, String.valueOf(key)) }
+      .map(_._1)
   }
 
   override def fit(dataset: Dataset[_]): GatherEncoderModel = {
