@@ -67,14 +67,20 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
 
   private def id: Column = col($(idCol))
 
-  /** Distinct character k-shingles per document: (id, shingle). */
+  /** Distinct character k-shingles per document: (id, shingle).
+    * Position explode + substring (all codegen'd) rather than a
+    * transform(...) lambda — higher-order functions evaluate on the
+    * interpreted fallback path. (Measured here: an extra pre-explode
+    * repartition HURT — it blocks AQE exchange reuse between this
+    * subtree's three consumers; rely on file-split parallelism instead.)
+    */
   def shingles(dataset: Dataset[_]): DataFrame = {
     val k = $(shingleSize)
     dataset
       .select(id, TextNormalizer.normalize(col($(textCol))).as("norm"))
-      .select(id, explode(expr(
-        s"transform(sequence(1, greatest(length(norm) - $k + 1, 1)), i -> substring(norm, i, $k))"))
-        .as("shingle"))
+      .select(id, col("norm"),
+        explode(expr(s"sequence(1, greatest(length(norm) - $k + 1, 1))")).as("pos"))
+      .select(id, expr(s"substring(norm, pos, $k)").as("shingle"))
       .distinct()
   }
 
