@@ -33,17 +33,14 @@ import org.apache.spark.sql.types._
   * No driver-side state; safe at any scale where per-pk arrays fit in an
   * executor row (bounded by key cardinality, same contract as reference).
   */
-class Gather(override val uid: String) extends Transformer {
+class Gather(override val uid: String) extends Transformer
+    with HasKeyCol with HasValueCol {
 
   def this() = this(Identifiable.randomUID("gather"))
 
   final val primaryKeyCols: StringArrayParam = new StringArrayParam(this,
     "primaryKeyCols", "Primary key column names (at least one)",
     (v: Array[String]) => v.nonEmpty)
-  final val keyCol: Param[String] = new Param[String](this, "keyCol",
-    "Key column name (string or numeric)")
-  final val valueCol: Param[String] = new Param[String](this, "valueCol",
-    "Value column name (numeric)")
   final val valueAgg: Param[String] = new Param[String](this, "valueAgg",
     "Aggregation for values: sum | count",
     ParamValidators.inArray(Array("sum", "count")))
@@ -59,8 +56,6 @@ class Gather(override val uid: String) extends Transformer {
   def setOutputCol(value: String): this.type = set(outputCol, value)
 
   def getPrimaryKeyCols: Array[String] = $(primaryKeyCols)
-  def getKeyCol: String = $(keyCol)
-  def getValueCol: String = $(valueCol)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)

@@ -16,13 +16,11 @@ import org.apache.spark.sql.types._
   * Reference semantics: sparkext-mllib/src/main/scala/org/apache/spark/ml/
   * feature/GatherEncoder.scala:115-261 (estimator) and :268-408 (model).
   */
-private[feature] trait GatherEncoderParams extends Params {
+private[feature] trait GatherEncoderParams extends Params with HasKeyCol with HasValueCol {
 
   final val inputCol = new Param[String](this, "inputCol",
     "Input column: ARRAY<STRUCT<key, value>> (gathered format)")
   final val outputCol = new Param[String](this, "outputCol", "Output vector column")
-  final val keyCol = new Param[String](this, "keyCol", "Key field name inside the struct")
-  final val valueCol = new Param[String](this, "valueCol", "Value field name inside the struct")
   final val transformation = new Param[String](this, "transformation",
     "Dimensionality reduction: top (cumulative cover %) | index (min support %)",
     ParamValidators.inArray(Array("top", "index")))
