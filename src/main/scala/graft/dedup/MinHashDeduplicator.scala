@@ -47,7 +47,11 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
   final val idCol: Param[String] = new Param[String](this, "idCol", "Document id column")
   final val textCol: Param[String] = new Param[String](this, "textCol", "Text column")
   final val shingleSize: IntParam = new IntParam(this, "shingleSize",
-    "Character shingle width k", ParamValidators.gtEq(2))
+    "Shingle width k (characters or tokens, per shingleMode)",
+    ParamValidators.gtEq(2))
+  final val shingleMode: Param[String] = new Param[String](this, "shingleMode",
+    "Shingle unit: char (k-char substrings) | token (word k-grams)",
+    ParamValidators.inArray(Array("char", "token")))
   final val numHashes: IntParam = new IntParam(this, "numHashes",
     "Number of minhash functions", ParamValidators.gtEq(2))
   final val numBands: IntParam = new IntParam(this, "numBands",
@@ -55,12 +59,13 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
   final val threshold: DoubleParam = new DoubleParam(this, "threshold",
     "Verified Jaccard similarity threshold", ParamValidators.inRange(0.0, 1.0))
 
-  setDefault(idCol -> "doc_id", textCol -> "text",
+  setDefault(idCol -> "doc_id", textCol -> "text", shingleMode -> "char",
     shingleSize -> 8, numHashes -> 12, numBands -> 4, threshold -> 0.5)
 
   def setIdCol(value: String): this.type = set(idCol, value)
   def setTextCol(value: String): this.type = set(textCol, value)
   def setShingleSize(value: Int): this.type = set(shingleSize, value)
+  def setShingleMode(value: String): this.type = set(shingleMode, value)
   def setNumHashes(value: Int): this.type = set(numHashes, value)
   def setNumBands(value: Int): this.type = set(numBands, value)
   def setThreshold(value: Double): this.type = set(threshold, value)
@@ -76,12 +81,23 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
     */
   def shingles(dataset: Dataset[_]): DataFrame = {
     val k = $(shingleSize)
-    dataset
-      .select(id, TextNormalizer.normalize(col($(textCol))).as("norm"))
-      .select(id, col("norm"),
-        explode(expr(s"sequence(1, greatest(length(norm) - $k + 1, 1))")).as("pos"))
-      .select(id, expr(s"substring(norm, pos, $k)").as("shingle"))
-      .distinct()
+    $(shingleMode) match {
+      case "char" =>
+        dataset
+          .select(id, TextNormalizer.normalize(col($(textCol))).as("norm"))
+          .select(id, col("norm"),
+            explode(expr(s"sequence(1, greatest(length(norm) - $k + 1, 1))")).as("pos"))
+          .select(id, expr(s"substring(norm, pos, $k)").as("shingle"))
+          .distinct()
+      case "token" =>
+        // word k-grams: slice the token array, join with single spaces
+        dataset
+          .select(id, TextNormalizer.tokens(col($(textCol))).as("toks"))
+          .select(id, col("toks"),
+            explode(expr(s"sequence(1, greatest(size(toks) - $k + 1, 1))")).as("pos"))
+          .select(id, expr(s"array_join(slice(toks, pos, $k), ' ')").as("shingle"))
+          .distinct()
+    }
   }
 
   /** MinHash signatures: (id, seed, minhash) — one row per doc per seed.

@@ -68,6 +68,17 @@ object DedupQueries {
     "q25_simhash" -> ((s, dir) => {
       new SimHasher().setIdCol("doc_id").setTextCol("text").setOutputCol("simhash")
         .transform(Tables.documents(s, dir))
+    }),
+
+    // word-n-gram Jaccard near-dup: token bigram shingles through the same
+    // MinHash-LSH pipeline (the n-gram variant of q20).
+    "q32_jaccard_ngram" -> ((s, dir) => {
+      new MinHashDeduplicator()
+        .setIdCol("doc_id").setTextCol("text")
+        .setShingleMode("token").setShingleSize(2)
+        .setNumHashes(12).setNumBands(4).setThreshold(0.5)
+        .transform(seeded(s, dir))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     })
   )
 
@@ -144,6 +155,49 @@ object DedupQueries {
           |)
           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
           |WHERE jaccard >= 0.5""".stripMargin),
-    "q25_simhash" -> simhashSql
+    "q25_simhash" -> simhashSql,
+    "q32_jaccard_ngram" ->
+      (seededSql +
+        """, toks AS (
+          |  SELECT doc_id, string_split(norm, ' ') AS tl FROM norm
+          |), sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    array_to_string(list_slice(tl, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS shingle
+          |  FROM toks CROSS JOIN range(1, 200) t(i)
+          |  WHERE i <= greatest(len(tl) - 1, 1)
+          |), hashed AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+          |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+          |  FROM sh
+          |), sig AS (
+          |  SELECT doc_id, CAST(j AS INT) AS seed,
+          |         min((h1 + j * h2) % 72057594037927936) AS minhash
+          |  FROM hashed CROSS JOIN range(0, 12) t(j)
+          |  GROUP BY 1, 2
+          |), bands AS (
+          |  SELECT doc_id, seed // 3 AS band,
+          |         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS bandsig
+          |  FROM sig GROUP BY doc_id, seed // 3
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a
+          |  JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+          |), inter AS (
+          |  SELECT c.id_a, c.id_b, count(*) AS i
+          |  FROM cand c
+          |  JOIN sh x ON x.doc_id = c.id_a
+          |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+          |  GROUP BY 1, 2
+          |), jac AS (
+          |  SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+          |  FROM inter
+          |  JOIN sizes sa ON sa.doc_id = id_a
+          |  JOIN sizes sb ON sb.doc_id = id_b
+          |)
+          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
+          |WHERE jaccard >= 0.5""".stripMargin)
   )
 }
