@@ -75,6 +75,21 @@ object MetricsQueries {
     "q26_gains_binned" -> ((s, dir) => {
       new BinaryModelMetrics(scoreAndLabels(s, dir), numBins = 100).gains()
         .select(round(col("reach"), 6).as("reach"), round(col("recall"), 6).as("recall"))
+    }),
+
+    // F-beta by threshold (beta=2 weighs recall higher)
+    "q33_fmeasure" -> ((s, dir) => {
+      new BinaryModelMetrics(scoreAndLabels(s, dir)).fMeasureByThreshold(2.0)
+        .select(round(col("score"), 6).as("score"),
+          round(col("fMeasure"), 6).as("fmeasure"))
+    }),
+
+    // PR curve incl. the (0, firstPrecision) prepend (SPARK-21806 behavior,
+    // a documented divergence from the reference's (0,1) point)
+    "q34_pr_curve" -> ((s, dir) => {
+      new BinaryModelMetrics(scoreAndLabels(s, dir)).pr()
+        .select(round(col("recall"), 6).as("recall"),
+          round(col("precision"), 6).as("precision"))
     })
   )
 
@@ -116,6 +131,20 @@ object MetricsQueries {
           |       round(tp / (tp + fp), 6) AS precision,
           |       round(tp / p, 6) AS recall
           |FROM cum""".stripMargin),
+    "q33_fmeasure" ->
+      (cumSql +
+        """
+          |SELECT round(score, 6) AS score,
+          |  round(((1 + 4.0) * (tp / (tp + fp)) * (tp / p)) /
+          |        (4.0 * (tp / (tp + fp)) + (tp / p)), 6) AS fmeasure
+          |FROM cum""".stripMargin),
+    "q34_pr_curve" ->
+      (cumSql +
+        """
+          |SELECT round(tp / p, 6) AS recall, round(tp / (tp + fp), 6) AS precision FROM cum
+          |UNION ALL
+          |(SELECT CAST(0.0 AS DOUBLE) AS recall, round(tp / (tp + fp), 6) AS precision
+          | FROM cum ORDER BY score DESC LIMIT 1)""".stripMargin),
     "q26_gains_binned" ->
       """WITH sl AS (
         |  SELECT ((o_orderkey * 2654435761) % 1000) / 1000.0 AS score,
