@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.similarity.{CosineTopK, RandomHyperplaneLSH}
+import graft.similarity.{CosineTopK, IvfCosineIndex, RandomHyperplaneLSH}
 
 /** Similarity-search queries over the embeddings table.
   *
@@ -53,6 +53,16 @@ object SimilarityQueries {
       new RandomHyperplaneLSH(numPlanes = 64, numBands = 4)
         .nearDupPairs(seeded(s, dir), threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // IVF top-k: 16-cell coarse quantizer (lowest-id seeds + one Lloyd
+    // step), probe the 4 nearest cells per query — partition-pruned ANN.
+    "q35_ann_ivf" -> ((s, dir) => {
+      val e = vectors(s, dir)
+      new IvfCosineIndex(numCentroids = 16, nprobe = 4)
+        .search(e.where(col("vec_id") < 5), e, k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
     })
   )
 
@@ -105,6 +115,52 @@ object SimilarityQueries {
         |  SELECT id_a, id_b, list_cosine_similarity(x.v, y.v) AS cosine
         |  FROM cand JOIN allv x ON x.vec_id = id_a JOIN allv y ON y.vec_id = id_b
         |)
-        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM out WHERE cosine >= 0.9""".stripMargin
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM out WHERE cosine >= 0.9""".stripMargin,
+    "q35_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |a0 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, s.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.cid) AS rn
+        |    FROM e CROSS JOIN seeds s)
+        |  WHERE rn = 1
+        |), comps AS (
+        |  SELECT a0.cid, CAST(i AS INT) - 1 AS pos, v[CAST(i AS INT)] AS x
+        |  FROM e JOIN a0 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        |  WHERE i <= len(v)
+        |), cents AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv
+        |  FROM (SELECT cid, pos, avg(x) AS m FROM comps GROUP BY 1, 2)
+        |  GROUP BY cid
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cents c)
+        |  WHERE rn = 1
+        |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT query_id, qv, cid FROM (
+        |    SELECT q.query_id, q.qv, c.cid,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN cents c)
+        |  WHERE rn <= 4
+        |), sims AS (
+        |  SELECT p.query_id, e.vec_id, list_cosine_similarity(p.qv, e.v) AS cos
+        |  FROM probes p
+        |  JOIN a1 ON a1.cid = p.cid
+        |  JOIN e ON e.vec_id = a1.vec_id
+        |  WHERE e.vec_id != p.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 5""".stripMargin
   )
 }

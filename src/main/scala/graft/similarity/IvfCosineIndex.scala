@@ -1,0 +1,96 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sql.functions.cosineSimilarity
+
+/** IVF (inverted-file) approximate cosine search: a coarse quantizer
+  * clusters the corpus, each vector is listed under its nearest centroid,
+  * and a query probes only the `nprobe` closest clusters — the classic
+  * partition-pruning ANN layout (FAISS IVF-Flat shape).
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build brief);
+  * complements [[RandomHyperplaneLSH]]: LSH buckets by random signs, IVF by
+  * learned data clusters (better for clustered corpora).
+  *
+  * The quantizer is deterministic and oracle-replayable: seed centroids =
+  * the `numCentroids` lowest-id vectors, refined by ONE Lloyd iteration
+  * (per-dimension member mean; cosine is scale-invariant so the mean is
+  * left unnormalized). Swap in full distributed k-means offline for
+  * production-quality cells — the index/search plumbing is unchanged.
+  *
+  * Scale: centroids are broadcast (numCentroids is small by design);
+  * assignment is one streamed pass over the corpus; search touches only
+  * `nprobe / numCentroids` of the data — the whole point of IVF at 100 TB.
+  * The inverted lists shuffle on cluster id; skewed clusters are bounded by
+  * refining with more centroids.
+  */
+class IvfCosineIndex(
+    numCentroids: Int,
+    nprobe: Int,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+  require(numCentroids > 0 && nprobe > 0 && nprobe <= numCentroids,
+    s"need 0 < nprobe ($nprobe) <= numCentroids ($numCentroids)")
+
+  private def dvec(c: Column): Column = c.cast("array<double>")
+
+  /** (id, cid): nearest centroid per vector (ties: lowest cid). */
+  private def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cid"))
+    vectors.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cid"),
+        cosineSimilarity(col("cv"), col("centroid")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("cid"))
+  }
+
+  /** Learned centroids (cid, centroid): lowest-id seeds + one Lloyd step. */
+  def centroids(candidates: DataFrame): DataFrame = {
+    val e = candidates.select(col(idCol), dvec(col(vecCol)).as("cv"))
+    val seeds = e.where(col(idCol) < numCentroids)
+      .select(col(idCol).cast("long").as("cid"), col("cv").as("centroid"))
+    val members = e.join(assign(e, seeds), idCol)
+    members
+      .select(col("cid"), posexplode(col("cv")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("centroid"))
+  }
+
+  /** Inverted lists: (id, cid) under the refined centroids. */
+  def index(candidates: DataFrame): DataFrame = {
+    val e = candidates.select(col(idCol), dvec(col(vecCol)).as("cv"))
+    assign(e, centroids(candidates))
+  }
+
+  /** Top-k cosine neighbors per query, searching only the nprobe nearest
+    * clusters. Self-pairs excluded.
+    */
+  def search(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val cents = centroids(candidates)
+    val e = candidates.select(col(idCol), dvec(col(vecCol)).as("cv"))
+    val lists = e.join(assign(e, cents), idCol)
+
+    val qv = queries.select(col(idCol).as("query_id"), dvec(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
+    val probes = qv.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cid"),
+        cosineSimilarity(col("qv"), col("centroid")).as("cos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol))
+    probes.join(lists, "cid")
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol),
+        cosineSimilarity(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+  }
+}

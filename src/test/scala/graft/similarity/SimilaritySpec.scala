@@ -53,6 +53,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_.getLong(1)).contains(3L))
   }
 
+  test("IVF search finds the near-copy and respects k and self-exclusion") {
+    val ivf = new IvfCosineIndex(numCentroids = 3, nprobe = 2)
+    val out = ivf.search(vecs.where($"vec_id" === 1), vecs, k = 2).collect()
+    assert(out.map(_.getLong(1)).contains(3L)) // near-copy of v1 retrieved
+    assert(out.forall(_.getLong(1) != 1L))     // no self-pair
+    assert(out.length <= 2)
+  }
+
+  test("IVF index assigns every vector to exactly one cluster") {
+    val ivf = new IvfCosineIndex(numCentroids = 3, nprobe = 1)
+    val idx = ivf.index(vecs)
+    assert(idx.count() === 5)
+    assert(idx.select("vec_id").distinct().count() === 5)
+    val cids = idx.select("cid").as[Long].collect().toSet
+    assert(cids.subsetOf(Set(1L, 2L, 3L, 4L))) // seed ids are vec_id < 3 + refined
+  }
+
   test("near-dup plan is a bucketed join, not a cartesian product") {
     val plan = new RandomHyperplaneLSH(numPlanes = 16, numBands = 4)
       .nearDupPairs(vecs, 0.9).queryExecution.executedPlan.toString
