@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.sql.expressions.HyperplaneSignature
+
+/** SparkSessionExtensions entry point: makes graft's native expressions
+  * callable from SQL in any session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
+  * `.withExtensions(new GraftExtensions)`):
+  *
+  * {{{
+  * SELECT hyperplane_signature(CAST(embedding AS ARRAY<DOUBLE>), 64) FROM t
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_signature"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_signature"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "hyperplane_signature(vector ARRAY<DOUBLE>, numPlanes INT)")
+        val numPlanes = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"numPlanes must be an integer literal, got $other")
+        }
+        HyperplaneSignature(children.head, numPlanes)
+      }))
+  }
+}

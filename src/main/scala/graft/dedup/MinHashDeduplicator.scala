@@ -79,7 +79,14 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
     * repartition HURT — it blocks AQE exchange reuse between this
     * subtree's three consumers; rely on file-split parallelism instead.)
     */
-  def shingles(dataset: Dataset[_]): DataFrame = {
+  def shingles(dataset: Dataset[_]): DataFrame = rawShingles(dataset).distinct()
+
+  /** Shingles WITHOUT the distinct shuffle — the minhash path uses this
+    * directly (min over a multiset equals min over its set, so signatures
+    * are identical and one full 1-row-per-shingle shuffle disappears);
+    * only the Jaccard verification needs true sets.
+    */
+  private def rawShingles(dataset: Dataset[_]): DataFrame = {
     val k = $(shingleSize)
     $(shingleMode) match {
       case "char" =>
@@ -88,7 +95,6 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
           .select(id, col("norm"),
             explode(expr(s"sequence(1, greatest(length(norm) - $k + 1, 1))")).as("pos"))
           .select(id, expr(s"substring(norm, pos, $k)").as("shingle"))
-          .distinct()
       case "token" =>
         // word k-grams: slice the token array, join with single spaces
         dataset
@@ -96,7 +102,6 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
           .select(id, col("toks"),
             explode(expr(s"sequence(1, greatest(size(toks) - $k + 1, 1))")).as("pos"))
           .select(id, expr(s"array_join(slice(toks, pos, $k), ' ')").as("shingle"))
-          .distinct()
     }
   }
 
@@ -106,7 +111,7 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
     */
   def signatures(dataset: Dataset[_]): DataFrame = {
     val h = $(numHashes)
-    shingles(dataset)
+    rawShingles(dataset)
       .withColumn("h1", conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(md5(col("shingle")), 15, 14), 16, 10).cast("long"))
       .select(id, explode(expr(s"sequence(0, ${h - 1})")).as("seed"), col("h1"), col("h2"))

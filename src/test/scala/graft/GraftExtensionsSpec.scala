@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extension-registered SQL function must agree bit-for-bit with the
+  * operator-internal Column path (same HyperplaneSignature expression).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("hyperplane_signature is callable from SQL via GraftExtensions") {
+    // getOrCreate only applies extensions when it CREATES a session — clear
+    // the suite-shared one first and restore it afterwards
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      // the spark.sql.extensions STATIC conf only applies when the
+      // SparkContext itself is created; withExtensions works over the
+      // suite's existing context too
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val df = Seq((1L, Array(1.0, 0.0, -1.0)), (2L, Array(0.5, 0.25, 2.0)))
+        .toDF("id", "v")
+      df.createOrReplaceTempView("vecs")
+      val viaSql = spark.sql(
+        "SELECT id, hyperplane_signature(v, 16) AS sig FROM vecs")
+        .as[(Long, String)].collect().toMap
+      assert(viaSql.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+      // same bits as the direct expression path used by RandomHyperplaneLSH
+      val direct = df.select($"id",
+        org.apache.spark.sql.GraftBridge.column(
+          graft.sql.expressions.HyperplaneSignature(
+            org.apache.spark.sql.GraftBridge.expression($"v"), 16)).as("sig"))
+        .as[(Long, String)].collect().toMap
+      assert(viaSql === direct)
+    } finally {
+      spark.catalog.dropTempView("vecs")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+      prior.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
