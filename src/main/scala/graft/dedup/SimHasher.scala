@@ -66,6 +66,26 @@ class SimHasher(override val uid: String) extends Transformer {
     votes.select(col($(idCol)), concat(nibbleChars: _*).as($(outputCol)))
   }
 
+  /** Hamming distance between two 16-hex-char signatures (0..64). */
+  def hammingDistance(a: Column, b: Column): Column =
+    (0 until 16)
+      .map(i => bit_count(nibble(a, i).cast("long").bitwiseXOR(nibble(b, i).cast("long"))))
+      .reduce(_ + _)
+
+  /** Near-duplicate pairs with exact Hamming distance ≤ maxDist, candidates
+    * from band buckets only (complete for maxDist ≤ 3 by pigeonhole).
+    */
+  def nearDupPairs(signed: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, s"banding only guarantees completeness for maxDist <= 3, got $maxDist")
+    val sa = signed.select(col($(idCol)).as("id_a"), col($(outputCol)).as("sig_a"))
+    val sb = signed.select(col($(idCol)).as("id_b"), col($(outputCol)).as("sig_b"))
+    candidatePairs(signed)
+      .join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Pairs of ids whose signatures agree on at least one of the four 16-bit
     * bands — a superset of all pairs with Hamming distance ≤ 3.
     */

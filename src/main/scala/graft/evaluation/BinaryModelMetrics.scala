@@ -192,11 +192,19 @@ class BinaryModelMetrics(
   def recallByThreshold(): DataFrame =
     confusions.select($"score", ($"tp" / $"p").as("recall"))
 
+  /** F-beta per threshold; 0.0 when precision and recall are both zero
+    * (conventional, and required under ANSI mode — the denominator is 0
+    * whenever no positive has been retrieved yet).
+    */
   def fMeasureByThreshold(beta: Double = 1.0): DataFrame = {
     val b2 = beta * beta
+    val precision = $"tp" / ($"tp" + $"fp")
+    val recall = $"tp" / $"p"
+    val den = lit(b2) * precision + recall
     confusions.select($"score",
-      (((lit(1) + b2) * ($"tp" / ($"tp" + $"fp")) * ($"tp" / $"p")) /
-        (lit(b2) * ($"tp" / ($"tp" + $"fp")) + ($"tp" / $"p"))).as("fMeasure"))
+      when(den === 0.0, 0.0)
+        .otherwise((lit(1) + b2) * precision * recall / den)
+        .as("fMeasure"))
   }
 
   /** Lazy one-row frame with the trapezoid AUC-ROC.

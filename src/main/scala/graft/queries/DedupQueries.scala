@@ -70,6 +70,15 @@ object DedupQueries {
         .transform(Tables.documents(s, dir))
     }),
 
+    // SimHash near-dup pairs: band candidates + exact Hamming <= 3 over the
+    // seeded corpus (exact copies at distance 0, suffix-mutated copies
+    // within a few flipped bits).
+    "q36_simhash_pairs" -> ((s, dir) => {
+      val hasher = new SimHasher().setIdCol("doc_id").setTextCol("text").setOutputCol("simhash")
+      hasher.nearDupPairs(hasher.transform(seeded(s, dir)), maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
     // word-n-gram Jaccard near-dup: token bigram shingles through the same
     // MinHash-LSH pipeline (the n-gram variant of q20).
     "q32_jaccard_ngram" -> ((s, dir) => {
@@ -82,8 +91,11 @@ object DedupQueries {
     })
   )
 
-  /** Programmatically generated 64-bit SimHash oracle (64 vote sums). */
-  private val simhashSql: String = {
+  /** Programmatically generated 64-bit SimHash CTE chain (64 vote sums);
+    * expects a `norm` CTE with (doc_id, norm), ends with `sigs`
+    * (doc_id, simhash).
+    */
+  private val simhashChain: String = {
     val votes = (for (i <- 0 until 16; b <- 3 to 0 by -1) yield
       s"sum(CASE WHEN (('0x' || substr(h, ${i + 1}, 1))::INT >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_${i}_$b")
       .mkString(",\n    ")
@@ -93,11 +105,7 @@ object DedupQueries {
         .mkString(" + ")
       s"substring('0123456789abcdef', ($v) + 1, 1)"
     }.mkString(" || ")
-    s"""WITH norm AS (
-       |  SELECT doc_id,
-       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
-       |  FROM documents
-       |), toks AS (
+    s""", toks AS (
        |  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM norm
        |), hashed AS (
        |  SELECT doc_id, md5(tok) AS h FROM toks
@@ -105,9 +113,24 @@ object DedupQueries {
        |  SELECT doc_id,
        |    $votes
        |  FROM hashed GROUP BY doc_id
-       |)
-       |SELECT doc_id, $nibbles AS simhash FROM votes""".stripMargin
+       |), sigs AS (
+       |  SELECT doc_id, $nibbles AS simhash FROM votes
+       |)""".stripMargin
   }
+
+  private val simhashSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |)""".stripMargin +
+      simhashChain + "\nSELECT doc_id, simhash FROM sigs"
+
+  /** Exact hamming distance between two 16-hex simhash columns in SQL. */
+  private def hammingSql(a: String, b: String): String =
+    (1 to 16).map(i =>
+      s"bit_count(xor(('0x' || substr($a, $i, 1))::BIGINT, ('0x' || substr($b, $i, 1))::BIGINT))")
+      .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q19_dedup_exact" ->
@@ -156,6 +179,25 @@ object DedupQueries {
           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
           |WHERE jaccard >= 0.5""".stripMargin),
     "q25_simhash" -> simhashSql,
+    "q36_simhash_pairs" ->
+      (seededSql + simhashChain +
+        s"""
+           |, bands AS (
+           |  SELECT doc_id, CAST(b AS INT) AS band,
+           |         substr(simhash, CAST(b AS INT) * 4 + 1, 4) AS chunk
+           |  FROM sigs CROSS JOIN range(0, 4) t(b)
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a
+           |  JOIN bands b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+           |), ham AS (
+           |  SELECT c.id_a, c.id_b,
+           |         ${hammingSql("x.simhash", "y.simhash")} AS hamming
+           |  FROM cand c
+           |  JOIN sigs x ON x.doc_id = c.id_a
+           |  JOIN sigs y ON y.doc_id = c.id_b
+           |)
+           |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin),
     "q32_jaccard_ngram" ->
       (seededSql +
         """, toks AS (

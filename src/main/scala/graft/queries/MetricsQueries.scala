@@ -135,8 +135,9 @@ object MetricsQueries {
       (cumSql +
         """
           |SELECT round(score, 6) AS score,
-          |  round(((1 + 4.0) * (tp / (tp + fp)) * (tp / p)) /
-          |        (4.0 * (tp / (tp + fp)) + (tp / p)), 6) AS fmeasure
+          |  round(CASE WHEN 4.0 * (tp / (tp + fp)) + (tp / p) = 0 THEN 0.0
+          |        ELSE ((1 + 4.0) * (tp / (tp + fp)) * (tp / p)) /
+          |             (4.0 * (tp / (tp + fp)) + (tp / p)) END, 6) AS fmeasure
           |FROM cum""".stripMargin),
     "q34_pr_curve" ->
       (cumSql +
