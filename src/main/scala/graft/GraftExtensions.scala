@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.sql.expressions.HyperplaneSignature
+import graft.sql.expressions.{HyperplaneSignature, SimHash64}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * callable from SQL in any session built with
@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"numPlanes must be an integer literal, got $other")
         }
         HyperplaneSignature(children.head, numPlanes)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64(tokens ARRAY<STRING>)")
+        SimHash64(children.head)
       }))
   }
 }

@@ -40,30 +40,17 @@ class SimHasher(override val uid: String) extends Transformer {
   private def nibble(h: Column, i: Int): Column =
     conv(substring(h, i + 1, 1), 16, 10).cast("int")
 
-  /** (id, simhash) — one row per input id. */
+  /** (id, simhash) — one row per input id. The signature is a native
+    * row-local expression ([[graft.sql.expressions.SimHash64]]): no token
+    * explode, no 64-column vote aggregate, no shuffle.
+    */
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    val hashed = dataset
-      .select(col($(idCol)),
-        explode(TextNormalizer.tokens(col($(textCol)))).as("tok"))
-      .select(col($(idCol)), md5(col("tok")).as("h"))
-
-    // 64 per-bit vote sums: +1 when the bit is set, -1 otherwise
-    val voteCols = for (i <- 0 until 16; b <- 3 to 0 by -1) yield
-      sum(when((shiftright(nibble(col("h"), i), b).bitwiseAND(1)) === 1, 1).otherwise(-1))
-        .as(s"s_${i}_$b")
-
-    val votes = hashed.groupBy(col($(idCol))).agg(voteCols.head, voteCols.tail: _*)
-
-    // each output nibble re-packs 4 sign bits; hex char via table lookup
-    // (substring of a literal — identical semantics in the SQL oracle)
-    val nibbleChars = (0 until 16).map { i =>
-      val v = (3 to 0 by -1).map { b =>
-        when(col(s"s_${i}_$b") > 0, 1 << b).otherwise(0)
-      }.reduce(_ + _)
-      lit("0123456789abcdef").substr(v + 1, lit(1))
-    }
-    votes.select(col($(idCol)), concat(nibbleChars: _*).as($(outputCol)))
+    val sig = org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.SimHash64(
+        org.apache.spark.sql.GraftBridge.expression(
+          TextNormalizer.tokens(col($(textCol))))))
+    dataset.select(col($(idCol)), sig.as($(outputCol)))
   }
 
   /** Hamming distance between two 16-hex-char signatures (0..64). */
