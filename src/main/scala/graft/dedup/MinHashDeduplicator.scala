@@ -105,19 +105,43 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
     }
   }
 
-  /** MinHash signatures: (id, seed, minhash) — one row per doc per seed.
-    * Base hash halves are 56-bit (14 hex chars) so h1 + (numHashes-1)*h2
-    * stays far from Long overflow.
-    */
-  def signatures(dataset: Dataset[_]): DataFrame = {
-    val h = $(numHashes)
-    rawShingles(dataset)
-      .withColumn("h1", conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(md5(col("shingle")), 15, 14), 16, 10).cast("long"))
-      .select(id, explode(expr(s"sequence(0, ${h - 1})")).as("seed"), col("h1"), col("h2"))
-      .groupBy(id, col("seed"))
-      .agg(min((col("h1") + col("seed") * col("h2")) % 72057594037927936L).as("minhash"))
+  /** Per-document shingle ARRAY (multiset — duplicates don't affect minima). */
+  private def shingleArray(dataset: Dataset[_]): DataFrame = {
+    val k = $(shingleSize)
+    $(shingleMode) match {
+      case "char" =>
+        dataset
+          .select(id, TextNormalizer.normalize(col($(textCol))).as("norm"))
+          .select(id, expr(
+            s"transform(sequence(1, greatest(length(norm) - $k + 1, 1)), i -> substring(norm, i, $k))")
+            .as("sh"))
+      case "token" =>
+        dataset
+          .select(id, TextNormalizer.tokens(col($(textCol))).as("toks"))
+          .select(id, expr(
+            s"transform(sequence(1, greatest(size(toks) - $k + 1, 1)), i -> array_join(slice(toks, i, $k), ' '))")
+            .as("sh"))
+    }
   }
+
+  /** MinHash signatures: (id, seed, minhash) — one row per doc per seed.
+    * All numHashes minima come from ONE row-local pass over the shingle
+    * array ([[graft.sql.expressions.MinHashSignature]]): no shingle×seed
+    * explode, no aggregation shuffle.
+    */
+  def signatures(dataset: Dataset[_]): DataFrame =
+    shingleArray(dataset)
+      .select(id,
+        org.apache.spark.sql.GraftBridge.column(
+          graft.sql.expressions.MinHashSignature(
+            org.apache.spark.sql.GraftBridge.expression(col("sh")), $(numHashes)))
+          .as("mh"))
+      // OUTER explode on purpose: InferFiltersFromGenerate would otherwise
+      // duplicate the whole signature expression into a per-row
+      // size(...) > 0 scan filter (measured 50× slowdown); the signature
+      // array is always non-empty so the rows are identical.
+      .select(id, posexplode_outer(col("mh")))
+      .select(id, col("pos").cast("int").as("seed"), col("col").as("minhash"))
 
   /** LSH band signatures: (id, band, bandSig). */
   def bandSignatures(dataset: Dataset[_]): DataFrame = {
@@ -143,22 +167,22 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
       .distinct()
   }
 
-  /** Verified near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold). */
+  /** Verified near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold).
+    * Verification is row-local set math over the candidates' shingle-set
+    * arrays (`array_intersect` dedups, matching the oracle's DISTINCT
+    * semantics exactly) — no distinct-shingle shuffle, no per-shingle
+    * intersection join; only the ~candidate-count rows do real work.
+    */
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    val sh = shingles(dataset)
-    val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
-    val cand = candidatePairs(dataset)
-    val inter = cand
-      .join(sh.select(col($(idCol)).as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col($(idCol)).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col($(idCol)).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col($(idCol)).as("id_b"), col("sz").as("sz_b")), "id_b")
+    val sets = shingleArray(dataset).select(id, array_distinct(col("sh")).as("shset"))
+    candidatePairs(dataset)
+      .join(sets.select(col($(idCol)).as("id_a"), col("shset").as("sh_a")), "id_a")
+      .join(sets.select(col($(idCol)).as("id_b"), col("shset").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+        (col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          .as("jaccard"))
       .where(col("jaccard") >= $(threshold))
   }
 
