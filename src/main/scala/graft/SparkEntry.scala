@@ -28,7 +28,7 @@ object SparkEntry {
     CoreQueries.queries ++ FeatureQueries.queries ++ MetricsQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
       ClassificationQueries.queries ++ StreamingQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -37,5 +37,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FeatureQueries.oracles ++ MetricsQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
-      StreamingQueries.oracles ++ MultimodalQueries.oracles
+      StreamingQueries.oracles ++ MultimodalQueries.oracles ++
+      CurationQueries.oracles
 }

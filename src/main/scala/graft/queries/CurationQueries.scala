@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.{DedupClusters, MinHashDeduplicator}
+import graft.sampling.HashSampler
+import graft.text.QualityFilter
+
+/** Corpus-curation queries: heuristic quality filtering, deterministic
+  * hash-split sampling, and near-dup cluster resolution — the end-game
+  * operators of a training-data pipeline (filter → dedup → split).
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def seeded(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.union(
+      d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .union(
+        d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" graft near dup probe")).as("text")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // C4/Gopher-style heuristic filter: token bounds + quality threshold
+    "q37_quality_filter" -> ((s, dir) => {
+      new QualityFilter().setTextCol("text")
+        .setMinTokens(40).setMaxTokens(100000)
+        .setMaxPunctRatio(0.2).setMinQuality(0.5)
+        .transform(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // reproducible 30% validation split (salt-namespaced md5 buckets)
+    "q38_hash_split" -> ((s, dir) => {
+      val sampler = new HashSampler().setIdCol("doc_id").setPercent(30).setSalt("val")
+      sampler.transform(Tables.documents(s, dir))
+        .select(col("doc_id"), sampler.bucket.as("bucket"))
+    }),
+
+    // near-dup pairs (q20 pipeline) collapsed into clusters via distributed
+    // min-label propagation; cluster id = smallest member
+    "q39_dedup_clusters" -> ((s, dir) => {
+      val docs = seeded(s, dir)
+      val pairs = new MinHashDeduplicator()
+        .setIdCol("doc_id").setTextCol("text")
+        .setShingleSize(8).setNumHashes(12).setNumBands(4).setThreshold(0.5)
+        .transform(docs)
+      DedupClusters.components(docs, pairs, "doc_id")
+    })
+  )
+
+  // shared fragments reproducing the q20 minhash pipeline for the oracle
+  private val minhashPairsSql =
+    """, norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM base
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
+      |  FROM norm CROSS JOIN range(1, 700) t(i)
+      |  WHERE i <= greatest(length(norm) - 7, 1)
+      |), hashed AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+      |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, CAST(j AS INT) AS seed,
+      |         min((h1 + j * h2) % 72057594037927936) AS minhash
+      |  FROM hashed CROSS JOIN range(0, 12) t(j)
+      |  GROUP BY 1, 2
+      |), bands AS (
+      |  SELECT doc_id, seed // 3 AS band,
+      |         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS bandsig
+      |  FROM sig GROUP BY doc_id, seed // 3
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a
+      |  JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.id_a
+      |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q37_quality_filter" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text, n_chars,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, text, n_chars, string_split(norm, ' ') AS tl FROM norm
+        |), scored AS (
+        |  SELECT doc_id, n_chars,
+        |    len(tl) AS n_tokens,
+        |    (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text) AS punct,
+        |    len(list_filter(tl, t -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'], t))) * 1.0 / len(tl) AS stop_ratio,
+        |    list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl) AS awl
+        |  FROM toks
+        |)
+        |SELECT doc_id, n_chars FROM scored
+        |WHERE n_tokens BETWEEN 40 AND 100000
+        |  AND punct <= 0.2
+        |  AND stop_ratio >= 0.0
+        |  AND round((
+        |    least(n_tokens / 100.0, 1.0) +
+        |    greatest(0.0, 1.0 - punct * 4.0) +
+        |    least(stop_ratio * 3.0, 1.0) +
+        |    (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+        |  ) / 4.0, 6) >= 0.5""".stripMargin,
+    "q38_hash_split" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5('val:' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5('val:' || doc_id), 1, 8))::BIGINT % 100 < 30""".stripMargin,
+    "q39_dedup_clusters" ->
+      ("""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' graft near dup probe'
+         |  FROM documents WHERE doc_id % 7 = 0
+         |)""".stripMargin
+        + minhashPairsSql +
+        """, ed AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION ALL
+          |  SELECT id_b, id_a FROM pairs
+          |), reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM base
+          |  UNION
+          |  SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id
+          |)
+          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin)
+  )
+}

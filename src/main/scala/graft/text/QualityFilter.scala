@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Heuristic corpus filter in the C4/Gopher style: drops documents outside
+  * token-count bounds, above a punctuation-density cap, below a stopword
+  * floor, or below a composite quality threshold. Row-local (one codegen
+  * stage over the scan) — the canonical first pass of a training-data
+  * pipeline, where most of the 100 TB should die before anything shuffles.
+  */
+class QualityFilter(override val uid: String) extends Transformer {
+
+  def this() = this(Identifiable.randomUID("qualityFilter"))
+
+  final val textCol: Param[String] = new Param[String](this, "textCol", "Text column")
+  final val minTokens: IntParam = new IntParam(this, "minTokens",
+    "Minimum token count", ParamValidators.gtEq(0))
+  final val maxTokens: IntParam = new IntParam(this, "maxTokens",
+    "Maximum token count", ParamValidators.gt(0))
+  final val maxPunctRatio: DoubleParam = new DoubleParam(this, "maxPunctRatio",
+    "Maximum punctuation character ratio", ParamValidators.inRange(0, 1))
+  final val minStopwordRatio: DoubleParam = new DoubleParam(this, "minStopwordRatio",
+    "Minimum English-stopword token ratio", ParamValidators.inRange(0, 1))
+  final val minQuality: DoubleParam = new DoubleParam(this, "minQuality",
+    "Minimum composite quality score", ParamValidators.inRange(0, 1))
+
+  setDefault(textCol -> "text", minTokens -> 10, maxTokens -> 100000,
+    maxPunctRatio -> 0.2, minStopwordRatio -> 0.0, minQuality -> 0.0)
+
+  def setTextCol(value: String): this.type = set(textCol, value)
+  def setMinTokens(value: Int): this.type = set(minTokens, value)
+  def setMaxTokens(value: Int): this.type = set(maxTokens, value)
+  def setMaxPunctRatio(value: Double): this.type = set(maxPunctRatio, value)
+  def setMinStopwordRatio(value: Double): this.type = set(minStopwordRatio, value)
+  def setMinQuality(value: Double): this.type = set(minQuality, value)
+
+  /** The keep predicate as a Column (exposed so callers can audit/invert). */
+  def keepCondition: org.apache.spark.sql.Column = {
+    val t = col($(textCol))
+    TextFunctions.tokenCount(t).between($(minTokens), $(maxTokens)) &&
+      TextFunctions.punctRatio(t) <= $(maxPunctRatio) &&
+      TextFunctions.stopwordRatio(t) >= $(minStopwordRatio) &&
+      TextFunctions.qualityScore(t) >= $(minQuality)
+  }
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    dataset.where(keepCondition).toDF()
+  }
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema($(textCol)).dataType == StringType,
+      s"text column must be string, got ${schema($(textCol)).dataType}")
+    schema
+  }
+
+  override def copy(extra: ParamMap): QualityFilter = defaultCopy(extra)
+}

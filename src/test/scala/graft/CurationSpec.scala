@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupClusters
+import graft.sampling.HashSampler
+import graft.text.QualityFilter
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quality filter drops short and junk documents") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running for a while longer today"),
+      (2L, "short"),
+      (3L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!!"))
+      .toDF("doc_id", "text")
+    val kept = new QualityFilter().setTextCol("text")
+      .setMinTokens(10).setMaxPunctRatio(0.2).setMinQuality(0.3)
+      .transform(docs).select("doc_id").as[Long].collect()
+    assert(kept.toSeq === Seq(1L))
+  }
+
+  test("hash sampler: deterministic, disjoint complement, salt-independent") {
+    val docs = (0L until 1000L).toDF("doc_id")
+    val s = new HashSampler().setIdCol("doc_id").setPercent(30).setSalt("val")
+    val kept = s.transform(docs).select("doc_id").as[Long].collect().toSet
+    val kept2 = s.transform(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept === kept2) // stable across runs
+    val rest = s.transformComplement(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(rest).isEmpty && kept.size + rest.size === 1000)
+    assert(kept.size > 200 && kept.size < 400) // ~30%
+    val other = new HashSampler().setIdCol("doc_id").setPercent(30).setSalt("test")
+      .transform(docs).select("doc_id").as[Long].collect().toSet
+    assert(other !== kept) // different salt, different sample
+  }
+
+  test("cluster resolution: components collapse transitively") {
+    // 1-2, 2-3 chain plus isolated 4,5 and pair 5-6
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = DedupClusters.components(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("cluster resolution handles long chains within iteration bound") {
+    val n = 30
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = DedupClusters.components(nodes, pairs, "doc_id", maxIterations = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.values.toSet === Set(1L)) // one chain, one component
+  }
+}
