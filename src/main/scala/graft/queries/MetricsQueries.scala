@@ -90,6 +90,12 @@ object MetricsQueries {
       new BinaryModelMetrics(scoreAndLabels(s, dir)).pr()
         .select(round(col("recall"), 6).as("recall"),
           round(col("precision"), 6).as("precision"))
+    }),
+
+    // ROC curve points with (0,0)/(1,1) endpoints
+    "q40_roc_curve" -> ((s, dir) => {
+      new BinaryModelMetrics(scoreAndLabels(s, dir)).roc()
+        .select(round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
     })
   )
 
@@ -146,6 +152,12 @@ object MetricsQueries {
           |UNION ALL
           |(SELECT CAST(0.0 AS DOUBLE) AS recall, round(tp / (tp + fp), 6) AS precision
           | FROM cum ORDER BY score DESC LIMIT 1)""".stripMargin),
+    "q40_roc_curve" ->
+      (cumSql +
+        """
+          |SELECT round(fp / n, 6) AS fpr, round(tp / p, 6) AS tpr FROM cum
+          |UNION ALL SELECT CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+          |UNION ALL SELECT CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)""".stripMargin),
     "q26_gains_binned" ->
       """WITH sl AS (
         |  SELECT ((o_orderkey * 2654435761) % 1000) / 1000.0 AS score,
