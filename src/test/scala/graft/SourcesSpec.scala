@@ -41,6 +41,17 @@ class SourcesSpec extends SparkTestBase {
     assert(back.select(explode($"tags")).count() === 3)
   }
 
+  test("orc source round-trips with predicate pushdown") {
+    val dir = tmpDir("graft_orc")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+      .write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).where($"v" > 15.0)
+    assert(back.count() === 2)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(v,15.0)"),
+      s"expected ORC filter pushdown in:\n$plan")
+  }
+
   test("partitioned parquet sink prunes partitions on readback") {
     val dir = tmpDir("graft_part")
     Seq((1L, "en", 1.0), (2L, "de", 2.0), (3L, "en", 3.0))
