@@ -28,14 +28,18 @@ object Bench {
     }
 
     var errors = List.empty[(String, String)]
-    val results = qs.map { case (name, fn) =>
+    // a failing query lands in `errors` and contributes NO time (neither a
+    // per-query entry nor `total`) — failures never masquerade as wall time
+    val results = qs.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch {
+      try {
+        fn(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
         case e: Throwable =>
           errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
 
     def jstr(s: String): String =

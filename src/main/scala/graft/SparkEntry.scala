@@ -37,6 +37,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ FeatureQueries.oracles ++ MetricsQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
-      StreamingQueries.oracles ++ MultimodalQueries.oracles ++
-      CurationQueries.oracles
+      ClassificationQueries.oracles ++ StreamingQueries.oracles ++
+      MultimodalQueries.oracles ++ CurationQueries.oracles
 }

@@ -242,8 +242,8 @@ private[classification] class LocalLogisticCostFun(
   }
 }
 
-/** Model produced by [[LocalLogisticRegression]]: adds rawPrediction,
-  * probability and prediction columns.
+/** Model produced by [[LocalLogisticRegression]]: adds rawPrediction (the
+  * linear margin w·x + b), probability (its sigmoid) and prediction columns.
   */
 class LocalLogisticRegressionModel(
     override val uid: String,
@@ -258,9 +258,12 @@ class LocalLogisticRegressionModel(
     "Probability output column")
   final val predictionCol: Param[String] = new Param[String](this, "predictionCol",
     "Prediction output column")
+  final val rawPredictionCol: Param[String] = new Param[String](this, "rawPredictionCol",
+    "Raw prediction (margin) output column")
 
   setDefault(labelCol -> "label", featuresCol -> "features", threshold -> 0.5,
-    probabilityCol -> "probability", predictionCol -> "prediction")
+    probabilityCol -> "probability", predictionCol -> "prediction",
+    rawPredictionCol -> "rawPrediction")
 
   def setLabelCol(value: String): this.type = set(labelCol, value)
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
@@ -277,15 +280,18 @@ class LocalLogisticRegressionModel(
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     val t = $(threshold)
-    val probUdf = udf((v: Vector) => predictProbability(v))
+    val marginUdf = udf((v: Vector) => margin(v))
     dataset
-      .withColumn($(probabilityCol), probUdf(col($(featuresCol))))
+      .withColumn($(rawPredictionCol), marginUdf(col($(featuresCol))))
+      .withColumn($(probabilityCol),
+        lit(1.0) / (lit(1.0) + exp(-col($(rawPredictionCol)))))
       .withColumn($(predictionCol),
         when(col($(probabilityCol)) > t, 1.0).otherwise(0.0))
   }
 
   override def transformSchema(schema: StructType): StructType =
     StructType(schema.fields ++ Seq(
+      StructField($(rawPredictionCol), DoubleType),
       StructField($(probabilityCol), DoubleType),
       StructField($(predictionCol), DoubleType)))
 

@@ -5,12 +5,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.classification.LocalLogisticRegression
+import graft.classification.{LocalLogisticRegression, LocalLogisticRegressionModel}
 
 /** LocalLogisticRegression end-to-end: deterministic features from orders,
   * single-partition input so the LOCAL training path runs, coefficients
   * emitted as rows. No SQL oracle (DuckDB can't fit an LR) → rows-only
   * check; coefficient-level verification lives in the glmnet golden specs.
+  *
+  * q41 covers the SCORING path with a hash-checked oracle: a model with
+  * fixed coefficients transforms the same feature frame, and DuckDB
+  * replays margin → sigmoid → threshold exactly.
   */
 object ClassificationQueries {
 
@@ -35,8 +39,45 @@ object ClassificationQueries {
       import s.implicits._
       rows.toDF("feature", "weight")
         .select(col("feature"), round(col("weight"), 4).as("weight"))
+    }),
+
+    // scoring path, oracle-checked: fixed coefficients over the same
+    // deterministic features; margin accumulated intercept-first then in
+    // index order, matching the oracle's left-to-right sum.
+    "q41_lr_score" -> ((s, dir) => {
+      val df = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        (col("o_totalprice") / 100000.0).as("f1"),
+        ((col("o_orderkey") % 97) / 97.0).as("f2"),
+        ((col("o_custkey") % 13) / 13.0).as("f3"))
+      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("f1", "f2", "f3")).setOutputCol("features")
+        .transform(df)
+      val model = new LocalLogisticRegressionModel("q41",
+        org.apache.spark.ml.linalg.Vectors.dense(0.8, -1.2, 0.5), -0.3)
+      model.transform(assembled)
+        .select(col("o_orderkey"),
+          round(col("rawPrediction"), 6).as("margin"),
+          round(col("probability"), 6).as("probability"),
+          col("prediction"))
     })
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q41_lr_score" ->
+      """WITH f AS (
+        |  SELECT o_orderkey,
+        |         o_totalprice / 100000.0 AS f1,
+        |         (o_orderkey % 97) / 97.0 AS f2,
+        |         (o_custkey % 13) / 13.0 AS f3
+        |  FROM orders
+        |), m AS (
+        |  SELECT o_orderkey, -0.3 + 0.8 * f1 + -1.2 * f2 + 0.5 * f3 AS margin FROM f
+        |)
+        |SELECT o_orderkey,
+        |       round(margin, 6) AS margin,
+        |       round(1.0 / (1.0 + exp(-margin)), 6) AS probability,
+        |       CAST(CASE WHEN 1.0 / (1.0 + exp(-margin)) > 0.5 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction
+        |FROM m""".stripMargin
+  )
 }

@@ -150,6 +150,8 @@ object CurationQueries {
           |  UNION
           |  SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id
           |)
-          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin)
+          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+          |SELECT -1, -1 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin)
   )
 }

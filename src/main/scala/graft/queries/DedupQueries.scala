@@ -177,7 +177,9 @@ object DedupQueries {
           |  JOIN sizes sb ON sb.doc_id = id_b
           |)
           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
-          |WHERE jaccard >= 0.5""".stripMargin),
+          |WHERE jaccard >= 0.5
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+          |SELECT -1, -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
     "q25_simhash" -> simhashSql,
     "q36_simhash_pairs" ->
       (seededSql + simhashChain +
@@ -240,6 +242,8 @@ object DedupQueries {
           |  JOIN sizes sb ON sb.doc_id = id_b
           |)
           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
-          |WHERE jaccard >= 0.5""".stripMargin)
+          |WHERE jaccard >= 0.5
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,200) token bound
+          |SELECT -1, -1, -1.0 WHERE (SELECT max(len(tl)) FROM toks) > 200""".stripMargin)
   )
 }

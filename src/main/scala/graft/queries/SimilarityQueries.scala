@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.dedup.DedupClusters
 import graft.similarity.{CosineTopK, IvfCosineIndex, RandomHyperplaneLSH}
 
 /** Similarity-search queries over the embeddings table.
@@ -63,6 +64,16 @@ object SimilarityQueries {
         .search(e.where(col("vec_id") < 5), e, k = 5)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
+    // embedding-cosine near-dup DEDUP: the q22 LSH pair pipeline collapsed
+    // into clusters (connected components, cluster id = smallest member) —
+    // "keep one per cluster" embedding dedup for a training corpus.
+    "q42_embed_dedup" -> ((s, dir) => {
+      val vecs = seeded(s, dir)
+      val pairs = new RandomHyperplaneLSH(numPlanes = 64, numBands = 4)
+        .nearDupPairs(vecs, threshold = 0.9)
+      DedupClusters.components(vecs, pairs, "vec_id")
     })
   )
 
@@ -81,8 +92,35 @@ object SimilarityQueries {
         |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 5""".stripMargin,
     "q22_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |comp AS (
+      ("WITH " + lshPairsSql + """
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM out WHERE cosine >= 0.9
+        |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
+        |SELECT -1, -1, -1.0 WHERE (SELECT max(len(v)) FROM e) > 64""".stripMargin),
+    "q42_embed_dedup" ->
+      ("WITH RECURSIVE " + lshPairsSql + """,
+        |pairs AS (SELECT id_a, id_b FROM out WHERE cosine >= 0.9),
+        |ed AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM allv
+        |  UNION
+        |  SELECT g.dst, reach.r FROM reach JOIN ed g ON g.src = reach.id
+        |)
+        |SELECT id AS vec_id, min(r) AS cluster FROM reach GROUP BY id
+        |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
+        |SELECT -1, -1 WHERE (SELECT max(len(v)) FROM e) > 64""".stripMargin),
+    "q35_ann_ivf" -> q35Sql
+  )
+
+  /** Shared q22/q42 fragment: seeded corpus → hyperplane signatures → band
+    * candidates → exact-cosine pairs, ending at CTE `out (id_a, id_b,
+    * cosine)` (plus `e` and `allv` for reuse).
+    */
+  private lazy val lshPairsSql =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |comp AS (
         |  SELECT vec_id, CAST(i AS INT) - 1 AS d, v[CAST(i AS INT)] AS x
         |  FROM e CROSS JOIN range(1, 65) t(i) WHERE i <= len(v)
         |), mutc AS (
@@ -114,11 +152,11 @@ object SimilarityQueries {
         |), out AS (
         |  SELECT id_a, id_b, list_cosine_similarity(x.v, y.v) AS cosine
         |  FROM cand JOIN allv x ON x.vec_id = id_a JOIN allv y ON y.vec_id = id_b
-        |)
-        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM out WHERE cosine >= 0.9""".stripMargin,
-    "q35_ann_ivf" ->
+        |)""".stripMargin
+
+  private lazy val q35Sql =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
         |a0 AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT e.vec_id, s.cid,
@@ -161,6 +199,7 @@ object SimilarityQueries {
         |  FROM sims
         |)
         |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
-        |FROM ranked WHERE rnk <= 5""".stripMargin
-  )
+        |FROM ranked WHERE rnk <= 5
+        |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
+        |SELECT -1, -1, -1.0, -1 WHERE (SELECT max(len(v)) FROM e) > 64""".stripMargin
 }

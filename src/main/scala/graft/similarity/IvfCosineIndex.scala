@@ -51,7 +51,10 @@ class IvfCosineIndex(
   /** Learned centroids (cid, centroid): lowest-id seeds + one Lloyd step. */
   def centroids(candidates: DataFrame): DataFrame = {
     val e = candidates.select(col(idCol), dvec(col(vecCol)).as("cv"))
-    val seeds = e.where(col(idCol) < numCentroids)
+    // seeds picked by RANK (order-by + limit → TakeOrderedAndProject), not a
+    // value predicate, so sparse/offset id spaces still yield exactly
+    // numCentroids seeds; cid = the seed's own id (any distinct key works)
+    val seeds = e.orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).cast("long").as("cid"), col("cv").as("centroid"))
     val members = e.join(assign(e, seeds), idCol)
     members

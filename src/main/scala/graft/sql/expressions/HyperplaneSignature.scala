@@ -17,8 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * functions (zip_with/aggregate) it runs on the interpreted
   * CodegenFallback path (~1 virtual call per element); here `doGenCode`
   * emits the two nested Java loops directly into whole-stage codegen —
-  * same arithmetic, same left-to-right accumulation order (bit-identical
-  * to the SQL oracle's replay), ~10× less per-row overhead.
+  * same arithmetic as the SQL oracle's replay, ~10× less per-row overhead.
+  *
+  * Oracle-replay caveat: this loop accumulates each dot product in fixed
+  * d=0..n order, while an SQL replay that SUMs over an exploded group has
+  * no guaranteed accumulation order — a dot product within float epsilon
+  * of 0 could round to a different sign and flip a signature bit. In
+  * practice plane dots sit far from 0 (the test gate has never seen a
+  * flip), but comparisons should treat signature-boundary discrepancies as
+  * possible, not impossible.
   */
 case class HyperplaneSignature(child: Expression, numPlanes: Int)
   extends UnaryExpression {
