@@ -28,12 +28,24 @@ object DedupClusters {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edgesCk = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    var labelsCk = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
+
+    // size the loop's frames from the measured data: the iteration frames
+    // inherit the upstream partitioning (e.g. 32 shuffle partitions), and
+    // on small inputs per-iteration cost is pure task-scheduling overhead —
+    // coalesce to ~1M rows/partition, capped at default parallelism
+    // (both counts are cheap — the frames are already materialized)
+    val rows = edgesCk.count() max labelsCk.count()
+    val parts = math.max(1L, math.min(
+      labelsCk.sparkSession.sparkContext.defaultParallelism.toLong,
+      rows / (1L << 20) + 1)).toInt
+    val edges = edgesCk.coalesce(parts)
+
+    var labels = labelsCk.coalesce(parts)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
@@ -44,6 +56,7 @@ object DedupClusters {
         .join(neighborMin.select(col("src").as("id"), col("nbrMin")), Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("newLabel"))
+        .coalesce(parts)
         .localCheckpoint(true)
       changed = updated.where(col("newLabel") < col("label")).count()
       labels = updated.select(col("id"), col("newLabel").as("label"))

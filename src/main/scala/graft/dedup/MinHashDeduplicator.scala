@@ -72,6 +72,14 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
 
   private def id: Column = col($(idCol))
 
+  /** (id, text) fanned out to full parallelism: the shingle/minhash kernels
+    * are CPU-bound, and a small input (one parquet split) would otherwise
+    * run them on 1-3 tasks. The explicit exchange is also reused by the
+    * signature and verification consumers of the same subtree.
+    */
+  private def input(dataset: Dataset[_]): DataFrame =
+    graft.sql.functions.spread(dataset.select(id, col($(textCol))), id)
+
   /** Distinct character k-shingles per document: (id, shingle).
     * Position explode + substring (all codegen'd) rather than a
     * transform(...) lambda — higher-order functions evaluate on the
@@ -90,14 +98,14 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
     val k = $(shingleSize)
     $(shingleMode) match {
       case "char" =>
-        dataset
+        input(dataset)
           .select(id, TextNormalizer.normalize(col($(textCol))).as("norm"))
           .select(id, col("norm"),
             explode(expr(s"sequence(1, greatest(length(norm) - $k + 1, 1))")).as("pos"))
           .select(id, expr(s"substring(norm, pos, $k)").as("shingle"))
       case "token" =>
         // word k-grams: slice the token array, join with single spaces
-        dataset
+        input(dataset)
           .select(id, TextNormalizer.tokens(col($(textCol))).as("toks"))
           .select(id, col("toks"),
             explode(expr(s"sequence(1, greatest(size(toks) - $k + 1, 1))")).as("pos"))
@@ -110,13 +118,13 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
     val k = $(shingleSize)
     $(shingleMode) match {
       case "char" =>
-        dataset
+        input(dataset)
           .select(id, TextNormalizer.normalize(col($(textCol))).as("norm"))
           .select(id, expr(
             s"transform(sequence(1, greatest(length(norm) - $k + 1, 1)), i -> substring(norm, i, $k))")
             .as("sh"))
       case "token" =>
-        dataset
+        input(dataset)
           .select(id, TextNormalizer.tokens(col($(textCol))).as("toks"))
           .select(id, expr(
             s"transform(sequence(1, greatest(size(toks) - $k + 1, 1)), i -> array_join(slice(toks, i, $k), ' '))")

@@ -50,7 +50,11 @@ class SimHasher(override val uid: String) extends Transformer {
       graft.sql.expressions.SimHash64(
         org.apache.spark.sql.GraftBridge.expression(
           TextNormalizer.tokens(col($(textCol))))))
-    dataset.select(col($(idCol)), sig.as($(outputCol)))
+    // spread: the md5-per-token kernel is CPU-bound; a single-split input
+    // would run it on one task (and once per downstream consumer)
+    graft.sql.functions
+      .spread(dataset.select(col($(idCol)), col($(textCol))), col($(idCol)))
+      .select(col($(idCol)), sig.as($(outputCol)))
   }
 
   /** Hamming distance between two 16-hex-char signatures (0..64). */
@@ -59,30 +63,42 @@ class SimHasher(override val uid: String) extends Transformer {
       .map(i => bit_count(nibble(a, i).cast("long").bitwiseXOR(nibble(b, i).cast("long"))))
       .reduce(_ + _)
 
+  /** (id, band, chunk, sig): each signature's four 16-bit band chunks, with
+    * the full signature carried along so pair consumers need no join back.
+    */
+  private def bands(signed: DataFrame): DataFrame =
+    signed.select(col($(idCol)), col($(outputCol)),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .select(col($(idCol)), col("band"),
+        expr(s"substring(${$(outputCol)}, band * 4 + 1, 4)").as("chunk"),
+        col($(outputCol)).as("sig"))
+
   /** Near-duplicate pairs with exact Hamming distance ≤ maxDist, candidates
     * from band buckets only (complete for maxDist ≤ 3 by pigeonhole).
+    * The signatures ride through the band join, so there is no join back to
+    * the full corpus (and no recompute of the signature kernel for it);
+    * Hamming is evaluated per band collision — cheap codegen arithmetic —
+    * then surviving pairs dedup on (id_a, id_b, hamming).
     */
   def nearDupPairs(signed: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 3, s"banding only guarantees completeness for maxDist <= 3, got $maxDist")
-    val sa = signed.select(col($(idCol)).as("id_a"), col($(outputCol)).as("sig_a"))
-    val sb = signed.select(col($(idCol)).as("id_b"), col($(outputCol)).as("sig_b"))
-    candidatePairs(signed)
-      .join(sa, "id_a").join(sb, "id_b")
+    val bs = bands(signed)
+    val a = bs.select(col($(idCol)).as("id_a"), col("band"), col("chunk"), col("sig").as("sig_a"))
+    val b = bs.select(col($(idCol)).as("id_b"), col("band"), col("chunk"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "chunk")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Pairs of ids whose signatures agree on at least one of the four 16-bit
     * bands — a superset of all pairs with Hamming distance ≤ 3.
     */
   def candidatePairs(signed: DataFrame): DataFrame = {
-    val bands = signed.select(col($(idCol)), col($(outputCol)),
-      explode(expr("sequence(0, 3)")).as("band"))
-      .select(col($(idCol)), col("band"),
-        expr(s"substring(${$(outputCol)}, band * 4 + 1, 4)").as("chunk"))
-    val a = bands.select(col($(idCol)).as("id_a"), col("band"), col("chunk"))
-    val b = bands.select(col($(idCol)).as("id_b"), col("band"), col("chunk"))
+    val bs = bands(signed)
+    val a = bs.select(col($(idCol)).as("id_a"), col("band"), col("chunk"))
+    val b = bs.select(col($(idCol)).as("id_b"), col("band"), col("chunk"))
     a.join(b, Seq("band", "chunk")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }

@@ -77,11 +77,27 @@ class OptimalBinning(override val uid: String)
           .stat.approxQuantile($(inputCol), percentiles, $(relativeError))
         qs.distinct.sorted
       case "exact" =>
-        val percentiles = (1 until $(numBins)).map(_.toDouble / $(numBins))
-        val qs = dataset.toDF().na.drop(Seq($(inputCol)))
+        // exact linear-interpolated quantiles (same formula as Spark's
+        // `percentile` and DuckDB's quantile_cont) via distributed sort +
+        // rank selection: the `percentile` AGGREGATE buffers every value on
+        // one final reducer (OOM at scale); a range-partitioned sort and a
+        // lookup of the 2(numBins-1) bracketing ranks never concentrates
+        // the data anywhere
+        val vals = dataset.toDF().na.drop(Seq($(inputCol)))
           .select(col($(inputCol)).cast(DoubleType).as("v"))
-          .agg(expr(s"percentile(v, array(${percentiles.mkString(", ")}))"))
-          .first().getSeq[Double](0).toArray
+        val n = vals.count()
+        require(n > 0, s"cannot fit quantile splits on an empty ${$(inputCol)}")
+        val positions = (1 until $(numBins)).map(_.toDouble / $(numBins) * (n - 1))
+        val ranks = positions
+          .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong)).toSet
+        val rankValue = vals.sort("v").rdd.map(_.getDouble(0)).zipWithIndex()
+          .filter { case (_, i) => ranks.contains(i) }
+          .map(_.swap).collectAsMap()
+        val qs = positions.map { p =>
+          val lo = rankValue(math.floor(p).toLong)
+          val hi = rankValue(math.ceil(p).toLong)
+          lo + (hi - lo) * (p - math.floor(p))
+        }.toArray
         qs.distinct.sorted
       case "lbfgs" =>
         val notNulls = dataset.filter(col($(inputCol)).isNotNull)

@@ -32,7 +32,10 @@ class CosineTopK(
     */
   def search(queries: DataFrame, candidates: DataFrame): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), dvec(col(vecCol)).as("qv"))
-    val c = candidates.select(col(idCol), dvec(col(vecCol)).as("cv"))
+    // spread: |queries| cosine kernels per candidate row; a single-split
+    // candidate file would run them all on one task
+    val c = graft.sql.functions.spread(
+      candidates.select(col(idCol), dvec(col(vecCol)).as("cv")), col(idCol))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol))
     c.join(broadcast(q), col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol),

@@ -37,6 +37,13 @@ class IvfCosineIndex(
 
   private def dvec(c: Column): Column = c.cast("array<double>")
 
+  /** (id, cv) spread to full parallelism: assignment evaluates numCentroids
+    * cosine kernels per row, which a single-split input would serialize.
+    */
+  private def corpus(candidates: DataFrame): DataFrame =
+    graft.sql.functions.spread(
+      candidates.select(col(idCol), dvec(col(vecCol)).as("cv")), col(idCol))
+
   /** (id, cid): nearest centroid per vector (ties: lowest cid). */
   private def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cid"))
@@ -50,7 +57,7 @@ class IvfCosineIndex(
 
   /** Learned centroids (cid, centroid): lowest-id seeds + one Lloyd step. */
   def centroids(candidates: DataFrame): DataFrame = {
-    val e = candidates.select(col(idCol), dvec(col(vecCol)).as("cv"))
+    val e = corpus(candidates)
     // seeds picked by RANK (order-by + limit → TakeOrderedAndProject), not a
     // value predicate, so sparse/offset id spaces still yield exactly
     // numCentroids seeds; cid = the seed's own id (any distinct key works)
@@ -67,7 +74,7 @@ class IvfCosineIndex(
 
   /** Inverted lists: (id, cid) under the refined centroids. */
   def index(candidates: DataFrame): DataFrame = {
-    val e = candidates.select(col(idCol), dvec(col(vecCol)).as("cv"))
+    val e = corpus(candidates)
     assign(e, centroids(candidates))
   }
 
@@ -76,7 +83,7 @@ class IvfCosineIndex(
     */
   def search(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val cents = centroids(candidates)
-    val e = candidates.select(col(idCol), dvec(col(vecCol)).as("cv"))
+    val e = corpus(candidates)
     val lists = e.join(assign(e, cents), idCol)
 
     val qv = queries.select(col(idCol).as("query_id"), dvec(col(vecCol)).as("qv"))

@@ -52,9 +52,12 @@ class RandomHyperplaneLSH(
         org.apache.spark.sql.GraftBridge.expression(dvec(col(vecCol))),
         numPlanes))
 
-  /** (id, band, bandSig): one row per vector per band. */
+  /** (id, band, bandSig): one row per vector per band. The input is spread
+    * to full parallelism first — the signature kernel is CPU-bound and a
+    * single-split input would serialize it.
+    */
   def bandSignatures(vectors: DataFrame): DataFrame =
-    vectors
+    graft.sql.functions.spread(vectors, col(idCol))
       .select(col(idCol), signatureExpr.as("sig"))
       .select(col(idCol), explode(expr(s"sequence(0, ${numBands - 1})")).as("band"), col("sig"))
       .select(col(idCol), col("band"),
