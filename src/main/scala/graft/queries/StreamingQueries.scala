@@ -29,6 +29,19 @@ object StreamingQueries {
           round(sum(col("value")), 2).as("total_value"),
           min(col("ts_us")).as("session_start_us"),
           max(col("ts_us")).as("session_end_us"))
+    }),
+
+    // tumbling 1h event-type rollup through the SAME helper the streaming
+    // path uses (watermark is a no-op in batch); window starts emitted as
+    // epoch µs so the time axis is engine-portable.
+    "q43_window_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+      Sessionize.windowedEventCounts(ev, windowLength = "1 hour",
+        watermark = "2 hours", tsCol = "ts_t", typeCol = "event_type")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
     })
   )
 
@@ -53,6 +66,12 @@ object StreamingQueries {
         |       round(sum(value), 2) AS total_value,
         |       min(ts_us) AS session_start_us,
         |       max(ts_us) AS session_end_us
-        |FROM sess GROUP BY 1, 2""".stripMargin
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q43_window_agg" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -98,6 +98,17 @@ abstract class AbstractLocalLogisticRegressionSpec(name: String, partitions: Int
     }
   }
 
+  test(s"$name: rawPrediction is the margin and probability its sigmoid") {
+    val model = new LocalLogisticRegression().fit(dataset)
+    val rows = model.transform(dataset)
+      .select("features", "rawPrediction", "probability").collect()
+    rows.foreach { r =>
+      val margin = model.margin(r.getAs[org.apache.spark.ml.linalg.Vector](0))
+      assert(math.abs(r.getDouble(1) - margin) < 1e-12)
+      assert(math.abs(r.getDouble(2) - 1.0 / (1.0 + math.exp(-margin))) < 1e-12)
+    }
+  }
+
   test(s"$name: recovers the generating model on separable-ish data") {
     val model = new LocalLogisticRegression().setMaxIter(100).fit(dataset)
     // data was generated with intercept 1, slope 1

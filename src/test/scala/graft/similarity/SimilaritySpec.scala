@@ -75,4 +75,34 @@ class SimilaritySpec extends SparkTestBase {
       .nearDupPairs(vecs, 0.9).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian in:\n$plan")
   }
+
+  test("native cosine kernel matches the higher-order-function formulation") {
+    // deterministic pseudo-random vectors; compare the codegen kernel
+    // against the reference HOF expression (same accumulation order)
+    val pairs = (1 to 50).map { i =>
+      val a = Array.tabulate(16)(d => math.sin(i * 31 + d * 7).toDouble)
+      val b = Array.tabulate(16)(d => math.cos(i * 17 + d * 3).toDouble)
+      (a, b)
+    }.toDF("a", "b")
+    val hof = expr(
+      """aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)
+        | / (sqrt(aggregate(a, 0.0D, (acc, v) -> acc + v * v))
+        |    * sqrt(aggregate(b, 0.0D, (acc, v) -> acc + v * v)))""".stripMargin)
+    val diff = pairs
+      .select(abs(graft.sql.functions.cosineSimilarity($"a", $"b") - hof).as("d"))
+      .agg(max($"d")).first().getDouble(0)
+    assert(diff === 0.0) // bit-identical, not just close
+  }
+
+  test("native cosine kernel: null input and length mismatch yield null") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(1.0, 2.0))),
+      (None, Some(Array(1.0, 2.0))),
+      (Some(Array(1.0, 2.0)), Some(Array(1.0, 2.0, 3.0))))
+      .toDF("a", "b")
+    val out = df.select(graft.sql.functions.cosineSimilarity($"a", $"b")).collect()
+    assert(!out(0).isNullAt(0) && out(0).getDouble(0) > 0.999)
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+  }
 }
