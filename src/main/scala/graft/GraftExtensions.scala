@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.sql.expressions.{HyperplaneSignature, MinHashSignature, SimHash64}
+import graft.sql.expressions.{HyperplaneSignature, MinHashSignature, Shingles, SimHash64}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * callable from SQL in any session built with
@@ -38,6 +38,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "simhash64(tokens ARRAY<STRING>)")
         SimHash64(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "shingles(text STRING | tokens ARRAY<STRING>, k INT)")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"k must be an integer literal, got $other")
+        }
+        Shingles(children.head, k)
       }))
 
     ext.injectFunction((

@@ -81,55 +81,31 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
     graft.sql.functions.spread(dataset.select(id, col($(textCol))), id)
 
   /** Distinct character k-shingles per document: (id, shingle).
-    * Position explode + substring (all codegen'd) rather than a
-    * transform(...) lambda — higher-order functions evaluate on the
-    * interpreted fallback path. (Measured here: an extra pre-explode
-    * repartition HURT — it blocks AQE exchange reuse between this
-    * subtree's three consumers; rely on file-split parallelism instead.)
+    * OUTER explode on purpose — the shingle array is provably non-empty,
+    * and a plain explode would let InferFiltersFromGenerate clone the
+    * kernel into a per-row scan filter (the measured 50× trap).
     */
-  def shingles(dataset: Dataset[_]): DataFrame = rawShingles(dataset).distinct()
+  def shingles(dataset: Dataset[_]): DataFrame =
+    shingleArray(dataset)
+      .select(id, explode_outer(col("sh")).as("shingle"))
+      .distinct()
 
-  /** Shingles WITHOUT the distinct shuffle — the minhash path uses this
-    * directly (min over a multiset equals min over its set, so signatures
-    * are identical and one full 1-row-per-shingle shuffle disappears);
-    * only the Jaccard verification needs true sets.
+  /** Per-document shingle ARRAY (multiset — duplicates don't affect
+    * minima). The k-gram fan-out is a native codegen kernel
+    * ([[graft.sql.expressions.Shingles]]); the equivalent
+    * `transform(sequence(...), ...)` higher-order chain runs interpreted
+    * (CodegenFallback) and dominated this stage's profile.
     */
-  private def rawShingles(dataset: Dataset[_]): DataFrame = {
-    val k = $(shingleSize)
-    $(shingleMode) match {
-      case "char" =>
-        input(dataset)
-          .select(id, TextNormalizer.normalize(col($(textCol))).as("norm"))
-          .select(id, col("norm"),
-            explode(expr(s"sequence(1, greatest(length(norm) - $k + 1, 1))")).as("pos"))
-          .select(id, expr(s"substring(norm, pos, $k)").as("shingle"))
-      case "token" =>
-        // word k-grams: slice the token array, join with single spaces
-        input(dataset)
-          .select(id, TextNormalizer.tokens(col($(textCol))).as("toks"))
-          .select(id, col("toks"),
-            explode(expr(s"sequence(1, greatest(size(toks) - $k + 1, 1))")).as("pos"))
-          .select(id, expr(s"array_join(slice(toks, pos, $k), ' ')").as("shingle"))
-    }
-  }
-
-  /** Per-document shingle ARRAY (multiset — duplicates don't affect minima). */
   private def shingleArray(dataset: Dataset[_]): DataFrame = {
     val k = $(shingleSize)
-    $(shingleMode) match {
-      case "char" =>
-        input(dataset)
-          .select(id, TextNormalizer.normalize(col($(textCol))).as("norm"))
-          .select(id, expr(
-            s"transform(sequence(1, greatest(length(norm) - $k + 1, 1)), i -> substring(norm, i, $k))")
-            .as("sh"))
-      case "token" =>
-        input(dataset)
-          .select(id, TextNormalizer.tokens(col($(textCol))).as("toks"))
-          .select(id, expr(
-            s"transform(sequence(1, greatest(size(toks) - $k + 1, 1)), i -> array_join(slice(toks, i, $k), ' '))")
-            .as("sh"))
+    val unit = $(shingleMode) match {
+      case "char" => TextNormalizer.normalize(col($(textCol)))
+      case "token" => TextNormalizer.tokens(col($(textCol)))
     }
+    input(dataset).select(id,
+      org.apache.spark.sql.GraftBridge.column(
+        graft.sql.expressions.Shingles(
+          org.apache.spark.sql.GraftBridge.expression(unit), k)).as("sh"))
   }
 
   /** MinHash signatures: (id, seed, minhash) — one row per doc per seed.

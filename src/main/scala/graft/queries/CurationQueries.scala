@@ -16,16 +16,9 @@ object CurationQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def seeded(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    d.union(
-      d.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      .union(
-        d.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" graft near dup probe")).as("text")))
-  }
+  // one-scan seeded corpus shared with the dedup family
+  private def seeded(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.seeded(s, dir)
 
   val queries: Map[String, Q] = Map(
     // C4/Gopher-style heuristic filter: token bounds + quality threshold

@@ -18,16 +18,26 @@ object DedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def seeded(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    d.union(
-      d.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      .union(
-        d.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" graft near dup probe")).as("text")))
-  }
+  private[queries] def seeded(s: SparkSession, dir: String): DataFrame =
+    seedDocs(Tables.documents(s, dir))
+
+  /** One-scan seeding: each row fans out to its 1-3 seeded copies via a
+    * single explode instead of a 3-way union of filtered re-scans (the
+    * union shape read the parquet three times per consumer).
+    */
+  private[queries] def seedDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"))
+      .select(explode_outer(expr(
+        """concat(
+          |  array(named_struct('doc_id', doc_id, 'text', text)),
+          |  CASE WHEN doc_id % 10 = 0
+          |    THEN array(named_struct('doc_id', doc_id + 100000, 'text', text))
+          |    ELSE array() END,
+          |  CASE WHEN doc_id % 7 = 0
+          |    THEN array(named_struct('doc_id', doc_id + 200000,
+          |      'text', concat(text, ' graft near dup probe')))
+          |    ELSE array() END)""".stripMargin)).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
 
   private val seededSql =
     """WITH base AS (

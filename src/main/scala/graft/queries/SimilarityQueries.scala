@@ -25,17 +25,21 @@ object SimilarityQueries {
   /** Original vectors plus small deterministic perturbations of every
     * vec_id % 10 == 0 row: component d += 0.02*(((id + d*7919) % 97)/97 - ½).
     */
-  private def seeded(s: SparkSession, dir: String): DataFrame = {
-    val e = vectors(s, dir)
-    val mutated = e.where(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"),
-        expr(
-          """zip_with(CAST(embedding AS ARRAY<DOUBLE>), sequence(0, size(embedding) - 1),
-            |  (x, d) -> x + 0.02 * ((((vec_id + d * 7919) % 97) / 97.0) - 0.5))""".stripMargin)
-          .as("embedding"))
-    e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      .union(mutated)
-  }
+  private def seeded(s: SparkSession, dir: String): DataFrame =
+    // one-scan seeding: base row + (for vec_id % 10 == 0) its perturbed
+    // copy from a single explode, instead of a union of two parquet scans
+    vectors(s, dir)
+      .select(explode_outer(expr(
+        """concat(
+          |  array(named_struct('vec_id', vec_id,
+          |    'embedding', CAST(embedding AS ARRAY<DOUBLE>))),
+          |  CASE WHEN vec_id % 10 = 0
+          |    THEN array(named_struct('vec_id', vec_id + 100000,
+          |      'embedding', zip_with(CAST(embedding AS ARRAY<DOUBLE>),
+          |        sequence(0, size(embedding) - 1),
+          |        (x, d) -> x + 0.02 * ((((vec_id + d * 7919) % 97) / 97.0) - 0.5))))
+          |    ELSE array() END)""".stripMargin)).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.embedding").as("embedding"))
 
   val queries: Map[String, Q] = Map(
     // exact top-5 cosine neighbors for 5 probe vectors: broadcast nested

@@ -51,6 +51,33 @@ class DedupSpec extends SparkTestBase {
     assert(sig.select("minhash").as[Long].collect().forall(v => v >= 0L))
   }
 
+  test("Shingles kernel matches the declarative HOF formulation exactly") {
+    import org.apache.spark.sql.GraftBridge
+    import graft.sql.expressions.Shingles
+    val k = 4
+    val norm = TextNormalizer.normalize($"text")
+    val toks = TextNormalizer.tokens($"text")
+    val kernel = docs.select(
+      GraftBridge.column(Shingles(GraftBridge.expression(norm), k)).as("c"),
+      GraftBridge.column(Shingles(GraftBridge.expression(toks), 2)).as("t"))
+    val hof = docs.select(
+      expr(s"transform(sequence(1, greatest(length(${normSql}) - $k + 1, 1))," +
+        s" i -> substring(${normSql}, i, $k))").as("c"),
+      expr(s"transform(sequence(1, greatest(size(${toksSql}) - 1, 1))," +
+        s" i -> array_join(slice(${toksSql}, i, 2), ' '))").as("t"))
+    assert(kernel.collect().toSeq === hof.collect().toSeq)
+    // degenerate inputs: shorter than k, empty string
+    val edge = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val ek = edge.select(
+      GraftBridge.column(Shingles(GraftBridge.expression(norm), k)).as("c"))
+      .as[Seq[String]].collect()
+    assert(ek(0) === Seq("ab") && ek(1) === Seq(""))
+  }
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"
+  private val toksSql = s"split($normSql, ' ')"
+
   test("simhash: identical docs agree, near dups are close, unrelated far") {
     def hamming(a: String, b: String): Int =
       a.zip(b).map { case (x, y) =>
