@@ -28,7 +28,8 @@ object SparkEntry {
     CoreQueries.queries ++ FeatureQueries.queries ++ MetricsQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
       ClassificationQueries.queries ++ StreamingQueries.queries ++
-      MultimodalQueries.queries ++ CurationQueries.queries
+      MultimodalQueries.queries ++ CurationQueries.queries ++
+      TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -38,5 +39,6 @@ object SparkEntry {
     CoreQueries.oracles ++ FeatureQueries.oracles ++ MetricsQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
       ClassificationQueries.oracles ++ StreamingQueries.oracles ++
-      MultimodalQueries.oracles ++ CurationQueries.oracles
+      MultimodalQueries.oracles ++ CurationQueries.oracles ++
+      TemporalQueries.oracles
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.TextFunctions
+import graft.text.{RepetitionStats, TextFunctions}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -57,6 +57,14 @@ object TextQueries {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Gopher-style repetition signals: duplicate-token ratio and
+    // top-bigram dominance, computed as a distributed wordcount (never a
+    // per-row O(n²) mode scan)
+    "q45_repetition" -> ((s, dir) => {
+      new RepetitionStats().setIdCol("doc_id").setTextCol("text")
+        .transform(Tables.documents(s, dir))
     })
   )
 
@@ -111,6 +119,36 @@ object TextQueries {
           |    list_concat([CAST(0 AS BIGINT)],
           |      list_transform(tl, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
           |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
-          |FROM toks""".stripMargin)
+          |FROM toks""".stripMargin),
+    "q45_repetition" ->
+      (normSql +
+        """
+          |, tok AS (
+          |  SELECT doc_id, unnest(tl) AS tok FROM toks
+          |), ts AS (
+          |  SELECT doc_id, count(*) AS n_tokens,
+          |         count(DISTINCT tok) AS n_distinct_tokens
+          |  FROM tok GROUP BY 1
+          |), bg AS (
+          |  SELECT doc_id,
+          |    array_to_string(list_slice(tl, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS b
+          |  FROM toks CROSS JOIN range(1, 200) t(i)
+          |  WHERE i <= len(tl) - 1
+          |), bc AS (
+          |  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+          |), bs AS (
+          |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count,
+          |         CAST(sum(c) AS BIGINT) AS n_bigrams
+          |  FROM bc GROUP BY 1
+          |)
+          |SELECT ts.doc_id, n_tokens, n_distinct_tokens,
+          |  round(1.0 - n_distinct_tokens * 1.0 / n_tokens, 6) AS dup_token_ratio,
+          |  coalesce(top_bigram_count, 0) AS top_bigram_count,
+          |  coalesce(n_bigrams, 0) AS n_bigrams,
+          |  round(coalesce(top_bigram_count * 1.0 / n_bigrams, 0), 6) AS top_bigram_frac
+          |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,200) token bound
+          |SELECT -1, -1, -1, -1.0, -1, -1, -1.0
+          |  WHERE (SELECT max(len(tl)) FROM toks) > 200""".stripMargin)
   )
 }

@@ -1,0 +1,79 @@
+package graft.temporal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // trades (left) and quotes (right), the classic as-of pairing
+  lazy val trades = Seq(
+    (1L, "A", 100L),
+    (2L, "A", 205L),
+    (3L, "A", 300L), // equal-time quote at 300 must match (inclusive)
+    (4L, "B", 50L),  // before any B quote -> unmatched
+    (5L, "B", 500L))
+    .toDF("trade_id", "sym", "t")
+
+  lazy val quotes = Seq(
+    ("A", 90L, 1.0),
+    ("A", 200L, 2.0),
+    ("A", 300L, 3.0),
+    ("B", 100L, 4.0))
+    .toDF("sym", "qt", "px")
+
+  private def asOf(direction: String = "backward", tol: Option[Long] = None) =
+    new AsOfJoin(Seq("sym"), "t", "qt", direction, tol)
+      .join(trades, quotes)
+      .select($"trade_id", $"qt", $"px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("backward as-of picks the latest quote at-or-before each trade") {
+    val m = asOf()
+    assert(m(1L) === ((Some(90L), Some(1.0))))
+    assert(m(2L) === ((Some(200L), Some(2.0))))
+    assert(m(3L) === ((Some(300L), Some(3.0)))) // inclusive at equal time
+    assert(m(4L) === ((None, None)))            // no quote yet -> left outer
+    assert(m(5L) === ((Some(100L), Some(4.0))))
+  }
+
+  test("forward as-of picks the earliest quote at-or-after each trade") {
+    val m = asOf(direction = "forward")
+    assert(m(1L) === ((Some(200L), Some(2.0))))
+    assert(m(2L) === ((Some(300L), Some(3.0))))
+    assert(m(3L) === ((Some(300L), Some(3.0)))) // inclusive
+    assert(m(4L) === ((Some(100L), Some(4.0))))
+    assert(m(5L) === ((None, None)))            // nothing after 500
+  }
+
+  test("tolerance nulls out matches farther than the bound") {
+    val m = asOf(tol = Some(10L))
+    assert(m(1L) === ((Some(90L), Some(1.0))))  // gap 10 -> kept (inclusive)
+    assert(m(2L) === ((Some(200L), Some(2.0)))) // gap 5 -> kept
+    assert(m(3L) === ((Some(300L), Some(3.0)))) // gap 0 -> kept
+    assert(m(5L) === ((None, None)))            // gap 400 -> nulled
+  }
+
+  test("left row count is preserved (never a fan-out)") {
+    val out = new AsOfJoin(Seq("sym"), "t", "qt").join(trades, quotes)
+    assert(out.count() === trades.count())
+    assert(out.columns.toSeq ===
+      Seq("trade_id", "sym", "t", "qt", "px"))
+  }
+
+  test("clashing right payload columns are rejected") {
+    val bad = quotes.withColumnRenamed("px", "t")
+    intercept[IllegalArgumentException] {
+      new AsOfJoin(Seq("sym"), "t", "qt").join(trades, bad)
+    }
+  }
+
+  test("plan is one keyed window, no join node, no unpartitioned window") {
+    val plan = new AsOfJoin(Seq("sym"), "t", "qt").join(trades, quotes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join node in:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
+}

@@ -71,4 +71,34 @@ class TextSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("repetition stats: hand-computed duplicate and bigram dominance") {
+    val reps = Seq(
+      (1L, "spam spam spam spam"),      // 4 tokens, 1 distinct; bigrams all "spam spam"
+      (2L, "one two three four"),       // all distinct, 3 distinct bigrams
+      (3L, "solo"))                     // single token -> no bigrams
+      .toDF("doc_id", "text")
+    val out = new RepetitionStats().setIdCol("doc_id").setTextCol("text")
+      .transform(reps).collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_tokens") === 4L)
+    assert(r1.getAs[Long]("n_distinct_tokens") === 1L)
+    assert(r1.getAs[Double]("dup_token_ratio") === 0.75)
+    assert(r1.getAs[Long]("top_bigram_count") === 3L)
+    assert(r1.getAs[Long]("n_bigrams") === 3L)
+    assert(r1.getAs[Double]("top_bigram_frac") === 1.0)
+
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("dup_token_ratio") === 0.0)
+    assert(r2.getAs[Long]("top_bigram_count") === 1L)
+    assert(r2.getAs[Long]("n_bigrams") === 3L)
+    assert(r2.getAs[Double]("top_bigram_frac") === 0.333333)
+
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_tokens") === 1L)
+    assert(r3.getAs[Long]("top_bigram_count") === 0L)
+    assert(r3.getAs[Long]("n_bigrams") === 0L)
+    assert(r3.getAs[Double]("top_bigram_frac") === 0.0)
+  }
 }
