@@ -5,15 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Collapses a near-duplicate PAIR list into clusters: connected components
   * by iterative minimum-label propagation (the standard large-scale
-  * approach — each round is one keyed join + aggregation, converging in
-  * O(component diameter) rounds, with `localCheckpoint` truncating lineage
-  * between rounds). The cluster id is the smallest member id, so "keep one
-  * per cluster" = `WHERE id = cluster`.
+  * approach — each hop is one keyed join + aggregation, converging in
+  * O(component diameter) hops, with `localCheckpoint` truncating lineage
+  * between materialized rounds). The cluster id is the smallest member id,
+  * so "keep one per cluster" = `WHERE id = cluster`.
   *
   * Duplicate clusters are tiny by construction (diameter a few hops), so
-  * the loop terminates in a handful of rounds regardless of corpus size;
-  * `maxIterations` is a safety bound, and the method throws if it is hit
-  * before the fixpoint (a silent partial clustering would corrupt dedup).
+  * several hops are chained LAZILY inside each materialized round
+  * (`hopsPerRound`), and convergence is tested once per round — not per
+  * hop — via the fixpoint property that every edge must connect
+  * equal-labeled endpoints. A diameter-≤3 graph (the common near-dup case)
+  * thus costs ONE materialization plus one check job, instead of one
+  * action pair per hop. `maxRounds` bounds the loop (supports diameter up
+  * to hopsPerRound×maxRounds); the method throws if it is hit before the
+  * fixpoint — a silent partial clustering would corrupt dedup.
   */
 object DedupClusters {
 
@@ -27,11 +32,14 @@ object DedupClusters {
       nodes: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
-      maxIterations: Int = 20): DataFrame = {
+      maxRounds: Int = 15,
+      hopsPerRound: Int = 2): DataFrame = {
+    require(maxRounds > 0 && hopsPerRound > 0,
+      s"need positive maxRounds ($maxRounds) and hopsPerRound ($hopsPerRound)")
     val edgesCk = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labelsCk = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    val labelsCk = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
 
     // size the loop's frames from the measured data: the iteration frames
@@ -45,25 +53,38 @@ object DedupClusters {
       rows / (1L << 20) + 1)).toInt
     val edges = edgesCk.coalesce(parts)
 
-    var labels = labelsCk.coalesce(parts)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIterations) {
+    // one min-label hop: label := min(label, min over neighbors' labels)
+    def hop(l: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dstLabel")), "dst")
+        .join(l.select(col("id").as("dst"), col("label").as("dstLabel")), "dst")
         .groupBy(col("src")).agg(min(col("dstLabel")).as("nbrMin"))
-      val updated = labels
-        .join(neighborMin.select(col("src").as("id"), col("nbrMin")), Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("newLabel"))
-        .coalesce(parts)
-        .localCheckpoint(true)
-      changed = updated.where(col("newLabel") < col("label")).count()
-      labels = updated.select(col("id"), col("newLabel").as("label"))
-      iter += 1
+      l.join(neighborMin.select(col("src").as("id"), col("nbrMin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
     }
-    require(changed == 0,
-      s"label propagation did not converge within $maxIterations iterations")
+
+    // fixpoint test: at convergence every component carries its min label,
+    // so every edge connects equal labels; any mismatch means another
+    // round is needed
+    def mismatched(l: DataFrame): Long = edges
+      .join(l.select(col("id").as("src"), col("label").as("srcLabel")), "src")
+      .join(l.select(col("id").as("dst"), col("label").as("dstLabel")), "dst")
+      .where(col("srcLabel") =!= col("dstLabel"))
+      .count()
+
+    var labels = labelsCk.coalesce(parts)
+    var dirty = true
+    var round = 0
+    while (dirty && round < maxRounds) {
+      var l = labels
+      var h = 0
+      while (h < hopsPerRound) { l = hop(l); h += 1 }
+      labels = l.coalesce(parts).localCheckpoint(true)
+      dirty = mismatched(labels) > 0
+      round += 1
+    }
+    require(!dirty,
+      s"label propagation did not converge within $maxRounds rounds of $hopsPerRound hops")
     labels.select(col("id").as(idCol), col("label").as("cluster"))
   }
 }

@@ -64,7 +64,7 @@ object SimilarityQueries {
     // step), probe the 4 nearest cells per query — partition-pruned ANN.
     "q35_ann_ivf" -> ((s, dir) => {
       val e = vectors(s, dir)
-      new IvfCosineIndex(numCentroids = 16, nprobe = 4)
+      new IvfCosineIndex(numCentroids = 16, nprobe = 4, dim = Some(64))
         .search(e.where(col("vec_id") < 5), e, k = 5)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))

@@ -31,9 +31,11 @@ class IvfCosineIndex(
     numCentroids: Int,
     nprobe: Int,
     idCol: String = "vec_id",
-    vecCol: String = "embedding") {
+    vecCol: String = "embedding",
+    dim: Option[Int] = None) {
   require(numCentroids > 0 && nprobe > 0 && nprobe <= numCentroids,
     s"need 0 < nprobe ($nprobe) <= numCentroids ($numCentroids)")
+  require(dim.forall(_ > 0), "dim must be positive when given")
 
   private def dvec(c: Column): Column = c.cast("array<double>")
 
@@ -44,16 +46,18 @@ class IvfCosineIndex(
     graft.sql.functions.spread(
       candidates.select(col(idCol), dvec(col(vecCol)).as("cv")), col(idCol))
 
-  /** (id, cid): nearest centroid per vector (ties: lowest cid). */
-  private def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cid"))
+  /** (id, cid): nearest centroid per vector (ties: lowest cid).
+    * `max_by` over (cos, -cid) instead of a row_number window: the argmax
+    * partial-aggregates map-side, so the shuffle carries one row per
+    * vector rather than numCentroids rows — and there is no per-key sort.
+    */
+  private def assign(vectors: DataFrame, cents: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(cents))
       .select(col(idCol), col("cid"),
         cosineSimilarity(col("cv"), col("centroid")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
       .select(col(idCol), col("cid"))
-  }
 
   /** Learned centroids (cid, centroid): lowest-id seeds + one Lloyd step. */
   def centroids(candidates: DataFrame): DataFrame = {
@@ -64,12 +68,21 @@ class IvfCosineIndex(
     val seeds = e.orderBy(col(idCol)).limit(numCentroids)
       .select(col(idCol).cast("long").as("cid"), col("cv").as("centroid"))
     val members = e.join(assign(e, seeds), idCol)
-    members
-      .select(col("cid"), posexplode(col("cv")))
-      .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
-      .groupBy(col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-        .as("centroid"))
+    dim match {
+      // known dimensionality: one partial-aggregated groupBy of d scalar
+      // avgs — no per-component explode, no second shuffle
+      case Some(d) =>
+        members.groupBy(col("cid"))
+          .agg(array((0 until d).map(i => avg(col("cv")(i))): _*).as("centroid"))
+      // unknown dimensionality: per-(cid, pos) means then re-assembly
+      case None =>
+        members
+          .select(col("cid"), posexplode(col("cv")))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+            .as("centroid"))
+    }
   }
 
   /** Inverted lists: (id, cid) under the refined centroids. */

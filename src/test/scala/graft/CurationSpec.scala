@@ -48,7 +48,7 @@ class CurationSpec extends SparkTestBase {
     val n = 30
     val nodes = (1L to n.toLong).toDF("doc_id")
     val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val clusters = DedupClusters.components(nodes, pairs, "doc_id", maxIterations = 40)
+    val clusters = DedupClusters.components(nodes, pairs, "doc_id", maxRounds = 40)
       .as[(Long, Long)].collect().toMap
     assert(clusters.values.toSet === Set(1L)) // one chain, one component
   }
