@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.DedupClusters
-import graft.similarity.{CosineTopK, IvfCosineIndex, RandomHyperplaneLSH}
+import graft.similarity.{CosineTopK, EmbeddingQuantizer, IvfCosineIndex, RandomHyperplaneLSH}
 
 /** Similarity-search queries over the embeddings table.
   *
@@ -78,6 +78,16 @@ object SimilarityQueries {
       val pairs = new RandomHyperplaneLSH(numPlanes = 64, numBands = 4)
         .nearDupPairs(vecs, threshold = 0.9)
       DedupClusters.components(vecs, pairs, "vec_id")
+    }),
+
+    // storage-path embedding op: L2-normalize + symmetric int8 quantize;
+    // emitted as a comma-joined string (the driver compare can't sort raw
+    // ARRAY columns)
+    "q46_embed_quantize" -> ((s, dir) => {
+      new EmbeddingQuantizer().setInputCol("embedding")
+        .transform(vectors(s, dir))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          concat_ws(",", transform(col("q"), x => x.cast("string"))).as("q_str"))
     })
   )
 
@@ -115,7 +125,22 @@ object SimilarityQueries {
         |SELECT id AS vec_id, min(r) AS cluster FROM reach GROUP BY id
         |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
         |SELECT -1, -1 WHERE (SELECT max(len(v)) FROM e) > 64""".stripMargin),
-    "q35_ann_ivf" -> q35Sql
+    "q35_ann_ivf" -> q35Sql,
+    "q46_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+        |), u AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM n
+        |), s AS (
+        |  SELECT vec_id, 127.0 / list_max(list_transform(uv, x -> abs(x))) AS scale, uv
+        |  FROM u
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  array_to_string(
+        |    list_transform(uv, x -> CAST(CAST(round(x * scale) AS INT) AS VARCHAR)),
+        |    ',') AS q_str
+        |FROM s""".stripMargin
   )
 
   /** Shared q22/q42 fragment: seeded corpus → hyperplane signatures → band

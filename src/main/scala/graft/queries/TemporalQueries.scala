@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.temporal.AsOfJoin
+import graft.temporal.{AsOfJoin, RangeJoin}
 
 /** Temporal-join queries over the events table.
   *
@@ -29,6 +29,24 @@ object TemporalQueries {
         .select(col("event_id").as("view_id"), col("user_id"),
           expr("ts div 1000").as("view_ts_us"))
       new AsOfJoin(Seq("user_id"), "ts_us", "view_ts_us").join(clicks, views)
+    }),
+
+    // bucketed point-in-interval join: clicks attributed to each purchase
+    // whose trailing 30-minute window contains them — equi-join on
+    // (user, time-bucket) + residual, never a nested loop.
+    "q47_range_join" -> ((s, dir) => {
+      val win = 1800000000L // 30 min in µs
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          expr("ts div 1000").as("click_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (expr("ts div 1000") - win).as("win_start"),
+          expr("ts div 1000").as("win_end"))
+      new RangeJoin(Seq("user_id"), "click_us", "win_start", "win_end", win)
+        .join(clicks, purchases)
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
     })
   )
 
@@ -43,6 +61,17 @@ object TemporalQueries {
         |)
         |SELECT l.event_id, l.user_id, l.ts_us, r.view_id, r.view_ts_us
         |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.user_id AND l.ts_us >= r.view_ts_us""".stripMargin
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.view_ts_us""".stripMargin,
+    "q47_range_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cu
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pu
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id AS user_id, click_id, purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.cu BETWEEN p.pu - 1800000000 AND p.pu""".stripMargin
   )
 }
