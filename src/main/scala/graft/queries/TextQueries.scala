@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{RepetitionStats, TextFunctions}
+import graft.text.{RepetitionStats, TextFunctions, TokenPacker}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -65,6 +65,14 @@ object TextQueries {
     "q45_repetition" -> ((s, dir) => {
       new RepetitionStats().setIdCol("doc_id").setTextCol("text")
         .transform(Tables.documents(s, dir))
+    }),
+
+    // token-budget chunking via the two-phase bucketed prefix sum (no
+    // global single-partition window)
+    "q48_token_pack" -> ((s, dir) => {
+      new TokenPacker().setIdCol("doc_id").setTextCol("text").setBudget(4096L)
+        .transform(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("chunk"))
     })
   )
 
@@ -149,6 +157,21 @@ object TextQueries {
           |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,200) token bound
           |SELECT -1, -1, -1, -1.0, -1, -1, -1.0
-          |  WHERE (SELECT max(len(tl)) FROM toks) > 200""".stripMargin)
+          |  WHERE (SELECT max(len(tl)) FROM toks) > 200""".stripMargin),
+    "q48_token_pack" ->
+      (normSql +
+        """
+          |, counted AS (
+          |  SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens FROM toks
+          |), pref AS (
+          |  SELECT doc_id, n_tokens,
+          |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |      AS prefix_tokens
+          |  FROM counted
+          |)
+          |SELECT doc_id, n_tokens, prefix_tokens,
+          |  CAST(floor(prefix_tokens / 4096.0) AS BIGINT) AS chunk
+          |FROM pref""".stripMargin)
   )
 }

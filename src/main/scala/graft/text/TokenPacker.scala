@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param.{LongParam, Param, ParamMap, ParamValidators}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic token-budget chunking for training-batch assembly: in
+  * ascending id order, documents are assigned to consecutive chunks of
+  * ~`budget` tokens (`chunk = floor(exclusive_prefix_tokens / budget)`) —
+  * the sequence-packing prepass that turns a filtered corpus into
+  * fixed-budget training shards.
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build brief).
+  *
+  * The running total is [[graft.sql.PrefixSum]]'s two-phase bucketed
+  * prefix sum — fully parallel, no global single-partition window, so the
+  * assignment scales like a keyed aggregation while staying byte-stable
+  * across partitionings (it depends only on id order, not execution
+  * order). A document larger than `budget` gets its own chunk(s) boundary
+  * — chunks are a packing approximation, not a hard cap.
+  */
+class TokenPacker(override val uid: String) extends Transformer {
+
+  def this() = this(Identifiable.randomUID("tokenPacker"))
+
+  final val idCol: Param[String] = new Param[String](this, "idCol",
+    "Numeric unique id column defining pack order")
+  final val textCol: Param[String] = new Param[String](this, "textCol", "Text column")
+  final val budget: LongParam = new LongParam(this, "budget",
+    "Target tokens per chunk", ParamValidators.gt(0))
+
+  setDefault(idCol -> "doc_id", textCol -> "text", budget -> 4096L)
+
+  def setIdCol(value: String): this.type = set(idCol, value)
+  def setTextCol(value: String): this.type = set(textCol, value)
+  def setBudget(value: Long): this.type = set(budget, value)
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    val counted = dataset.select(col($(idCol)), col($(textCol)))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col($(textCol))).cast("long"))
+      .drop($(textCol))
+    graft.sql.PrefixSum.exclusive(counted, $(idCol), "n_tokens", "prefix_tokens")
+      .withColumn("chunk",
+        floor(col("prefix_tokens") / $(budget).toDouble).cast("long"))
+  }
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema.fieldNames.contains($(idCol)), s"id column ${$(idCol)} not found")
+    require(schema($(textCol)).dataType == StringType,
+      s"text column must be string, got ${schema($(textCol)).dataType}")
+    StructType(Seq(
+      schema($(idCol)),
+      StructField("n_tokens", LongType),
+      StructField("prefix_tokens", LongType),
+      StructField("chunk", LongType)))
+  }
+
+  override def copy(extra: ParamMap): TokenPacker = defaultCopy(extra)
+}
