@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{RepetitionStats, TextFunctions, TokenPacker}
+import graft.text.{ContaminationChecker, RepetitionStats, TextFunctions, TokenPacker}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -73,6 +73,14 @@ object TextQueries {
       new TokenPacker().setIdCol("doc_id").setTextCol("text").setBudget(4096L)
         .transform(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("chunk"))
+    }),
+
+    // benchmark decontamination: distinct 5-gram overlap of every document
+    // against a broadcast "benchmark" slice (doc_id % 97 == 0)
+    "q49_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      new ContaminationChecker(n = 5)
+        .check(docs, docs.where(col("doc_id") % 97 === 0))
     })
   )
 
@@ -172,6 +180,30 @@ object TextQueries {
           |)
           |SELECT doc_id, n_tokens, prefix_tokens,
           |  CAST(floor(prefix_tokens / 4096.0) AS BIGINT) AS chunk
-          |FROM pref""".stripMargin)
+          |FROM pref""".stripMargin),
+    "q49_contamination" ->
+      (normSql +
+        """
+          |, dg AS (
+          |  SELECT DISTINCT doc_id,
+          |    array_to_string(list_slice(tl, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS gram
+          |  FROM toks CROSS JOIN range(1, 200) t(i)
+          |  WHERE len(tl) >= 5 AND i <= len(tl) - 4
+          |), bg AS (
+          |  SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0
+          |), counts AS (
+          |  SELECT dg.doc_id, count(*) AS n_grams,
+          |    CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS hit_grams
+          |  FROM dg LEFT JOIN bg ON dg.gram = bg.gram
+          |  GROUP BY dg.doc_id
+          |)
+          |SELECT n.doc_id,
+          |  coalesce(n_grams, 0) AS n_grams,
+          |  coalesce(hit_grams, 0) AS hit_grams,
+          |  round(coalesce(hit_grams * 1.0 / n_grams, 0), 6) AS overlap_ratio
+          |FROM norm n LEFT JOIN counts ON n.doc_id = counts.doc_id
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,200) token bound
+          |SELECT -1, -1, -1, -1.0 WHERE (SELECT max(len(tl)) FROM toks) > 204""".stripMargin)
   )
 }

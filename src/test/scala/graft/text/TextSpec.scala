@@ -72,6 +72,35 @@ class TextSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("contamination: full overlap for benchmark members, zero for disjoint") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // benchmark member
+      (2L, "alpha beta gamma delta epsilon other"),  // shares 2 of its 5-grams? no: 1 of 2
+      (3L, "one two three four five six seven"),     // disjoint
+      (4L, "tiny doc"))                              // < 5 tokens -> no grams
+      .toDF("doc_id", "text")
+    val bench = corpus.where($"doc_id" === 1L)
+    val out = new ContaminationChecker(n = 5).check(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getAs[Double]("overlap_ratio") === 1.0)
+    // doc 2's 5-grams: [alpha..epsilon] (hit), [beta..other] (miss)
+    assert(out(2L).getAs[Long]("n_grams") === 2L)
+    assert(out(2L).getAs[Long]("hit_grams") === 1L)
+    assert(out(2L).getAs[Double]("overlap_ratio") === 0.5)
+    assert(out(3L).getAs[Long]("hit_grams") === 0L)
+    assert(out(4L).getAs[Long]("n_grams") === 0L)
+    assert(out(4L).getAs[Double]("overlap_ratio") === 0.0)
+  }
+
+  test("contamination plan broadcasts the benchmark gram set") {
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = new ContaminationChecker(n = 5).check(corpus, corpus)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side not broadcast:\n$plan")
+  }
+
   test("repetition stats: hand-computed duplicate and bigram dominance") {
     val reps = Seq(
       (1L, "spam spam spam spam"),      // 4 tokens, 1 distinct; bigrams all "spam spam"
