@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.{DedupClusters, MinHashDeduplicator}
-import graft.sampling.HashSampler
-import graft.text.QualityFilter
+import graft.dedup.{DedupClusters, ExactDeduplicator, MinHashDeduplicator}
+import graft.sampling.{HashSampler, MixtureSampler}
+import graft.text.{QualityFilter, TokenPacker}
 
 /** Corpus-curation queries: heuristic quality filtering, deterministic
   * hash-split sampling, and near-dup cluster resolution — the end-game
@@ -46,6 +46,33 @@ object CurationQueries {
         .setShingleSize(8).setNumHashes(12).setNumBands(4).setThreshold(0.5)
         .transform(docs)
       DedupClusters.components(docs, pairs, "doc_id")
+    }),
+
+    // the end-game composition in ONE declarative plan: quality filter →
+    // exact dedup (keep canonical) → 70% train split → token-budget shards
+    "q50_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val filtered = new QualityFilter().setTextCol("text")
+        .setMinTokens(40).setMaxTokens(100000)
+        .setMaxPunctRatio(0.2).setMinQuality(0.5)
+        .transform(docs)
+      val deduped = new ExactDeduplicator()
+        .setIdCol("doc_id").setTextCol("text").setFingerprintCol("fingerprint")
+        .transform(filtered)
+      val train = new HashSampler().setIdCol("doc_id").setPercent(30).setSalt("val")
+        .transformComplement(deduped)
+      new TokenPacker().setIdCol("doc_id").setTextCol("text").setBudget(2048L)
+        .transform(train)
+        .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("chunk"))
+    }),
+
+    // deterministic corpus mixing toward per-language target counts
+    "q51_mixture" -> ((s, dir) => {
+      new MixtureSampler(
+        targets = Map("en" -> 200L, "de" -> 50L, "fr" -> 50L, "es" -> 30L, "zh" -> 20L),
+        idCol = "doc_id", groupCol = "lang", salt = "mix")
+        .transform(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"))
     })
   )
 
@@ -145,6 +172,60 @@ object CurationQueries {
           |)
           |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
-          |SELECT -1, -1 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin)
+          |SELECT -1, -1 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
+    "q50_curation_pipeline" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, text, norm, string_split(norm, ' ') AS tl FROM norm
+        |), scored AS (
+        |  SELECT doc_id, norm, tl,
+        |    len(tl) AS n_tokens,
+        |    (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text) AS punct,
+        |    len(list_filter(tl, t -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'], t))) * 1.0 / len(tl) AS stop_ratio,
+        |    list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl) AS awl
+        |  FROM toks
+        |), kept AS (
+        |  SELECT doc_id, norm, CAST(n_tokens AS BIGINT) AS n_tokens FROM scored
+        |  WHERE n_tokens BETWEEN 40 AND 100000
+        |    AND punct <= 0.2
+        |    AND stop_ratio >= 0.0
+        |    AND round((
+        |      least(n_tokens / 100.0, 1.0) +
+        |      greatest(0.0, 1.0 - punct * 4.0) +
+        |      least(stop_ratio * 3.0, 1.0) +
+        |      (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+        |    ) / 4.0, 6) >= 0.5
+        |), dedup AS (
+        |  SELECT doc_id, n_tokens FROM kept
+        |  QUALIFY row_number() OVER (PARTITION BY sha256(norm) ORDER BY doc_id) = 1
+        |), train AS (
+        |  SELECT doc_id, n_tokens FROM dedup
+        |  WHERE ('0x' || substr(md5('val:' || doc_id), 1, 8))::BIGINT % 100 >= 30
+        |), pref AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prefix_tokens
+        |  FROM train
+        |)
+        |SELECT doc_id, n_tokens, prefix_tokens,
+        |  CAST(floor(prefix_tokens / 2048.0) AS BIGINT) AS chunk
+        |FROM pref""".stripMargin,
+    "q51_mixture" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS c FROM documents GROUP BY 1
+        |), t(lang, tgt) AS (
+        |  VALUES ('en', 200), ('de', 50), ('fr', 50), ('es', 30), ('zh', 20)
+        |), rates AS (
+        |  SELECT counts.lang,
+        |    CAST(floor(least(1.0, tgt * 1.0 / c) * 10000) AS BIGINT) AS thr
+        |  FROM counts JOIN t ON counts.lang = t.lang
+        |)
+        |SELECT doc_id, d.lang AS lang
+        |FROM documents d JOIN rates ON d.lang = rates.lang
+        |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT % 10000 < thr""".stripMargin
   )
 }

@@ -1,0 +1,50 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus mixing: downsample each group (language, source,
+  * domain …) toward a target row count, so the output approximates a
+  * chosen mixture — the "data mixing" step of training-corpus assembly
+  * (e.g. cap web crawl, keep all code).
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build brief).
+  *
+  * Per group g: rate_g = min(1, target_g / count_g); a row is kept iff
+  * `md5(salt:id) mod 10000 < floor(rate_g * 10000)`. Membership depends
+  * only on (salt, id, group rates), so the sample is stable across runs,
+  * partitionings and engines (the SQL oracle replays it exactly) — unlike
+  * `df.stat.sampleBy`, whose membership is seed- and partitioning-
+  * dependent. Groups without a target are dropped.
+  *
+  * Scale: one groupBy for the (small) per-group counts, broadcast back,
+  * then a streamed filter over the corpus — no shuffle of the big side.
+  */
+class MixtureSampler(
+    targets: Map[String, Long],
+    idCol: String = "doc_id",
+    groupCol: String = "lang",
+    salt: String = "mix") {
+
+  require(targets.nonEmpty, "need at least one group target")
+  require(targets.values.forall(_ >= 0), "targets must be nonnegative")
+
+  /** The 0..9999 bucket this row's id hashes into. */
+  def bucket: Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+
+  def transform(dataset: Dataset[_]): DataFrame = {
+    val session = dataset.sparkSession
+    import session.implicits._
+    val targetRows = targets.toSeq.sortBy(_._1).toDF(groupCol, "__target")
+    val thresholds = dataset.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+      .join(targetRows, groupCol)
+      .select(col(groupCol),
+        floor(least(lit(1.0), col("__target") / col("__cnt")) * 10000)
+          .cast("long").as("__thr"))
+    dataset.join(broadcast(thresholds), groupCol)
+      .where(bucket < col("__thr"))
+      .drop("__thr")
+  }
+}

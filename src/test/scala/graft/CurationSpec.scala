@@ -35,6 +35,26 @@ class CurationSpec extends SparkTestBase {
     assert(other !== kept) // different salt, different sample
   }
 
+  test("mixture sampler caps over-represented groups, keeps rare ones whole") {
+    import graft.sampling.MixtureSampler
+    val docs = (1L to 400L).map(i => (i, if (i <= 300) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val out = new MixtureSampler(Map("en" -> 100L, "zh" -> 500L))
+      .transform(docs).select($"doc_id", $"lang")
+      .as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("zh") === 100)                // rate 1: all 100 kept
+    assert(byLang("en") > 60 && byLang("en") < 140) // ~100 of 300 via hash rate
+    // deterministic: a second run selects the identical ids
+    val again = new MixtureSampler(Map("en" -> 100L, "zh" -> 500L))
+      .transform(docs).select($"doc_id").as[Long].collect().toSet
+    assert(again === out.map(_._1).toSet)
+    // untargeted groups are dropped
+    val dropped = new MixtureSampler(Map("zh" -> 500L))
+      .transform(docs).select($"lang").distinct().as[String].collect()
+    assert(dropped.toSeq === Seq("zh"))
+  }
+
   test("cluster resolution: components collapse transitively") {
     // 1-2, 2-3 chain plus isolated 4,5 and pair 5-6
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
