@@ -137,6 +137,33 @@ object CoreQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    // rollup + grouping id: subtotal hierarchy in one pass (partial-agg
+    // expand — the multi-level aggregate surface)
+    "q52_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"), grouping_id().as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("cnt"), col("gid"))
+    }),
+
+    // full outer join: customers (every 3rd) vs per-customer order counts —
+    // both dangling sides surfaced, null keys coalesced for the compare
+    "q53_full_outer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), lit(-1L)).as("ckey"),
+          coalesce(col("o_custkey"), lit(-1L)).as("okey"),
+          coalesce(round(col("c_acctbal"), 2), lit(0.0)).as("acctbal"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
     })
   )
 
@@ -193,6 +220,25 @@ object CoreQueries {
         |FROM lineitem
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "q52_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q53_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0
+        |), o AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+        |)
+        |SELECT coalesce(c_custkey, -1) AS ckey,
+        |  coalesce(o_custkey, -1) AS okey,
+        |  coalesce(round(c_acctbal, 2), 0) AS acctbal,
+        |  coalesce(n_orders, 0) AS n_orders
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin
   )
 }
