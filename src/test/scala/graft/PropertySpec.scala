@@ -111,4 +111,70 @@ class PropertySpec extends SparkTestBase {
       assert(graft.geo.S2.level(parent) === lvl)
     }
   }
+
+  // (key, time) rows with per-key-unique times, so as-of winners and
+  // running sums are deterministic
+  private val timedRows: Gen[List[(String, Long)]] =
+    Gen.listOfN(18, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 40L)))
+      .map(_.distinct)
+
+  test("as-of join matches the brute-force definition on random data") {
+    forAll(Gen.zip(timedRows, timedRows), trials = 8) { case (ls, rs) =>
+      whenever(ls.nonEmpty && rs.nonEmpty) {
+        val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("lid", "key", "t")
+        val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("rid", "key", "rt")
+        val got = new graft.temporal.AsOfJoin(Seq("key"), "t", "rt")
+          .join(left, right)
+          .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+        ls.zipWithIndex.foreach { case ((k, t), i) =>
+          val want = rs.zipWithIndex
+            .filter { case ((rk, rt), _) => rk == k && rt <= t }
+            .sortBy(_._1._2).lastOption.map(_._2.toLong)
+          assert(got(i.toLong) === want, s"left ($k,$t) in ls=$ls rs=$rs")
+        }
+      }
+    }
+  }
+
+  test("range join matches the brute-force definition on random data") {
+    val intervals: Gen[List[(String, Long, Long)]] =
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 30L), Gen.choose(0L, 15L)))
+        .map(_.map { case (k, lo, len) => (k, lo, lo + len) })
+    forAll(Gen.zip(timedRows, intervals, Gen.choose(1L, 20L)), trials = 8) { case (ps, is, w) =>
+      whenever(ps.nonEmpty && is.nonEmpty) {
+        val points = ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("pid", "key", "t")
+        val ivs = is.zipWithIndex.map { case ((k, lo, hi), i) => (i.toLong, k, lo, hi) }
+          .toDF("iid", "key", "lo", "hi")
+        val got = new graft.temporal.RangeJoin(Seq("key"), "t", "lo", "hi", w)
+          .join(points, ivs).select($"pid", $"iid")
+          .as[(Long, Long)].collect().toSet
+        val want = (for {
+          ((pk, t), pi) <- ps.zipWithIndex
+          ((ik, lo, hi), ii) <- is.zipWithIndex
+          if pk == ik && t >= lo && t <= hi
+        } yield (pi.toLong, ii.toLong)).toSet
+        assert(got === want, s"w=$w ps=$ps is=$is")
+      }
+    }
+  }
+
+  test("two-phase prefix sum equals the sequential scan on random data") {
+    val rows: Gen[List[(Long, Long)]] =
+      Gen.listOfN(30, Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 9L)))
+        .map(_.groupBy(_._1).map { case (id, vs) => (id, vs.head._2) }.toList)
+    forAll(Gen.zip(rows, Gen.choose(1, 7)), trials = 8) { case (rs, buckets) =>
+      whenever(rs.nonEmpty) {
+        val df = rs.toDF("id", "v")
+        val got = graft.sql.PrefixSum.exclusive(df, "id", "v", "prefix", buckets)
+          .select($"id", $"prefix").as[(Long, Long)].collect().toMap
+        val sorted = rs.sortBy(_._1)
+        val want = sorted.map(_._1)
+          .zip(sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+        assert(got === want, s"buckets=$buckets rs=$sorted")
+      }
+    }
+  }
 }
