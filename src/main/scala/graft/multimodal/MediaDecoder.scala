@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   *
   * The decode kernel itself is a STUB: this environment ships no codec
   * libraries, so [[MediaDecoder.decodeBatch]] produces deterministic fake
-  * features (byte histogrammed means per chunk) with the exact signature a
-  * real decoder would have (`Iterator[Array[Byte]] → Iterator[Array
-  * [Float]]`, batch-at-a-time like an Arrow UDF). Swap the kernel, keep the
-  * plumbing.
+  * features (per-chunk byte means) with the exact signature a real decoder
+  * would have (`Iterator[Array[Byte]] → Iterator[Array[Double]]`,
+  * batch-at-a-time like an Arrow UDF). Swap the kernel, keep the plumbing.
+  * Features are double so the stub's integer→double arithmetic is
+  * bit-replayable by the SQL oracle (q54); a production codec would emit
+  * float32 — plumbing unchanged.
   *
   * Scale: row-local, no shuffle; `batchSize` bounds peak memory per task
   * (batch of payloads decoded together, as a vectorized codec would want).
@@ -29,7 +31,7 @@ class MediaDecoder(override val uid: String) extends Transformer {
   final val inputCol: Param[String] = new Param[String](this, "inputCol",
     "Binary payload column")
   final val outputCol: Param[String] = new Param[String](this, "outputCol",
-    "Decoded feature vector column (array<float>)")
+    "Decoded feature vector column (array<double>)")
   final val featureDim: IntParam = new IntParam(this, "featureDim",
     "Decoded feature dimension", ParamValidators.gt(0))
   final val batchSize: IntParam = new IntParam(this, "batchSize",
@@ -66,7 +68,7 @@ class MediaDecoder(override val uid: String) extends Transformer {
     require(schema($(inputCol)).dataType == BinaryType,
       s"input column must be binary, got ${schema($(inputCol)).dataType}")
     StructType(schema.fields :+
-      StructField($(outputCol), ArrayType(FloatType, containsNull = false)))
+      StructField($(outputCol), ArrayType(DoubleType, containsNull = false)))
   }
 
   override def copy(extra: ParamMap): MediaDecoder = defaultCopy(extra)
@@ -79,11 +81,11 @@ object MediaDecoder {
     * [0,1). A real implementation would hand the batch to a codec here
     * (??? in spirit); everything around it is production plumbing.
     */
-  def decodeBatch(payloads: Iterator[Array[Byte]], dim: Int): Iterator[Array[Float]] =
+  def decodeBatch(payloads: Iterator[Array[Byte]], dim: Int): Iterator[Array[Double]] =
     payloads.map { bytes =>
-      if (bytes.isEmpty) Array.fill(dim)(0.0f)
+      if (bytes.isEmpty) Array.fill(dim)(0.0d)
       else {
-        val out = new Array[Float](dim)
+        val out = new Array[Double](dim)
         val chunk = math.max(bytes.length / dim, 1)
         var d = 0
         while (d < dim) {
@@ -94,7 +96,7 @@ object MediaDecoder {
           while (i < math.min(from + chunk, bytes.length)) {
             sum += bytes(i) & 0xff; n += 1; i += 1
           }
-          out(d) = if (n == 0) 0.0f else (sum.toFloat / n) / 256.0f
+          out(d) = if (n == 0) 0.0d else (sum.toDouble / n) / 256.0d
           d += 1
         }
         out

@@ -41,18 +41,18 @@ class MultimodalSpec extends SparkTestBase {
       .setInputCol("payload").setOutputCol("feats")
       .setFeatureDim(4).setBatchSize(2)
       .transform(payloads)
-    val feats = out.select($"id", $"feats").as[(Long, Seq[Float])].collect().toMap
+    val feats = out.select($"id", $"feats").as[(Long, Seq[Double])].collect().toMap
     assert(feats.size === 3)
     assert(feats.values.forall(_.length === 4))
-    assert(feats.values.forall(_.forall(v => v >= 0.0f && v < 1.0f)))
+    assert(feats.values.forall(_.forall(v => v >= 0.0d && v < 1.0d)))
     // deterministic: same input → same features
     val again = new MediaDecoder().setInputCol("payload").setOutputCol("feats")
       .setFeatureDim(4).transform(payloads)
-      .select($"id", $"feats").as[(Long, Seq[Float])].collect().toMap
+      .select($"id", $"feats").as[(Long, Seq[Double])].collect().toMap
     assert(feats === again)
   }
 
-  test("decoder preserves existing columns and appends array<float>") {
+  test("decoder preserves existing columns and appends array<double>") {
     val out = new MediaDecoder().setInputCol("payload").setOutputCol("feats")
       .transform(payloads)
     assert(out.columns.toSeq === Seq("id", "payload", "feats"))
