@@ -151,6 +151,35 @@ object CoreQueries {
           col("sum_qty"), col("cnt"), col("gid"))
     }),
 
+    // salted skew join: lineitem (big, salted by orderkey hash) x orders
+    // (small, replicated per salt) on orderkey — same rows as the plain
+    // join, hot keys spread over 8 salt partitions
+    "q55_skew_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = Tables.orders(s, dir)
+        .where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.sql.SkewJoin.salted(li, o, Seq("l_orderkey"), "l_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+    }),
+
+    // per-group top-k: 3 highest-value orders per priority class via a
+    // rank window partitioned by the group (parallel; never a global sort)
+    "q56_group_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"),
+          col("rnk").cast("long").as("rnk"))
+    }),
+
     // full outer join: customers (every 3rd) vs per-customer order counts —
     // both dangling sides surfaced, null keys coalesced for the compare
     "q53_full_outer" -> ((s, dir) => {
@@ -229,6 +258,23 @@ object CoreQueries {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q55_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q56_group_topk" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(o_totalprice, 2) AS totalprice,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
     "q53_full_outer" ->
       """WITH c AS (
         |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0

@@ -161,6 +161,24 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("salted join equals the plain join for any salt factor") {
+    val rows: Gen[List[(Long, Long)]] =
+      Gen.listOfN(25, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 99L)))
+    forAll(Gen.zip(rows, rows, Gen.choose(1, 9)), trials = 6) { case (bs, ss, factor) =>
+      whenever(bs.nonEmpty && ss.nonEmpty) {
+        val big = bs.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+          .toDF("bid", "k", "bv")
+        val small = ss.map(_._1).distinct.zipWithIndex
+          .map { case (k, i) => (k, s"s$i") }.toDF("k", "sv")
+        val salted = graft.sql.SkewJoin.salted(big, small, Seq("k"), "bid", factor)
+          .select($"bid", $"sv").as[(Long, String)].collect().toSet
+        val plain = big.join(small, "k")
+          .select($"bid", $"sv").as[(Long, String)].collect().toSet
+        assert(salted === plain, s"factor=$factor")
+      }
+    }
+  }
+
   test("two-phase prefix sum equals the sequential scan on random data") {
     val rows: Gen[List[(Long, Long)]] =
       Gen.listOfN(30, Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 9L)))
