@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.temporal.{AsOfJoin, RangeJoin}
+import graft.temporal.{AsOfJoin, Funnel, RangeJoin}
 
 /** Temporal-join queries over the events table.
   *
@@ -47,6 +47,14 @@ object TemporalQueries {
       new RangeJoin(Seq("user_id"), "click_us", "win_start", "win_end", win)
         .join(clicks, purchases)
         .select(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
+    // ordered conversion funnel: users whose event sequence reaches
+    // signup → view → click → purchase with strictly increasing times
+    "q57_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      new Funnel(Seq("signup", "view", "click", "purchase")).counts(ev)
     })
   )
 
@@ -72,6 +80,28 @@ object TemporalQueries {
         |)
         |SELECT c.user_id AS user_id, click_id, purchase_id
         |FROM c JOIN p ON c.user_id = p.user_id
-        |  AND c.cu BETWEEN p.pu - 1800000000 AND p.pu""".stripMargin
+        |  AND c.cu BETWEEN p.pu - 1800000000 AND p.pu""".stripMargin,
+    "q57_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events
+        |), s0 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN tu END) AS t0
+        |  FROM e GROUP BY 1 HAVING t0 IS NOT NULL
+        |), s1 AS (
+        |  SELECT e.user_id, min(t0) AS t0,
+        |    min(CASE WHEN event_type = 'view' AND tu > t0 THEN tu END) AS t1
+        |  FROM e JOIN s0 USING (user_id) GROUP BY e.user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(t0) AS t0, min(t1) AS t1,
+        |    min(CASE WHEN event_type = 'click' AND tu > t1 THEN tu END) AS t2
+        |  FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' AND tu > t2 THEN tu END) AS t3
+        |  FROM e JOIN s2 USING (user_id) GROUP BY e.user_id
+        |)
+        |SELECT count(t0) AS n_signup, count(t1) AS n_view,
+        |  count(t2) AS n_click, count(t3) AS n_purchase
+        |FROM s3""".stripMargin
   )
 }
