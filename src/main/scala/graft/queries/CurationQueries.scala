@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.{DedupClusters, ExactDeduplicator, MinHashDeduplicator}
-import graft.sampling.{HashSampler, MixtureSampler}
-import graft.text.{QualityFilter, TokenPacker}
+import graft.sampling.{HashSampler, MixtureSampler, StratifiedSampler}
+import graft.text.{QualityFilter, TfIdf, TokenPacker}
 
 /** Corpus-curation queries: heuristic quality filtering, deterministic
   * hash-split sampling, and near-dup cluster resolution — the end-game
@@ -73,6 +73,20 @@ object CurationQueries {
         idCol = "doc_id", groupCol = "lang", salt = "mix")
         .transform(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"))
+    }),
+
+    // exact-count stratified carve-out: exactly min(5, |lang|) docs per
+    // language by md5 rank (group-partitioned window)
+    "q58_stratified" -> ((s, dir) => {
+      new StratifiedSampler(n = 5, idCol = "doc_id", groupCol = "lang", salt = "strat")
+        .transform(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // TF-IDF top-3 terms per document — distributed wordcount + broadcast
+    // corpus size, no driver-side vocabulary
+    "q59_tfidf" -> ((s, dir) => {
+      new TfIdf(topK = 3).topTerms(Tables.documents(s, dir))
     })
   )
 
@@ -226,6 +240,39 @@ object CurationQueries {
         |)
         |SELECT doc_id, d.lang AS lang
         |FROM documents d JOIN rates ON d.lang = rates.lang
-        |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT % 10000 < thr""".stripMargin
+        |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT % 10000 < thr""".stripMargin,
+    "q58_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5('strat:' || doc_id)) <= 5""".stripMargin,
+    "q59_tfidf" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, string_split(norm, ' ') AS tl FROM norm
+        |), tok AS (
+        |  SELECT doc_id, unnest(tl) AS term FROM toks
+        |), tc AS (
+        |  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM tc GROUP BY 1
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tc GROUP BY 1
+        |), nd AS (
+        |  SELECT count(*) AS n FROM documents
+        |), scored AS (
+        |  SELECT tc.doc_id, tc.term, c * 1.0 / len AS tf, df.df,
+        |    (c * 1.0 / len) * ln((n + 1) * 1.0 / (df.df + 1)) AS tfidf
+        |  FROM tc JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN nd
+        |)
+        |SELECT doc_id, term, round(tf, 6) AS tf, CAST(df AS BIGINT) AS df,
+        |  round(tfidf, 6) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3""".stripMargin
   )
 }

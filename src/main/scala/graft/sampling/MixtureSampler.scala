@@ -48,3 +48,30 @@ class MixtureSampler(
       .drop("__thr")
   }
 }
+
+/** Exact-count stratified sampling: keep EXACTLY min(n, |group|) rows per
+  * group, chosen by md5 rank — deterministic, engine-portable, and
+  * uniform-ish (hash order is unrelated to any data order). The exact
+  * counterpart of [[MixtureSampler]]'s rate-based mixing, for carve-outs
+  * that must hit a precise size ("exactly 5k eval docs per language").
+  *
+  * Scale: one rank window PARTITIONED by the group — parallel across
+  * groups; a group's partition sorts only its own rows.
+  */
+class StratifiedSampler(
+    n: Int,
+    idCol: String = "doc_id",
+    groupCol: String = "lang",
+    salt: String = "strat") {
+
+  require(n > 0, s"per-group sample size n ($n) must be positive")
+
+  def transform(dataset: Dataset[_]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+    dataset.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

@@ -55,6 +55,39 @@ class CurationSpec extends SparkTestBase {
     assert(dropped.toSeq === Seq("zh"))
   }
 
+  test("stratified sampler keeps exactly min(n, group size) per group") {
+    import graft.sampling.StratifiedSampler
+    val docs = ((1L to 20L).map((_, "en")) ++ (21L to 23L).map((_, "zh")))
+      .toDF("doc_id", "lang")
+    val out = new StratifiedSampler(n = 5).transform(docs)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang("en").size === 5)
+    assert(byLang("zh") === Set(21L, 22L, 23L)) // fewer than n -> keep all
+    // deterministic across runs
+    val again = new StratifiedSampler(n = 5).transform(docs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === out.map(_._1).toSet)
+  }
+
+  test("tfidf ranks distinctive terms above ubiquitous ones") {
+    import graft.text.TfIdf
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common common yak"),
+      (3L, "common common common"))
+      .toDF("doc_id", "text")
+    val top = new TfIdf(topK = 1).topTerms(docs)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    assert(top(1L) === "zebra") // df=1 beats df=3 despite lower tf
+    assert(top(2L) === "yak")
+    assert(top(3L) === "common")
+    // df column: "common" appears in all 3 docs
+    val dfOf = new TfIdf(topK = 3).topTerms(docs)
+      .where($"term" === "common").select($"df").as[Long].head()
+    assert(dfOf === 3L)
+  }
+
   test("cluster resolution: components collapse transitively") {
     // 1-2, 2-3 chain plus isolated 4,5 and pair 5-6
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
