@@ -30,10 +30,12 @@ class TfIdf(
     */
   def topTerms(docs: Dataset[_]): DataFrame = {
     val toks = docs.select(col(idCol), TextNormalizer.tokens(col(textCol)).as("tl"))
-    val terms = toks.select(col(idCol), explode(col("tl")).as("term"))
-    val termCounts = terms.groupBy(col(idCol), col("term"))
+    // document length rides through the explode as a grouping constant —
+    // no separate per-doc length aggregation + join
+    val terms = toks.select(col(idCol), size(col("tl")).cast("long").as("len"),
+      explode(col("tl")).as("term"))
+    val termCounts = terms.groupBy(col(idCol), col("len"), col("term"))
       .agg(count(lit(1)).as("c"))
-    val docLens = termCounts.groupBy(col(idCol)).agg(sum(col("c")).as("len"))
     val docFreq = termCounts.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -41,7 +43,6 @@ class TfIdf(
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))
     termCounts
-      .join(docLens, idCol)
       .join(docFreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tf", col("c") / col("len"))
