@@ -68,7 +68,10 @@ class AsOfJoin(
       keyCols.map(col) ++ Seq(
         col(leftTimeCol).cast("long").as("__t"), lit(1).as("__side"),
         lPayload.as("__l"), lit(null).cast(rStruct).as("__r")): _*)
-    val rTagged = right.select(
+    // null-time right rows would sort before everything and become the
+    // "most recent" match for early left rows — they can never be a valid
+    // as-of answer, so drop them here
+    val rTagged = right.where(col(rightTimeCol).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTimeCol).cast("long").as("__t"), lit(0).as("__side"),
         lit(null).cast(lStruct).as("__l"), rPayload.as("__r")): _*)

@@ -63,6 +63,15 @@ class AsOfJoinSpec extends SparkTestBase {
       Seq("trade_id", "sym", "t", "qt", "px"))
   }
 
+  test("null-time right rows are ignored, not matched") {
+    val withNull = quotes.unionByName(
+      Seq(("B", Option.empty[Long], 99.0)).toDF("sym", "qt", "px"))
+    val m = new AsOfJoin(Seq("sym"), "t", "qt").join(trades, withNull)
+      .select($"trade_id", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(m(4L) === None)        // still unmatched, not the null-time quote
+    assert(m(5L) === Some(4.0))   // unchanged best match
+  }
+
   test("clashing right payload columns are rejected") {
     val bad = quotes.withColumnRenamed("px", "t")
     intercept[IllegalArgumentException] {
