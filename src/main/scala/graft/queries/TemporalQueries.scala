@@ -55,6 +55,33 @@ object TemporalQueries {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
       new Funnel(Seq("signup", "view", "click", "purchase")).counts(ev)
+    }),
+
+    // day-granularity retention cohorts: users grouped by first-active day,
+    // counted per activity-day offset
+    "q62_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      e.distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+
+    // first-order event transition matrix: counts of consecutive
+    // (event_type -> next event_type) per user, deterministic order by
+    // (time, event_id); user-partitioned window — parallel
+    "q63_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tu"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -102,6 +129,30 @@ object TemporalQueries {
         |)
         |SELECT count(t0) AS n_signup, count(t1) AS n_view,
         |  count(t2) AS n_click, count(t3) AS n_purchase
-        |FROM s3""".stripMargin
+        |FROM s3""".stripMargin,
+    "q62_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, day FROM e
+        |)
+        |SELECT cohort_day, day - cohort_day AS offset_days,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q63_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events
+        |), n AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+        |      AS next_type
+        |  FROM e
+        |)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM n WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{ContaminationChecker, RepetitionStats, TextFunctions, TokenPacker}
+import graft.text.{ContaminationChecker, RepetitionStats, TextFunctions, TextRedactor, TokenPacker}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -81,6 +81,28 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       new ContaminationChecker(n = 5)
         .check(docs, docs.where(col("doc_id") % 97 === 0))
+    }),
+
+    // PII scrubbing over a corpus with deterministic seeded emails/numbers
+    // (the synthetic docs carry none of their own)
+    "q60_redact" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or call 5551234567")))
+            .otherwise(col("text")).as("text"))
+      new TextRedactor().transform(seeded)
+        .select(col("doc_id"), col("redacted"), col("n_redactions"))
+    }),
+
+    // language-ID quality: confusion counts of the heuristic guess vs the
+    // corpus's ground-truth lang label
+    "q61_lang_confusion" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), TextFunctions.languageId(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -204,6 +226,50 @@ object TextQueries {
           |  round(coalesce(hit_grams * 1.0 / n_grams, 0), 6) AS overlap_ratio
           |FROM norm n LEFT JOIN counts ON n.doc_id = counts.doc_id
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,200) token bound
-          |SELECT -1, -1, -1, -1.0 WHERE (SELECT max(len(tl)) FROM toks) > 204""".stripMargin)
+          |SELECT -1, -1, -1, -1.0 WHERE (SELECT max(len(tl)) FROM toks) > 204""".stripMargin),
+    "q60_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      val num = "[0-9]{6,}"
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' contact user' || doc_id || '@example.com or call 5551234567'
+         |      ELSE text END AS text
+         |  FROM documents
+         |), r1 AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '$email', '<email>', 'g') AS t1
+         |  FROM seeded
+         |), r2 AS (
+         |  SELECT doc_id, text, t1,
+         |    regexp_replace(t1, '$url', '<url>', 'g') AS t2
+         |  FROM r1
+         |)
+         |SELECT doc_id,
+         |  regexp_replace(t2, '$num', '<num>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(text, '$email'))
+         |    + len(regexp_extract_all(t1, '$url'))
+         |    + len(regexp_extract_all(t2, '$num')) AS BIGINT) AS n_redactions
+         |FROM r2""".stripMargin
+    },
+    "q61_lang_confusion" ->
+      (normSql +
+        s"""
+           |, hits AS (
+           |  SELECT n.lang, ${hitSql("en")} AS en_hits, ${hitSql("de")} AS de_hits,
+           |    ${hitSql("fr")} AS fr_hits, ${hitSql("es")} AS es_hits
+           |  FROM toks JOIN (SELECT doc_id, lang FROM documents) n USING (doc_id)
+           |)
+           |SELECT lang,
+           |  CASE
+           |    WHEN en_hits > 0 AND en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+           |    WHEN de_hits > 0 AND de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+           |    WHEN fr_hits > 0 AND fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+           |    WHEN es_hits > 0 AND es_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'es'
+           |    ELSE 'und'
+           |  END AS lang_guess,
+           |  count(*) AS n
+           |FROM hits GROUP BY 1, 2""".stripMargin)
   )
 }

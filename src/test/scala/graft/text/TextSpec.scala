@@ -72,6 +72,28 @@ class TextSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("redactor masks emails, urls, digit runs; counts spans once each") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org or visit https://a.example/b?q=1 ref 123456789"),
+      (2L, "short 12345 stays, 123456 goes"),
+      (3L, "nothing to hide"))
+      .toDF("doc_id", "text")
+    val out = new TextRedactor().transform(df)
+      .select($"doc_id", $"redacted", $"n_redactions")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 === "mail me at <email> or visit <url> ref <num>")
+    assert(out(1L)._2 === 3L)
+    assert(out(2L)._1 === "short 12345 stays, <num> goes")
+    assert(out(2L)._2 === 1L)
+    assert(out(3L) === (("nothing to hide", 0L)))
+  }
+
+  test("redactor is shuffle-free") {
+    val df = Seq((1L, "a@b.co")).toDF("doc_id", "text")
+    val plan = new TextRedactor().transform(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("contamination: full overlap for benchmark members, zero for disjoint") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // benchmark member
