@@ -180,6 +180,48 @@ object CoreQueries {
           col("rnk").cast("long").as("rnk"))
     }),
 
+    // exact per-group percentiles (interpolating PERCENTILE matches DuckDB
+    // quantile_cont bit-for-bit)
+    "q64_group_percentiles" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))
+    }),
+
+    // hourly bars over the event stream: open/close via min_by/max_by on
+    // the (unique) event time — partial-aggregated, no per-bucket sort
+    "q65_time_bars" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(expr("(ts div 1000) div 3600000000").as("hour"),
+          expr("ts div 1000").as("tu"), col("value"))
+        .groupBy(col("hour"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), col("tu")).as("open"),
+          max_by(col("value"), col("tu")).as("close"),
+          round(min(col("value")), 2).as("vmin"),
+          round(max(col("value")), 2).as("vmax"),
+          round(sum(col("value")), 2).as("vsum"))
+    }),
+
+    // market-basket co-occurrence: part pairs bought in the same order,
+    // top 20 — self-join bounded by per-order item counts, never all-pairs
+    // across orders
+    "q66_copurchase" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, "l_orderkey")
+        .where(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
     // full outer join: customers (every 3rd) vs per-customer order counts —
     // both dangling sides surfaced, null keys coalesced for the compare
     "q53_full_outer" -> ((s, dir) => {
@@ -275,6 +317,34 @@ object CoreQueries {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3""".stripMargin,
+    "q64_group_percentiles" ->
+      """SELECT source, count(*) AS n,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 6) AS p99
+        |FROM documents GROUP BY source""".stripMargin,
+    "q65_time_bars" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour, epoch_us(ts) AS tu, value
+        |  FROM events
+        |)
+        |SELECT hour, count(*) AS n,
+        |  arg_min(value, tu) AS open,
+        |  arg_max(value, tu) AS close,
+        |  round(min(value), 2) AS vmin,
+        |  round(max(value), 2) AS vmax,
+        |  round(sum(value), 2) AS vsum
+        |FROM e GROUP BY hour""".stripMargin,
+    "q66_copurchase" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+        |FROM items a JOIN items b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
     "q53_full_outer" ->
       """WITH c AS (
         |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0
