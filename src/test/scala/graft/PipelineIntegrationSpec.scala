@@ -55,7 +55,8 @@ class PipelineIntegrationSpec extends SparkTestBase {
     (s"cookie$c", lat + rnd.nextGaussian() * 0.3, lon + rnd.nextGaussian() * 0.3)
   }.toDF("cookie", "lat", "lon")
 
-  test("gather → encode → assemble → LR → AUC over 0.9") {
+  // shared feature-assembly front half (both tests consume it)
+  lazy val assembledFeatures = {
     val gatheredSites = new Gather()
       .setPrimaryKeyCols("cookie").setKeyCol("site").setValueCol("impressions")
       .setValueAgg("sum").setOutputCol("sites")
@@ -86,13 +87,16 @@ class PipelineIntegrationSpec extends SparkTestBase {
     val encoded = cellEncoder.fit(dataset).transform(
       siteEncoder.fit(dataset).transform(dataset))
 
-    val assembled = new VectorAssembler()
+    new VectorAssembler()
       .setInputCols(Array("site_features", "cell_features"))
       .setOutputCol("features")
       .transform(encoded)
       .select("cookie", "label", "features")
       .coalesce(1) // exercise the LOCAL training path
+  }
 
+  test("gather → encode → assemble → LR → AUC over 0.9") {
+    val assembled = assembledFeatures
     val model = new LocalLogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setElasticNetParam(0.5)
       .fit(assembled)
@@ -106,5 +110,29 @@ class PipelineIntegrationSpec extends SparkTestBase {
     // sanity: the other curve endpoints behave
     val gains = new BinaryModelMetrics(scored).gains().collect()
     assert(gains.head.getDouble(0) === 0.0 && gains.last.getDouble(1) === 1.0)
+  }
+
+  test("cross-validated Spark pipeline selects a model on the same features") {
+    // the reference example's final leg (SparkMlExtExample.scala:111-129):
+    // Pipeline[LogisticRegression] under CrossValidator with an
+    // elastic-net grid, evaluated by areaUnderROC
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+
+    val lr = new LogisticRegression().setMaxIter(25).setRegParam(0.01)
+    val cv = new CrossValidator()
+      .setEstimator(new Pipeline().setStages(Array(lr)))
+      .setEvaluator(new BinaryClassificationEvaluator().setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(new ParamGridBuilder()
+        .addGrid(lr.elasticNetParam, Array(0.1, 0.5)).build())
+      .setNumFolds(2)
+      .setSeed(42L)
+
+    val cvModel = cv.fit(assembledFeatures)
+    assert(cvModel.avgMetrics.length === 2)
+    assert(cvModel.avgMetrics.max > 0.85,
+      s"best CV AUC ${cvModel.avgMetrics.max} should separate the planted signal")
   }
 }
