@@ -103,6 +103,18 @@ object TextQueries {
         .select(col("lang"), TextFunctions.languageId(col("text")).as("lang_guess"))
         .groupBy(col("lang"), col("lang_guess"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // per-source distinct-token estimate via the KMV sketch aggregate
+    // (custom TypedImperativeAggregate; k=64 longs of state per group)
+    "q67_distinct_sketch" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.dedup.TextNormalizer.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(graft.sql.functions.kMinValues(col("tok"), 64).as("kmv"))
+        .select(col("source"),
+          round(graft.sql.functions.kmvEstimate(col("kmv"), 64), 6).as("est_distinct"))
     })
   )
 
@@ -270,6 +282,27 @@ object TextQueries {
            |    ELSE 'und'
            |  END AS lang_guess,
            |  count(*) AS n
-           |FROM hits GROUP BY 1, 2""".stripMargin)
+           |FROM hits GROUP BY 1, 2""".stripMargin),
+    "q67_distinct_sketch" ->
+      """WITH nrm AS (
+        |  SELECT source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), tok AS (
+        |  SELECT source, unnest(string_split(norm, ' ')) AS tok FROM nrm
+        |), hd AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS hv
+        |  FROM tok
+        |), r AS (
+        |  SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS nd
+        |  FROM hd
+        |)
+        |SELECT source,
+        |  round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |    ELSE 63 * 72057594037927936.0 / max(CASE WHEN rn = 64 THEN hv END)
+        |  END, 6) AS est_distinct
+        |FROM r GROUP BY source""".stripMargin
   )
 }

@@ -52,6 +52,23 @@ object functions {
     if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
   }
 
+  /** KMV distinct-count sketch aggregate (custom
+    * [[graft.sql.expressions.KMinValues]] TypedImperativeAggregate): the k
+    * smallest distinct 56-bit md5 hashes of the column, as a sorted
+    * ARRAY&lt;LONG&gt; — bounded, mergeable per-group state.
+    */
+  def kMinValues(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.KMinValues(
+        org.apache.spark.sql.GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** Distinct-count estimate from a [[kMinValues]] array: exact size when
+    * fewer than k hashes were seen, else `(k-1) * 2^56 / h_k`.
+    */
+  def kmvEstimate(arr: Column, k: Int): Column =
+    when(size(arr) < k, size(arr).cast("double"))
+      .otherwise(lit((k - 1).toDouble * 72057594037927936.0) / element_at(arr, k))
+
   /** Dot product of two numeric array columns (codegen-friendly). */
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
