@@ -127,17 +127,29 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
       .select(id, posexplode_outer(col("mh")))
       .select(id, col("pos").cast("int").as("seed"), col("col").as("minhash"))
 
-  /** LSH band signatures: (id, band, bandSig). */
+  /** LSH band signatures: (id, band, bandSig). ROW-LOCAL: the signature
+    * array is already seed-ordered, so each band's signature is the md5 of
+    * a slice — no per-(id, band) aggregation shuffle at all (the previous
+    * formulation re-grouped the exploded (id, seed) rows). Produces the
+    * identical comma-joined digest the SQL oracle computes with
+    * `string_agg(... ORDER BY seed)`.
+    */
   def bandSignatures(dataset: Dataset[_]): DataFrame = {
     val rowsPerBand = $(numHashes) / $(numBands)
     require(rowsPerBand * $(numBands) == $(numHashes),
       s"numBands (${$(numBands)}) must divide numHashes (${$(numHashes)})")
-    signatures(dataset)
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy(id, col("band"))
-      .agg(md5(array_join(
-        expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> CAST(x.minhash AS STRING))"),
-        ",")).as("bandSig"))
+    shingleArray(dataset)
+      .select(id,
+        org.apache.spark.sql.GraftBridge.column(
+          graft.sql.expressions.MinHashSignature(
+            org.apache.spark.sql.GraftBridge.expression(col("sh")), $(numHashes)))
+          .as("mh"))
+      .select(id, explode_outer(expr(
+        s"""transform(sequence(0, ${$(numBands) - 1}),
+           |  b -> struct(CAST(b AS INT) AS band,
+           |    md5(array_join(transform(slice(mh, b * $rowsPerBand + 1, $rowsPerBand),
+           |      x -> CAST(x AS STRING)), ',')) AS bandSig))""".stripMargin)).as("bs"))
+      .select(id, col("bs.band").as("band"), col("bs.bandSig").as("bandSig"))
   }
 
   /** Candidate pairs (idA < idB) sharing at least one band signature. */
