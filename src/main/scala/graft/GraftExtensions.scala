@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.sql.expressions.{HyperplaneSignature, MinHashSignature, Shingles, SimHash64}
+import graft.sql.expressions.{HyperplaneSignature, KMinValues, MinHashSignature, Shingles, SimHash64}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * callable from SQL in any session built with
@@ -52,6 +52,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"k must be an integer literal, got $other")
         }
         Shingles(children.head, k)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("kmin_values"),
+      new ExpressionInfo(classOf[KMinValues].getName, "kmin_values"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "kmin_values(value STRING, k INT)")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"k must be an integer literal, got $other")
+        }
+        KMinValues(children.head, k).toAggregateExpression()
       }))
 
     ext.injectFunction((

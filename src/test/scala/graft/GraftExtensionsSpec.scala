@@ -40,6 +40,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
             org.apache.spark.sql.GraftBridge.expression($"v"), 16)).as("sig"))
         .as[(Long, String)].collect().toMap
       assert(viaSql === direct)
+
+      // the KMV sketch aggregate registers too, and matches the Column path
+      val toks = Seq.tabulate(50)(i => ("g", s"tok${i % 20}")).toDF("g", "tok")
+      toks.createOrReplaceTempView("toks")
+      val sqlKmv = spark.sql(
+        "SELECT g, kmin_values(tok, 8) AS kmv FROM toks GROUP BY g")
+        .as[(String, Seq[Long])].collect().head._2
+      val directKmv = toks.groupBy($"g")
+        .agg(graft.sql.functions.kMinValues($"tok", 8).as("kmv"))
+        .as[(String, Seq[Long])].collect().head._2
+      assert(sqlKmv === directKmv && sqlKmv.length === 8)
     } finally {
       spark.catalog.dropTempView("vecs")
       SparkSession.clearActiveSession()
