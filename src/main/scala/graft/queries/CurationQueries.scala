@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.{DedupClusters, ExactDeduplicator, MinHashDeduplicator}
-import graft.sampling.{HashSampler, MixtureSampler, StratifiedSampler}
+import graft.sampling.{HashSampler, MixtureSampler, StratifiedSampler, WeightedSampler}
 import graft.text.{QualityFilter, TfIdf, TokenPacker}
 
 /** Corpus-curation queries: heuristic quality filtering, deterministic
@@ -87,6 +87,13 @@ object CurationQueries {
     // corpus size, no driver-side vocabulary
     "q59_tfidf" -> ((s, dir) => {
       new TfIdf(topK = 3).topTerms(Tables.documents(s, dir))
+    }),
+
+    // deterministic weighted (priority) sample: 100 docs, inclusion odds
+    // proportional to n_chars; global smallest-k = TakeOrderedAndProject
+    "q68_weighted_sample" -> ((s, dir) => {
+      new WeightedSampler(k = 100, weightCol = "n_chars")
+        .transform(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")))
     })
   )
 
@@ -273,6 +280,14 @@ object CurationQueries {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS rnk
         |  FROM scored)
-        |WHERE rnk <= 3""".stripMargin
+        |WHERE rnk <= 3""".stripMargin,
+    "q68_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    (('0x' || substr(md5('wsample:' || doc_id), 1, 14))::BIGINT
+        |      / 72057594037927936.0) / n_chars AS pri
+        |  FROM documents)
+        |ORDER BY pri, doc_id
+        |LIMIT 100""".stripMargin
   )
 }

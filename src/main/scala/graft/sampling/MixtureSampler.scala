@@ -75,3 +75,36 @@ class StratifiedSampler(
       .drop("__rn")
   }
 }
+
+/** Deterministic weighted sampling (sequential Poisson / priority
+  * sampling, Ohlsson 1998): each row gets priority `u / w` where `u` is
+  * a uniform md5-derived value in [0,1) and `w` its weight; the k rows
+  * with the smallest priorities form a weighted-inclusion sample —
+  * heavier rows are proportionally likelier to be kept. Deterministic in
+  * (salt, id, weight), so runs, engines, and partitionings agree.
+  *
+  * Scale: the global smallest-k is `orderBy(priority).limit(k)` — planned
+  * as TakeOrderedAndProject (per-partition top-k + driver merge of k-row
+  * heaps), never a full sort.
+  */
+class WeightedSampler(
+    k: Int,
+    weightCol: String,
+    idCol: String = "doc_id",
+    salt: String = "wsample") {
+
+  require(k > 0, s"sample size k ($k) must be positive")
+
+  /** Uniform [0,1) hash of the row id: 56-bit md5 prefix / 2^56. */
+  def uniform: Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 14), 16, 10)
+      .cast("double") / 72057594037927936.0
+
+  def priority: Column = uniform / col(weightCol)
+
+  def transform(dataset: Dataset[_]): DataFrame =
+    dataset.withColumn("__pri", priority)
+      .orderBy(col("__pri"), col(idCol))
+      .limit(k)
+      .drop("__pri")
+}

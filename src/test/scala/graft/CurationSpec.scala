@@ -70,6 +70,25 @@ class CurationSpec extends SparkTestBase {
     assert(again === out.map(_._1).toSet)
   }
 
+  test("weighted sampler: deterministic, k-bounded, weight-biased") {
+    import graft.sampling.WeightedSampler
+    // 200 light rows (w=1) vs 200 heavy rows (w=100): the k=60 sample
+    // should be dominated by heavy rows (inclusion odds scale with w)
+    val rows = ((1L to 200L).map((_, 1L)) ++ (201L to 400L).map((_, 100L)))
+      .toDF("doc_id", "w")
+    val s = new WeightedSampler(k = 60, weightCol = "w")
+    val picked = s.transform(rows).select($"doc_id").as[Long].collect().toSet
+    assert(picked.size === 60)
+    val heavy = picked.count(_ > 200L)
+    assert(heavy > 45, s"expected heavy-row dominance, got $heavy/60")
+    // deterministic across invocations and partitionings
+    val again = s.transform(rows.repartition(13)).select($"doc_id").as[Long].collect().toSet
+    assert(again === picked)
+    // plan: global smallest-k is TakeOrdered, not a full sort
+    val plan = s.transform(rows).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
   test("tfidf ranks distinctive terms above ubiquitous ones") {
     import graft.text.TfIdf
     val docs = Seq(
