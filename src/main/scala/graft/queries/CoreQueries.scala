@@ -222,6 +222,17 @@ object CoreQueries {
         .limit(20)
     }),
 
+    // key-skew diagnostics for join planning (feeds SkewJoin's salt-factor
+    // choice): per-key row counts reduced to max/avg/p99 and the skew ratio
+    "q69_skew_stats" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_cnt"),
+          round(avg(col("c")), 6).as("avg_cnt"),
+          round(expr("percentile(c, 0.99)"), 6).as("p99_cnt"),
+          round(max(col("c")) / avg(col("c")), 6).as("skew_ratio"))
+    }),
+
     // full outer join: customers (every 3rd) vs per-customer order counts —
     // both dangling sides surfaced, null keys coalesced for the compare
     "q53_full_outer" -> ((s, dir) => {
@@ -345,6 +356,15 @@ object CoreQueries {
         |GROUP BY 1, 2
         |ORDER BY n DESC, part_a, part_b
         |LIMIT 20""".stripMargin,
+    "q69_skew_stats" ->
+      """WITH k AS (
+        |  SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1
+        |)
+        |SELECT CAST(max(c) AS BIGINT) AS max_cnt,
+        |  round(avg(c), 6) AS avg_cnt,
+        |  round(quantile_cont(c, 0.99), 6) AS p99_cnt,
+        |  round(max(c) / avg(c), 6) AS skew_ratio
+        |FROM k""".stripMargin,
     "q53_full_outer" ->
       """WITH c AS (
         |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0
