@@ -222,6 +222,23 @@ object CoreQueries {
         .limit(20)
     }),
 
+    // pivot reshape (the RelationalGroupedDataset.pivot surface — Gather's
+    // fixed-column cousin): order counts per status, one column per
+    // priority class
+    "q70_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("p_urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("p_high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p_medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p_notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("p_low"))
+    }),
+
     // key-skew diagnostics for join planning (feeds SkewJoin's salt-factor
     // choice): per-key row counts reduced to max/avg/p99 and the skew ratio
     "q69_skew_stats" -> ((s, dir) => {
@@ -356,6 +373,14 @@ object CoreQueries {
         |GROUP BY 1, 2
         |ORDER BY n DESC, part_a, part_b
         |LIMIT 20""".stripMargin,
+    "q70_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p_urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p_high,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p_medium,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS p_low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q69_skew_stats" ->
       """WITH k AS (
         |  SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1
