@@ -27,16 +27,22 @@ class ContaminationChecker(
 
   require(n >= 2, s"n-gram width n ($n) must be >= 2")
 
-  /** Distinct token n-grams: (id, gram); docs with < n tokens emit none. */
+  /** Distinct token n-grams: (id, gram); docs with < n tokens emit none.
+    * Short docs are dropped AFTER the explode by gram width (a true n-gram
+    * joins n tokens with exactly n-1 spaces; a < n-token doc yields one
+    * narrower gram): a pre-explode `size(tokens) >= n` filter gets pushed
+    * through the projection into the scan's DataFilters, re-evaluating the
+    * whole tokenizer chain per row.
+    */
   private def grams(df: Dataset[_]): DataFrame =
     df.select(col(idCol), TextNormalizer.tokens(col(textCol)).as("__tl"))
-      .where(size(col("__tl")) >= n)
       .select(col(idCol),
         explode_outer(array_distinct(
           org.apache.spark.sql.GraftBridge.column(
             graft.sql.expressions.Shingles(
               org.apache.spark.sql.GraftBridge.expression(col("__tl")), n))))
           .as("gram"))
+      .where(length(col("gram")) - length(replace(col("gram"), lit(" "), lit(""))) === n - 1)
 
   /** (id, n_grams, hit_grams, overlap_ratio) for every corpus row;
     * ratio 0 for gram-less (short) documents.

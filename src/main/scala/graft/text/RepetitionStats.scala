@@ -55,13 +55,19 @@ class RepetitionStats(override val uid: String) extends Transformer {
         count_distinct(col("tok")).as("n_distinct_tokens"))
 
     // explode_outer: the gram array is non-empty, and a plain explode
-    // would clone the kernel into a scan filter (InferFiltersFromGenerate)
+    // would clone the kernel into a scan filter (InferFiltersFromGenerate).
+    // Single-token docs are dropped AFTER the explode by gram width (a true
+    // bigram contains exactly one space; tokens never do post-normalizer):
+    // a pre-explode `size(tl) >= 2` filter gets pushed through the project
+    // into the scan, re-evaluating the whole tokenizer chain per row — and
+    // forks this branch onto a second scan instead of sharing `toks` with
+    // tokenStats.
     val bigramStats = toks
-      .where(size(col("tl")) >= 2)
       .select(id,
         explode_outer(org.apache.spark.sql.GraftBridge.column(
           graft.sql.expressions.Shingles(
             org.apache.spark.sql.GraftBridge.expression(col("tl")), 2))).as("bg"))
+      .where(col("bg").contains(" "))
       .groupBy(id, col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(id)
       .agg(max(col("c")).as("top_bigram_count"), sum(col("c")).as("n_bigrams"))
