@@ -47,10 +47,19 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qJson = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // millisecond precision halves the line (raw doubles print ~18 chars);
+    // round-3's full-precision line outgrew the driver's log-tail window
+    // and dropped `total` + the first queries
+    def num(v: Double): String = f"$v%.3f"
+    val qJson = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"sf":${jstr(sfDir)}}""")
+    // headline fields LAST: if the log window still truncates, it keeps the
+    // line's tail — and the full line is also written to bench_out.json
+    val line =
+      s"""{"queries":$qJson,"errors":$eJson,"sf":${jstr(sfDir)},"metric":"total","unit":"sec","value":${num(total)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }
