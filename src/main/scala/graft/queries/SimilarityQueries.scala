@@ -62,10 +62,13 @@ object SimilarityQueries {
 
     // IVF top-k: 16-cell coarse quantizer (lowest-id seeds + one Lloyd
     // step), probe the 4 nearest cells per query — partition-pruned ANN.
+    // Explicit build/search split: the index is built once (centroids
+    // localCheckpoint-ed) and the query batch probes it without rescanning
+    // the corpus for centroid learning.
     "q35_ann_ivf" -> ((s, dir) => {
       val e = vectors(s, dir)
-      new IvfCosineIndex(numCentroids = 16, nprobe = 4, dim = Some(64))
-        .search(e.where(col("vec_id") < 5), e, k = 5)
+      val ivf = new IvfCosineIndex(numCentroids = 16, nprobe = 4, dim = Some(64))
+      ivf.search(e.where(col("vec_id") < 5), ivf.build(e), k = 5)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),

@@ -91,13 +91,31 @@ class IvfCosineIndex(
     assign(e, centroids(candidates))
   }
 
-  /** Top-k cosine neighbors per query, searching only the nprobe nearest
-    * clusters. Self-pairs excluded.
+  /** One-time index build: the (centroids, inverted-lists) pair that
+    * [[search(queries:org\.apache\.spark\.sql\.DataFrame,index:graft\.similarity\.IvfIndex,k:Int)* search]]
+    * probes. The corpus is scanned for assignment ONCE here; serving a
+    * query batch never rescans it (pre-split, `search` re-derived the
+    * centroids and lists per call — three-plus corpus passes per search,
+    * defeating IVF's purpose at scale).
+    *
+    * Centroids are tiny (`numCentroids` rows) and localCheckpoint-ed so
+    * the lists job and every probe reuse the materialized result instead
+    * of re-running seed-assign-Lloyd. The lists stay a lazy plan: persist
+    * them (`index.lists.persist()` / write bucketed by `cid`) when serving
+    * many query batches from one build.
     */
-  def search(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val cents = centroids(candidates)
+  def build(candidates: DataFrame): IvfIndex = {
+    val cents = centroids(candidates).localCheckpoint()
     val e = corpus(candidates)
-    val lists = e.join(assign(e, cents), idCol)
+    IvfIndex(cents, e.join(assign(e, cents), idCol))
+  }
+
+  /** Top-k cosine neighbors per query over a prebuilt index, searching only
+    * the nprobe nearest clusters. Self-pairs excluded.
+    */
+  def search(queries: DataFrame, index: IvfIndex, k: Int): DataFrame = {
+    val cents = index.centroids
+    val lists = index.lists
 
     val qv = queries.select(col(idCol).as("query_id"), dvec(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
@@ -116,4 +134,16 @@ class IvfCosineIndex(
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
   }
+
+  /** Convenience: [[build]] + [[search(queries:org\.apache\.spark\.sql\.DataFrame,index:graft\.similarity\.IvfIndex,k:Int)* search]]
+    * in one call for one-shot queries.
+    */
+  def search(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
+    search(queries, build(candidates), k)
 }
+
+/** A built IVF index: broadcast-sized refined centroids (cid, centroid)
+  * plus the inverted lists (id, cv, cid). Produced by
+  * [[IvfCosineIndex.build]]; reusable across query batches.
+  */
+case class IvfIndex(centroids: DataFrame, lists: DataFrame)

@@ -61,6 +61,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.length <= 2)
   }
 
+  test("IVF build/search split: one index serves multiple query batches") {
+    val ivf = new IvfCosineIndex(numCentroids = 3, nprobe = 2)
+    val idx = ivf.build(vecs)
+    assert(idx.centroids.count() === 3)
+    // probing a prebuilt index matches the one-shot convenience path
+    val viaIndex = ivf.search(vecs.where($"vec_id" === 1), idx, k = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val oneShot = ivf.search(vecs.where($"vec_id" === 1), vecs, k = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaIndex === oneShot)
+    // a second batch probes the same index without a rebuild
+    val batch2 = ivf.search(vecs.where($"vec_id" === 2), idx, k = 2).collect()
+    assert(batch2.nonEmpty)
+  }
+
   test("IVF index assigns every vector to exactly one cluster") {
     val ivf = new IvfCosineIndex(numCentroids = 3, nprobe = 1)
     val idx = ivf.index(vecs)
