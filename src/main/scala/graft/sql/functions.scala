@@ -49,7 +49,13 @@ object functions {
     */
   def spread(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    // file count proxies scan parallelism from the logical plan's file
+    // index alone — `df.rdd.getNumPartitions` would compile the physical
+    // plan (and build the RDD lineage) eagerly on the driver per call.
+    // Non-file-backed inputs (0 files: test frames, streams) repartition,
+    // which is the safe direction for them.
+    val files = df.inputFiles.length
+    if (files < target) df.repartition(target, key) else df
   }
 
   /** KMV distinct-count sketch aggregate (custom
