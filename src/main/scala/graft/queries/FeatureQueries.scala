@@ -125,6 +125,19 @@ object FeatureQueries {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // Downsampling SAMPLED branch (reference Downsampling.scala:120-130
+    // semantics: sample secondary + weight 1/fraction + recombine), made
+    // oracle-replayable via deterministic md5 membership. maxClassRatio=0.5
+    // forces sampling (class ratio ~1.06): fraction = primary*0.5/secondary.
+    "q71_downsampling_sampled" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("label", when(col("o_orderstatus") === "F", 1.0).otherwise(0.0))
+      val model = new Downsampling().setLabelCol("label").setOutputCol("w")
+        .setMaxClassRatio(0.5).setDeterministicIdCol("o_orderkey").fit(o)
+      model.transform(o)
+        .select(col("o_orderkey"), col("label"), round(col("w"), 6).as("w"))
+    }),
+
     // S2 cell tokens over synthetic-but-deterministic lat/lon derived from
     // customer keys; grouped per cell. No SQL oracle (cell math is not
     // expressible in DuckDB) → rows-only check; semantics covered by
@@ -200,6 +213,26 @@ object FeatureQueries {
         |  CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
         |  CAST(1.0 AS DOUBLE) AS w
         |FROM orders""".stripMargin,
+    "q71_downsampling_sampled" ->
+      """WITH lab AS (
+        |  SELECT o_orderkey,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label
+        |  FROM orders
+        |), c AS (
+        |  SELECT count(*) FILTER (WHERE label = 1.0) AS p,
+        |         count(*) FILTER (WHERE label <> 1.0) AS s
+        |  FROM lab
+        |), f AS (
+        |  SELECT CAST(p AS DOUBLE) * CAST(0.5 AS DOUBLE) / CAST(s AS DOUBLE) AS fraction
+        |  FROM c
+        |)
+        |SELECT o_orderkey, label, CAST(1.0 AS DOUBLE) AS w FROM lab WHERE label = 1.0
+        |UNION ALL
+        |SELECT o_orderkey, label, round(CAST(1.0 AS DOUBLE) / fraction, 6) AS w
+        |FROM lab, f
+        |WHERE label <> 1.0
+        |  AND ('0x' || substring(md5('ds:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |      < fraction * CAST(4294967296.0 AS DOUBLE)""".stripMargin,
     "q24_optimal_binning" ->
       """WITH q AS (
         |  SELECT quantile_cont(l_extendedprice, [0.2, 0.4, 0.6, 0.8]) AS qs

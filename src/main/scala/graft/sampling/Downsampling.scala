@@ -14,15 +14,24 @@ private[sampling] trait DownsamplingParams extends Params with HasLabelCol with 
     "Primary class to keep (0.0 or 1.0)", (v: Double) => v == 0.0 || v == 1.0)
   final val sampleWithReplacement = new BooleanParam(this, "sampleWithReplacement",
     "Sample secondary class with replacement")
+  final val deterministicIdCol = new Param[String](this, "deterministicIdCol",
+    "When non-empty: sample the secondary class by md5 membership of this " +
+      "id column instead of df.sample — row membership depends only on the " +
+      "id, so the sample is stable across runs, partitionings, cluster " +
+      "sizes, and engines (the SQL oracle replays it exactly). " +
+      "Without-replacement only; sampleWithReplacement is ignored.")
 
   def getPrimaryClass: Double = $(primaryClass)
   def getOutputColName: String = $(outputCol)
 
-  setDefault(outputCol -> (uid + "_sample_weight"))
+  setDefault(outputCol -> (uid + "_sample_weight"), deterministicIdCol -> "")
 
   protected def validateAndTransformSchema(schema: StructType): StructType = {
     require(schema($(labelCol)).dataType == DoubleType,
       s"Label column data type ${schema($(labelCol)).dataType} is not supported.")
+    require($(deterministicIdCol).isEmpty ||
+      schema.fieldNames.contains($(deterministicIdCol)),
+      s"deterministicIdCol ${$(deterministicIdCol)} not found in schema")
     StructType(schema.fields :+ StructField($(outputCol), DoubleType, nullable = false))
   }
 }
@@ -36,6 +45,11 @@ private[sampling] trait DownsamplingParams extends Params with HasLabelCol with 
   * Scale: fit is two distributed `count()` jobs (combined into ONE pass
   * here via conditional aggregation); transform is filter+sample+union —
   * all narrow after the scan, no shuffle.
+  *
+  * With `deterministicIdCol` set, the sampled branch uses md5-membership
+  * (HashSampler's bucket math) instead of `df.sample`: reproducible across
+  * runs/partitionings/engines, so the correctness oracle can hash-match
+  * the sampled output, not just the no-op branch.
   */
 class Downsampling(override val uid: String)
     extends Estimator[DownsamplingModel] with DownsamplingParams {
@@ -50,6 +64,7 @@ class Downsampling(override val uid: String)
   def setPrimaryClass(value: Double): this.type = set(primaryClass, value)
   def setMaxClassRatio(value: Double): this.type = set(maxClassRatio, value)
   def setSampleWithReplacement(value: Boolean): this.type = set(sampleWithReplacement, value)
+  def setDeterministicIdCol(value: String): this.type = set(deterministicIdCol, value)
 
   setDefault(primaryClass -> 1.0, maxClassRatio -> 30.0, sampleWithReplacement -> false)
 
@@ -87,6 +102,7 @@ class DownsamplingModel(override val uid: String, val sampleFraction: Option[Dou
   def setOutputCol(value: String): this.type = set(outputCol, value)
   def setPrimaryClass(value: Double): this.type = set(primaryClass, value)
   def setSampleWithReplacement(value: Boolean): this.type = set(sampleWithReplacement, value)
+  def setDeterministicIdCol(value: String): this.type = set(deterministicIdCol, value)
 
   setDefault(primaryClass -> 1.0, sampleWithReplacement -> false)
 
@@ -96,10 +112,21 @@ class DownsamplingModel(override val uid: String, val sampleFraction: Option[Dou
     case Some(fraction) =>
       val primary = dataset.filter(col($(labelCol)) === $(primaryClass))
         .select(col("*"), lit(1.0).as($(outputCol)))
-      val secondary = dataset.filter(col($(labelCol)) =!= $(primaryClass))
-        .sample(withReplacement = $(sampleWithReplacement), fraction)
-        .select(col("*"), lit(1.0 / fraction).as($(outputCol)))
-      primary.unionByName(secondary)
+      val secondaryRows = dataset.filter(col($(labelCol)) =!= $(primaryClass))
+      val sampled =
+        if ($(deterministicIdCol).nonEmpty) {
+          // md5 membership: the first 8 hex chars are uniform on [0, 2^32);
+          // keep iff hash < fraction * 2^32 — same namespaced-bucket math
+          // as HashSampler, replayable as ANSI SQL by the oracle
+          val h = conv(substring(md5(concat(lit("ds:"),
+            col($(deterministicIdCol)).cast("string"))), 1, 8), 16, 10)
+            .cast("long")
+          secondaryRows.where(h < lit(fraction * 4294967296.0))
+        } else {
+          secondaryRows.sample(withReplacement = $(sampleWithReplacement), fraction)
+        }
+      primary.unionByName(
+        sampled.select(col("*"), lit(1.0 / fraction).as($(outputCol))))
   }
 
   override def transformSchema(schema: StructType): StructType =

@@ -37,6 +37,24 @@ class DownsamplingSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("deterministic mode: stable membership, partitioning-independent") {
+    val df = data(100, 9000)
+    val model = new Downsampling().setLabelCol("label").setOutputCol("w")
+      .setMaxClassRatio(29.0).setDeterministicIdCol("cookie_id").fit(df)
+    val fraction = model.sampleFraction.get
+    val a = model.transform(df).filter($"label" === 0.0)
+      .select("cookie_id").as[String].collect().toSet
+    val b = model.transform(df.repartition(7)).filter($"label" === 0.0)
+      .select("cookie_id").as[String].collect().toSet
+    assert(a === b, "membership must not depend on partitioning")
+    // md5 is uniform: kept count within ±5% absolute of expectation
+    assert(math.abs(a.size - fraction * 9000) < 0.05 * 9000,
+      s"kept ${a.size}, expected ~${fraction * 9000}")
+    val w = model.transform(df).filter($"label" === 0.0)
+      .select("w").distinct().as[Double].collect()
+    assert(w.length === 1 && math.abs(w.head - 1.0 / fraction) < 1e-12)
+  }
+
   test("primary class must be present") {
     val df = data(0, 100)
     intercept[IllegalArgumentException] {
