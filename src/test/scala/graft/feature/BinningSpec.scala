@@ -101,6 +101,34 @@ class SplitOptimizerSpec extends SparkTestBase with SplitOptimizer {
     counts.foreach(c => assert(math.abs(c - 200) <= 40, s"bin count $c far from 200"))
   }
 
+  test("golden parity: deterministic exp(N(0,1)) sample, pinned LBFGS splits") {
+    // The reference validates optimalSplit on 1000 draws of exp(N(0,1))
+    // with every bin count within ±5 of 100 (reference
+    // SplitOptimizerSpec.scala:28-45). Its sample is seedless-random, so
+    // the fixture here is the DETERMINISTIC equivalent — the inverse CDF
+    // on the midpoint grid, exp(Φ⁻¹((i+0.5)/1000)) — on which the port
+    // achieves the reference's property exactly (100 per bin) and the
+    // splits land on the distribution's true deciles exp(Φ⁻¹(k/10))
+    // (split 5 ≈ 1.0 = exp(0)). Pinned values guard the numeric port
+    // against regressions.
+    val g = breeze.stats.distributions.Gaussian(0, 1)(
+      breeze.stats.distributions.RandBasis.withSeed(0))
+    val x = Array.tabulate(1000)(i => math.exp(g.inverseCdf((i + 0.5) / 1000.0)))
+    val splits = optimalSplit(x, 9)
+    assert(splits.length === 9)
+
+    val bounds = Double.NegativeInfinity +: splits :+ Double.PositiveInfinity
+    val counts = bounds.sliding(2).map(s => x.count(v => v >= s(0) && v < s(1))).toArray
+    assert(counts.sum === 1000)
+    counts.foreach(c => assert(math.abs(c - 100) <= 5, s"bin count $c far from 100"))
+
+    val golden = Array(0.278238653, 0.431473156, 0.592250871, 0.776399809,
+      1.000000785, 1.287998266, 1.688476601, 2.317646014, 3.594047457)
+    splits.zip(golden).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6, s"split $got drifted from golden $want")
+    }
+  }
+
   test("toDiff/fromDiff roundtrip") {
     val v = Array(1.0, 3.0, 7.0, 20.0)
     assert(fromDiff(toDiff(v)).zip(v).forall { case (a, b) => math.abs(a - b) < 1e-12 })
