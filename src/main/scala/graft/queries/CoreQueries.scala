@@ -208,10 +208,20 @@ object CoreQueries {
 
     // market-basket co-occurrence: part pairs bought in the same order,
     // top 20 — self-join bounded by per-order item counts, never all-pairs
-    // across orders
+    // across orders. Baskets are CAPPED at the 64 lowest part ids: pair
+    // fan-out is quadratic in basket size, and on a real event log one
+    // pathological 10k-item basket would put 5·10⁷ pairs on a single
+    // order key. TPC-H baskets max out at 7, so the cap drops nothing
+    // here (oracle applies the identical cap).
     "q66_copurchase" -> ((s, dir) => {
+      val maxBasket = 64
       val items = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))))
+        .where(col("__rn") <= maxBasket)
+        .drop("__rn")
       val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
       a.join(b, "l_orderkey")
@@ -364,8 +374,11 @@ object CoreQueries {
         |  round(sum(value), 2) AS vsum
         |FROM e GROUP BY hour""".stripMargin,
     "q66_copurchase" ->
-      """WITH items AS (
+      """WITH dist AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), items AS (
+        |  SELECT l_orderkey, l_partkey FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) <= 64
         |)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
         |FROM items a JOIN items b
