@@ -19,6 +19,34 @@ class S2Spec extends AnyFunSuite {
     assert(faceOf(-90, 0) === 5)   // -z
   }
 
+  test("published face-cell tokens: the six level-0 cells are 1,3,5,7,9,b") {
+    // External golden: the S2 docs publish the level-0 cell ids as
+    // (face << 61) | (1 << 60), whose tokens (hex, trailing zeros
+    // stripped) are exactly "1","3","5","7","9","b". Asserted through the
+    // full latlng → leaf → parent(0) → token pipeline, not on constants.
+    val cases = Seq(
+      (0.0, 0.0, "1"), (0.0, 90.0, "3"), (90.0, 0.0, "5"),
+      (0.0, 180.0, "7"), (0.0, -90.0, "9"), (-90.0, 0.0, "b"))
+    cases.foreach { case (lat, lon, want) =>
+      assert(S2.token(S2.parent(S2.fromLatLngDegrees(lat, lon), 0)) === want,
+        s"face token for ($lat, $lon)")
+    }
+  }
+
+  test("city coordinates land on the documented faces") {
+    // The face layout is published: face 0 centered (0E,0N), 1 (90E), 2
+    // (north pole), 3 (180E), 4 (90W), 5 (south pole). Spot-check with
+    // city coordinates whose dominant axis is unambiguous.
+    def face(lat: Double, lon: Double): Int =
+      (S2.fromLatLngDegrees(lat, lon) >>> 61).toInt
+    assert(face(5.6037, -0.1870) === 0)    // Accra: +x dominant
+    assert(face(1.3521, 103.8198) === 1)   // Singapore: +y dominant
+    assert(face(82.5, -62.3) === 2)        // Alert, Nunavut: +z dominant
+    assert(face(-36.8485, 174.7633) === 3) // Auckland: -x dominant
+    assert(face(40.7128, -74.0060) === 4)  // New York: -y dominant
+    assert(face(-77.85, 166.67) === 5)     // McMurdo Station: -z dominant
+  }
+
   test("face centers encode to centered i/j") {
     val id = S2.fromLatLngDegrees(0, 0)
     val (f, i, j) = S2.toFaceIJ(id)
