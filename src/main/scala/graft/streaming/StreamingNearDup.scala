@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.TextNormalizer
+
+/** Streaming near-duplicate detection: the batch MinHash + banded-LSH
+  * pipeline ([[graft.dedup.MinHashDeduplicator]]) re-expressed over a
+  * watermarked stream — emits verified near-dup pairs among documents
+  * whose event times fall within one watermark delay of each other.
+  *
+  * Shape: banding is ROW-LOCAL (normalize → native `Shingles` →
+  * `MinHashSignature` kernels → band digests — byte-identical to the batch
+  * operator's signatures, so batch backfill and streaming ingest bucket
+  * identically); candidates come from a watermarked stream-stream
+  * self-join on `(band, bandSig)` with a time-range bound; verification
+  * is exact shingle-set Jaccard computed row-locally on the joined pair —
+  * no state beyond the join's own.
+  *
+  * Scale: join state holds only rows within the watermark window, keyed
+  * by uniformly-distributed 128-bit band signatures — state is bounded by
+  * ingest-rate × delay, never by corpus size, and only band-colliding
+  * rows ever pair (the LSH contract). Multi-band collisions are collapsed
+  * by `dropDuplicatesWithinWatermark` on the pair key.
+  */
+object StreamingNearDup {
+
+  /** Distinct shingle set of normalized text — the batch verifier's
+    * identity, exposed for parity tests.
+    */
+  def shingleSet(text: Column, k: Int): Column =
+    array_distinct(org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.Shingles(
+        org.apache.spark.sql.GraftBridge.expression(TextNormalizer.normalize(text)), k)))
+
+  /** (id, ts, norm, band, bandSig): row-local banding, same digests as
+    * `MinHashDeduplicator.bandSignatures`.
+    */
+  private def banded(df: DataFrame, idCol: String, textCol: String, tsCol: String,
+      k: Int, numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    require(rowsPerBand * numBands == numHashes,
+      s"numBands ($numBands) must divide numHashes ($numHashes)")
+    df.select(col(idCol).as("id"), col(tsCol).as("ts"),
+        TextNormalizer.normalize(col(textCol)).as("norm"))
+      .withColumn("mh", org.apache.spark.sql.GraftBridge.column(
+        graft.sql.expressions.MinHashSignature(
+          graft.sql.expressions.Shingles(
+            org.apache.spark.sql.GraftBridge.expression(col("norm")), k),
+          numHashes)))
+      // outer explode: InferFiltersFromGenerate must not clone the kernel
+      // chain into a filter (the batch pipeline's documented trap)
+      .select(col("id"), col("ts"), col("norm"), explode_outer(expr(
+        s"""transform(sequence(0, ${numBands - 1}),
+           |  b -> struct(CAST(b AS INT) AS band,
+           |    md5(array_join(transform(slice(mh, b * $rowsPerBand + 1, $rowsPerBand),
+           |      x -> CAST(x AS STRING)), ',')) AS bandSig))""".stripMargin)).as("bs"))
+      .select(col("id"), col("ts"), col("norm"),
+        col("bs.band").as("band"), col("bs.bandSig").as("bandSig"))
+  }
+
+  /** Verified near-dup pairs `(id_a, id_b, ts_a, jaccard)` among stream
+    * rows within `delay` of each other (e.g. `"30 minutes"`). `df` must be
+    * a streaming frame with event-time column `tsCol`.
+    */
+  def pairs(df: DataFrame, idCol: String, textCol: String, tsCol: String,
+      delay: String, k: Int = 8, numHashes: Int = 12, numBands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val bands = banded(df, idCol, textCol, tsCol, k, numHashes, numBands)
+    val a = bands.toDF("id_a", "ts_a", "norm_a", "band_a", "sig_a")
+      .withWatermark("ts_a", delay)
+    val b = bands.toDF("id_b", "ts_b", "norm_b", "band_b", "sig_b")
+      .withWatermark("ts_b", delay)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    // pair ordering via least/greatest + dedup, NOT an `id_a < id_b` join
+    // predicate: StreamingJoinHelper tries to extract a state-watermark
+    // constraint from every </<= conjunct of a stream-stream join
+    // condition and hits an internal error on non-temporal attributes;
+    // `=!=` takes a code path it skips.
+    a.join(b,
+        col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+          col("id_a") =!= col("id_b") &&
+          col("ts_b").between(
+            col("ts_a") - expr(s"INTERVAL $delay"),
+            col("ts_a") + expr(s"INTERVAL $delay")))
+      .select(col("id_a"), col("id_b"), col("ts_a"),
+        shingleSet(col("norm_a"), k).as("sh_a"),
+        shingleSet(col("norm_b"), k).as("sh_b"))
+      .withColumn("jaccard",
+        inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .where(col("jaccard") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("ts_a"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+  }
+}
