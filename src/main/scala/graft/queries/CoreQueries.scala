@@ -273,6 +273,19 @@ object CoreQueries {
           coalesce(col("o_custkey"), lit(-1L)).as("okey"),
           coalesce(round(col("c_acctbal"), 2), lit(0.0)).as("acctbal"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
+    // runtime-filter semi-join: Bloom filter over the selective order-key
+    // set prunes the lineitem scan before the exact left_semi verify —
+    // result is EXACTLY the semi-join (the filter only changes cost)
+    "q73_bloom_join" -> ((s, dir) => {
+      val bigOrders = Tables.orders(s, dir)
+        .where(col("o_totalprice") > 400000.0)
+      graft.sql.BloomJoin.semiJoin(
+        Tables.lineitem(s, dir), col("l_orderkey"),
+        bigOrders, col("o_orderkey"),
+        numBits = 1 << 16, numHashes = 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     })
   )
 
@@ -413,6 +426,12 @@ object CoreQueries {
         |  coalesce(o_custkey, -1) AS okey,
         |  coalesce(round(c_acctbal, 2), 0) AS acctbal,
         |  coalesce(n_orders, 0) AS n_orders
-        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin,
+    "q73_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0
+        |)""".stripMargin
   )
 }

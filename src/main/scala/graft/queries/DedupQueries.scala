@@ -98,6 +98,15 @@ object DedupQueries {
         .setNumHashes(12).setNumBands(4).setThreshold(0.5)
         .transform(seeded(s, dir))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // segment-level exact dedup (CCNet-style "line dedup"): 16-token
+    // blocks deduped corpus-wide by first occurrence, docs reassembled
+    // from their surviving blocks — seeded exact copies collapse to '',
+    // near-dup copies keep only their mutated tail block
+    "q77_segment_dedup" -> ((s, dir) => {
+      new graft.dedup.SegmentDeduplicator(blockTokens = 16)
+        .transform(seeded(s, dir))
     })
   )
 
@@ -254,6 +263,28 @@ object DedupQueries {
           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
           |WHERE jaccard >= 0.5
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,200) token bound
-          |SELECT -1, -1, -1.0 WHERE (SELECT max(len(tl)) FROM toks) > 200""".stripMargin)
+          |SELECT -1, -1, -1.0 WHERE (SELECT max(len(tl)) FROM toks) > 200""".stripMargin),
+    "q77_segment_dedup" ->
+      (seededSql +
+        """
+          |, toks AS (
+          |  SELECT doc_id, string_split(norm, ' ') AS tl FROM norm
+          |), segs AS (
+          |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+          |    array_to_string(list_slice(tl, CAST(i*16+1 AS INT), CAST(i*16+16 AS INT)), ' ') AS segment
+          |  FROM toks CROSS JOIN range(0, 16) t(i)
+          |  WHERE i <= (len(tl) - 1) // 16
+          |), rn AS (
+          |  SELECT doc_id, seg_idx, segment,
+          |    row_number() OVER (PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn
+          |  FROM segs
+          |)
+          |SELECT doc_id, count(*) AS n_segments,
+          |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segments,
+          |  coalesce(string_agg(CASE WHEN rn = 1 THEN segment END, ' ' ORDER BY seg_idx), '')
+          |    AS clean_text
+          |FROM rn GROUP BY doc_id
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(0,16) segment bound
+          |SELECT -1, -1, -1, '' WHERE (SELECT max(len(tl)) FROM toks) > 256""".stripMargin)
   )
 }

@@ -82,6 +82,23 @@ object TemporalQueries {
         .where(col("next_type").isNotNull)
         .groupBy(col("event_type"), col("next_type"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // z-order layout clustering: Morton-interleave (user bucket, hour
+    // bucket) into one sort key, then per-zrange file-bucket stats — the
+    // min/max spans show what a layout-optimized write would let scans
+    // prune on (native ZOrder64 codegen kernel)
+    "q75_zorder" -> ((s, dir) => {
+      val z = graft.sql.functions.zorder(col("x"), col("y"), 10)
+      Tables.events(s, dir)
+        .select(
+          pmod(col("user_id"), lit(1024L)).cast("long").as("x"),
+          pmod(expr("(ts div 1000) div 3600000000"), lit(1024L)).cast("long").as("y"))
+        .select(col("x"), col("y"), z.as("z"))
+        .groupBy(expr("z div 4096").as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
     })
   )
 
@@ -153,6 +170,22 @@ object TemporalQueries {
         |)
         |SELECT event_type, next_type, count(*) AS n
         |FROM n WHERE next_type IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q75_zorder" ->
+      """WITH d AS (
+        |  SELECT user_id % 1024 AS x,
+        |    (epoch_us(ts) // 3600000000) % 1024 AS y
+        |  FROM events
+        |), z AS (
+        |  SELECT x, y,
+        |    (SELECT CAST(sum(((x >> CAST(i AS INT)) & 1) << CAST(2*i AS INT))
+        |          + sum(((y >> CAST(i AS INT)) & 1) << CAST(2*i+1 AS INT)) AS BIGINT)
+        |     FROM range(0, 10) t(i)) AS zv
+        |  FROM d
+        |)
+        |SELECT zv // 4096 AS z_bucket, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1""".stripMargin
   )
 }

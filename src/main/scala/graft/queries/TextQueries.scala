@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{ContaminationChecker, RepetitionStats, TextFunctions, TextRedactor, TokenPacker}
+import graft.text.{Chunker, ContaminationChecker, RepetitionStats, TextFunctions, TextRedactor, TokenPacker, UnigramLM}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -115,6 +115,33 @@ object TextQueries {
         .agg(graft.sql.functions.kMinValues(col("tok"), 64).as("kmv"))
         .select(col("source"),
           round(graft.sql.functions.kmvEstimate(col("kmv"), 64), 6).as("est_distinct"))
+    }),
+
+    // sliding-window chunking: 32-token chunks every 24 tokens (RAG /
+    // training-sequence prepass; row-local fan-out, no shuffle)
+    "q72_chunker" -> ((s, dir) => {
+      new Chunker().setIdCol("doc_id").setTextCol("text")
+        .setChunkSize(32).setStride(24)
+        .transform(Tables.documents(s, dir))
+    }),
+
+    // Count-Min frequency sketch (depth 4 × width 1024 custom typed
+    // aggregate) point-checked against the exact top-20 token counts
+    "q74_cms_topk" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode_outer(graft.dedup.TextNormalizer.tokens(col("text"))).as("tok"))
+      val sketch = toks.agg(graft.sql.functions.countMinSketch(col("tok"), 4, 1024).as("sk"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+        .crossJoin(broadcast(sketch))
+        .select(col("tok"), col("exact_n"),
+          graft.sql.functions.cmsEstimate(col("sk"), col("tok"), 4, 1024).as("cms_n"))
+    }),
+
+    // unigram-LM scoring (CCNet-style quality gate): per-doc mean token
+    // negative log-likelihood under the corpus's own smoothed unigram model
+    "q76_unigram_lm" -> ((s, dir) => {
+      new UnigramLM(alpha = 0.5).fitScore(Tables.documents(s, dir))
     })
   )
 
@@ -283,6 +310,50 @@ object TextQueries {
            |  END AS lang_guess,
            |  count(*) AS n
            |FROM hits GROUP BY 1, 2""".stripMargin),
+    "q72_chunker" ->
+      (normSql +
+        """
+          |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+          |  array_to_string(list_slice(tl, CAST(i*24+1 AS INT), CAST(i*24+32 AS INT)), ' ') AS chunk_text,
+          |  CAST(least(32, len(tl) - i*24) AS BIGINT) AS chunk_tokens
+          |FROM toks CROSS JOIN range(0, 32) t(i)
+          |WHERE i <= ceil(greatest(len(tl) - 32, 0) / 24.0)
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(0,32) chunk bound
+          |SELECT -1, -1, '', -1 WHERE (SELECT max(len(tl)) FROM toks) > 776""".stripMargin),
+    "q74_cms_topk" ->
+      (normSql +
+        """
+          |, tok AS (
+          |  SELECT unnest(tl) AS tok FROM toks
+          |), counts AS (
+          |  SELECT tok, count(*) AS exact_n FROM tok GROUP BY 1
+          |), top AS (
+          |  SELECT tok, exact_n FROM counts ORDER BY exact_n DESC, tok LIMIT 20
+          |), buckets AS (
+          |  SELECT j, ('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 14))::BIGINT % 1024 AS b,
+          |    count(*) AS c
+          |  FROM tok CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2
+          |)
+          |SELECT top.tok, top.exact_n, CAST(min(bk.c) AS BIGINT) AS cms_n
+          |FROM top CROSS JOIN range(0, 4) r(j)
+          |JOIN buckets bk ON bk.j = r.j
+          |  AND bk.b = ('0x' || substr(md5(r.j::VARCHAR || ':' || top.tok), 1, 14))::BIGINT % 1024
+          |GROUP BY 1, 2""".stripMargin),
+    "q76_unigram_lm" ->
+      (normSql +
+        """
+          |, tok AS (
+          |  SELECT doc_id, unnest(tl) AS tok FROM toks
+          |), counts AS (
+          |  SELECT tok, count(*) AS c FROM tok GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(sum(c) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS v_size
+          |  FROM counts
+          |)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  round(avg(-ln((c + 0.5) / (n_total + 0.5 * v_size))), 6) AS avg_nll
+          |FROM tok JOIN counts USING (tok) CROSS JOIN tot
+          |GROUP BY doc_id""".stripMargin),
     "q67_distinct_sketch" ->
       """WITH nrm AS (
         |  SELECT source,

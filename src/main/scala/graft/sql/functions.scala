@@ -75,6 +75,55 @@ object functions {
     when(size(arr) < k, size(arr).cast("double"))
       .otherwise(lit((k - 1).toDouble * 72057594037927936.0) / element_at(arr, k))
 
+  /** Count-Min sketch aggregate ([[graft.sql.expressions.CountMinSketch]]):
+    * `depth × width` counters as a flattened ARRAY&lt;LONG&gt; — fixed-size,
+    * mergeable per-group frequency state (vs shuffling the whole
+    * vocabulary for an exact wordcount).
+    */
+  def countMinSketch(c: Column, depth: Int, width: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.CountMinSketch(
+        org.apache.spark.sql.GraftBridge.expression(c), depth, width)
+        .toAggregateExpression())
+
+  /** Point frequency estimate from a [[countMinSketch]] array: min over the
+    * key's `depth` buckets (an upper bound on the true count). Bucket
+    * hashing replays the sketch's md5 scheme with built-ins (`conv` of the
+    * md5 prefix) so the oracle can reproduce it.
+    */
+  def cmsEstimate(sketch: Column, key: Column, depth: Int, width: Int): Column =
+    array_min(transform(sequence(lit(0), lit(depth - 1)), j =>
+      element_at(sketch,
+        (j * width).cast("int") +
+          pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), key)), 1, 14),
+            16, 10).cast("long"), lit(width)).cast("int") + 1)))
+
+  /** Bloom-filter aggregate ([[graft.sql.expressions.BloomFilterAgg]]):
+    * `numBits` bits as packed ARRAY&lt;LONG&gt; words; merge = bitwise OR.
+    */
+  def bloomFilter(c: Column, numBits: Int, numHashes: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.BloomFilterAgg(
+        org.apache.spark.sql.GraftBridge.expression(c), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** Probe a [[bloomFilter]] word array: false ⇒ definitely absent. */
+  def bloomMightContain(words: Column, key: Column, numHashes: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.BloomMightContain(
+        org.apache.spark.sql.GraftBridge.expression(words),
+        org.apache.spark.sql.GraftBridge.expression(key), numHashes))
+
+  /** Z-order (Morton) interleave of two non-negative BIGINT dimensions —
+    * the multi-dimensional clustering key for layout-optimized writes
+    * ([[graft.sql.expressions.ZOrder64]]).
+    */
+  def zorder(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.ZOrder64(
+        org.apache.spark.sql.GraftBridge.expression(x),
+        org.apache.spark.sql.GraftBridge.expression(y), bits))
+
   /** Dot product of two numeric array columns (codegen-friendly). */
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
