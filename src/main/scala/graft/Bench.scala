@@ -20,7 +20,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated query-name filter for focused profiling runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // warmup: one untimed execution of each query
     qs.foreach { case (_, fn) =>
@@ -51,14 +54,21 @@ object Bench {
     // round-3's full-precision line outgrew the driver's log-tail window
     // and dropped `total` + the first queries
     def num(v: Double): String = f"$v%.3f"
-    val qJson = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    // round-4's full-name line (~3.5 KB) still outgrew the driver's
+    // log-tail window and its head was clipped, so the driver parsed
+    // nothing. The PRINTED line uses the short `qNN` key prefix
+    // (~1 KB, fits the window); bench_out.json keeps full names.
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val qJson = results.map { case (k, v) => jstr(short(k)) + ":" + num(v) }.mkString("{", ",", "}")
+    val qJsonFull = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val eJsonShort = errors.map { case (k, v) => jstr(short(k)) + ":" + jstr(v.take(60)) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // headline fields LAST: if the log window still truncates, it keeps the
-    // line's tail — and the full line is also written to bench_out.json
     val line =
-      s"""{"queries":$qJson,"errors":$eJson,"sf":${jstr(sfDir)},"metric":"total","unit":"sec","value":${num(total)}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qJson,"errors":$eJsonShort,"sf":${jstr(sfDir)}}"""
+    val lineFull =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qJsonFull,"errors":$eJson,"sf":${jstr(sfDir)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), lineFull + "\n")
     println(line)
     spark.stop()
   }

@@ -16,10 +16,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // optional comma-separated query filter for focused oracle re-checks
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -38,6 +43,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // explicit failure record: a query that errors must show up as an error
+    // row, never vanish from the round's correctness report
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

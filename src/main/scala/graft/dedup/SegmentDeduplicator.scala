@@ -35,7 +35,8 @@ class SegmentDeduplicator(
     */
   def segments(docs: Dataset[_]): DataFrame = {
     val b = blockTokens
-    val lastSeg = (size(col("tl")) - 1) / b // tokens("") = [""] so n >= 1
+    // Spark SQL `/` is DOUBLE division; sequence() needs integral bounds.
+    val lastSeg = floor((size(col("tl")) - 1) / b).cast("int") // tokens("") = [""] so n >= 1
     docs.select(col(idCol), TextNormalizer.tokens(col(textCol)).as("tl"))
       .select(col(idCol), col("tl"), posexplode_outer(sequence(lit(0), lastSeg)))
       .select(col(idCol), col("col").cast("int").as("seg_idx"),

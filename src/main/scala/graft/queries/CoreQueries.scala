@@ -207,26 +207,33 @@ object CoreQueries {
     }),
 
     // market-basket co-occurrence: part pairs bought in the same order,
-    // top 20 — self-join bounded by per-order item counts, never all-pairs
-    // across orders. Baskets are CAPPED at the 64 lowest part ids: pair
+    // top 20. ONE groupBy shuffle collects each order's distinct parts
+    // into a sorted basket array (capped at the 64 lowest part ids — pair
     // fan-out is quadratic in basket size, and on a real event log one
     // pathological 10k-item basket would put 5·10⁷ pairs on a single
-    // order key. TPC-H baskets max out at 7, so the cap drops nothing
-    // here (oracle applies the identical cap).
+    // order key; TPC-H baskets max out at 7 so the cap drops nothing, and
+    // the oracle applies the identical cap). Pairs are then generated
+    // ROW-LOCALLY from the array — no self-join, no windowed re-shuffle;
+    // the round-4 self-join-on-windowed-items shape cost two extra
+    // exchanges plus a per-order sort on both join sides.
     "q66_copurchase" -> ((s, dir) => {
       val maxBasket = 64
-      val items = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))))
-        .where(col("__rn") <= maxBasket)
-        .drop("__rn")
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, "l_orderkey")
-        .where(col("part_a") < col("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, maxBasket)
+          .as("basket"))
+        .select(explode_outer(expr(
+          // i<j over the sorted basket: flatten keeps it one generator row
+          """flatten(transform(basket, (pa, i) ->
+            |  transform(slice(basket, i + 2, size(basket)),
+            |    pb -> struct(pa AS part_a, pb AS part_b))))""".stripMargin))
+          .as("p"))
+        // outer explode emits a null row for single-item baskets (empty
+        // pair array) — drop those, keeping the generator outer so the
+        // flatten/transform chain never clones into a pre-explode filter
+        .where(col("p").isNotNull)
+        .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("part_a"), col("part_b"))
         .limit(20)

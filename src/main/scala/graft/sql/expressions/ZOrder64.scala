@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * Native codegen (one fused bit loop) keeps it eligible for whole-stage
   * codegen in write paths; the same arithmetic is SQL-replayable as
   * `sum(((x >> i) & 1) << 2i | ((y >> i) & 1) << 2i+1)` (q75's oracle).
-  * Nulls propagate; negative inputs are rejected at runtime by masking —
-  * callers bucket/`pmod` dimensions first.
+  * Nulls propagate. Only the low `bits` bits of each input are read, which
+  * for any sign equals interleaving `pmod(x, 2^bits)` — but a negative
+  * long's low bits carry no ordering relation to its value, so callers must
+  * pre-bucket dimensions into [0, 2^bits) (e.g. via `pmod` or rank-bucketing)
+  * for the sort key to be meaningful.
   */
 case class ZOrder64(left: Expression, right: Expression, bits: Int)
   extends BinaryExpression {

@@ -46,8 +46,9 @@ class UnigramLM(
       .join(model, Seq("tok"), "left") // vocab-keyed equi-join; AQE broadcasts small vocabs
       .crossJoin(broadcast(totals))
       .select(col(idCol),
-        -log((coalesce(col("c"), lit(0L)).cast("double") + alpha) /
-          (col("n_total") + col("v_size") * alpha)).as("nll"))
+        // parens first: `-x.as("nll")` aliases x, then negates into an unnamed column
+        (-log((coalesce(col("c"), lit(0L)).cast("double") + alpha) /
+          (col("n_total") + col("v_size") * alpha))).as("nll"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 6).as("avg_nll"))
   }
