@@ -99,6 +99,16 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n"),
           min(col("x")).as("min_x"), max(col("x")).as("max_x"),
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    }),
+
+    // point-in-time-correct rolling user-history features: trailing-5
+    // stats strictly before each event (the ML feature-leakage guard) —
+    // one keyed shuffle, one window pass for all features
+    "q79_rolling_features" -> ((s, dir) => {
+      new graft.temporal.RollingFeatures(n = 5)
+        .transform(Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"), col("value")))
     })
   )
 
@@ -186,6 +196,23 @@ object TemporalQueries {
         |SELECT zv // 4096 AS z_bucket, count(*) AS n,
         |  min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y
-        |FROM z GROUP BY 1""".stripMargin
+        |FROM z GROUP BY 1""".stripMargin,
+    "q79_rolling_features" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+        |)
+        |SELECT event_id, user_id, ts_us, value,
+        |  round(lag(value, 1) OVER w, 6) AS lag1,
+        |  round(value - lag(value, 1) OVER w, 6) AS delta,
+        |  CAST(count(value) OVER t AS BIGINT) AS roll_n,
+        |  round(avg(value) OVER t, 6) AS roll_mean,
+        |  round(min(value) OVER t, 6) AS roll_min,
+        |  round(max(value) OVER t, 6) AS roll_max,
+        |  round(sum(value) OVER t, 6) AS roll_sum
+        |FROM ev
+        |WINDOW
+        |  w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |  t AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{Chunker, ContaminationChecker, RepetitionStats, TextFunctions, TextRedactor, TokenPacker, UnigramLM}
+import graft.text.{Bm25, Chunker, ContaminationChecker, RepetitionStats, TextFunctions, TextRedactor, TokenPacker, UnigramLM}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -142,6 +142,13 @@ object TextQueries {
     // negative log-likelihood under the corpus's own smoothed unigram model
     "q76_unigram_lm" -> ((s, dir) => {
       new UnigramLM(alpha = 0.5).fitScore(Tables.documents(s, dir))
+    }),
+
+    // Okapi BM25 retrieval scoring against a fixed term set — broadcast
+    // query terms prune the token stream before df aggregation
+    "q78_bm25" -> ((s, dir) => {
+      new Bm25(k1 = 1.2, b = 0.75)
+        .score(Tables.documents(s, dir), Seq("spark", "query", "join", "stream"))
     })
   )
 
@@ -353,6 +360,28 @@ object TextQueries {
           |SELECT doc_id, count(*) AS n_tokens,
           |  round(avg(-ln((c + 0.5) / (n_total + 0.5 * v_size))), 6) AS avg_nll
           |FROM tok JOIN counts USING (tok) CROSS JOIN tot
+          |GROUP BY doc_id""".stripMargin),
+    "q78_bm25" ->
+      (normSql +
+        """
+          |, tok AS (
+          |  SELECT doc_id, len(tl) AS len, unnest(tl) AS term FROM toks
+          |), tc AS (
+          |  SELECT doc_id, len, term, count(*) AS c FROM tok
+          |  WHERE term IN ('spark', 'query', 'join', 'stream')
+          |  GROUP BY 1, 2, 3
+          |), df AS (
+          |  SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY 1
+          |), corpus AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(tl)) AS avgdl
+          |  FROM toks
+          |)
+          |SELECT doc_id, count(*) AS n_terms,
+          |  round(sum(
+          |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+          |    (c * (1.2 + 1)) / (c + 1.2 * (1 - 0.75 + 0.75 * len / avgdl))
+          |  ), 6) AS score
+          |FROM tc JOIN df USING (term) CROSS JOIN corpus
           |GROUP BY doc_id""".stripMargin),
     "q67_distinct_sketch" ->
       """WITH nrm AS (
