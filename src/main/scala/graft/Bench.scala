@@ -32,12 +32,18 @@ object Bench {
 
     var errors = List.empty[(String, String)]
     // a failing query lands in `errors` and contributes NO time (neither a
-    // per-query entry nor `total`) — failures never masquerade as wall time
+    // per-query entry nor `total`) — failures never masquerade as wall time.
+    // Each query is timed twice and the MIN reported: round-4's driver run
+    // shared the machine with other work and single-shot times blew up 25×
+    // (q20 1.7s→43s) purely from CPU contention; min-of-2 bounds that noise.
     val results = qs.flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Some(name -> times.min)
       } catch {
         case e: Throwable =>
           errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -149,6 +149,53 @@ object TextQueries {
     "q78_bm25" -> ((s, dir) => {
       new Bm25(k1 = 1.2, b = 0.75)
         .score(Tables.documents(s, dir), Seq("spark", "query", "join", "stream"))
+    }),
+
+    // HyperLogLog distinct-token estimate per source: 2^10 one-byte
+    // registers per group (merge = element-wise max) — the fixed-state
+    // counterpart of q67's KMV sketch. md5-derived registers let the
+    // oracle replay the sketch exactly; register values stay small enough
+    // that the harmonic-mean estimate is bit-reproducible (see hllEstimate)
+    "q80_hll" -> ((s, dir) => {
+      val p = 10
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode_outer(graft.dedup.TextNormalizer.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(graft.sql.functions.hllSketch(col("tok"), p).as("regs"))
+        .select(col("source"),
+          size(filter(col("regs"), r => r === lit(0))).as("zero_regs"),
+          round(graft.sql.functions.hllEstimate(col("regs"), p), 6).as("est_distinct"))
+    }),
+
+    // bigram collocation mining: top-20 bigrams by frequency with PMI —
+    // two distributed wordcounts, then only the tiny top-k set (not the
+    // vocabulary) broadcast-joins back to unigram counts. Bigrams come
+    // from a row-local zip of adjacent tokens (no self-join); ordering is
+    // by integer count + keys, never by the float score
+    "q81_pmi" -> ((s, dir) => {
+      val tl = Tables.documents(s, dir)
+        .select(graft.dedup.TextNormalizer.tokens(col("text")).as("tl"))
+      val uni = tl.select(explode_outer(col("tl")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val totals = uni.agg(sum(col("cw")).cast("double").as("n1"))
+      val bgCounts = tl.select(explode_outer(
+          zip_with(
+            slice(col("tl"), lit(1), size(col("tl")) - 1),
+            slice(col("tl"), lit(2), size(col("tl")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .where(col("bg").isNotNull)
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("c_xy"))
+      val n2 = bgCounts.agg(sum(col("c_xy")).cast("double").as("n2"))
+      val top = bgCounts.orderBy(col("c_xy").desc, col("w1"), col("w2")).limit(20)
+      broadcast(top)
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+        .crossJoin(broadcast(totals)).crossJoin(broadcast(n2))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          round(log(col("c_xy") * col("n1") * col("n1") /
+            (col("n2") * col("c1") * col("c2"))), 6).as("pmi"))
     })
   )
 
@@ -361,6 +408,60 @@ object TextQueries {
           |  round(avg(-ln((c + 0.5) / (n_total + 0.5 * v_size))), 6) AS avg_nll
           |FROM tok JOIN counts USING (tok) CROSS JOIN tot
           |GROUP BY doc_id""".stripMargin),
+    "q80_hll" ->
+      """WITH nrm AS (
+        |  SELECT source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), tok AS (
+        |  SELECT source, unnest(string_split(norm, ' ')) AS tok FROM nrm
+        |), hd AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS hv FROM tok
+        |), rr AS (
+        |  SELECT source, hv >> 46 AS reg,
+        |    CASE WHEN (hv & ((1::BIGINT << 46) - 1)) = 0 THEN 47
+        |         ELSE 47 - length(format('{:b}', hv & ((1::BIGINT << 46) - 1))) END AS rho
+        |  FROM hd
+        |), regs AS (
+        |  SELECT source, reg, max(rho) AS mj FROM rr GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source,
+        |    sum(pow(2.0, -mj)) + (1024 - count(*)) AS harm,
+        |    1024 - count(*) AS zero_regs
+        |  FROM regs GROUP BY 1
+        |)
+        |SELECT source, CAST(zero_regs AS INT) AS zero_regs,
+        |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 / harm <= 2560.0
+        |              AND zero_regs > 0
+        |    THEN 1024.0 * ln(1024.0 / zero_regs)
+        |    ELSE 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 / harm END, 6) AS est_distinct
+        |FROM st""".stripMargin,
+    "q81_pmi" ->
+      """WITH nrm AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), toks AS (
+        |  SELECT string_split(norm, ' ') AS tl FROM nrm
+        |), uni AS (
+        |  SELECT w, count(*) AS cw FROM (SELECT unnest(tl) AS w FROM toks) GROUP BY 1
+        |), n1 AS (
+        |  SELECT CAST(sum(cw) AS DOUBLE) AS n1 FROM uni
+        |), bg AS (
+        |  SELECT tl[i] AS w1, tl[i + 1] AS w2
+        |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(tl))) AS i) t
+        |), bgc AS (
+        |  SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+        |), n2 AS (
+        |  SELECT CAST(sum(c_xy) AS DOUBLE) AS n2 FROM bgc
+        |), top AS (
+        |  SELECT w1, w2, c_xy FROM bgc ORDER BY c_xy DESC, w1, w2 LIMIT 20
+        |)
+        |SELECT w1, w2, c_xy,
+        |  round(ln(c_xy * n1 * n1 / (n2 * u1.cw * u2.cw)), 6) AS pmi
+        |FROM top
+        |JOIN uni u1 ON u1.w = top.w1
+        |JOIN uni u2 ON u2.w = top.w2
+        |CROSS JOIN n1 CROSS JOIN n2""".stripMargin,
     "q78_bm25" ->
       (normSql +
         """

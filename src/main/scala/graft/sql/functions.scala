@@ -114,6 +114,40 @@ object functions {
         org.apache.spark.sql.GraftBridge.expression(words),
         org.apache.spark.sql.GraftBridge.expression(key), numHashes))
 
+  /** HyperLogLog distinct-count sketch aggregate (custom
+    * [[graft.sql.expressions.HllSketch]] TypedImperativeAggregate): `2^p`
+    * max-rho registers as ARRAY&lt;INT&gt; — fixed-size, mergeable
+    * (element-wise max) per-group state.
+    */
+  def hllSketch(c: Column, p: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.HllSketch(
+        org.apache.spark.sql.GraftBridge.expression(c), p).toAggregateExpression())
+
+  /** Distinct-count estimate from a [[hllSketch]] register array: the
+    * standard bias-corrected `alpha_m * m^2 / sum(2^-M_j)` with the
+    * small-range linear-counting branch `m * ln(m/V)` (V = zero registers).
+    * Pure column arithmetic (codegen'd), replayable in the SQL oracle.
+    * Register values stay small (rho ≤ ~log2(n/m) + slack), so the
+    * harmonic-mean sum of powers of two is exact in DOUBLE and the
+    * estimate is bit-reproducible regardless of aggregation order.
+    */
+  def hllEstimate(regs: Column, p: Int): Column = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val harm = aggregate(regs, lit(0.0d), (acc, r) => acc + pow(lit(2.0d), -r.cast("double")))
+    val zeros = size(filter(regs, _ === 0))
+    val raw = lit(alpha * m.toDouble * m.toDouble) / harm
+    when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+  }
+
   /** Z-order (Morton) interleave of two non-negative BIGINT dimensions —
     * the multi-dimensional clustering key for layout-optimized writes
     * ([[graft.sql.expressions.ZOrder64]]).
