@@ -1,0 +1,44 @@
+package graft.feature
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Percentile winsorization: clamp a numeric column to its per-group
+  * [lower, upper] quantiles — the robust-scaling prepass that keeps a
+  * handful of pathological outliers (bot sessions, parse glitches,
+  * fat-finger values) from dominating downstream normalization, binning
+  * ([[Binning]]), or model features.
+  *
+  * Two-pass shape that survives 100 TB: pass 1 learns one bounds row per
+  * group (exact `percentile` aggregate — partial-aggregated, state bounded
+  * by group count, same growth as any groupBy); pass 2 broadcast-joins the
+  * tiny bounds table back and clamps row-locally inside whole-stage
+  * codegen. The big table is never shuffled — only scanned twice, and the
+  * clamp pass is where callers chain their real pipeline.
+  *
+  * Quantiles are exact with linear interpolation (Spark `percentile`,
+  * identical to ANSI `percentile_cont`), so the SQL oracle replays bounds
+  * bit-for-bit (q82).
+  */
+class Winsorizer(lower: Double = 0.05, upper: Double = 0.95) {
+  require(0.0 <= lower && lower < upper && upper <= 1.0,
+    s"need 0 <= lower < upper <= 1, got [$lower, $upper]")
+
+  /** Per-group clamp bounds: one row per group, columns `lo`/`hi`. */
+  def bounds(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $lower)").as("lo"),
+        expr(s"percentile($valueCol, $upper)").as("hi"))
+
+  /** Input plus `<valueCol>_wins`, the value clamped to the group bounds. */
+  def transform(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val b = bounds(df, groupCol, valueCol)
+    df.join(broadcast(b), groupCol)
+      .withColumn(s"${valueCol}_wins",
+        Winsorizer.clamp(col(valueCol), col("lo"), col("hi")))
+  }
+}
+
+object Winsorizer {
+  def clamp(v: Column, lo: Column, hi: Column): Column = least(greatest(v, lo), hi)
+}

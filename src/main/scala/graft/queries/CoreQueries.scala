@@ -293,6 +293,26 @@ object CoreQueries {
         bigOrders, col("o_orderkey"),
         numBits = 1 << 16, numHashes = 5)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // layout-optimized write + scan: cluster part by zorder(p_size,
+    // floor(p_retailprice)) into range-partitioned sorted parquet, then
+    // read the clustered copy back under a selective predicate. The
+    // round-trip must be lossless (oracle = same query on the original
+    // table); LayoutWriterSpec proves the files carry disjoint key ranges
+    // (what row-group/file stats prune on at 100 TB).
+    "q83_layout_write" -> ((s, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_layout_${Integer.toHexString(dir.hashCode)}"
+      new graft.sql.LayoutWriter(maxRecordsPerFile = 4096).write(
+        Tables.part(s, dir),
+        graft.sql.functions.zorder(
+          col("p_size").cast("long"),
+          floor(col("p_retailprice")).cast("long"), 11),
+        numRanges = 8, path = path)
+      s.read.parquet(path)
+        .where(col("p_size").between(10, 15))
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 6).as("sum_price"))
     })
   )
 
@@ -439,6 +459,11 @@ object CoreQueries {
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0
-        |)""".stripMargin
+        |)""".stripMargin,
+    "q83_layout_write" ->
+      """SELECT p_size, count(*) AS n, round(sum(p_retailprice), 6) AS sum_price
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 15
+        |GROUP BY p_size""".stripMargin
   )
 }

@@ -138,6 +138,21 @@ object FeatureQueries {
         .select(col("o_orderkey"), col("label"), round(col("w"), 6).as("w"))
     }),
 
+    // percentile winsorization: per-event-type [p05, p95] clamp of value
+    // (robust-scaling prepass). Bounds learned as one tiny aggregate row
+    // per group, broadcast back, clamp row-local — the 100 TB input is
+    // scanned, never shuffled.
+    "q82_winsorize" -> ((s, dir) => {
+      new graft.feature.Winsorizer(0.05, 0.95)
+        .transform(Tables.events(s, dir), "event_type", "value")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(first(col("lo")), 6).as("lo"),
+          round(first(col("hi")), 6).as("hi"),
+          round(avg(col("value")), 6).as("mean_raw"),
+          round(avg(col("value_wins")), 6).as("mean_wins"))
+    }),
+
     // S2 cell tokens over synthetic-but-deterministic lat/lon derived from
     // customer keys; grouped per cell. No SQL oracle (cell math is not
     // expressible in DuckDB) → rows-only check; semantics covered by
@@ -233,6 +248,19 @@ object FeatureQueries {
         |WHERE label <> 1.0
         |  AND ('0x' || substring(md5('ds:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
         |      < fraction * CAST(4294967296.0 AS DOUBLE)""".stripMargin,
+    "q82_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  round(max(lo), 6) AS lo, round(max(hi), 6) AS hi,
+        |  round(avg(value), 6) AS mean_raw,
+        |  round(avg(least(greatest(value, lo), hi)), 6) AS mean_wins
+        |FROM events JOIN b USING (event_type)
+        |GROUP BY event_type""".stripMargin,
     "q24_optimal_binning" ->
       """WITH q AS (
         |  SELECT quantile_cont(l_extendedprice, [0.2, 0.4, 0.6, 0.8]) AS qs

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.DedupClusters
-import graft.similarity.{CosineTopK, EmbeddingQuantizer, IvfCosineIndex, RandomHyperplaneLSH}
+import graft.similarity.{CosineTopK, EmbeddingNormalizer, EmbeddingQuantizer, IvfCosineIndex, RandomHyperplaneLSH}
 
 /** Similarity-search queries over the embeddings table.
   *
@@ -91,6 +91,18 @@ object SimilarityQueries {
         .transform(vectors(s, dir))
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           concat_ws(",", transform(col("q"), x => x.cast("string"))).as("q_str"))
+    }),
+
+    // embedding preprocessing: corpus mean-centering + L2 normalization
+    // (one mean-vector row broadcast back; corpus scanned, never
+    // shuffled). Long-format output so the oracle compares raw doubles —
+    // no float-to-string or nested-list representation hazards
+    "q84_embed_center" -> ((s, dir) => {
+      val e = vectors(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      new EmbeddingNormalizer("embedding").transform(e)
+        .select(col("vec_id"), posexplode(col("embedding_norm")).as(Seq("dim", "val")))
+        .select(col("vec_id"), col("dim"), round(col("val"), 6).as("val"))
     })
   )
 
@@ -143,7 +155,22 @@ object SimilarityQueries {
         |  array_to_string(
         |    list_transform(uv, x -> CAST(CAST(round(x * scale) AS INT) AS VARCHAR)),
         |    ',') AS q_str
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "q84_embed_center" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, i, v[i] AS x
+        |  FROM e CROSS JOIN LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) t
+        |), mu AS (
+        |  SELECT i, avg(x) AS mu FROM d GROUP BY 1
+        |), c AS (
+        |  SELECT vec_id, i, x - mu AS cx FROM d JOIN mu USING (i)
+        |), n AS (
+        |  SELECT vec_id, sqrt(sum(cx * cx)) AS nrm FROM c GROUP BY 1
+        |)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |  round(CASE WHEN nrm = 0 THEN cx ELSE cx / nrm END, 6) AS val
+        |FROM c JOIN n USING (vec_id)""".stripMargin
   )
 
   /** Shared q22/q42 fragment: seeded corpus → hyperplane signatures → band
