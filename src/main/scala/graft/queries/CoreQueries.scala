@@ -313,6 +313,26 @@ object CoreQueries {
         .where(col("p_size").between(10, 15))
         .groupBy(col("p_size"))
         .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 6).as("sum_price"))
+    }),
+
+    // single-pass column profiler over lineitem (nulls / distinct / min /
+    // max in ONE aggregation job, long-format output)
+    "q87_profile" -> ((s, dir) => {
+      new graft.sql.TableProfiler().profile(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_returnflag", "l_linestatus"))
+    }),
+
+    // robust per-group outliers (modified z-score on median/MAD) over the
+    // event value stream; emits only the flagged rows
+    "q89_outliers" -> ((s, dir) => {
+      new graft.feature.RobustOutliers(cutoff = 3.5)
+        .flag(Tables.events(s, dir), "event_type", "value")
+        .where(col("is_outlier"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          round(col("robust_z"), 6).as("robust_z"))
     })
   )
 
@@ -464,6 +484,39 @@ object CoreQueries {
       """SELECT p_size, count(*) AS n, round(sum(p_retailprice), 6) AS sum_price
         |FROM part
         |WHERE p_size BETWEEN 10 AND 15
-        |GROUP BY p_size""".stripMargin
+        |GROUP BY p_size""".stripMargin,
+    "q87_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM lineitem""".stripMargin
+      Seq(num("l_quantity"), num("l_extendedprice"), num("l_discount"),
+        str("l_returnflag"), str("l_linestatus")).mkString("\nUNION ALL\n")
+    },
+    "q89_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(m.med, 6) AS med, round(d.mad, 6) AS mad,
+        |  round(abs(e.value - m.med) / d.mad, 6) AS robust_z
+        |FROM events e
+        |JOIN med m USING (event_type)
+        |JOIN mad d USING (event_type)
+        |WHERE d.mad > 0 AND abs(e.value - m.med) / d.mad > 3.5""".stripMargin
   )
 }

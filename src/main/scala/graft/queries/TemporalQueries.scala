@@ -109,6 +109,24 @@ object TemporalQueries {
         .transform(Tables.events(s, dir)
           .select(col("event_id"), col("user_id"),
             expr("ts div 1000").as("ts_us"), col("value")))
+    }),
+
+    // behavioral sequence mining: top-20 event-type trigram paths across
+    // user timelines — q63's transition matrix extended one step. Row-local
+    // leads over user-partitioned windows (no self-join fan-out); ordering
+    // by integer count + full key, never by a float
+    "q90_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
     })
   )
 
@@ -213,6 +231,19 @@ object TemporalQueries {
         |WINDOW
         |  w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
         |  t AS (PARTITION BY user_id ORDER BY ts_us, event_id
-        |        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""".stripMargin
+        |        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "q90_paths" ->
+      """WITH s AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT e1, e2, e3, count(*) AS n FROM s
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3
+        |LIMIT 20""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{Bm25, Chunker, ContaminationChecker, RepetitionStats, TextFunctions, TextRedactor, TokenPacker, UnigramLM}
+import graft.text.{Bm25, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, RepetitionStats, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -196,6 +196,26 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("c_xy"),
           round(log(col("c_xy") * col("n1") * col("n1") /
             (col("n2") * col("c1") * col("c2"))), 6).as("pmi"))
+    }),
+
+    // coverage-bounded vocabulary (GatherEncoder's strict-< coverage scan
+    // applied to tokens): smallest (count desc, term asc) prefix covering
+    // 95% of token mass — no global window, no driver vocabulary
+    "q85_vocab" -> ((s, dir) => {
+      new VocabBuilder(cover = 0.95).vocab(Tables.documents(s, dir))
+    }),
+
+    // per-source diversity: token/type counts, type-token ratio, Shannon
+    // entropy of the token distribution (+ normalized form)
+    "q86_entropy" -> ((s, dir) => {
+      new CorpusDiversity(groupCol = "source").stats(Tables.documents(s, dir))
+    }),
+
+    // edit-distance-1 entity pairs over distinct customer names via
+    // deletion-neighborhood blocking (never the O(n²) cross join the
+    // oracle runs)
+    "q88_edit_join" -> ((s, dir) => {
+      new EditDistanceJoin().pairs(Tables.customer(s, dir), "c_name")
     })
   )
 
@@ -504,6 +524,48 @@ object TextQueries {
         |  round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
         |    ELSE 63 * 72057594037927936.0 / max(CASE WHEN rn = 64 THEN hv END)
         |  END, 6) AS est_distinct
-        |FROM r GROUP BY source""".stripMargin
+        |FROM r GROUP BY source""".stripMargin,
+    "q85_vocab" ->
+      (normSql +
+        """
+          |, tok AS (
+          |  SELECT unnest(tl) AS term FROM toks
+          |), counts AS (
+          |  SELECT term, count(*) AS c FROM tok GROUP BY 1
+          |), ord AS (
+          |  SELECT term, c,
+          |    coalesce(sum(c) OVER (ORDER BY c DESC, term
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl,
+          |    sum(c) OVER () AS total
+          |  FROM counts
+          |)
+          |SELECT term, c FROM ord WHERE excl < 0.95 * total""".stripMargin),
+    "q86_entropy" ->
+      """WITH nrm AS (
+        |  SELECT source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), tok AS (
+        |  SELECT source, unnest(string_split(norm, ' ')) AS term FROM nrm
+        |), tc AS (
+        |  SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  round(count(*) * 1.0 / sum(n), 6) AS ttr,
+        |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy,
+        |  round(CASE WHEN count(*) > 1
+        |    THEN (ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(count(*))
+        |    ELSE 0.0 END, 6) AS norm_entropy
+        |FROM tc GROUP BY source""".stripMargin,
+    "q88_edit_join" ->
+      """WITH n AS (SELECT DISTINCT c_name AS s FROM customer)
+        |SELECT a.s AS a, b.s AS b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        |  ON a.s < b.s
+        | AND abs(length(a.s) - length(b.s)) <= 1
+        | AND levenshtein(a.s, b.s) = 1""".stripMargin
   )
 }

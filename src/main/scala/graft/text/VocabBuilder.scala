@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.TextNormalizer
+
+/** Coverage-bounded vocabulary builder: the smallest token set — ordered by
+  * (frequency desc, token asc) — whose cumulative token mass reaches
+  * `cover` of the corpus, with the reference's strict-`<` coverage scan
+  * (a token enters while the mass BEFORE it is still under the threshold;
+  * GatherEncoder.computeTopKeys, reference
+  * `sparkext-mllib/src/main/scala/org/apache/spark/ml/feature/GatherEncoder.scala:183-186`
+  * — same arithmetic, applied to text tokens instead of gather keys).
+  *
+  * Beyond-reference operator (LLM-pipeline extension): tokenizer vocabulary
+  * induction / frequency-cutoff selection over a web-scale corpus.
+  *
+  * Scale design — NO global ordered window and NO driver-side vocabulary
+  * (the classic implementations of "sort by count, running sum, cut" both
+  * die at 100 TB). Instead the cumulative ordering is decomposed by
+  * frequency value:
+  *
+  *  1. distributed wordcount → (term, c);
+  *  2. histogram over DISTINCT COUNT VALUES (Zipf: a few thousand rows even
+  *     for billion-type vocabularies) → per-frequency mass;
+  *  3. tiny-side triangle join gives each frequency group its
+  *     strictly-more-frequent exclusive mass;
+  *  4. groups entirely under the threshold admit ALL their terms with a
+  *     broadcast semi join — no ordering ever computed inside them (this is
+  *     what keeps the giant count=1 tail off a single task);
+  *  5. only the single boundary frequency group ranks its terms
+  *     (count-partitioned window) to take the alphabetic prefix that fits.
+  */
+class VocabBuilder(
+    cover: Double = 0.95,
+    textCol: String = "text") {
+
+  require(cover > 0.0 && cover <= 1.0, s"cover ($cover) must be in (0, 1]")
+
+  /** (term, c): the selected vocabulary with corpus frequencies. */
+  def vocab(docs: Dataset[_]): DataFrame = {
+    // explode_outer: keeps the tokenizer regexp chain out of scan filters
+    // (InferFiltersFromGenerate skips outer generates)
+    val terms = docs
+      .select(explode_outer(TextNormalizer.tokens(col(textCol))).as("term"))
+      .where(col("term").isNotNull)
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+
+    // per-frequency histogram: mass = c * n_terms token occurrences
+    val hist = counts.groupBy(col("c"))
+      .agg(sum(col("c")).as("mass"), count(lit(1)).as("n_terms"))
+    val total = hist.agg(sum(col("mass")).cast("double").as("total"))
+
+    // exclusive mass of all strictly-more-frequent groups (triangle join on
+    // the tiny histogram), plus the coverage threshold as a broadcast scalar
+    val above = hist.as("x")
+      .join(hist.select(col("c").as("yc"), col("mass").as("ymass")),
+        col("yc") > col("x.c"), "left")
+      .groupBy(col("x.c").as("c"), col("x.n_terms").as("n_terms"))
+      .agg(coalesce(sum(col("ymass")), lit(0L)).as("cum_above"))
+      .crossJoin(broadcast(total))
+      .withColumn("thresh", col("total") * cover)
+
+    // a group is fully in iff its LAST term's exclusive cumulative is still
+    // under the threshold: cum_above + (n_terms - 1) * c < thresh
+    val lastExcl = col("cum_above") + (col("n_terms") - 1) * col("c")
+    val full = above.where(lastExcl < col("thresh")).select(col("c"))
+    val boundary = above
+      .where(col("cum_above") < col("thresh") && !(lastExcl < col("thresh")))
+      .select(col("c"), col("cum_above"), col("thresh"))
+
+    val fullTerms = counts.join(broadcast(full), "c").select(col("term"), col("c"))
+    // boundary group(s): alphabetic rank within the frequency tie decides
+    // the admitted prefix; the window is partitioned by count and only
+    // boundary-frequency terms flow into it
+    val w = Window.partitionBy(col("c")).orderBy(col("term"))
+    val boundaryTerms = counts.join(broadcast(boundary), "c")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("cum_above") + (col("rnk") - 1) * col("c") < col("thresh"))
+      .select(col("term"), col("c"))
+
+    fullTerms.unionByName(boundaryTerms)
+  }
+}

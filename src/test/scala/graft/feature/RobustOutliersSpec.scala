@@ -1,0 +1,38 @@
+package graft.feature
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Median/MAD flagging vs hand-computed robust z-scores. */
+class RobustOutliersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("flags only the planted outlier") {
+    // g: values 1..9 plus 100 -> median 5.5, deviations {0.5..4.5, 94.5},
+    // MAD = median{0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5} = 2.5
+    // robust_z(100) = 94.5/2.5 = 37.8; robust_z(9) = 3.5/2.5 = 1.4
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "grp", "v")
+    val got = new RobustOutliers(cutoff = 3.5).flag(df, "grp", "v")
+      .where(col("is_outlier")).select("id", "v", "robust_z")
+      .as[(Long, Double, Double)].collect()
+    assert(got.map(_._2).toSeq === Seq(100.0))
+    assert(math.abs(got.head._3 - 37.8) < 1e-9)
+  }
+
+  test("zero-MAD group flags nothing instead of dividing by zero") {
+    val df = Seq((1L, "c", 5.0), (2L, "c", 5.0), (3L, "c", 5.0), (4L, "c", 99.0))
+      .toDF("id", "grp", "v") // median 5, MAD 0
+    val flagged = new RobustOutliers().flag(df, "grp", "v")
+      .where(col("is_outlier")).count()
+    assert(flagged === 0L)
+  }
+
+  test("groups are independent") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 50.0),
+      (5L, "b", 50.0), (6L, "b", 51.0), (7L, "b", 52.0)).toDF("id", "grp", "v")
+    val got = new RobustOutliers().flag(df, "grp", "v")
+      .where(col("is_outlier")).select("id").as[Long].collect().toSet
+    assert(got === Set(4L)) // 50 is an outlier in a, normal in b
+  }
+}
