@@ -5,7 +5,7 @@ import breeze.optimize.{CachedDiffFunction, DiffFunction, LBFGS => BreezeLBFGS, 
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -34,7 +34,7 @@ import org.apache.spark.sql.types._
   * trainer automatically.
   */
 class LocalLogisticRegression(override val uid: String)
-  extends Estimator[LocalLogisticRegressionModel] {
+  extends Estimator[LocalLogisticRegressionModel] with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("localLogReg"))
 
@@ -245,10 +245,25 @@ private[classification] class LocalLogisticCostFun(
 /** Model produced by [[LocalLogisticRegression]]: adds rawPrediction (the
   * linear margin w·x + b), probability (its sigmoid) and prediction columns.
   */
-class LocalLogisticRegressionModel(
-    override val uid: String,
-    val coefficients: Vector,
-    val intercept: Double) extends Model[LocalLogisticRegressionModel] {
+class LocalLogisticRegressionModel(override val uid: String)
+    extends Model[LocalLogisticRegressionModel] with DefaultParamsWritable {
+
+  def this(uid: String, coefficients: Vector, intercept: Double) = {
+    this(uid)
+    set(coefficientsParam, coefficients)
+    set(interceptParam, intercept)
+  }
+
+  /** Learned state as params (Param.jsonEncode handles ml Vectors natively)
+    * so `save`/`load` round-trips the model.
+    */
+  final val coefficientsParam: Param[Vector] = new Param[Vector](this, "coefficients",
+    "Learned coefficient vector")
+  final val interceptParam: DoubleParam = new DoubleParam(this, "intercept",
+    "Learned intercept")
+
+  def coefficients: Vector = $(coefficientsParam)
+  def intercept: Double = $(interceptParam)
 
   final val labelCol: Param[String] = new Param[String](this, "labelCol", "Label column")
   final val featuresCol: Param[String] = new Param[String](this, "featuresCol", "Features column")
@@ -280,7 +295,15 @@ class LocalLogisticRegressionModel(
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     val t = $(threshold)
-    val marginUdf = udf((v: Vector) => margin(v))
+    // capture state locally: the closure ships two plain values, not the
+    // model (whose margin() would re-read the param map per row)
+    val coef = coefficients
+    val b = intercept
+    val marginUdf = udf { (v: Vector) =>
+      var m = b
+      v.foreachActive((i, x) => m += coef(i) * x)
+      m
+    }
     dataset
       .withColumn($(rawPredictionCol), marginUdf(col($(featuresCol))))
       .withColumn($(probabilityCol),
@@ -296,7 +319,10 @@ class LocalLogisticRegressionModel(
       StructField($(predictionCol), DoubleType)))
 
   override def copy(extra: ParamMap): LocalLogisticRegressionModel = {
-    val copied = new LocalLogisticRegressionModel(uid, coefficients, intercept)
+    val copied = new LocalLogisticRegressionModel(uid)
     copyValues(copied, extra).setParent(parent)
   }
 }
+
+object LocalLogisticRegression extends DefaultParamsReadable[LocalLogisticRegression]
+object LocalLogisticRegressionModel extends DefaultParamsReadable[LocalLogisticRegressionModel]

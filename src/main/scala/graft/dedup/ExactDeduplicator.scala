@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   * collect. At 100 TB this is the canonical exact-dedup plan: the
   * fingerprint groupBy/window reduces before anything wide happens.
   */
-class ExactDeduplicator(override val uid: String) extends Transformer {
+class ExactDeduplicator(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("exactDedup"))
 
@@ -62,3 +63,5 @@ class ExactDeduplicator(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): ExactDeduplicator = defaultCopy(extra)
 }
+
+object ExactDeduplicator extends DefaultParamsReadable[ExactDeduplicator]

@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -40,7 +40,8 @@ import org.apache.spark.sql.types._
   * similar clusters. Verification joins shingles only for candidate ids
   * (semi-join pushdown of the candidate set).
   */
-class MinHashDeduplicator(override val uid: String) extends Transformer {
+class MinHashDeduplicator(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("minhashDedup"))
 
@@ -194,3 +195,5 @@ class MinHashDeduplicator(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): MinHashDeduplicator = defaultCopy(extra)
 }
+
+object MinHashDeduplicator extends DefaultParamsReadable[MinHashDeduplicator]

@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   * Scale: one explode + one hash-partitioned groupBy(id) carrying 64 small
   * integer partial sums; candidate search shuffles on 16-bit band values.
   */
-class SimHasher(override val uid: String) extends Transformer {
+class SimHasher(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("simhash"))
 
@@ -112,3 +113,5 @@ class SimHasher(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): SimHasher = defaultCopy(extra)
 }
+
+object SimHasher extends DefaultParamsReadable[SimHasher]

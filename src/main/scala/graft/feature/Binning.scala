@@ -5,7 +5,7 @@ import org.apache.spark.ml.attribute.{Attribute, AttributeGroup, BinaryAttribute
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.param.shared.{HasInputCol, HasOutputCol}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -40,7 +40,8 @@ private[feature] trait BinningBase extends Params with HasInputCol with HasOutpu
   * Both produce splits bracketed with ±Infinity.
   */
 class OptimalBinning(override val uid: String)
-    extends Estimator[Binning] with BinningBase with SplitOptimizer {
+    extends Estimator[Binning] with BinningBase with SplitOptimizer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("optimalBinning"))
 
@@ -130,7 +131,8 @@ class OptimalBinning(override val uid: String)
   * index (reference Binning.scala:91-140), with `BinaryAttribute` bin labels
   * `"[lo, hi)"`. Row-local bucket lookup via binary search — no shuffle.
   */
-final class Binning(override val uid: String) extends Model[Binning] with BinningBase {
+final class Binning(override val uid: String) extends Model[Binning] with BinningBase
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("binning"))
 
@@ -176,6 +178,9 @@ final class Binning(override val uid: String) extends Model[Binning] with Binnin
 
   override def copy(extra: ParamMap): Binning = defaultCopy[Binning](extra).setParent(parent)
 }
+
+object OptimalBinning extends DefaultParamsReadable[OptimalBinning]
+object Binning extends DefaultParamsReadable[Binning]
 
 /** Pure-Scala port of the reference's split optimizer (Binning.scala:145-251):
   * linear-interpolated quantile init, MSE-from-ideal-count target (with the

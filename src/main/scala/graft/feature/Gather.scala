@@ -2,7 +2,7 @@ package graft.feature
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -34,7 +34,7 @@ import org.apache.spark.sql.types._
   * executor row (bounded by key cardinality, same contract as reference).
   */
 class Gather(override val uid: String) extends Transformer
-    with HasKeyCol with HasValueCol {
+    with HasKeyCol with HasValueCol with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("gather"))
 
@@ -94,3 +94,5 @@ class Gather(override val uid: String) extends Transformer
 
   override def copy(extra: ParamMap): Gather = defaultCopy(extra)
 }
+
+object Gather extends DefaultParamsReadable[Gather]

@@ -6,7 +6,7 @@ import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.attribute.{Attribute, AttributeGroup, NumericAttribute}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -36,7 +36,7 @@ private[feature] trait GatherEncoderParams extends Params with HasKeyCol with Ha
     "Keep the input column in the output")
   final val failOnEmptyKeys = new BooleanParam(this, "failOnEmptyKeys",
     "Throw if the learned/model key set is empty")
-  final val excludeKeys = new Param[Set[Any]](this, "excludeKeys",
+  final val excludeKeys = new AnySetParam(this, "excludeKeys",
     "Keys excluded from the model")
 
   def getKeepInputCol: Boolean = $(keepInputCol)
@@ -92,7 +92,8 @@ private[feature] trait GatherEncoderParams extends Params with HasKeyCol with Ha
   * distributed before the collect.
   */
 class GatherEncoder(override val uid: String)
-    extends Estimator[GatherEncoderModel] with GatherEncoderParams {
+    extends Estimator[GatherEncoderModel] with GatherEncoderParams
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("gatherEncoder"))
 
@@ -184,10 +185,20 @@ class GatherEncoder(override val uid: String)
   *
   * The encode is a row-local UDF — no shuffle, scales linearly.
   */
-class GatherEncoderModel(override val uid: String, val modelKeys: Array[Any])
-    extends Model[GatherEncoderModel] with GatherEncoderParams {
+class GatherEncoderModel(override val uid: String)
+    extends Model[GatherEncoderModel] with GatherEncoderParams
+    with DefaultParamsWritable {
 
+  def this(uid: String, keys: Array[Any]) = { this(uid); set(modelKeysParam, keys) }
   def this(keys: Array[Any]) = this(Identifiable.randomUID("gatherEncoder"), keys)
+
+  /** Learned dictionary as a param so `save`/`load` round-trips it with the
+    * typed codec; order IS the feature index order.
+    */
+  final val modelKeysParam: AnyArrayParam = new AnyArrayParam(this, "modelKeys",
+    "Ordered key dictionary learned by GatherEncoder")
+
+  def modelKeys: Array[Any] = $(modelKeysParam)
 
   def setInputCol(value: String): this.type = set(inputCol, value)
   def setOutputCol(value: String): this.type = set(outputCol, value)
@@ -201,7 +212,7 @@ class GatherEncoderModel(override val uid: String, val modelKeys: Array[Any])
     allOther -> true, keepInputCol -> true, failOnEmptyKeys -> true,
     excludeKeys -> Set.empty[Any])
 
-  private val labels: Array[String] = modelKeys.map(String.valueOf)
+  private def labels: Array[String] = modelKeys.map(String.valueOf)
   @transient private lazy val keyIndex: Map[Any, Int] = modelKeys.zipWithIndex.toMap
 
   override def transform(dataset: Dataset[_]): DataFrame = {
@@ -269,7 +280,10 @@ class GatherEncoderModel(override val uid: String, val modelKeys: Array[Any])
   }
 
   override def copy(extra: ParamMap): GatherEncoderModel = {
-    val copied = new GatherEncoderModel(uid, modelKeys)
+    val copied = new GatherEncoderModel(uid)
     copyValues(copied, extra).setParent(parent)
   }
 }
+
+object GatherEncoder extends DefaultParamsReadable[GatherEncoder]
+object GatherEncoderModel extends DefaultParamsReadable[GatherEncoderModel]

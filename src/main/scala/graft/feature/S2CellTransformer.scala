@@ -2,7 +2,7 @@ package graft.feature
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -18,7 +18,8 @@ import graft.geo.S2
   * token is a stable partitioning/grouping key for geo aggregation at any
   * scale.
   */
-class S2CellTransformer(override val uid: String) extends Transformer {
+class S2CellTransformer(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("s2CellTransformer"))
 
@@ -57,3 +58,5 @@ class S2CellTransformer(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): S2CellTransformer = defaultCopy(extra)
 }
+
+object S2CellTransformer extends DefaultParamsReadable[S2CellTransformer]

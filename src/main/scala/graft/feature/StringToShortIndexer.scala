@@ -5,7 +5,7 @@ import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.attribute.NominalAttribute
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.param.shared.{HasInputCol, HasOutputCol}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -38,7 +38,8 @@ private[feature] trait StringIndexerBase extends Params with HasInputCol with Ha
   * array is bounded by construction — safe at any data scale.
   */
 class StringToShortIndexer(override val uid: String)
-    extends Estimator[StringToShortIndexerModel] with StringIndexerBase {
+    extends Estimator[StringToShortIndexerModel] with StringIndexerBase
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("strShortIdx"))
 
@@ -65,15 +66,23 @@ class StringToShortIndexer(override val uid: String)
   override def copy(extra: ParamMap): StringToShortIndexer = defaultCopy(extra)
 }
 
-class StringToShortIndexerModel(override val uid: String, val labels: Array[String])
-    extends Model[StringToShortIndexerModel] with StringIndexerBase {
+class StringToShortIndexerModel(override val uid: String)
+    extends Model[StringToShortIndexerModel] with StringIndexerBase
+    with DefaultParamsWritable {
 
+  def this(uid: String, labels: Array[String]) = { this(uid); set(labelsParam, labels) }
   def this(labels: Array[String]) = this(Identifiable.randomUID("strShortIdx"), labels)
 
-  require(labels.length <= Short.MaxValue,
-    s"Unique labels count (${labels.length}) should be less than Short.MaxValue")
+  /** Ordered dictionary as a param so `save`/`load` round-trips it; the
+    * Short.MaxValue cap is the param validator (was a constructor require).
+    */
+  final val labelsParam: StringArrayParam = new StringArrayParam(this, "labels",
+    s"Ordered label dictionary (index = position, < ${Short.MaxValue} entries)",
+    (l: Array[String]) => l.length <= Short.MaxValue)
 
-  private val labelToIndex: Map[String, Short] =
+  def labels: Array[String] = $(labelsParam)
+
+  @transient private lazy val labelToIndex: Map[String, Short] =
     labels.zipWithIndex.map { case (l, i) => l -> i.toShort }.toMap
 
   def setInputCol(value: String): this.type = set(inputCol, value)
@@ -100,7 +109,10 @@ class StringToShortIndexerModel(override val uid: String, val labels: Array[Stri
     else schema
 
   override def copy(extra: ParamMap): StringToShortIndexerModel = {
-    val copied = new StringToShortIndexerModel(uid, labels)
+    val copied = new StringToShortIndexerModel(uid)
     copyValues(copied, extra).setParent(parent)
   }
 }
+
+object StringToShortIndexer extends DefaultParamsReadable[StringToShortIndexer]
+object StringToShortIndexerModel extends DefaultParamsReadable[StringToShortIndexerModel]

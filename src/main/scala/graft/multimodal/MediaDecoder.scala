@@ -2,7 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -24,7 +24,8 @@ import org.apache.spark.sql.types._
   * Scale: row-local, no shuffle; `batchSize` bounds peak memory per task
   * (batch of payloads decoded together, as a vectorized codec would want).
   */
-class MediaDecoder(override val uid: String) extends Transformer {
+class MediaDecoder(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("mediaDecoder"))
 
@@ -74,7 +75,7 @@ class MediaDecoder(override val uid: String) extends Transformer {
   override def copy(extra: ParamMap): MediaDecoder = defaultCopy(extra)
 }
 
-object MediaDecoder {
+object MediaDecoder extends DefaultParamsReadable[MediaDecoder] {
 
   /** STUB decode kernel — deterministic fake "decoder": splits the payload
     * into `dim` chunks and emits each chunk's mean byte value scaled to

@@ -3,7 +3,7 @@ package graft.sampling
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.param.shared.{HasLabelCol, HasOutputCol}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -52,7 +52,8 @@ private[sampling] trait DownsamplingParams extends Params with HasLabelCol with 
   * the sampled output, not just the no-op branch.
   */
 class Downsampling(override val uid: String)
-    extends Estimator[DownsamplingModel] with DownsamplingParams {
+    extends Estimator[DownsamplingModel] with DownsamplingParams
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("downsampling"))
 
@@ -92,11 +93,24 @@ class Downsampling(override val uid: String)
   override def copy(extra: ParamMap): Downsampling = defaultCopy(extra)
 }
 
-class DownsamplingModel(override val uid: String, val sampleFraction: Option[Double])
-    extends Model[DownsamplingModel] with DownsamplingParams {
+class DownsamplingModel(override val uid: String)
+    extends Model[DownsamplingModel] with DownsamplingParams
+    with DefaultParamsWritable {
 
+  def this(uid: String, fraction: Option[Double]) = {
+    this(uid); fraction.foreach(f => set(sampleFractionParam, f))
+  }
   def this(sampleFraction: Option[Double]) =
     this(Identifiable.randomUID("downsampling"), sampleFraction)
+
+  /** Learned fraction as an (optionally unset) param — unset means the
+    * no-op branch; persistence round-trips either state.
+    */
+  final val sampleFractionParam = new DoubleParam(this, "sampleFraction",
+    "Secondary-class sample fraction (unset = class ratio under cap, no-op)",
+    (v: Double) => v > 0.0 && v <= 1.0)
+
+  def sampleFraction: Option[Double] = get(sampleFractionParam)
 
   def setLabelCol(value: String): this.type = set(labelCol, value)
   def setOutputCol(value: String): this.type = set(outputCol, value)
@@ -133,7 +147,10 @@ class DownsamplingModel(override val uid: String, val sampleFraction: Option[Dou
     validateAndTransformSchema(schema)
 
   override def copy(extra: ParamMap): DownsamplingModel = {
-    val copied = new DownsamplingModel(uid, sampleFraction)
+    val copied = new DownsamplingModel(uid)
     copyValues(copied, extra).setParent(parent)
   }
 }
+
+object Downsampling extends DefaultParamsReadable[Downsampling]
+object DownsamplingModel extends DefaultParamsReadable[DownsamplingModel]

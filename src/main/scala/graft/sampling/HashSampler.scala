@@ -2,7 +2,7 @@ package graft.sampling
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   * disjoint salts give independent samples. The standard way to carve
   * reproducible held-out sets from a 100 TB corpus.
   */
-class HashSampler(override val uid: String) extends Transformer {
+class HashSampler(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("hashSampler"))
 
@@ -53,3 +54,5 @@ class HashSampler(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): HashSampler = defaultCopy(extra)
 }
+
+object HashSampler extends DefaultParamsReadable[HashSampler]

@@ -2,7 +2,7 @@ package graft.similarity
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.{Param, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -24,7 +24,8 @@ import org.apache.spark.sql.types._
   * interpreted, but this is a once-per-row pass over dim elements on a
   * write path, not a join kernel.)
   */
-class EmbeddingQuantizer(override val uid: String) extends Transformer {
+class EmbeddingQuantizer(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("embedQuant"))
 
@@ -64,3 +65,5 @@ class EmbeddingQuantizer(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): EmbeddingQuantizer = defaultCopy(extra)
 }
+
+object EmbeddingQuantizer extends DefaultParamsReadable[EmbeddingQuantizer]

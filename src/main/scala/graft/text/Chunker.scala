@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.{IntParam, Param, ParamMap, ParamValidators}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -24,7 +24,8 @@ import graft.dedup.TextNormalizer
   * scan filter), `slice` per chunk — so it scales like a map over the
   * corpus with fan-out ~n/stride and no shuffle at all.
   */
-class Chunker(override val uid: String) extends Transformer {
+class Chunker(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("chunker"))
 
@@ -75,3 +76,5 @@ class Chunker(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): Chunker = defaultCopy(extra)
 }
+
+object Chunker extends DefaultParamsReadable[Chunker]

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,7 +13,8 @@ import org.apache.spark.sql.types._
   * stage over the scan) — the canonical first pass of a training-data
   * pipeline, where most of the 100 TB should die before anything shuffles.
   */
-class QualityFilter(override val uid: String) extends Transformer {
+class QualityFilter(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("qualityFilter"))
 
@@ -61,3 +62,5 @@ class QualityFilter(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): QualityFilter = defaultCopy(extra)
 }
+
+object QualityFilter extends DefaultParamsReadable[QualityFilter]

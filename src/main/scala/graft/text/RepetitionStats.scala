@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.{Param, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -29,7 +29,8 @@ import graft.dedup.TextNormalizer
   *  - `top_bigram_count`, `n_bigrams`, `top_bigram_frac`
   *    (0 for docs with fewer than 2 tokens)
   */
-class RepetitionStats(override val uid: String) extends Transformer {
+class RepetitionStats(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("repetitionStats"))
 
@@ -99,3 +100,5 @@ class RepetitionStats(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): RepetitionStats = defaultCopy(extra)
 }
+
+object RepetitionStats extends DefaultParamsReadable[RepetitionStats]

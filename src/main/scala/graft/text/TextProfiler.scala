@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * token estimate, heuristic language ID, quality score, and rolling-hash
   * fingerprint. Row-local, shuffle-free, whole-stage-codegen friendly.
   */
-class TextProfiler(override val uid: String) extends Transformer {
+class TextProfiler(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("textProfiler"))
 
@@ -59,3 +60,5 @@ class TextProfiler(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): TextProfiler = defaultCopy(extra)
 }
+
+object TextProfiler extends DefaultParamsReadable[TextProfiler]

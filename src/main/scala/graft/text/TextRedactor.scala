@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.{Param, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
   * production scrubber would add locale-specific validators around the
   * same plumbing.
   */
-class TextRedactor(override val uid: String) extends Transformer {
+class TextRedactor(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("textRedactor"))
 
@@ -73,3 +74,5 @@ class TextRedactor(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): TextRedactor = defaultCopy(extra)
 }
+
+object TextRedactor extends DefaultParamsReadable[TextRedactor]

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.{LongParam, Param, ParamMap, ParamValidators}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   * order). A document larger than `budget` gets its own chunk(s) boundary
   * — chunks are a packing approximation, not a hard cap.
   */
-class TokenPacker(override val uid: String) extends Transformer {
+class TokenPacker(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("tokenPacker"))
 
@@ -61,3 +62,5 @@ class TokenPacker(override val uid: String) extends Transformer {
 
   override def copy(extra: ParamMap): TokenPacker = defaultCopy(extra)
 }
+
+object TokenPacker extends DefaultParamsReadable[TokenPacker]
