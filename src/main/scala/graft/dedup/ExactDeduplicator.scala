@@ -64,4 +64,34 @@ class ExactDeduplicator(override val uid: String) extends Transformer
   override def copy(extra: ParamMap): ExactDeduplicator = defaultCopy(extra)
 }
 
-object ExactDeduplicator extends DefaultParamsReadable[ExactDeduplicator]
+object ExactDeduplicator extends DefaultParamsReadable[ExactDeduplicator] {
+
+  /** Incremental ingest dedup: fingerprint the incoming batch, drop rows
+    * whose fingerprint already exists in the known corpus, and keep one
+    * canonical row per NEW fingerprint (lowest id).
+    *
+    * The known-set check is a Bloom-pruned anti-join
+    * ([[graft.sql.BloomJoin.antiJoin]]): at 100 TB the corpus fingerprint
+    * set dwarfs any daily batch, and most incoming rows are genuinely new —
+    * those miss the filter and never pay the join exchange. Within-batch
+    * dedup is the same hash-partitioned window as the batch transformer.
+    *
+    * @param knownFingerprints one column named `fpCol` (sha2-256 hex of the
+    *                          normalized text, as produced by this class)
+    */
+  def incremental(
+      incoming: Dataset[_],
+      knownFingerprints: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fpCol: String = "fingerprint",
+      numBits: Int = 1 << 20): DataFrame = {
+    val withFp = incoming.withColumn(fpCol,
+      sha2(TextNormalizer.normalize(col(textCol)), 256))
+    val fresh = graft.sql.BloomJoin.antiJoin(
+      withFp, col(fpCol), knownFingerprints, col(fpCol), numBits)
+    val w = Window.partitionBy(col(fpCol)).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -107,6 +107,18 @@ object DedupQueries {
     "q77_segment_dedup" -> ((s, dir) => {
       new graft.dedup.SegmentDeduplicator(blockTokens = 16)
         .transform(seeded(s, dir))
+    }),
+
+    // incremental ingest dedup: the seeded batch arrives against a known
+    // corpus (every 3rd original doc's fingerprints); known content is
+    // dropped via the Bloom-pruned anti-join, the rest dedups within-batch
+    "q92_incremental_dedup" -> ((s, dir) => {
+      val known = Tables.documents(s, dir)
+        .where(col("doc_id") % 3 === 0)
+        .select(sha2(graft.dedup.TextNormalizer.normalize(col("text")), 256)
+          .as("fingerprint"))
+      ExactDeduplicator.incremental(seeded(s, dir), known)
+        .select(col("doc_id"), col("fingerprint"))
     })
   )
 
@@ -285,6 +297,19 @@ object DedupQueries {
           |    AS clean_text
           |FROM rn GROUP BY doc_id
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(0,16) segment bound
-          |SELECT -1, -1, -1, '' WHERE (SELECT max(len(tl)) FROM toks) > 256""".stripMargin)
+          |SELECT -1, -1, -1, '' WHERE (SELECT max(len(tl)) FROM toks) > 256""".stripMargin),
+    "q92_incremental_dedup" ->
+      (seededSql +
+        """
+          |, known AS (
+          |  SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(
+          |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+          |  FROM documents WHERE doc_id % 3 = 0
+          |), inc AS (
+          |  SELECT doc_id, sha256(norm) AS fingerprint FROM norm
+          |)
+          |SELECT doc_id, fingerprint FROM inc
+          |WHERE fingerprint NOT IN (SELECT fingerprint FROM known)
+          |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""".stripMargin)
   )
 }

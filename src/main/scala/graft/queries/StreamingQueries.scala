@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.streaming.Sessionize
+import graft.streaming.{Sessionize, StreamMonitor}
 
 /** Event-stream queries (batch replay of the streaming operators over the
   * events table, so the DuckDB oracle can verify the session semantics).
@@ -42,6 +42,21 @@ object StreamingQueries {
         .select(unix_micros(col("window_start")).as("window_start_us"),
           col("event_type"), col("n_events"),
           round(col("total_value"), 2).as("total_value"))
+    }),
+
+    // windowed data-quality monitor (batch replay of the streaming path):
+    // per-hour, per-type counts, null counts, and value min/avg/max
+    "q91_stream_monitor" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+        // plant deterministic nulls so the null-rate column is exercised
+        .withColumn("value", when(col("event_id") % 97 === 0, lit(null)).otherwise(col("value")))
+      StreamMonitor.stats(ev, windowLength = "1 hour", watermark = "2 hours",
+        tsCol = "ts_t", groupCol = "event_type", valueCol = "value")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("n_nulls"),
+          round(col("avg_value"), 6).as("avg_value"),
+          col("min_value"), col("max_value"))
     })
   )
 
@@ -72,6 +87,20 @@ object StreamingQueries {
         |       event_type,
         |       count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q91_stream_monitor" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS ts_us, event_type,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
+        |  FROM events
+        |)
+        |SELECT (ts_us // 3600000000) * 3600000000 AS window_start_us,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  count(*) - count(value) AS n_nulls,
+        |  round(avg(value), 6) AS avg_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM ev GROUP BY 1, 2""".stripMargin
   )
 }

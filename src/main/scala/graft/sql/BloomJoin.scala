@@ -47,4 +47,32 @@ object BloomJoin {
     pruned.join(build.select(buildKey.as("__bj_key")).distinct(),
       probeKey === col("__bj_key"), "left_semi")
   }
+
+  /** `probe ▷ build` (anti-join) on `probeKey = buildKey`, Bloom-pruned:
+    * a Bloom filter has no false negatives, so rows whose key MISSES the
+    * filter are provably absent from the build side and bypass the join
+    * exchange entirely; only Bloom hits (true matches + ~1% false
+    * positives) pay the exact `left_anti` verify. Result is EXACTLY the
+    * anti-join. This is the incremental-ingest shape at 100 TB: the bulk
+    * of a fresh batch is genuinely new and never shuffles.
+    */
+  def antiJoin(
+      probe: DataFrame,
+      probeKey: Column,
+      build: DataFrame,
+      buildKey: Column,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 5): DataFrame = {
+    val keyStr = buildKey.cast("string")
+    val words = build
+      .agg(functions.bloomFilter(keyStr, numBits, numHashes).as("bf"))
+      .head().getSeq[Long](0).toArray
+    val mightContain =
+      functions.bloomMightContain(typedlit(words), probeKey.cast("string"), numHashes)
+    val definitelyNew = probe.where(!mightContain)
+    val verified = probe.where(mightContain)
+      .join(build.select(buildKey.as("__bj_key")).distinct(),
+        probeKey === col("__bj_key"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
 }

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Windowed data-quality monitor: per (tumbling window, group) row counts,
+  * null counts, and value min/avg/max — the freshness/drift dashboard a
+  * production ingest pipeline keeps over its event stream.
+  *
+  * Beyond-reference operator (LLM-pipeline extension). One code path serves
+  * batch frames and `readStream` sources unchanged (the watermark is a
+  * no-op in batch; in streaming it bounds the aggregation state to the
+  * late-data horizon). All aggregates are algebraic partials — the only
+  * shuffle keys on (window, group), which scales with time × group
+  * cardinality, not data size.
+  */
+object StreamMonitor {
+
+  /** (window_start, group, n_events, n_nulls, avg_value, min_value,
+    * max_value) per tumbling window.
+    */
+  def stats(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours",
+      tsCol: String = "ts",
+      groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(groupCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (count(lit(1)) - count(col(valueCol))).as("n_nulls"),
+        avg(col(valueCol)).as("avg_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("n_events"), col("n_nulls"),
+        col("avg_value"), col("min_value"), col("max_value"))
+}

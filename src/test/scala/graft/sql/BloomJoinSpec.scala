@@ -1,0 +1,36 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Bloom-pruned joins are result-identical to their exact counterparts. */
+class BloomJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val probe = (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
+  private lazy val build = (0L until 1000L by 7).map(Tuple1(_)).toDF("bk")
+
+  test("antiJoin equals the exact left_anti result") {
+    val got = BloomJoin.antiJoin(probe, col("k"), build, col("bk"), numBits = 1 << 14)
+      .select("k").as[Long].collect().toSet
+    val exact = probe.join(build, col("k") === col("bk"), "left_anti")
+      .select("k").as[Long].collect().toSet
+    assert(got === exact)
+    assert(got.size === 1000 - 143) // 143 multiples of 7 under 1000
+  }
+
+  test("antiJoin on an empty build side keeps everything") {
+    val got = BloomJoin.antiJoin(probe, col("k"),
+      Seq.empty[Long].toDF("bk").where(lit(false)), col("bk"))
+    assert(got.count() === 1000L)
+  }
+
+  test("semiJoin equals the exact left_semi result") {
+    val got = BloomJoin.semiJoin(probe, col("k"), build, col("bk"), numBits = 1 << 14)
+      .select("k").as[Long].collect().toSet
+    val exact = probe.join(build, col("k") === col("bk"), "left_semi")
+      .select("k").as[Long].collect().toSet
+    assert(got === exact)
+  }
+}
