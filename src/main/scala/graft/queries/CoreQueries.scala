@@ -324,6 +324,38 @@ object CoreQueries {
           "l_returnflag", "l_linestatus"))
     }),
 
+    // CUBE over two dims with a distinct aggregate — the grouping-sets +
+    // multi-distinct surface (Expand-based plan; grouping_id disambiguates
+    // the null rows that CUBE itself introduces)
+    "q93_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id(col("o_orderstatus"), col("o_orderpriority")).cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("gid"), col("n"), col("n_cust"), col("total"))
+    }),
+
+    // event-time RANGE-frame window: trailing 1-hour per-user value sum —
+    // the time-based (not row-count) sliding aggregation; user-partitioned,
+    // never a global window
+    "q94_range_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_trailing"),
+          round(sum(col("value")).over(w), 6).as("sum_trailing"))
+    }),
+
     // robust per-group outliers (modified z-score on median/MAD) over the
     // event value stream; emits only the flagged rows
     "q89_outliers" -> ((s, dir) => {
@@ -503,6 +535,25 @@ object CoreQueries {
       Seq(num("l_quantity"), num("l_extendedprice"), num("l_discount"),
         str("l_returnflag"), str("l_linestatus")).mkString("\nUNION ALL\n")
     },
+    "q93_cube" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |  coalesce(o_orderpriority, '<all>') AS priority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q94_range_window" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |  count(*) OVER w AS n_trailing,
+        |  round(sum(value) OVER w, 6) AS sum_trailing
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q89_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med
