@@ -59,7 +59,7 @@ class Gather(override val uid: String) extends Transformer
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    val pk = $(primaryKeyCols).map(col)
+    val pk = $(primaryKeyCols).toIndexedSeq.map(col)
     val key = $(keyCol)
     val value = $(valueCol)
     val agg = $(valueAgg) match {

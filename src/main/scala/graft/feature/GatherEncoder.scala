@@ -109,29 +109,63 @@ class GatherEncoder(override val uid: String)
   def setFailOnEmptyKeys(value: Boolean): this.type = set(failOnEmptyKeys, value)
   def setExcludeKeys(value: Set[Any]): this.type = set(excludeKeys, value)
 
+  /** Hard ceiling on distinct keys collected to the driver during fit —
+    * the guard that makes `top` safe on unbounded key domains (URLs, ids)
+    * at 100 TB. Sorting and limiting run DISTRIBUTED (TakeOrdered, no full
+    * collect); the coverage threshold still uses the EXACT distributed
+    * total, so results are identical whenever the selected set fits the
+    * bound, and fit fails loudly (rather than silently truncating the
+    * model) when it would not.
+    */
+  final val maxKeys = new IntParam(this, "maxKeys",
+    "Max distinct keys collected to the driver during fit (loud failure, " +
+      "never silent truncation)", ParamValidators.gt(0))
+
+  def setMaxKeys(value: Int): this.type = set(maxKeys, value)
+
   setDefault(transformation -> "top", support -> 0.1, cover -> 100.0,
     allOther -> false, keepInputCol -> true, failOnEmptyKeys -> true,
-    excludeKeys -> Set.empty[Any])
+    excludeKeys -> Set.empty[Any], maxKeys -> 10000000)
 
-  /** Distributed key histogram: one explode + one shuffle, sorted
-    * deterministically (count desc, key-as-string asc).
+  /** Distributed key histogram, exclude-filtered and sorted (count desc,
+    * key-as-string asc) INSIDE Spark; only the top `maxKeys + 1` rows reach
+    * the driver (the +1 detects overflow).
     */
-  private def keyCounts(dataset: Dataset[_]): Array[(Any, Long)] = {
+  private def keyCounts(dataset: Dataset[_]): (Array[(Any, Long)], Long) = {
     val k = s"${uid}_key"
-    dataset.select(explode(col(s"${$(inputCol)}.${$(keyCol)}")).as(k))
+    val excluded = getExcludeKeys.toSeq
+    val counts0 = dataset
+      .select(explode(col(s"${$(inputCol)}.${$(keyCol)}")).as(k))
       .groupBy(col(k)).count()
+    // null-safe exclude: isin is NULL for a null key — keep it (the driver
+    // filter this replaces only dropped keys present in excludeKeys)
+    val counts =
+      if (excluded.isEmpty) counts0
+      else counts0.where(not(coalesce(col(k).isin(excluded: _*), lit(false))))
+    val total = counts.agg(sum(col("count"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val top = counts
+      .orderBy(col("count").desc, col(k).cast(StringType))
+      .limit($(maxKeys) + 1)
       .collect()
       .map(r => (r.get(0), r.getLong(1)))
-      .sortBy { case (key, cnt) => (-cnt, String.valueOf(key)) }
+    (top, total)
   }
 
   private def computeTopKeys(dataset: Dataset[_]): Array[Any] = {
-    val topKeys = keyCounts(dataset).filter { case (k, _) => !getExcludeKeys.contains(k) }
+    val (topKeys, total) = keyCounts(dataset)
+    def requireBounded(needed: => Boolean): Unit = require(needed,
+      s"GatherEncoder fit needs more than maxKeys=${$(maxKeys)} distinct keys; " +
+        "raise maxKeys, lower cover, or use the index transformation")
     if ($(cover) == 100.0) {
+      requireBounded(topKeys.length <= $(maxKeys))
       topKeys.map(_._1)
     } else {
-      val threshold = ($(cover) / 100) * topKeys.map(_._2).sum
+      val threshold = ($(cover) / 100) * total
       val below = topKeys.map(_._2).scanLeft(0L)(_ + _).takeWhile(_ < threshold).length
+      requireBounded(below <= $(maxKeys))
       topKeys.take(below).map(_._1)
     }
   }

@@ -97,5 +97,5 @@ object CountMinSketch {
     * width (md5 output is non-negative in 56 bits, so `%` is safe).
     */
   def bucket(j: Int, value: String, width: Int): Int =
-    (KMinValues.hash56(j + ":" + value) % width).toInt
+    (KMinValues.hash56(s"$j:$value") % width).toInt
 }

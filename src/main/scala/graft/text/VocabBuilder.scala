@@ -46,11 +46,19 @@ class VocabBuilder(
     val terms = docs
       .select(explode_outer(TextNormalizer.tokens(col(textCol))).as("term"))
       .where(col("term").isNotNull)
+    // materialize the wordcount once: four consumers reference it (histogram,
+    // total, full-group join, boundary join), and Spark re-executes a shared
+    // subtree per reference — without this the corpus is re-tokenized 4x
+    // (measured 28s -> 4s at 100k docs). State is vocab-sized (the same
+    // bounded-frame discipline as DedupClusters' label propagation).
     val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
 
-    // per-frequency histogram: mass = c * n_terms token occurrences
+    // per-frequency histogram: mass = c * n_terms token occurrences;
+    // tiny (distinct count values), also referenced three times
     val hist = counts.groupBy(col("c"))
       .agg(sum(col("c")).as("mass"), count(lit(1)).as("n_terms"))
+      .localCheckpoint()
     val total = hist.agg(sum(col("mass")).cast("double").as("total"))
 
     // exclusive mass of all strictly-more-frequent groups (triangle join on

@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth smoke: runs the heavy operator families on 1x and Nx
+  * replicas of the sf0.1 tables (ids offset per copy so cardinalities grow
+  * with the data) and prints per-operator times + growth ratios. An
+  * operator whose plan is scale-safe should grow ~linearly in rows; a
+  * quadratic candidate blow-up or driver bottleneck shows up as a
+  * superlinear ratio long before it would OOM a cluster.
+  *
+  * Not part of the driver bench — run manually:
+  *   SPARK_GRAFT_SCALE=20 sbt "runMain graft.tools.ScaleSmoke"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "20").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    /** n copies, ids offset so duplicate structure scales, not collapses.
+      * With `mutate`, each copy's text gets enough copy-specific content
+      * (12 md5 repeats ≈ half the doc) that copies are NOT near-duplicates
+      * of each other — so pair outputs grow linearly and the ratio measures
+      * plan scaling, not the genuinely quadratic all-dup pair count.
+      */
+    def scaled(table: String, idCol: String, n: Int, mutate: Boolean = false): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val copies = spark.range(n).select(col("id").as("__copy"))
+      val crossed = base.crossJoin(copies)
+        .withColumn(idCol, col(idCol) + col("__copy") * 10000000L)
+      // 12 DISTINCT md5s (a single md5 repeated has only ~32 distinct
+      // 8-shingles and leaves copies Jaccard-similar)
+      val mutated =
+        if (mutate) crossed.withColumn("text",
+          concat(col("text"), lit(" "), expr(
+            s"concat_ws('', transform(sequence(1, 12), i -> md5(concat(cast($idCol AS string), ':', i))))")))
+        else crossed
+      mutated.drop("__copy")
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      "exact_dedup" -> { d: DataFrame =>
+        new graft.dedup.ExactDeduplicator().transform(d).count()
+      },
+      "minhash_pairs" -> { d: DataFrame =>
+        new graft.dedup.MinHashDeduplicator()
+          .setIdCol("doc_id").setTextCol("text")
+          .setShingleSize(8).setNumHashes(12).setNumBands(4).setThreshold(0.5)
+          .transform(d).count()
+      },
+      "vocab" -> { d: DataFrame =>
+        new graft.text.VocabBuilder(0.95).vocab(d).count()
+      },
+      "tfidf" -> { d: DataFrame =>
+        new graft.text.TfIdf(topK = 3).topTerms(d).count()
+      },
+      "quality_filter" -> { d: DataFrame =>
+        new graft.text.QualityFilter().transform(d).count()
+      })
+
+    val evOps: Seq[(String, DataFrame => Long)] = Seq(
+      "sessionize" -> { e: DataFrame =>
+        graft.streaming.Sessionize.batch(
+          e.withColumn("ts_us", expr("ts div 1000")),
+          tsCol = "ts_us", gap = 14400L * 1000000L, toTicks = identity).count()
+      },
+      "outliers" -> { e: DataFrame =>
+        new graft.feature.RobustOutliers().flag(e, "event_type", "value")
+          .where(col("is_outlier")).count()
+      })
+
+    def run(label: String, mk: Int => DataFrame, fs: Seq[(String, DataFrame => Long)]): Unit = {
+      val d1 = mk(1).cache(); d1.count()
+      val dn = mk(mult).cache(); dn.count()
+      fs.foreach { case (name, f) =>
+        f(d1) // warmup plans/codegen
+        val (t1, r1) = time(f(d1))
+        val (tn, rn) = time(f(dn))
+        println(f"SMOKE $label/$name%-18s 1x=${t1}%7.2fs (${r1}%9d rows)  ${mult}x=${tn}%7.2fs (${rn}%9d rows)  time-ratio=${tn / t1}%6.1f")
+      }
+      d1.unpersist(); dn.unpersist()
+    }
+
+    // exact dedup on UNMUTATED copies: dup groups of size `mult` stress the
+    // canonical window; the others on mutated text for linear pair outputs
+    run("docs", n => scaled("documents", "doc_id", n), ops.take(1))
+    run("docs", n => scaled("documents", "doc_id", n, mutate = true), ops.drop(1))
+    run("events", n => scaled("events", "event_id", n), evOps)
+    spark.stop()
+  }
+}

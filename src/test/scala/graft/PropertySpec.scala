@@ -179,6 +179,53 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("deletion-blocked edit join equals the naive all-pairs definition") {
+    // tiny alphabet + short strings -> dense near-pairs
+    val word: Gen[String] =
+      Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    forAll(Gen.listOfN(12, word), trials = 6) { words =>
+      whenever(words.nonEmpty) {
+        val got = new graft.text.EditDistanceJoin().pairs(words.toDF("s"), "s")
+          .select($"a", $"b").as[(String, String)].collect().toSet
+        val distinct = words.distinct
+        val want = (for {
+          a <- distinct; b <- distinct if a < b && lev(a, b) == 1
+        } yield (a, b)).toSet
+        assert(got === want, s"words=$distinct")
+      }
+    }
+  }
+
+  test("vocab builder equals the sequential coverage scan") {
+    val doc: Gen[String] =
+      Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" "))
+    forAll(Gen.zip(Gen.listOfN(5, doc), Gen.choose(1, 99)), trials = 6) { case (docs, coverPct) =>
+      whenever(docs.nonEmpty) {
+        val cover = coverPct / 100.0
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = new graft.text.VocabBuilder(cover).vocab(df)
+          .as[(String, Long)].collect().toSet
+        val counts = docs.flatMap(_.split(" ")).groupBy(identity)
+          .map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+          .sortBy { case (t, c) => (-c, t) }
+        val total = counts.map(_._2).sum.toDouble
+        val want = counts.zip(counts.map(_._2).scanLeft(0L)(_ + _))
+          .takeWhile { case (_, excl) => excl < cover * total }
+          .map(_._1).toSet
+        assert(got === want, s"cover=$cover counts=$counts")
+      }
+    }
+  }
+
   test("two-phase prefix sum equals the sequential scan on random data") {
     val rows: Gen[List[(Long, Long)]] =
       Gen.listOfN(30, Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 9L)))

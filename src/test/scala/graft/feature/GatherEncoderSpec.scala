@@ -101,4 +101,19 @@ class GatherEncoderSpec extends SparkTestBase {
     val model = encoder.setTransformation("top").setKeepInputCol(false).fit(df)
     assert(!model.transform(df).schema.fieldNames.contains("sites"))
   }
+
+  test("maxKeys bounds the driver collect without changing the selection") {
+    // 5 selected keys at cover=75 fit a bound of 5 -> identical model
+    val bounded = encoder.setTransformation("top").setCover(75.0).setMaxKeys(5)
+    assert(fitKeys(bounded) === fitKeys(encoder.setTransformation("top").setCover(75.0)))
+  }
+
+  test("maxKeys overflow fails loudly instead of silently truncating") {
+    val e = encoder.setTransformation("top").setCover(100.0).setMaxKeys(3)
+    val ex = intercept[IllegalArgumentException](e.fit(df))
+    assert(ex.getMessage.contains("maxKeys"))
+    // selection needing > maxKeys keys at cover<100 also fails
+    val e2 = encoder.setTransformation("top").setCover(99.0).setMaxKeys(2)
+    intercept[IllegalArgumentException](e2.fit(df))
+  }
 }
