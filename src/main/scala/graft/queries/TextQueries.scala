@@ -216,6 +216,14 @@ object TextQueries {
     // oracle runs)
     "q88_edit_join" -> ((s, dir) => {
       new EditDistanceJoin().pairs(Tables.customer(s, dir), "c_name")
+    }),
+
+    // edit-distance-≤2 pairs (depth-2 deletion neighborhoods) on a strided
+    // name subset — k=2 fan-out is ~len²/2 variants, so the subset keeps
+    // the demo honest while the oracle stays the naive cross join
+    "q95_edit_join2" -> ((s, dir) => {
+      new EditDistanceJoin(k = 2)
+        .pairs(Tables.customer(s, dir).where(col("c_custkey") % 25 === 0), "c_name")
     })
   )
 
@@ -566,6 +574,16 @@ object TextQueries {
         |FROM n a JOIN n b
         |  ON a.s < b.s
         | AND abs(length(a.s) - length(b.s)) <= 1
-        | AND levenshtein(a.s, b.s) = 1""".stripMargin
+        | AND levenshtein(a.s, b.s) = 1""".stripMargin,
+    "q95_edit_join2" ->
+      """WITH n AS (
+        |  SELECT DISTINCT c_name AS s FROM customer WHERE c_custkey % 25 = 0
+        |)
+        |SELECT a.s AS a, b.s AS b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        |  ON a.s < b.s
+        | AND abs(length(a.s) - length(b.s)) <= 2
+        | AND levenshtein(a.s, b.s) BETWEEN 1 AND 2""".stripMargin
   )
 }

@@ -3,42 +3,53 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Edit-distance-1 similarity self-join via position-tagged deletion
-  * blocking (the FastSS / SymSpell family): two distinct strings are within
-  * Levenshtein distance 1 iff
-  *  - they share a single-character deletion at the SAME position
-  *    (substitution: delete the differing position from both), or
-  *  - one string IS a single-character deletion of the other (indel).
-  * Entity resolution / typo clustering over ids, names, vocabulary terms.
+/** Edit-distance-≤k (k = 1 or 2) similarity self-join via deletion
+  * blocking (the FastSS / SymSpell family). Entity resolution / typo
+  * clustering over ids, names, vocabulary terms.
   *
-  * Beyond-reference operator (LLM-pipeline extension).
+  * k = 1 uses position-TAGGED deletions: two distinct strings are within
+  * distance 1 iff they share a deletion at the SAME position (substitution)
+  * or one IS a deletion of the other (indel) — candidates are exactly the
+  * true pairs plus rare hash collisions. Position tagging matters: the
+  * untagged "neighborhoods intersect" test also admits every distance-2
+  * pair sharing a cross-position deletion (e.g. "x12"/"x21"), which on
+  * digit-structured keys is a candidate blow-up an order of magnitude past
+  * the true pair set.
+  *
+  * k = 2 uses untagged depth-≤2 deletion neighborhoods (FastSS):
+  * ed(a,b) ≤ k ⟹ D≤k(a) ∩ D≤k(b) ≠ ∅ (each edit can be simulated by
+  * deleting the touched position from both sides), so the intersection is
+  * a complete candidate set and the exact `levenshtein` verify keeps only
+  * true pairs. Fan-out is ~len²/2 variants per string and a true pair
+  * surfaces once per shared variant — the immediate `distinct` collapses
+  * that before verification.
   *
   * Scale design — the naive formulation is an O(n²) cross join; this one
-  * never builds it. Each distinct string fans out to its deletion variants
-  * (row-local `transform` over a `sequence`, inside whole-stage codegen),
-  * candidates come ONLY from equi-joins on 64-bit variant hashes
-  * (~uniform keys, shuffle-partitioned), and the final `levenshtein`
-  * guard keeps hash collisions out. Position tagging matters: the naive
-  * "deletion neighborhoods intersect" test (no position) also admits every
-  * DISTANCE-2 pair that shares a deletion across different positions —
-  * e.g. "x12"/"x21" — which on digit-structured keys is a candidate blow-up
-  * an order of magnitude past the true pair set. Same-position matching
-  * admits exactly the substitution pairs. Strings longer than `maxLen` are
-  * dropped by the operator's contract (fan-out is linear in string length).
+  * never builds it. Variants are row-local `transform`s over `sequence`s
+  * (whole-stage codegen), candidates come ONLY from equi-joins on 64-bit
+  * variant hashes (~uniform keys, shuffle-partitioned), and the final
+  * `levenshtein` guard ejects hash collisions. Strings longer than
+  * `maxLen` are dropped by the operator's contract.
   */
-class EditDistanceJoin(maxLen: Int = 64) {
+class EditDistanceJoin(k: Int = 1, maxLen: Int = 64) {
+  require(k == 1 || k == 2, s"k ($k) must be 1 or 2")
   require(maxLen >= 1, s"maxLen ($maxLen) must be positive")
 
   private def delAt(s: Column, i: Column): Column =
     concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))
 
-  /** Distinct-string pairs (a, b, dist) with levenshtein(a, b) == 1 and
-    * a < b (distance 0 is impossible on the distinct set).
+  /** All single-character deletions of `s`. */
+  private def d1(s: Column): Column =
+    transform(sequence(lit(1), length(s)), i => delAt(s, i))
+
+  /** Distinct-string pairs (a, b, dist) with 1 <= levenshtein(a, b) <= k
+    * and a < b (distance 0 is impossible on the distinct set).
     */
   def pairs(df: Dataset[_], strCol: String): DataFrame = {
     val strs = df.select(col(strCol).cast("string").as("s"))
       .where(col("s").isNotNull && length(col("s")) <= maxLen)
       .distinct()
+    if (k == 2) return pairsK2(strs)
 
     // substitution pairs: same deletion position, same deletion hash
     val delPos = strs.select(col("s"),
@@ -66,5 +77,21 @@ class EditDistanceJoin(maxLen: Int = 64) {
     subs.unionByName(indel).distinct()
       .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
       .where(col("dist") === 1)
+  }
+
+  /** Depth-≤2 neighborhood intersection: identity ∪ D1 ∪ D2 hashed, one
+    * equi-join, distinct, exact verify.
+    */
+  private def pairsK2(strs: DataFrame): DataFrame = {
+    val v1 = d1(col("s"))
+    val v2 = flatten(transform(v1, v => d1(v)))
+    val neigh = strs.select(col("s"),
+      explode(array_distinct(transform(
+        concat(array(col("s")), v1, v2), v => xxhash64(v)))).as("h"))
+    neigh.as("a")
+      .join(neigh.as("b"), col("a.h") === col("b.h") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("a"), col("b.s").as("b")).distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .where(col("dist").between(1, k))
   }
 }

@@ -6,8 +6,8 @@ import graft.SparkTestBase
 class EditDistanceJoinSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def pairs(strs: Seq[String], maxLen: Int = 64): Set[(String, String, Long)] =
-    new EditDistanceJoin(maxLen).pairs(strs.toDF("s"), "s")
+  private def pairs(strs: Seq[String], maxLen: Int = 64, k: Int = 1): Set[(String, String, Long)] =
+    new EditDistanceJoin(k = k, maxLen = maxLen).pairs(strs.toDF("s"), "s")
       .as[(String, String, Long)].collect().toSet
 
   test("finds substitution, insertion, and deletion pairs") {
@@ -41,6 +41,25 @@ class EditDistanceJoinSpec extends SparkTestBase {
   test("strings over maxLen are excluded") {
     assert(pairs(Seq("short", "shorty", "x" * 100, "x" * 101), maxLen = 64) ===
       Set(("short", "shorty", 1L)))
+  }
+
+  test("k=2 finds two-edit pairs: double substitution, transposition, 2-indel") {
+    val got = pairs(Seq("abcdef", "azcdez", "acbdef", "abcdefgh", "zzzzzz"), k = 2)
+    assert(got.contains(("abcdef", "azcdez", 2L)))   // two substitutions
+    assert(got.contains(("abcdef", "acbdef", 2L)))   // adjacent transposition
+    assert(got.contains(("abcdef", "abcdefgh", 2L))) // two insertions
+    assert(!got.exists(p => p._1 == "zzzzzz" || p._2 == "zzzzzz")) // far from all
+    assert(got.forall(p => p._3 >= 1L && p._3 <= 2L))
+  }
+
+  test("k=2 matches the naive all-pairs definition on a random-ish set") {
+    val strs = for (i <- 0 until 30) yield f"Customer#$i%03d"
+    val naive = (for {
+      a <- strs; b <- strs if a < b
+      d = levenshtein(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs(strs, k = 2) === naive)
+    assert(naive.exists(_._3 == 2L) && naive.exists(_._3 == 1L))
   }
 
   // reference implementation for the property check
