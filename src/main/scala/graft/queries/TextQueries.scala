@@ -224,6 +224,21 @@ object TextQueries {
     "q95_edit_join2" -> ((s, dir) => {
       new EditDistanceJoin(k = 2)
         .pairs(Tables.customer(s, dir).where(col("c_custkey") % 25 === 0), "c_name")
+    }),
+
+    // CCNet-style perplexity bucketing: per-language nll tertiles over the
+    // corpus's own unigram LM — the head/middle/tail split used to mix
+    // pretraining data by quality. Windows partition by lang (parallel);
+    // ties broken by doc_id so the tertile assignment is deterministic
+    "q96_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = new UnigramLM(alpha = 0.5).fitScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("avg_nll")), 6).as("mean_nll"))
     })
   )
 
@@ -584,6 +599,29 @@ object TextQueries {
         |FROM n a JOIN n b
         |  ON a.s < b.s
         | AND abs(length(a.s) - length(b.s)) <= 2
-        | AND levenshtein(a.s, b.s) BETWEEN 1 AND 2""".stripMargin
+        | AND levenshtein(a.s, b.s) BETWEEN 1 AND 2""".stripMargin,
+    "q96_ccnet_buckets" ->
+      (normSql +
+        """
+          |, tok AS (
+          |  SELECT doc_id, unnest(tl) AS tok FROM toks
+          |), counts AS (
+          |  SELECT tok, count(*) AS c FROM tok GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(sum(c) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS v_size
+          |  FROM counts
+          |), scored AS (
+          |  SELECT doc_id,
+          |    round(avg(-ln((c + 0.5) / (n_total + 0.5 * v_size))), 6) AS avg_nll
+          |  FROM tok JOIN counts USING (tok) CROSS JOIN tot
+          |  GROUP BY doc_id
+          |), lb AS (
+          |  SELECT d.lang, s.avg_nll,
+          |    ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_nll, s.doc_id) AS bucket
+          |  FROM scored s JOIN documents d USING (doc_id)
+          |)
+          |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+          |  round(avg(avg_nll), 6) AS mean_nll
+          |FROM lb GROUP BY 1, 2""".stripMargin)
   )
 }
