@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{Bm25, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, RepetitionStats, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
+import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, RepetitionStats, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -239,8 +239,67 @@ object TextQueries {
       scored.withColumn("bucket", ntile(3).over(w).cast("long"))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n"), round(avg(col("avg_nll")), 6).as("mean_nll"))
+    }),
+
+    // distributed BPE tokenizer training: 10 merge rounds over the corpus's
+    // distinct-word table — each round is one pair-count shuffle + a
+    // single-row driver argmax. The oracle replays ALL TEN rounds as
+    // unrolled CTE stages (greedy merge = leftmost non-overlapping string
+    // replace on double-space-delimited symbols), so the whole iterative
+    // training loop is hash-verified
+    "q97_bpe" -> ((s, dir) => {
+      new BpeTrainer(numMerges = 10).fit(Tables.documents(s, dir))
     })
   )
+
+  /** Unrolled k-stage BPE oracle. Symbols ride as a double-space-delimited
+    * string ("  h  u  g  "); a merge is `replace(' l  r ', ' lr ')`, whose
+    * leftmost-non-overlapping scan (each boundary contributes one space to
+    * each side, so consecutive merges don't starve each other of
+    * separators) equals the trainer's greedy left-to-right fold. Each
+    * stage: re-split, count adjacent pairs weighted by word count, argmax
+    * with (n desc, l, r) ties — identical to the Spark loop.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(normSql)
+    sb.append("""
+      |, tok AS (SELECT unnest(tl) AS word FROM toks)
+      |, w0 AS (
+      |  SELECT word, count(*) AS cnt,
+      |    '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS syms
+      |  FROM tok WHERE length(word) > 0 GROUP BY word
+      |)""".stripMargin)
+    for (i <- 0 until k) {
+      sb.append(s"""
+        |, sl$i AS (
+        |  SELECT cnt, list_filter(string_split(syms, '  '), x -> x <> '') AS sl
+        |  FROM w$i
+        |), pr$i AS (
+        |  SELECT sl[CAST(j AS INT)] AS l, sl[CAST(j AS INT) + 1] AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM sl$i CROSS JOIN range(1, 64) t(j)
+        |  WHERE j <= len(sl) - 1
+        |  GROUP BY 1, 2
+        |), m$i AS (
+        |  SELECT l, r, n FROM pr$i ORDER BY n DESC, l, r LIMIT 1
+        |)""".stripMargin)
+      if (i < k - 1) sb.append(s"""
+        |, w${i + 1} AS (
+        |  SELECT word, cnt,
+        |    replace(syms, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS syms
+        |  FROM w$i CROSS JOIN m$i m
+        |)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (\n")
+    sb.append((0 until k).map(i =>
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS "rank", l AS "left", r AS "right",
+         |  l || r AS merged, n AS pair_count FROM m$i""".stripMargin)
+      .mkString("\nUNION ALL\n"))
+    sb.append("\n)\nUNION ALL -- guard: loud mismatch if a word outgrows the range(1,64) pair bound\n")
+    sb.append("SELECT -1, '', '', '', -1 WHERE (SELECT max(len(string_split(word, ''))) FROM w0) > 64")
+    sb.toString
+  }
 
   private def hitSql(lang: String): String = {
     val list = TextFunctions.stopwords.toMap.apply(lang)
@@ -622,6 +681,7 @@ object TextQueries {
           |)
           |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
           |  round(avg(avg_nll), 6) AS mean_nll
-          |FROM lb GROUP BY 1, 2""".stripMargin)
+          |FROM lb GROUP BY 1, 2""".stripMargin),
+    "q97_bpe" -> bpeOracleSql(10)
   )
 }
