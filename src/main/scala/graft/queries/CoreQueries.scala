@@ -356,6 +356,23 @@ object CoreQueries {
           round(sum(col("value")).over(w), 6).as("sum_trailing"))
     }),
 
+    // corpus snapshot diff: v2 drops every 5th doc, rewrites every 7th,
+    // and adds new ids for every 11th — the full-outer fingerprint
+    // classification every ingest promotion runs
+    "q98_corpus_diff" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      graft.sql.SnapshotDiff.byKey(v1, v2, "doc_id", "text")
+        .select(col("doc_id"), col("status"),
+          coalesce(col("fp_old"), lit("")).as("fp_old"),
+          coalesce(col("fp_new"), lit("")).as("fp_new"))
+    }),
+
     // robust per-group outliers (modified z-score on median/MAD) over the
     // event value stream; emits only the flagged rows
     "q89_outliers" -> ((s, dir) => {
@@ -554,6 +571,28 @@ object CoreQueries {
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q98_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM v1 WHERE doc_id % 11 = 0
+        |), o AS (
+        |  SELECT doc_id AS old_key, sha256(text) AS fp_old FROM v1
+        |), n AS (
+        |  SELECT doc_id AS new_key, sha256(text) AS fp_new FROM v2
+        |)
+        |SELECT coalesce(old_key, new_key) AS doc_id,
+        |  CASE WHEN old_key IS NULL THEN 'added'
+        |       WHEN new_key IS NULL THEN 'removed'
+        |       WHEN fp_old <> fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(fp_old, '') AS fp_old,
+        |  coalesce(fp_new, '') AS fp_new
+        |FROM o FULL OUTER JOIN n ON old_key = new_key""".stripMargin,
     "q89_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med
