@@ -65,6 +65,10 @@ object Bench {
     // nothing. The PRINTED line uses the short `qNN` key prefix
     // (~1 KB, fits the window); bench_out.json keeps full names.
     def short(k: String): String = k.takeWhile(_ != '_')
+    // duplicate short keys would silently overwrite each other in the
+    // driver's parsed JSON — fail loudly at bench time instead
+    require(results.map(r => short(r._1)).distinct.size == results.size,
+      "duplicate qNN prefixes across query names; printed JSON keys would collide")
     val qJson = results.map { case (k, v) => jstr(short(k)) + ":" + num(v) }.mkString("{", ",", "}")
     val qJsonFull = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")

@@ -131,7 +131,7 @@ class GatherEncoder(override val uid: String)
     * key-as-string asc) INSIDE Spark; only the top `maxKeys + 1` rows reach
     * the driver (the +1 detects overflow).
     */
-  private def keyCounts(dataset: Dataset[_]): (Array[(Any, Long)], Long) = {
+  private def keyCounts(dataset: Dataset[_], needTotal: Boolean): (Array[(Any, Long)], Long) = {
     val k = s"${uid}_key"
     val excluded = getExcludeKeys.toSeq
     val counts0 = dataset
@@ -142,10 +142,14 @@ class GatherEncoder(override val uid: String)
     val counts =
       if (excluded.isEmpty) counts0
       else counts0.where(not(coalesce(col(k).isin(excluded: _*), lit(false))))
-    val total = counts.agg(sum(col("count"))).first() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    // the exact distributed total feeds the cover threshold — a second scan,
+    // skipped on the cover=100 path which never thresholds
+    val total =
+      if (!needTotal) 0L
+      else counts.agg(sum(col("count"))).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
     val top = counts
       .orderBy(col("count").desc, col(k).cast(StringType))
       .limit($(maxKeys) + 1)
@@ -155,7 +159,7 @@ class GatherEncoder(override val uid: String)
   }
 
   private def computeTopKeys(dataset: Dataset[_]): Array[Any] = {
-    val (topKeys, total) = keyCounts(dataset)
+    val (topKeys, total) = keyCounts(dataset, needTotal = $(cover) != 100.0)
     def requireBounded(needed: => Boolean): Unit = require(needed,
       s"GatherEncoder fit needs more than maxKeys=${$(maxKeys)} distinct keys; " +
         "raise maxKeys, lower cover, or use the index transformation")

@@ -22,16 +22,24 @@ import org.apache.spark.sql.functions._
 class RobustOutliers(cutoff: Double = 3.5) {
   require(cutoff > 0.0, s"cutoff ($cutoff) must be positive")
 
-  /** Input plus `med`, `mad`, `robust_z`, `is_outlier`. */
+  /** Input plus `med`, `mad`, `robust_z`, `is_outlier`. Row-preserving:
+    * the statistic joins are null-safe, so a NULL group is screened
+    * against its own median/MAD instead of silently vanishing from an
+    * inner equi-join.
+    */
   def flag(df: Dataset[_], groupCol: String, valueCol: String): DataFrame = {
     val meds = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val withMed = df.join(broadcast(meds), groupCol)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+      .withColumnRenamed(groupCol, "__ro_g")
+    val withMed = df.join(broadcast(meds), col(groupCol) <=> col("__ro_g"))
+      .drop("__ro_g")
     val mads = withMed
       .withColumn("__ad", abs(col(valueCol) - col("med")))
       .groupBy(col(groupCol))
-      .agg(expr("percentile(__ad, 0.5)").as("mad"))
-    withMed.join(broadcast(mads), groupCol)
+      .agg(percentile(col("__ad"), lit(0.5)).as("mad"))
+      .withColumnRenamed(groupCol, "__ro_g")
+    withMed.join(broadcast(mads), col(groupCol) <=> col("__ro_g"))
+      .drop("__ro_g")
       .withColumn("robust_z",
         when(col("mad") > 0, abs(col(valueCol) - col("med")) / col("mad"))
           .otherwise(lit(0.0)))

@@ -27,13 +27,19 @@ class Winsorizer(lower: Double = 0.05, upper: Double = 0.95) {
   /** Per-group clamp bounds: one row per group, columns `lo`/`hi`. */
   def bounds(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, $lower)").as("lo"),
-        expr(s"percentile($valueCol, $upper)").as("hi"))
+      .agg(percentile(col(valueCol), lit(lower)).as("lo"),
+        percentile(col(valueCol), lit(upper)).as("hi"))
 
-  /** Input plus `<valueCol>_wins`, the value clamped to the group bounds. */
+  /** Input plus `<valueCol>_wins`, the value clamped to the group bounds.
+    * Row-preserving: the join back is null-safe, so a NULL group clamps to
+    * its own learned bounds instead of silently vanishing from an inner
+    * equi-join (NULL never equals NULL).
+    */
   def transform(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val b = bounds(df, groupCol, valueCol)
-    df.join(broadcast(b), groupCol)
+      .withColumnRenamed(groupCol, "__wins_g")
+    df.join(broadcast(b), col(groupCol) <=> col("__wins_g"))
+      .drop("__wins_g")
       .withColumn(s"${valueCol}_wins",
         Winsorizer.clamp(col(valueCol), col("lo"), col("hi")))
   }

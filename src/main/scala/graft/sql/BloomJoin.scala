@@ -69,8 +69,12 @@ object BloomJoin {
       .head().getSeq[Long](0).toArray
     val mightContain =
       functions.bloomMightContain(typedlit(words), probeKey.cast("string"), numHashes)
-    val definitelyNew = probe.where(!mightContain)
-    val verified = probe.where(mightContain)
+    // null-safe split: a NULL probe key makes mightContain NULL, which a
+    // bare `where(!...)` would drop from BOTH branches — left_anti keeps
+    // null-key rows (null matches nothing on the build side), so they
+    // belong with the definitely-new set
+    val definitelyNew = probe.where(not(coalesce(mightContain, lit(false))))
+    val verified = probe.where(coalesce(mightContain, lit(false)))
       .join(build.select(buildKey.as("__bj_key")).distinct(),
         probeKey === col("__bj_key"), "left_anti")
     definitelyNew.unionByName(verified)

@@ -28,9 +28,15 @@ class LayoutWriter(maxRecordsPerFile: Long = 1L << 20) {
 
   /** Write `df` to `path` clustered by `key` into `numRanges` sorted ranges. */
   def write(df: DataFrame, key: Column, numRanges: Int, path: String): Unit = {
-    val keyed = df.withColumn(LayoutWriter.KeyCol, key)
     val hadKey = df.columns.contains(LayoutWriter.KeyCol)
-    val clustered = keyed
+    // clustering by an EXISTING '__cluster_key' column is fine (no-op
+    // withColumn, column kept); synthesizing a DIFFERENT key under that
+    // name would silently overwrite the user's data and persist it —
+    // loud failure instead
+    require(!hadKey || key.toString == LayoutWriter.KeyCol,
+      s"input already has a '${LayoutWriter.KeyCol}' column; pass col(\"${LayoutWriter.KeyCol}\") " +
+        "to cluster by it, or rename it before synthesizing a different key")
+    val clustered = df.withColumn(LayoutWriter.KeyCol, key)
       .repartitionByRange(numRanges, col(LayoutWriter.KeyCol))
       .sortWithinPartitions(col(LayoutWriter.KeyCol))
     val out = if (hadKey) clustered else clustered.drop(LayoutWriter.KeyCol)

@@ -34,7 +34,9 @@ object SnapshotDiff {
         coalesce(col("old_key"), col("new_key")).as(keyCol),
         when(col("old_key").isNull, "added")
           .when(col("new_key").isNull, "removed")
-          .when(col("fp_old") =!= col("fp_new"), "changed")
+          // null-safe inequality: a null-content side (fp = sha2(null) =
+          // null) must read as CHANGED, not fall through to unchanged
+          .when(!(col("fp_old") <=> col("fp_new")), "changed")
           .otherwise("unchanged").as("status"),
         col("fp_old"), col("fp_new"))
   }

@@ -57,6 +57,11 @@ class Bm25(
       .groupBy(col(idCol), col("len"), col("term"))
       .agg(count(lit(1)).as("c"))
     val df = tc.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+    // accepted cost: this scalar aggregate re-runs the tokenizer over the
+    // corpus (Spark re-executes shared subtrees per consumer, and the only
+    // one-pass alternative is materializing the exploded token stream —
+    // corpus-sized state for a 2-scalar result). Both passes are
+    // shuffle-free scans; the pruned term path stays the dominant cost.
     val corpus = toks.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(size(col("tl"))).as("avgdl"))

@@ -28,6 +28,16 @@ class RobustOutliersSpec extends SparkTestBase {
     assert(flagged === 0L)
   }
 
+  test("null group keys are screened, not dropped") {
+    val df = Seq[(Long, String, Double)]((1L, null, 1.0), (2L, null, 2.0),
+      (3L, null, 3.0), (4L, null, 500.0), (5L, "g", 7.0))
+      .toDF("id", "grp", "v")
+    val out = new RobustOutliers().flag(df, "grp", "v")
+    assert(out.count() === 5L) // row-preserving incl. the null group
+    val flagged = out.where(col("is_outlier")).select("id").as[Long].collect().toSet
+    assert(flagged === Set(4L)) // outlier within the null group is found
+  }
+
   test("groups are independent") {
     val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 50.0),
       (5L, "b", 50.0), (6L, "b", 51.0), (7L, "b", 52.0)).toDF("id", "grp", "v")

@@ -38,4 +38,12 @@ class WinsorizerSpec extends SparkTestBase {
   test("rejects inverted quantiles") {
     intercept[IllegalArgumentException](new Winsorizer(0.9, 0.1))
   }
+
+  test("null group keys are clamped, not dropped") {
+    import spark.implicits._
+    val d = Seq[(String, Double)]((null, 1.0), (null, 100.0), ("g", 5.0))
+      .toDF("g", "v")
+    val out = new Winsorizer(0.25, 0.75).transform(d, "g", "v")
+    assert(out.count() === 3L) // row-preserving incl. the null group
+  }
 }

@@ -20,6 +20,17 @@ class BloomJoinSpec extends SparkTestBase {
     assert(got.size === 1000 - 143) // 143 multiples of 7 under 1000
   }
 
+  test("antiJoin keeps null-key probe rows (left_anti semantics)") {
+    val p = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (7L, "c"))
+      .toDF("k", "payload")
+    val got = BloomJoin.antiJoin(p, col("k"), build, col("bk"))
+      .select("payload").as[String].collect().toSet
+    val exact = p.join(build, col("k") === col("bk"), "left_anti")
+      .select("payload").as[String].collect().toSet
+    assert(got === exact)
+    assert(got.contains("b")) // the null-key row survives
+  }
+
   test("antiJoin on an empty build side keeps everything") {
     val got = BloomJoin.antiJoin(probe, col("k"),
       Seq.empty[Long].toDF("bk").where(lit(false)), col("bk"))

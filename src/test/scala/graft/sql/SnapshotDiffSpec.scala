@@ -15,6 +15,14 @@ class SnapshotDiffSpec extends SparkTestBase {
       1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("null-to-content transitions read as changed, not unchanged") {
+    val v1 = Seq[(Long, String)]((1L, null), (2L, "x")).toDF("id", "body")
+    val v2 = Seq[(Long, String)]((1L, "now real"), (2L, null)).toDF("id", "body")
+    val got = SnapshotDiff.byKey(v1, v2, "id", "body")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("identical snapshots report everything unchanged") {
     val v = Seq((1L, "a"), (2L, "b")).toDF("id", "body")
     val statuses = SnapshotDiff.byKey(v, v, "id", "body")
