@@ -97,11 +97,28 @@ object ScaleSmoke {
       d1.unpersist(); dn.unpersist()
     }
 
+    // customer names rebuilt from the offset key so each copy contributes
+    // NEW distinct names (same-name copies would collapse in the distinct)
+    def scaledNames(n: Int): DataFrame =
+      scaled("customer", "c_custkey", n)
+        .withColumn("c_name", format_string("Customer#%09d", pmod(col("c_custkey"), lit(1000000000L))))
+    val nameOps: Seq[(String, DataFrame => Long)] = Seq(
+      "edit_join_k1" -> { d: DataFrame =>
+        new graft.text.EditDistanceJoin().pairs(d, "c_name").count()
+      })
+    val liOps: Seq[(String, DataFrame => Long)] = Seq(
+      "profiler" -> { d: DataFrame =>
+        new graft.sql.TableProfiler().profile(d.toDF(),
+          Seq("l_quantity", "l_extendedprice", "l_returnflag")).count()
+      })
+
     // exact dedup on UNMUTATED copies: dup groups of size `mult` stress the
     // canonical window; the others on mutated text for linear pair outputs
     run("docs", n => scaled("documents", "doc_id", n), ops.take(1))
     run("docs", n => scaled("documents", "doc_id", n, mutate = true), ops.drop(1))
     run("events", n => scaled("events", "event_id", n), evOps)
+    run("names", scaledNames, nameOps)
+    run("lineitem", n => scaled("lineitem", "l_orderkey", n), liOps)
     spark.stop()
   }
 }
