@@ -228,15 +228,17 @@ object TextQueries {
 
     // CCNet-style perplexity bucketing: per-language nll tertiles over the
     // corpus's own unigram LM — the head/middle/tail split used to mix
-    // pretraining data by quality. Windows partition by lang (parallel);
-    // ties broken by doc_id so the tertile assignment is deterministic
+    // pretraining data by quality. A window partitioned by lang would sort
+    // the dominant language's whole corpus in ONE task, so the tertile is
+    // a two-phase grouped ntile (GroupedNtile: value-bucketed parallel
+    // ranks + row-local tile closed form); ties broken by doc_id so the
+    // assignment is deterministic and identical to the oracle's ntile
     "q96_ccnet_buckets" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val scored = new UnigramLM(alpha = 0.5).fitScore(docs)
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))
-      scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+      graft.sql.GroupedNtile
+        .ntile(scored, 3, "lang", "avg_nll", Seq(col("doc_id")), "bucket")
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n"), round(avg(col("avg_nll")), 6).as("mean_nll"))
     }),
