@@ -1,5 +1,7 @@
 package graft.text
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -8,31 +10,36 @@ import graft.dedup.TextNormalizer
 
 /** Distributed BPE (byte-pair-encoding) tokenizer training: the classic
   * merge loop — count adjacent symbol pairs over the corpus, merge the most
-  * frequent pair everywhere, repeat — run Spark-first. Vocabulary induction
-  * for LLM tokenizers; complements [[VocabBuilder]]'s frequency cutoff with
-  * learned subword units.
+  * frequent pair everywhere, repeat. Vocabulary induction for LLM
+  * tokenizers; complements [[VocabBuilder]]'s frequency cutoff with learned
+  * subword units.
   *
   * Beyond-reference operator (LLM-pipeline extension).
   *
-  * Scale design: the working state is the DISTINCT-WORD table
-  * `(word, count, symbols)` — wordcount-sized, never the corpus — so a
-  * 100 TB corpus reduces to its vocabulary before the loop starts. Each
-  * iteration is ONE pair-count shuffle (weighted by word count, partial-
-  * aggregated) plus a single-row driver decision (the argmax pair — the
-  * same bounded-statistic discipline as the encoder fits), and a row-local
-  * merge rewrite (an `aggregate` fold over each word's symbol array).
-  * Lineage is truncated per round with `localCheckpoint` (the
-  * [[graft.dedup.DedupClusters]] pattern), so k merges cost k linear
-  * passes, not an exponentially deep plan.
+  * Scale design: BPE state is the DISTINCT-WORD table `(word, count)` —
+  * wordcount-sized, never the corpus — so `fit` spends exactly ONE
+  * corpus-sized Spark job (the word count) and then trains ALL merge
+  * rounds on the collected word table driver-side with incremental pair
+  * counts (each merge touches only the words containing the merged pair).
+  * The collect is guarded by a loud `maxWords` failure (the GatherEncoder
+  * discipline): a bounded-vocabulary contract beats the alternative — one
+  * pair-count shuffle per merge, which at a real vocabulary size (30k-50k
+  * merges) is tens of thousands of sequential Spark jobs and
+  * wall-clock-impossible on any cluster. Corpora whose raw vocabulary
+  * exceeds `maxWords` should be pre-filtered (e.g. drop count-1 hapaxes)
+  * before training.
   *
   * Determinism: ties in pair frequency break by (left, right) ascending,
-  * so the merge sequence is reproducible across runs and partitionings.
+  * so the merge sequence is reproducible across runs and partitionings —
+  * and is hash-verified against a fully-unrolled CTE oracle (q97).
   */
 class BpeTrainer(
     numMerges: Int = 10,
-    textCol: String = "text") {
+    textCol: String = "text",
+    maxWords: Int = 2000000) {
 
   require(numMerges >= 1, s"numMerges ($numMerges) must be positive")
+  require(maxWords >= 1, s"maxWords ($maxWords) must be positive")
 
   /** Greedy left-to-right single-pair merge of `a`+`b` inside a symbol
     * array — the fold never re-merges across an already-merged token
@@ -44,55 +51,135 @@ class BpeTrainer(
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** Local twin of [[mergeOnce]]: same greedy left-to-right fold. */
+  private[text] def mergeLocal(
+      s: collection.Seq[String], a: String, b: String): mutable.ArrayBuffer[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    for (x <- s) {
+      if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+      else out += x
+    }
+    out
+  }
+
+  /** Driver-side merge loop over the collected `(word, count)` table.
+    * Pair counts update incrementally: a merge rewrites only the words
+    * indexed under its pair, subtracting their old adjacent-pair
+    * contributions and adding the new ones — never a full recount.
+    */
+  private[text] def trainLocal(
+      words: Array[(String, Long)]): Seq[(Long, String, String, String, Long)] = {
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      words.map { case (w, _) => mutable.ArrayBuffer(w.split(""): _*) }
+    val cnts = words.map(_._2)
+    val pairN = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+
+    def eachPair(i: Int)(f: ((String, String)) => Unit): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) { f((s(j), s(j + 1))); j += 1 }
+    }
+    def include(i: Int): Unit = eachPair(i) { p =>
+      pairN(p) = pairN.getOrElse(p, 0L) + cnts(i)
+      pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
+    }
+    def exclude(i: Int): Unit = eachPair(i) { p =>
+      val n = pairN(p) - cnts(i)
+      if (n == 0L) pairN.remove(p) else pairN(p) = n
+      pairWords.get(p).foreach(_ -= i)
+    }
+
+    var i = 0
+    while (i < syms.length) { include(i); i += 1 }
+
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1
+    while (rank <= numMerges && pairN.nonEmpty) {
+      var best: (String, String) = null
+      var bn = 0L
+      for ((p, n) <- pairN) {
+        if (best == null || n > bn ||
+          (n == bn && (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bn = n
+        }
+      }
+      val (a, b) = best
+      out += ((rank.toLong, a, b, a + b, bn))
+      for (w <- pairWords.getOrElse(best, mutable.BitSet.empty).toArray) {
+        exclude(w)
+        syms(w) = mergeLocal(syms(w), a, b)
+        include(w)
+      }
+      rank += 1
+    }
+    out.result()
+  }
+
   /** Learned merge table: (rank, left, right, merged, pair_count), rank
     * 1-based in merge order. Stops early if no adjacent pair remains.
+    * Fails loudly if the corpus's distinct-word table exceeds `maxWords`.
     */
   def fit(docs: Dataset[_]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // corpus -> distinct words with counts -> character symbol sequences
-    var state = docs
+    // the ONLY corpus-sized job: distinct words with counts
+    val words = docs
       .select(explode_outer(TextNormalizer.tokens(col(textCol))).as("word"))
       .where(col("word").isNotNull && length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("symbols", split(col("word"), ""))
-      .localCheckpoint()
+      .limit(maxWords + 1)
+      .as[(String, Long)]
+      .collect()
+    require(words.length <= maxWords,
+      s"BPE training collects the distinct-word table on the driver, but this corpus " +
+        s"has more than maxWords ($maxWords) distinct words; raise maxWords or " +
+        s"pre-filter the corpus (e.g. drop count-1 words) before fit")
 
-    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    var rank = 1
-    var continue = true
-    while (rank <= numMerges && continue) {
-      // adjacent pairs weighted by word frequency; one shuffle on the pair
-      val top = state
-        .select(col("cnt"), explode(zip_with(
-          slice(col("symbols"), lit(1), size(col("symbols")) - 1),
-          slice(col("symbols"), lit(2), size(col("symbols")) - 1),
-          (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect()
+    trainLocal(words).toDF("rank", "left", "right", "merged", "pair_count")
+  }
 
-      top.headOption match {
-        case None => continue = false
-        case Some((a, b, n)) =>
-          merges += ((rank, a, b, a + b, n))
-          state = state
-            .withColumn("symbols", mergeOnce(col("symbols"), a, b))
-            .localCheckpoint()
-          rank += 1
+  /** Beyond this many merges, [[segment]] switches from a chained
+    * expression fold (whole-stage-codegen-friendly, but the plan tree
+    * grows one `aggregate` per merge) to a broadcast rank-priority
+    * encoder — a 30k-merge expression chain would not even analyze.
+    */
+  private[text] val segmentExprMerges = 32
+
+  /** Encode one word against a rank-keyed merge table: repeatedly apply
+    * the LOWEST-ranked pair present, greedy left-to-right. Identical to
+    * folding the merges in rank order (merge k's pair is built from
+    * symbols that exist before rank k, so later merges can never create
+    * a new instance of an earlier pair), but O(len²) per word instead of
+    * O(numMerges · len).
+    */
+  private[text] def encodeLocal(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var s: collection.Seq[String] = word.split("")
+    var done = s.length < 2
+    while (!done) {
+      var best: (String, String) = null
+      var br = Int.MaxValue
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val r = ranks.getOrElse(p, Int.MaxValue)
+        if (r < br) { best = p; br = r }
+        j += 1
+      }
+      if (best == null) done = true
+      else {
+        s = mergeLocal(s, best._1, best._2)
+        done = s.length < 2
       }
     }
-    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
-      .withColumn("rank", col("rank").cast("long"))
+    s.toSeq
   }
 
   /** Apply a learned merge table to a corpus: per-document subword
-    * segmentation (the merges fold in rank order as chained row-local
-    * rewrites — no shuffle of the corpus).
+    * segmentation. Row-local either way — small merge tables fold as
+    * chained codegen'd rewrites; large ones ride a broadcast rank map
+    * through [[encodeLocal]] (same greedy semantics, see there).
     */
   def segment(docs: Dataset[_], merges: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val ordered = merges.orderBy("rank")
@@ -103,9 +190,17 @@ class BpeTrainer(
     val tokens = docs.select(col(idCol),
       explode_outer(TextNormalizer.tokens(col(textCol))).as("word"))
       .where(col("word").isNotNull && length(col("word")) > 0)
-    val segmented = ordered.foldLeft(split(col("word"), "")) {
-      case (sym, (a, b)) => mergeOnce(sym, a, b)
-    }
+    val segmented: Column =
+      if (ordered.length <= segmentExprMerges) {
+        ordered.foldLeft(split(col("word"), "")) {
+          case (sym, (a, b)) => mergeOnce(sym, a, b)
+        }
+      } else {
+        val ranks = docs.sparkSession.sparkContext.broadcast(
+          ordered.iterator.zipWithIndex.map { case (p, r) => p -> r }.toMap)
+        val enc = udf((word: String) => encodeLocal(word, ranks.value))
+        enc(col("word"))
+      }
     tokens.select(col(idCol), col("word"), segmented.as("subwords"))
   }
 }

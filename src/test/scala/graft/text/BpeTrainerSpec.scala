@@ -52,4 +52,54 @@ class BpeTrainerSpec extends SparkTestBase {
     // "ab" merges once to a single symbol; no pairs remain
     assert(merges.count() === 1L)
   }
+
+  test("fit fails loudly when the vocabulary exceeds maxWords") {
+    val big = (0 until 50).map(i => (i.toLong, s"w$i x$i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      new BpeTrainer(numMerges = 2, maxWords = 10).fit(big)
+    }
+    assert(e.getMessage.contains("maxWords"))
+  }
+
+  test("trains 1000 merges within a real-tokenizer time budget") {
+    // ~3k distinct pseudo-words; driver-side incremental training must
+    // sustain real vocab sizes — the one-Spark-job-per-merge design could not
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 3000).map { _ =>
+      (1 to 6 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val merges = new BpeTrainer(numMerges = 1000).fit(docs).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length === 1000)
+    assert(secs < 60.0, s"1000 merges took $secs s")
+    // ranks are 1..1000 in order and every merged symbol is left+right
+    assert(merges.map(_.getLong(0)).toSeq === (1L to 1000L))
+    assert(merges.forall(r => r.getString(3) === r.getString(1) + r.getString(2)))
+  }
+
+  test("encodeLocal equals the expression-fold segmentation") {
+    val rnd = new scala.util.Random(3)
+    val corpus = (0 until 400).map { i =>
+      (i.toLong, (1 to 8).map(_ =>
+        (1 to 3 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val trainer = new BpeTrainer(numMerges = 25)
+    val merges = trainer.fit(corpus)
+    val pairs = merges.orderBy("rank").select("left", "right")
+      .as[(String, String)].collect()
+    assert(pairs.length === 25)
+    val ranks = pairs.iterator.zipWithIndex.map { case (p, r) => p -> r }.toMap
+    // expression path (what segment uses for <=32 merges) vs local encoder
+    val probe = (0 until 200).map { i =>
+      (i.toLong, (1 to 10).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    val viaExpr = trainer.segment(probe, merges)
+      .select("word", "subwords").as[(String, Seq[String])].collect().toMap
+    for ((word, want) <- viaExpr)
+      assert(trainer.encodeLocal(word, ranks) === want, s"word $word")
+  }
 }
