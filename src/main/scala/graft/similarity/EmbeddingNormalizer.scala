@@ -31,12 +31,19 @@ class EmbeddingNormalizer(val inputCol: String = "embedding") {
     * vectors stay zero rather than dividing by zero).
     */
   def transform(df: DataFrame): DataFrame = {
-    val centered = zip_with(col(inputCol), col("mu"), (x, m) => x - m)
-    val nrm = sqrt(aggregate(centered, lit(0.0d), (acc, v) => acc + v * v))
+    // materialize `centered` and `nrm` once each: lambda-bearing
+    // expressions are not reliably CSE'd, so inlining them into
+    // when/otherwise (and the norm into the per-element division lambda)
+    // multiplies the per-row work; CollapseProject keeps multiply-used
+    // non-cheap projections as separate steps
     df.crossJoin(broadcast(meanVector(df)))
+      .withColumn("__centered", zip_with(col(inputCol), col("mu"), (x, m) => x - m))
+      .withColumn("__nrm",
+        sqrt(aggregate(col("__centered"), lit(0.0d), (acc, v) => acc + v * v)))
       .withColumn(s"${inputCol}_norm",
-        when(nrm === 0.0, centered)
-          .otherwise(org.apache.spark.sql.functions.transform(centered, x => x / nrm)))
-      .drop("mu")
+        when(col("__nrm") === 0.0, col("__centered"))
+          .otherwise(org.apache.spark.sql.functions.transform(
+            col("__centered"), x => x / col("__nrm"))))
+      .drop("mu", "__centered", "__nrm")
   }
 }
