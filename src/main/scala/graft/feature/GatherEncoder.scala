@@ -6,7 +6,7 @@ import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.attribute.{Attribute, AttributeGroup, NumericAttribute}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -127,35 +127,68 @@ class GatherEncoder(override val uid: String)
     allOther -> false, keepInputCol -> true, failOnEmptyKeys -> true,
     excludeKeys -> Set.empty[Any], maxKeys -> 10000000)
 
+  /** Excludes the key column can safely `isin`-compare: same type family
+    * only. The API is `Set[Any]`, so a mixed-type exclude set against a
+    * differently-typed key column would otherwise hit ANSI cast errors
+    * ('1' vs 1) inside the scan; cross-family excludes are applied
+    * driver-side over the bounded collected rows instead, where typed
+    * equality just keeps the key.
+    */
+  private def isinCompatible(dt: DataType, v: Any): Boolean = v match {
+    case null => false // handled as an isNotNull filter, not an isin entry
+    case _: String => dt == StringType
+    case _: Boolean => dt == BooleanType
+    case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
+         _: BigDecimal | _: java.math.BigDecimal => dt.isInstanceOf[NumericType]
+    case _: java.sql.Timestamp => dt == TimestampType
+    case _: java.sql.Date => dt == DateType
+    case _ => false
+  }
+
   /** Distributed key histogram, exclude-filtered and sorted (count desc,
     * key-as-string asc) INSIDE Spark; only the top `maxKeys + 1` rows reach
     * the driver (the +1 detects overflow).
     */
   private def keyCounts(dataset: Dataset[_], needTotal: Boolean): (Array[(Any, Long)], Long) = {
     val k = s"${uid}_key"
+    val keyType = dataset.schema($(inputCol)).dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]($(keyCol)).dataType
     val excluded = getExcludeKeys.toSeq
-    val counts0 = dataset
+    val (sqlExcluded, localExcluded) =
+      excluded.filter(_ != null).partition(isinCompatible(keyType, _))
+    val counts1 = dataset
       .select(explode(col(s"${$(inputCol)}.${$(keyCol)}")).as(k))
       .groupBy(col(k)).count()
-    // null-safe exclude: isin is NULL for a null key — keep it (the driver
-    // filter this replaces only dropped keys present in excludeKeys)
+    val counts0 =
+      if (excluded.contains(null)) counts1.where(col(k).isNotNull) else counts1
+    // null-safe exclude: isin is NULL for a null key — keep it (a null key
+    // is only dropped when null itself is excluded, above)
     val counts =
-      if (excluded.isEmpty) counts0
-      else counts0.where(not(coalesce(col(k).isin(excluded: _*), lit(false))))
+      if (sqlExcluded.isEmpty) counts0
+      else counts0.where(not(coalesce(col(k).isin(sqlExcluded: _*), lit(false))))
     // the exact distributed total feeds the cover threshold — a second scan,
-    // skipped on the cover=100 path which never thresholds
+    // skipped on the cover=100 path which never thresholds. Driver-side
+    // (cross-family) excludes stay in the total: they can only match a key
+    // through typed equality on exotic types, mirroring the pre-isin
+    // semantics where such keys were dropped after the collect
     val total =
       if (!needTotal) 0L
       else counts.agg(sum(col("count"))).first() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
+    // head-room for driver-side drops so a cross-family exclude at the
+    // boundary can never starve the maxKeys+1 overflow window
     val top = counts
       .orderBy(col("count").desc, col(k).cast(StringType))
-      .limit($(maxKeys) + 1)
+      .limit($(maxKeys) + 1 + localExcluded.size)
       .collect()
       .map(r => (r.get(0), r.getLong(1)))
-    (top, total)
+    val filtered =
+      if (localExcluded.isEmpty) top
+      else top.filterNot { case (key, _) => localExcluded.exists(_ == key) }
+        .take($(maxKeys) + 1)
+    (filtered, total)
   }
 
   private def computeTopKeys(dataset: Dataset[_]): Array[Any] = {
@@ -225,7 +258,7 @@ class GatherEncoder(override val uid: String)
   */
 class GatherEncoderModel(override val uid: String)
     extends Model[GatherEncoderModel] with GatherEncoderParams
-    with DefaultParamsWritable {
+    with MLWritable {
 
   def this(uid: String, keys: Array[Any]) = { this(uid); set(modelKeysParam, keys) }
   def this(keys: Array[Any]) = this(Identifiable.randomUID("gatherEncoder"), keys)
@@ -321,7 +354,75 @@ class GatherEncoderModel(override val uid: String)
     val copied = new GatherEncoderModel(uid)
     copyValues(copied, extra).setParent(parent)
   }
+
+  override def write: MLWriter = new GatherEncoderModel.Writer(this)
 }
 
 object GatherEncoder extends DefaultParamsReadable[GatherEncoder]
-object GatherEncoderModel extends DefaultParamsReadable[GatherEncoderModel]
+
+/** Model persistence follows the MLlib big-state convention: the learned
+  * dictionary (up to `maxKeys` = 10M entries) is a PARQUET DATA FILE at
+  * `<path>/keys`, not a param — a param would funnel the whole dictionary
+  * through one driver-written JSON string in the metadata file. Metadata
+  * keeps only the scalar params (typed-JSON-encoded per param).
+  */
+object GatherEncoderModel extends MLReadable[GatherEncoderModel] {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods.{compact, parse, render}
+
+  private class Writer(instance: GatherEncoderModel) extends MLWriter {
+    // the standard DefaultParamsWriter envelope (class/timestamp/
+    // sparkVersion/uid/paramMap/defaultParamMap) minus modelKeys — Pipeline
+    // persistence parses stage metadata with DefaultParamsReader, so the
+    // shape must match even though our own Reader does the loading
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      def paramsJson(setOnly: Boolean): JObject = JObject(
+        instance.params.toSeq
+          .filter(p => p.name != instance.modelKeysParam.name &&
+            (if (setOnly) instance.isSet(p) else instance.hasDefault(p)))
+          .sortBy(_.name)
+          .map { p0 =>
+            val p = p0.asInstanceOf[org.apache.spark.ml.param.Param[Any]]
+            val v = if (setOnly) instance.getOrDefault(p)
+              else instance.getDefault(p).get
+            p.name -> parse(p.jsonEncode(v))
+          }: _*)
+      val meta = compact(render(JObject(
+        "class" -> JString(instance.getClass.getName),
+        "timestamp" -> JLong(System.currentTimeMillis()),
+        "sparkVersion" -> JString(spark.sparkContext.version),
+        "uid" -> JString(instance.uid),
+        "paramMap" -> paramsJson(setOnly = true),
+        "defaultParamMap" -> paramsJson(setOnly = false))))
+      spark.createDataset(Seq(meta)).repartition(1).write.mode("overwrite")
+        .text(s"$path/metadata")
+      instance.modelKeys.zipWithIndex.toSeq
+        .map { case (k, i) => (i, compact(render(AnyJson.encode(k)))) }
+        .toDF("idx", "kjson")
+        .write.mode("overwrite").parquet(s"$path/keys")
+    }
+  }
+
+  private class Reader extends MLReader[GatherEncoderModel] {
+    override def load(path: String): GatherEncoderModel = {
+      val spark = sparkSession
+      val meta = parse(spark.read.text(s"$path/metadata").head().getString(0))
+      val fields = meta.asInstanceOf[JObject].obj.toMap
+      val uid = fields("uid").asInstanceOf[JString].s
+      val keys = spark.read.parquet(s"$path/keys")
+        .orderBy("idx").select("kjson").collect()
+        .map(r => AnyJson.decode(parse(r.getString(0))))
+      val model = new GatherEncoderModel(uid, keys)
+      fields("paramMap").asInstanceOf[JObject].obj.foreach { case (name, j) =>
+        val p = model.getParam(name).asInstanceOf[org.apache.spark.ml.param.Param[Any]]
+        model.set(p, p.jsonDecode(compact(render(j))))
+      }
+      model
+    }
+  }
+
+  override def read: MLReader[GatherEncoderModel] = new Reader
+  override def load(path: String): GatherEncoderModel = super.load(path)
+}

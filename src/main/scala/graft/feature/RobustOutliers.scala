@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape mirrors [[Winsorizer]]: two statistics passes that each
   * produce ONE row per group (exact interpolated `percentile` aggregates,
-  * partial-aggregated), broadcast back onto the stream; the big table is
-  * never shuffled. Pass 1 learns medians; pass 2 learns the MAD from
-  * row-local absolute deviations; pass 3 flags row-locally inside
-  * whole-stage codegen. Zero-MAD groups (over half the values identical)
-  * flag nothing rather than dividing by zero.
+  * partial-aggregated), joined back onto the stream. The join strategy is
+  * left to AQE: group cardinality is unbounded, so a hard `broadcast` hint
+  * would turn a high-cardinality groupCol into a driver/broadcast OOM —
+  * AQE broadcasts the one-row-per-group frames while they are small and
+  * falls back to a shuffle join when they are not. Pass 1 learns medians;
+  * pass 2 learns the MAD from row-local absolute deviations; pass 3 flags
+  * row-locally inside whole-stage codegen. Zero-MAD groups (over half the
+  * values identical) flag nothing rather than dividing by zero.
   */
 class RobustOutliers(cutoff: Double = 3.5) {
   require(cutoff > 0.0, s"cutoff ($cutoff) must be positive")
@@ -31,14 +34,14 @@ class RobustOutliers(cutoff: Double = 3.5) {
     val meds = df.groupBy(col(groupCol))
       .agg(percentile(col(valueCol), lit(0.5)).as("med"))
       .withColumnRenamed(groupCol, "__ro_g")
-    val withMed = df.join(broadcast(meds), col(groupCol) <=> col("__ro_g"))
+    val withMed = df.join(meds, col(groupCol) <=> col("__ro_g"))
       .drop("__ro_g")
     val mads = withMed
       .withColumn("__ad", abs(col(valueCol) - col("med")))
       .groupBy(col(groupCol))
       .agg(percentile(col("__ad"), lit(0.5)).as("mad"))
       .withColumnRenamed(groupCol, "__ro_g")
-    withMed.join(broadcast(mads), col(groupCol) <=> col("__ro_g"))
+    withMed.join(mads, col(groupCol) <=> col("__ro_g"))
       .drop("__ro_g")
       .withColumn("robust_z",
         when(col("mad") > 0, abs(col(valueCol) - col("med")) / col("mad"))

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.TextNormalizer
@@ -30,8 +29,10 @@ import graft.dedup.TextNormalizer
   *  4. groups entirely under the threshold admit ALL their terms with a
   *     broadcast semi join — no ordering ever computed inside them (this is
   *     what keeps the giant count=1 tail off a single task);
-  *  5. only the single boundary frequency group ranks its terms
-  *     (count-partitioned window) to take the alphabetic prefix that fits.
+  *  5. only the single boundary frequency group ranks its terms — and that
+  *     rank is itself sharded over term-prefix buckets
+  *     ([[graft.sql.GroupedNtile.rank]]), because the boundary is usually
+  *     the count=1 tail, i.e. most of the vocabulary.
   */
 class VocabBuilder(
     cover: Double = 0.95,
@@ -81,11 +82,16 @@ class VocabBuilder(
 
     val fullTerms = counts.join(broadcast(full), "c").select(col("term"), col("c"))
     // boundary group(s): alphabetic rank within the frequency tie decides
-    // the admitted prefix; the window is partitioned by count and only
-    // boundary-frequency terms flow into it
-    val w = Window.partitionBy(col("c")).orderBy(col("term"))
-    val boundaryTerms = counts.join(broadcast(boundary), "c")
-      .withColumn("rnk", row_number().over(w))
+    // the admitted prefix. In Zipfian corpora the boundary is typically the
+    // count=1 tail — most of the vocabulary — so a window partitioned by
+    // the single boundary count would serialize it through one task. The
+    // rank is instead two-phase (GroupedNtile.rank) over 2-char term-prefix
+    // buckets: prefix order is consistent with term order ([a-z0-9] terms;
+    // a term shorter than its bucket width is its own prefix), so per-
+    // (c, prefix) windows + offset join reproduce the global alphabetic rank
+    val boundaryTerms = graft.sql.GroupedNtile.rank(
+      counts.join(broadcast(boundary), "c"),
+      "c", Seq(col("term")), substring(col("term"), 1, 2), "rnk")
       .where(col("cum_above") + (col("rnk") - 1) * col("c") < col("thresh"))
       .select(col("term"), col("c"))
 

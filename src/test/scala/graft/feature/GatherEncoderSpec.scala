@@ -75,6 +75,31 @@ class GatherEncoderSpec extends SparkTestBase {
       .setExcludeKeys(Set("google.com"))) === all9 - "google.com")
   }
 
+  test("mixed-type excludeKeys against a string key column neither throws nor cross-matches") {
+    // 13L and 1 can never equal a string key: exclude semantics keep the
+    // key — cross-family values must not reach the ANSI isin cast
+    assert(fitKeys(encoder.setTransformation("top").setCover(100.0)
+      .setExcludeKeys(Set[Any]("google.com", 13L, 1))) === all9 - "google.com")
+  }
+
+  test("excludeKeys on a numeric key column excludes across numeric widths") {
+    val numSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("kv", ArrayType(StructType(Seq(
+        StructField("k", LongType),
+        StructField("v", LongType))), containsNull = false))))
+    val numRows = Seq(
+      Row("a", Seq(Row(1L, 2L), Row(2L, 3L))),
+      Row("b", Seq(Row(2L, 4L), Row(3L, 5L))))
+    val numDf = spark.createDataFrame(sc.parallelize(numRows), numSchema)
+    val keys = new GatherEncoder().setInputCol("kv").setOutputCol("f")
+      .setKeyCol("k").setValueCol("v")
+      .setTransformation("top").setCover(100.0)
+      .setExcludeKeys(Set[Any](2, "nope")) // Int literal against LONG keys
+      .fit(numDf).modelKeys.toSet
+    assert(keys === Set[Any](1L, 3L))
+  }
+
   test("all-empty/null input learns 0 keys; transform then fails or degenerates") {
     val emptySchema = schema
     val emptyRows = Seq.fill(5)(Row("c", Seq.empty[Row])) ++ Seq.fill(5)(Row("c", null))
