@@ -9,8 +9,10 @@ import graft.classification.{LocalLogisticRegression, LocalLogisticRegressionMod
 
 /** LocalLogisticRegression end-to-end: deterministic features from orders,
   * single-partition input so the LOCAL training path runs, coefficients
-  * emitted as rows. No SQL oracle (DuckDB can't fit an LR) → rows-only
-  * check; coefficient-level verification lives in the glmnet golden specs.
+  * emitted as rows. DuckDB can't fit an LR, so the oracle is a COMMITTED
+  * GOLDEN of the rounded coefficients (fingerprinted per SF by orders row
+  * count, regenerated via graft.tools.MakeGoldens); the trainer itself is
+  * pinned by the R/glmnet golden specs.
   *
   * q41 covers the SCORING path with a hash-checked oracle: a model with
   * fixed coefficients transforms the same feature frame, and DuckDB
@@ -78,6 +80,12 @@ object ClassificationQueries {
         |       round(margin, 6) AS margin,
         |       round(1.0 / (1.0 + exp(-margin)), 6) AS probability,
         |       CAST(CASE WHEN 1.0 / (1.0 + exp(-margin)) > 0.5 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // committed golden (see the class comment): the per-SF coefficient
+    // rows are selected by the orders-count fingerprint
+    "q27_local_lr" ->
+      """SELECT feature, weight
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q27_lr/*.parquet')
+        |WHERE n_orders = (SELECT count(*) FROM orders)""".stripMargin
   )
 }

@@ -154,9 +154,11 @@ object FeatureQueries {
     }),
 
     // S2 cell tokens over synthetic-but-deterministic lat/lon derived from
-    // customer keys; grouped per cell. No SQL oracle (cell math is not
-    // expressible in DuckDB) → rows-only check; semantics covered by
-    // S2Spec/S2CellTransformerSpec property tests.
+    // customer keys; grouped per cell. Cell math is not expressible in
+    // DuckDB, so the oracle is a COMMITTED GOLDEN (fingerprinted per SF by
+    // customer row count, regenerated via graft.tools.MakeGoldens); the
+    // algorithm itself is pinned by S2Spec/S2CellTransformerSpec published-
+    // token and round-trip property tests.
     "q14_s2_cell" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
         .withColumn("lat", (col("c_custkey") % 160).cast("double") - 80.0
@@ -268,6 +270,12 @@ object FeatureQueries {
         |)
         |SELECT CAST(len(list_filter(q.qs, s -> l_extendedprice >= s)) AS INT) AS bin,
         |       count(*) AS cnt
-        |FROM lineitem, q GROUP BY 1""".stripMargin
+        |FROM lineitem, q GROUP BY 1""".stripMargin,
+    // committed golden (see the q14 query comment): the per-SF rows are
+    // selected by the customer-count fingerprint
+    "q14_s2_cell" ->
+      """SELECT cell, n_customers
+        |FROM read_parquet('/root/repo/src/test/resources/golden/q14_s2/*.parquet')
+        |WHERE n_customer = (SELECT count(*) FROM customer)""".stripMargin
   )
 }

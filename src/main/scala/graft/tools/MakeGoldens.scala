@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Regenerates the committed golden fixtures that back the two queries
+  * whose semantics are not SQL-expressible (q14 S2 tokens, q27 LR
+  * training). Each golden row carries a scale-factor FINGERPRINT column
+  * (the source table's row count), so one committed file serves every SF:
+  * the DuckDB oracle selects the rows whose fingerprint equals
+  * `(SELECT count(*) FROM <table>)` on the fixture under test.
+  *
+  * The operators themselves are pinned independently of these files —
+  * S2 by published city/face tokens + round-trip property specs, the LR
+  * by R/glmnet coefficient goldens — so the fixtures freeze an already-
+  * verified implementation against regressions rather than defining it.
+  *
+  * Usage: `sbt "runMain graft.tools.MakeGoldens"` (writes
+  * `src/test/resources/golden/{q14_s2,q27_lr}`), then commit.
+  */
+object MakeGoldens {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"/root/testdata/$s")
+
+    val q14 = sfDirs.map { dir =>
+      val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+      SparkEntry.queries("q14_s2_cell")(spark, dir)
+        .withColumn("n_customer", lit(nCust))
+    }.reduce(_ unionByName _)
+    q14.coalesce(1).write.mode("overwrite")
+      .parquet("src/test/resources/golden/q14_s2")
+
+    val q27 = sfDirs.map { dir =>
+      val nOrd = spark.read.parquet(s"$dir/orders.parquet").count()
+      SparkEntry.queries("q27_local_lr")(spark, dir)
+        .withColumn("n_orders", lit(nOrd))
+    }.reduce(_ unionByName _)
+    q27.coalesce(1).write.mode("overwrite")
+      .parquet("src/test/resources/golden/q27_lr")
+
+    println("goldens written to src/test/resources/golden/{q14_s2,q27_lr}")
+    spark.stop()
+  }
+}
