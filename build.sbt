@@ -28,3 +28,44 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---------------------------------------------------------------------------
+// Lint gate (reference parity: scalastyle runs before tests there —
+// reference project/TestSettings.scala:14-16). scalastyle itself can't
+// resolve offline, so the file-level checks from the reference's
+// scalastyle-config.xml are enforced directly: no tabs, no trailing
+// whitespace, max line length 130 (imports exempt), newline at EOF, and
+// no ??? stubs in src/main. Wired as a `test` dependency so `sbt test`
+// fails on style violations, exactly like the reference build.
+// ---------------------------------------------------------------------------
+val lint = taskKey[Unit]("scalastyle-equivalent source checks")
+lint := {
+  val log = streams.value.log
+  val files =
+    ((Compile / scalaSource).value ** "*.scala").get ++
+    ((Test / scalaSource).value ** "*.scala").get
+  val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+  for (f <- files) {
+    val text = IO.read(f)
+    val rel = f.getPath.stripPrefix(baseDirectory.value.getPath + "/")
+    if (!text.endsWith("\n")) errs += s"$rel: missing newline at EOF"
+    val inMain = rel.startsWith("src/main/")
+    text.split("\n", -1).zipWithIndex.foreach { case (line, i) =>
+      val where = s"$rel:${i + 1}"
+      if (line.contains("\t")) errs += s"$where: tab character"
+      if (line != line.replaceAll("\\s+$", "")) errs += s"$where: trailing whitespace"
+      if (line.length > 130 && !line.trim.startsWith("import "))
+        errs += s"$where: line longer than 130 chars (${line.length})"
+      val trimmed = line.trim
+      val isComment = trimmed.startsWith("*") || trimmed.startsWith("/*") ||
+        trimmed.startsWith("//")
+      if (inMain && !isComment && line.contains("???"))
+        errs += s"$where: ??? stub in main source"
+    }
+  }
+  if (errs.nonEmpty) {
+    errs.foreach(e => log.error(e))
+    sys.error(s"lint: ${errs.size} violation(s)")
+  } else log.info(s"lint: ${files.size} files clean")
+}
+Test / test := (Test / test).dependsOn(lint).value

@@ -153,7 +153,9 @@ object CurationQueries {
         |  SELECT doc_id, n_chars,
         |    len(tl) AS n_tokens,
         |    (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text) AS punct,
-        |    len(list_filter(tl, t -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'], t))) * 1.0 / len(tl) AS stop_ratio,
+        |    len(list_filter(tl, t -> list_contains(
+        |      ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'],
+        |      t))) * 1.0 / len(tl) AS stop_ratio,
         |    list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl) AS awl
         |  FROM toks
         |)
@@ -205,7 +207,9 @@ object CurationQueries {
         |  SELECT doc_id, norm, tl,
         |    len(tl) AS n_tokens,
         |    (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text) AS punct,
-        |    len(list_filter(tl, t -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'], t))) * 1.0 / len(tl) AS stop_ratio,
+        |    len(list_filter(tl, t -> list_contains(
+        |      ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'],
+        |      t))) * 1.0 / len(tl) AS stop_ratio,
         |    list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl) AS awl
         |  FROM toks
         |), kept AS (

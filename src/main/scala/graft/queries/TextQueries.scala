@@ -316,14 +316,17 @@ object TextQueries {
            |SELECT doc_id,
            |  len(tl) AS n_tokens,
            |  round(list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl), 6) AS avg_word_len,
-           |  round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text), 6) AS punct_ratio,
+           |  round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+           |    * 1.0 / length(text), 6) AS punct_ratio,
            |  round(${hitSql("en")} * 1.0 / len(tl), 6) AS stopword_ratio,
            |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
            |  round((
            |    least(len(tl) / 100.0, 1.0) +
-           |    greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 4.0) +
+           |    greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+           |      * 1.0 / length(text)) * 4.0) +
            |    least((${hitSql("en")} * 1.0 / len(tl)) * 3.0, 1.0) +
-           |    (CASE WHEN (list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+           |    (CASE WHEN (list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl))
+           |      BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
            |  ) / 4.0, 6) AS quality
            |FROM toks""".stripMargin),
     "q30_lang_id" ->

@@ -135,8 +135,8 @@ class IvfCosineIndex(
       .where(col("rank") <= k)
   }
 
-  /** Convenience: [[build]] + [[search(queries:org\.apache\.spark\.sql\.DataFrame,index:graft\.similarity\.IvfIndex,k:Int)* search]]
-    * in one call for one-shot queries.
+  /** Convenience: [[build]] + the index-taking `search` overload in one
+    * call for one-shot queries.
     */
   def search(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
     search(queries, build(candidates), k)

@@ -92,7 +92,8 @@ object ScaleSmoke {
         f(d1) // warmup plans/codegen
         val (t1, r1) = time(f(d1))
         val (tn, rn) = time(f(dn))
-        println(f"SMOKE $label/$name%-18s 1x=${t1}%7.2fs (${r1}%9d rows)  ${mult}x=${tn}%7.2fs (${rn}%9d rows)  time-ratio=${tn / t1}%6.1f")
+        println(f"SMOKE $label/$name%-18s 1x=${t1}%7.2fs (${r1}%9d rows)  " +
+          f"${mult}x=${tn}%7.2fs (${rn}%9d rows)  time-ratio=${tn / t1}%6.1f")
       }
       d1.unpersist(); dn.unpersist()
     }
