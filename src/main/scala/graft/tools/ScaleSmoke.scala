@@ -55,9 +55,6 @@ object ScaleSmoke {
     }
 
     val ops: Seq[(String, DataFrame => Long)] = Seq(
-      "exact_dedup" -> { d: DataFrame =>
-        new graft.dedup.ExactDeduplicator().transform(d).count()
-      },
       "minhash_pairs" -> { d: DataFrame =>
         new graft.dedup.MinHashDeduplicator()
           .setIdCol("doc_id").setTextCol("text")
@@ -72,6 +69,38 @@ object ScaleSmoke {
       },
       "quality_filter" -> { d: DataFrame =>
         new graft.text.QualityFilter().transform(d).count()
+      })
+
+    // operators whose dup/group structure is the stress — run on UNMUTATED
+    // copies (identical text across copies; vocabulary constant in `mult`)
+    val dupOps: Seq[(String, DataFrame => Long)] = Seq(
+      "exact_dedup" -> { d: DataFrame =>
+        new graft.dedup.ExactDeduplicator().transform(d).count()
+      },
+      // cross-copy identical segments stress the per-segment first-wins rank
+      "segment_dedup" -> { d: DataFrame =>
+        new graft.dedup.SegmentDeduplicator().transform(d).count()
+      },
+      // driver-side merge training: time must track the single word-count
+      // job (the merge loop itself is wordcount-sized, data-independent)
+      "bpe_train_200" -> { d: DataFrame =>
+        new graft.text.BpeTrainer(numMerges = 200).fit(d).count()
+      },
+      // the q96 shape: two-phase grouped ntile instead of a per-language
+      // window sort — growth should track rows, not the dominant group
+      "grouped_ntile" -> { d: DataFrame =>
+        graft.sql.GroupedNtile.ntile(
+          d.select(col("doc_id"), col("lang"), length(col("text")).as("len")),
+          3, "lang", "len", Seq(col("doc_id")), "bucket").count()
+      },
+      // snapshot diff vs a copy with every 10th document's text changed:
+      // full-outer on fixed-width fingerprints, output tracks rows
+      "snapshot_diff" -> { d: DataFrame =>
+        val next = d.withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        graft.sql.SnapshotDiff.byKey(d, next, "doc_id", "text")
+          .where(col("status") =!= "unchanged").count()
       })
 
     val evOps: Seq[(String, DataFrame => Long)] = Seq(
@@ -113,10 +142,10 @@ object ScaleSmoke {
           Seq("l_quantity", "l_extendedprice", "l_returnflag")).count()
       })
 
-    // exact dedup on UNMUTATED copies: dup groups of size `mult` stress the
-    // canonical window; the others on mutated text for linear pair outputs
-    run("docs", n => scaled("documents", "doc_id", n), ops.take(1))
-    run("docs", n => scaled("documents", "doc_id", n, mutate = true), ops.drop(1))
+    // dup-structured ops on UNMUTATED copies (dup groups of size `mult`
+    // stress windows/ranks); the rest on mutated text for linear pair outputs
+    run("docs", n => scaled("documents", "doc_id", n), dupOps)
+    run("docs", n => scaled("documents", "doc_id", n, mutate = true), ops)
     run("events", n => scaled("events", "event_id", n), evOps)
     run("names", scaledNames, nameOps)
     run("lineitem", n => scaled("lineitem", "l_orderkey", n), liOps)
