@@ -71,6 +71,26 @@ class PersistenceSpec extends SparkTestBase {
       collectSorted(strModel.transform(df).select("id", "features")))
   }
 
+  test("GatherEncoderModel round-trips a large dictionary through the parquet data file") {
+    // 100k mixed-type keys: the dictionary must ride the keys parquet file
+    // (never one metadata JSON string) and come back in exact order
+    val keys: Array[Any] = (0 until 100000).map { i =>
+      if (i % 3 == 0) s"site$i" else if (i % 3 == 1) i.toLong else i
+    }.toArray
+    val model = new GatherEncoderModel(keys)
+      .setInputCol("sites").setOutputCol("features")
+      .setKeyCol("k").setValueCol("v")
+    val path = tmp("gemBig")
+    model.write.overwrite().save(path)
+    assert(new java.io.File(s"$path/keys").exists(), "keys parquet dir missing")
+    val metaLen = spark.read.text(s"$path/metadata")
+      .collect().map(_.getString(0).length).sum
+    assert(metaLen < 10000, s"metadata unexpectedly large ($metaLen chars)")
+    val loaded = GatherEncoderModel.load(path)
+    assert(loaded.modelKeys.length === 100000)
+    assert(loaded.modelKeys.toSeq === keys.toSeq)
+  }
+
   test("GatherEncoder estimator + excludeKeys round-trips") {
     val enc = new GatherEncoder().setInputCol("sites").setOutputCol("f")
       .setKeyCol("k").setValueCol("v").setCover(95.0)

@@ -44,9 +44,12 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!plan.contains("CartesianProduct"),
         s"cartesian product in $name:\n$plan")
       // physical Window prints [exprs], [partitionSpec], [orderSpec]; an
-      // empty partition spec ("], [], [") means a single-task global sort
+      // empty partition spec ("], [], [") means a single-task global sort.
+      // Plan lines carry tree art ("+- Window [..."), so match the node
+      // name inline — startsWith after trim never fires (round-6 fix: the
+      // original filter made this check vacuous)
       val unpartitioned = plan.linesIterator
-        .filter(_.trim.startsWith("Window "))
+        .filter(_.contains(" Window ["))
         .filter(_.contains("], [], ["))
       assert(unpartitioned.isEmpty,
         s"unpartitioned window in $name: ${unpartitioned.mkString("; ")}")

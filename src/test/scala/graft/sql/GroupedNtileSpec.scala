@@ -59,4 +59,18 @@ class GroupedNtileSpec extends SparkTestBase {
       .groupBy($"tile").count().as[(Long, Long)].collect().toMap
     assert(sizes === Map(1L -> 34L, 2L -> 33L, 3L -> 33L))
   }
+
+  test("every physical window partitions by the bucket, never the group alone") {
+    // the whole point: no window may sort an entire group in one task
+    val rows = (0L until 500L).map(i => ("g" + i % 3, i.toDouble, i))
+    for (df <- Seq(
+      GroupedNtile.ntile(rows.toDF("g", "v", "id"), 3, "g", "v", Seq($"id"), "tile"),
+      GroupedNtile.rank(rows.toDF("g", "v", "id"), "g", Seq($"v", $"id"),
+        floor($"v" / 100.0).cast("long"), "rnk"))) {
+      val windows = df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains(" Window [")).toSeq
+      assert(windows.nonEmpty)
+      windows.foreach(w => assert(w.contains("__bkt"), s"window without bucket: $w"))
+    }
+  }
 }
