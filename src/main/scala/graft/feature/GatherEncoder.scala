@@ -139,9 +139,10 @@ class GatherEncoder(override val uid: String)
     case _: String => dt == StringType
     case _: Boolean => dt == BooleanType
     case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
-         _: BigDecimal | _: java.math.BigDecimal => dt.isInstanceOf[NumericType]
-    case _: java.sql.Timestamp => dt == TimestampType
-    case _: java.sql.Date => dt == DateType
+         _: BigDecimal | _: java.math.BigDecimal | _: BigInt |
+         _: java.math.BigInteger => dt.isInstanceOf[NumericType]
+    case _: java.sql.Timestamp | _: java.time.Instant => dt == TimestampType
+    case _: java.sql.Date | _: java.time.LocalDate => dt == DateType
     case _ => false
   }
 

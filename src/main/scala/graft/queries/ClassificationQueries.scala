@@ -82,10 +82,16 @@ object ClassificationQueries {
         |       CAST(CASE WHEN 1.0 / (1.0 + exp(-margin)) > 0.5 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction
         |FROM m""".stripMargin,
     // committed golden (see the class comment): the per-SF coefficient
-    // rows are selected by the orders-count fingerprint
+    // rows are selected by the orders-count fingerprint; guard row makes
+    // a missing fingerprint an explicit marker mismatch, never a silent
+    // empty result
     "q27_local_lr" ->
-      """SELECT feature, weight
-        |FROM read_parquet('/root/repo/src/test/resources/golden/q27_lr/*.parquet')
-        |WHERE n_orders = (SELECT count(*) FROM orders)""".stripMargin
+      """WITH g AS (
+        |  SELECT * FROM read_parquet('/root/repo/src/test/resources/golden/q27_lr/*.parquet')
+        |), n AS (SELECT count(*) AS nc FROM orders)
+        |SELECT feature, weight FROM g, n WHERE g.n_orders = n.nc
+        |UNION ALL
+        |SELECT 'MISSING_GOLDEN_FINGERPRINT_RERUN_MakeGoldens', -1.0
+        |WHERE NOT EXISTS (SELECT 1 FROM g, n WHERE g.n_orders = n.nc)""".stripMargin
   )
 }

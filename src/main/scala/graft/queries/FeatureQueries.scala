@@ -272,10 +272,16 @@ object FeatureQueries {
         |       count(*) AS cnt
         |FROM lineitem, q GROUP BY 1""".stripMargin,
     // committed golden (see the q14 query comment): the per-SF rows are
-    // selected by the customer-count fingerprint
+    // selected by the customer-count fingerprint; the guard row makes a
+    // missing fingerprint (new SF without regenerated goldens) read as an
+    // explicit marker mismatch instead of a silent empty result
     "q14_s2_cell" ->
-      """SELECT cell, n_customers
-        |FROM read_parquet('/root/repo/src/test/resources/golden/q14_s2/*.parquet')
-        |WHERE n_customer = (SELECT count(*) FROM customer)""".stripMargin
+      """WITH g AS (
+        |  SELECT * FROM read_parquet('/root/repo/src/test/resources/golden/q14_s2/*.parquet')
+        |), n AS (SELECT count(*) AS nc FROM customer)
+        |SELECT cell, n_customers FROM g, n WHERE g.n_customer = n.nc
+        |UNION ALL
+        |SELECT 'MISSING_GOLDEN_FINGERPRINT_RERUN_MakeGoldens', -1
+        |WHERE NOT EXISTS (SELECT 1 FROM g, n WHERE g.n_customer = n.nc)""".stripMargin
   )
 }

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * in parallel, and add per-bucket offsets from a tiny triangle join.
   *
   * Group cardinality must be broadcast-small (the stats/offset frames
-  * carry a few rows per group × bucket).
+  * carry a few rows per group × bucket). Group keys and order values must
+  * be NON-NULL: the internal equi-joins would drop null keys where a
+  * window would have ranked them, so a violation raises a runtime error
+  * (a row-local `raise_error` guard) instead of silently losing rows.
   */
 object GroupedNtile {
 
@@ -33,7 +36,12 @@ object GroupedNtile {
       bucket: Column,
       rankName: String): DataFrame = {
     val g = col(groupCol)
-    val withB = df.withColumn("__bkt", bucket)
+    // loud precondition: a null group key or null bucket (null order value)
+    // would silently vanish in the equi-joins below — fail the job instead
+    val withB = df.withColumn("__bkt",
+      when(g.isNull || bucket.isNull,
+        raise_error(lit("GroupedNtile: null group key or order value")))
+        .otherwise(bucket))
 
     val wIn = Window.partitionBy(g, col("__bkt")).orderBy(orderCols: _*)
     val part = withB.withColumn("__rin", row_number().over(wIn).cast("long"))

@@ -36,7 +36,7 @@ import graft.dedup.TextNormalizer
 class BpeTrainer(
     numMerges: Int = 10,
     textCol: String = "text",
-    maxWords: Int = 2000000) {
+    maxWords: Int = 2000000) extends Serializable {
 
   require(numMerges >= 1, s"numMerges ($numMerges) must be positive")
   require(maxWords >= 1, s"maxWords ($maxWords) must be positive")
@@ -64,8 +64,19 @@ class BpeTrainer(
 
   /** Driver-side merge loop over the collected `(word, count)` table.
     * Pair counts update incrementally: a merge rewrites only the words
-    * indexed under its pair, subtracting their old adjacent-pair
-    * contributions and adding the new ones — never a full recount.
+    * indexed under its pair (a HashSet per pair — memory tracks
+    * occurrences, not word-table size), subtracting their old
+    * adjacent-pair contributions and adding the new ones — never a full
+    * recount. The argmax rides a lazy-deletion max-heap: `include` pushes
+    * the pair's current count, stale tops re-push the live count on pop,
+    * so each round's winner costs ~O(log pairs) instead of a full map
+    * scan (30k-merge training would otherwise spend O(merges × livePairs)
+    * on argmax alone).
+    *
+    * Ordering note: ties break by (left, right) ascending via Java String
+    * order, which equals the shuffle-side UTF8String binary order the
+    * previous distributed implementation used because TextNormalizer
+    * restricts symbols to ASCII `[a-z0-9]`.
     */
   private[text] def trainLocal(
       words: Array[(String, Long)]): Seq[(Long, String, String, String, Long)] = {
@@ -73,7 +84,11 @@ class BpeTrainer(
       words.map { case (w, _) => mutable.ArrayBuffer(w.split(""): _*) }
     val cnts = words.map(_._2)
     val pairN = mutable.HashMap.empty[(String, String), Long]
-    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // max by (n, then l/r ASCENDING): reverse the string legs under `max`
+    val heapOrd: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse)
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
 
     def eachPair(i: Int)(f: ((String, String)) => Unit): Unit = {
       val s = syms(i)
@@ -81,13 +96,34 @@ class BpeTrainer(
       while (j < s.length - 1) { f((s(j), s(j + 1))); j += 1 }
     }
     def include(i: Int): Unit = eachPair(i) { p =>
-      pairN(p) = pairN.getOrElse(p, 0L) + cnts(i)
-      pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
+      val n = pairN.getOrElse(p, 0L) + cnts(i)
+      pairN(p) = n
+      pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      heap.enqueue((n, p._1, p._2))
     }
     def exclude(i: Int): Unit = eachPair(i) { p =>
       val n = pairN(p) - cnts(i)
       if (n == 0L) pairN.remove(p) else pairN(p) = n
-      pairWords.get(p).foreach(_ -= i)
+      pairWords.get(p).foreach { ws =>
+        ws -= i
+        if (ws.isEmpty) pairWords.remove(p)
+      }
+      // no heap push: stale-high entries are discarded (and the live
+      // count re-pushed) when they surface at the top
+    }
+    /** Heap top whose count is live; stale tops re-push the pair's
+      * current count so no pair is ever lost to a decrease.
+      */
+    def argmax(): Option[(String, String, Long)] = {
+      while (heap.nonEmpty) {
+        val (n, l, r) = heap.dequeue()
+        pairN.get((l, r)) match {
+          case Some(cur) if cur == n => return Some((l, r, n))
+          case Some(cur) => heap.enqueue((cur, l, r))
+          case None => // pair fully merged away; drop
+        }
+      }
+      None
     }
 
     var i = 0
@@ -95,23 +131,21 @@ class BpeTrainer(
 
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 1
-    while (rank <= numMerges && pairN.nonEmpty) {
-      var best: (String, String) = null
-      var bn = 0L
-      for ((p, n) <- pairN) {
-        if (best == null || n > bn ||
-          (n == bn && (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
-          best = p; bn = n
-        }
+    var done = false
+    while (rank <= numMerges && !done) {
+      argmax() match {
+        case None => done = true
+        case Some((a, b, n)) =>
+          out += ((rank.toLong, a, b, a + b, n))
+          val affected = pairWords.getOrElse((a, b), mutable.HashSet.empty).toArray
+          java.util.Arrays.sort(affected) // deterministic rewrite order
+          for (w <- affected) {
+            exclude(w)
+            syms(w) = mergeLocal(syms(w), a, b)
+            include(w)
+          }
+          rank += 1
       }
-      val (a, b) = best
-      out += ((rank.toLong, a, b, a + b, bn))
-      for (w <- pairWords.getOrElse(best, mutable.BitSet.empty).toArray) {
-        exclude(w)
-        syms(w) = mergeLocal(syms(w), a, b)
-        include(w)
-      }
-      rank += 1
     }
     out.result()
   }

@@ -39,8 +39,10 @@ object MakeGoldens {
       SparkEntry.queries("q14_s2_cell")(spark, dir)
         .withColumn("n_customer", lit(nCust))
     }.reduce(_ unionByName _)
+    // absolute path: the oracle SQL references the same location, so the
+    // two halves can never disagree about where goldens live
     q14.coalesce(1).write.mode("overwrite")
-      .parquet("src/test/resources/golden/q14_s2")
+      .parquet("/root/repo/src/test/resources/golden/q14_s2")
 
     val q27 = sfDirs.map { dir =>
       val nOrd = spark.read.parquet(s"$dir/orders.parquet").count()
@@ -48,7 +50,7 @@ object MakeGoldens {
         .withColumn("n_orders", lit(nOrd))
     }.reduce(_ unionByName _)
     q27.coalesce(1).write.mode("overwrite")
-      .parquet("src/test/resources/golden/q27_lr")
+      .parquet("/root/repo/src/test/resources/golden/q27_lr")
 
     println("goldens written to src/test/resources/golden/{q14_s2,q27_lr}")
     spark.stop()

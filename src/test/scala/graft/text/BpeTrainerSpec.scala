@@ -80,6 +80,27 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(merges.forall(r => r.getString(3) === r.getString(1) + r.getString(2)))
   }
 
+  test("segment runs end-to-end past the expression-fold cutoff (broadcast encoder path)") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0 until 600).map { i =>
+      (i.toLong, (1 to 6).map(_ =>
+        (1 to 4 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val trainer = new BpeTrainer(numMerges = 100)
+    val merges = trainer.fit(corpus)
+    assert(merges.count() === 100L)
+    // >32 merges → the UDF path: the closure must serialize and the
+    // subwords must re-concatenate to the original word
+    val seg = trainer.segment(corpus.limit(50), merges)
+      .select("word", "subwords").as[(String, Seq[String])].collect()
+    assert(seg.nonEmpty)
+    assert(seg.forall { case (w, sub) => sub.mkString === w })
+    // every subword is either a single char or a learned merged symbol
+    val vocab = merges.select("merged").as[String].collect().toSet
+    assert(seg.forall { case (_, sub) => sub.forall(s => s.length == 1 || vocab(s)) })
+  }
+
   test("encodeLocal equals the expression-fold segmentation") {
     val rnd = new scala.util.Random(3)
     val corpus = (0 until 400).map { i =>
