@@ -94,6 +94,18 @@ object CurationQueries {
     "q68_weighted_sample" -> ((s, dir) => {
       new WeightedSampler(k = 100, weightCol = "n_chars")
         .transform(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")))
+    }),
+
+    // DSIR-style importance resampling: tilt the corpus toward a target
+    // domain (here the deterministic doc_id % 31 slice) by target-vs-base
+    // unigram log-likelihood ratio + an md5-coin acceptance. kept uses the
+    // UNROUNDED score on both sides; only the reported score is rounded
+    "q99_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      new graft.sampling.ImportanceSampler(alpha = 0.5, rate = 0.5)
+        .select(docs, docs.where(col("doc_id") % 31 === 0))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("score"), 6).as("score"), col("kept"))
     })
   )
 
@@ -292,6 +304,34 @@ object CurationQueries {
         |      / 72057594037927936.0) / n_chars AS pri
         |  FROM documents)
         |ORDER BY pri, doc_id
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+    "q99_dsir" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM norm
+        |), base AS (
+        |  SELECT tok, count(*) AS cb FROM tok GROUP BY 1
+        |), tgt AS (
+        |  SELECT tok, count(*) AS ct FROM tok WHERE doc_id % 31 = 0 GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(cb) AS DOUBLE) FROM base) AS nb,
+        |         (SELECT CAST(count(*) AS DOUBLE) FROM base) AS vb,
+        |         (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS nt,
+        |         (SELECT CAST(count(*) AS DOUBLE) FROM tgt) AS vt
+        |), scored AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    avg(ln((coalesce(g.ct, 0) + 0.5) / (nt + vt * 0.5))
+        |      - ln((b.cb + 0.5) / (nb + vb * 0.5))) AS score
+        |  FROM tok t JOIN base b USING (tok) LEFT JOIN tgt g USING (tok)
+        |  CROSS JOIN tot
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, round(score, 6) AS score,
+        |  (('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
+        |    < 0.5 * exp(score) * 4294967296.0 AS kept
+        |FROM scored""".stripMargin
   )
 }
