@@ -251,6 +251,15 @@ object TextQueries {
     // training loop is hash-verified
     "q97_bpe" -> ((s, dir) => {
       new BpeTrainer(numMerges = 10).fit(Tables.documents(s, dir))
+    }),
+
+    // interpolated bigram LM (Jelinek-Mercer): per-doc mean nll under
+    // lambda·P(w|prev) + (1-lambda)·P_uni(w) — the perplexity-filter
+    // upgrade when unigram scores saturate. First token of each doc is
+    // excluded (no predecessor), deterministically on both sides
+    "q100_bigram_lm" -> ((s, dir) => {
+      new graft.text.BigramLM(lambda = 0.7, alpha = 0.5)
+        .fitScore(Tables.documents(s, dir))
     })
   )
 
@@ -687,6 +696,34 @@ object TextQueries {
           |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
           |  round(avg(avg_nll), 6) AS mean_nll
           |FROM lb GROUP BY 1, 2""".stripMargin),
-    "q97_bpe" -> bpeOracleSql(10)
+    "q97_bpe" -> bpeOracleSql(10),
+    "q100_bigram_lm" ->
+      (normSql +
+        """
+          |, pos AS (
+          |  SELECT doc_id, tl[CAST(i AS INT)] AS prev, tl[CAST(i AS INT) + 1] AS tok
+          |  FROM toks CROSS JOIN range(1, 256) t(i)
+          |  WHERE i <= len(tl) - 1
+          |), bi AS (
+          |  SELECT prev, tok, count(*) AS cbi FROM pos GROUP BY 1, 2
+          |), pt AS (
+          |  SELECT prev, sum(cbi) AS cprev FROM bi GROUP BY 1
+          |), uni AS (
+          |  SELECT tok, count(*) AS c
+          |  FROM (SELECT unnest(tl) AS tok FROM toks) GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(sum(c) AS DOUBLE) AS n_total,
+          |         CAST(count(*) AS DOUBLE) AS v_size
+          |  FROM uni
+          |)
+          |SELECT doc_id, count(*) AS n_scored,
+          |  round(avg(-ln(
+          |    0.7 * (CAST(cbi AS DOUBLE) / CAST(cprev AS DOUBLE)) +
+          |    0.3 * ((CAST(c AS DOUBLE) + 0.5) / (n_total + 0.5 * v_size)))), 6) AS avg_nll
+          |FROM pos JOIN bi USING (prev, tok) JOIN pt USING (prev)
+          |  JOIN uni USING (tok) CROSS JOIN tot
+          |GROUP BY doc_id
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,256) bound
+          |SELECT -1, count(*), 0.0 FROM toks WHERE len(tl) > 256 HAVING count(*) > 0""".stripMargin)
   )
 }
