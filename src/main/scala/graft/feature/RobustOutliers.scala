@@ -22,8 +22,21 @@ import org.apache.spark.sql.functions._
   * row-locally inside whole-stage codegen. Zero-MAD groups (over half the
   * values identical) flag nothing rather than dividing by zero.
   */
-class RobustOutliers(cutoff: Double = 3.5) {
+class RobustOutliers(
+    cutoff: Double = 3.5,
+    approx: Boolean = false,
+    accuracy: Int = 10000) {
   require(cutoff > 0.0, s"cutoff ($cutoff) must be positive")
+  require(accuracy > 0, s"accuracy ($accuracy) must be positive")
+
+  /** Exact interpolated median by default (oracle-replayable, q89); with
+    * `approx`, a fixed-state `percentile_approx` sketch — the 100 TB path
+    * when per-group distinct values are unbounded (same trade as
+    * [[Winsorizer]] / [[graft.sql.TableProfiler]]).
+    */
+  private def med(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (approx) percentile_approx(v, lit(0.5), lit(accuracy))
+    else percentile(v, lit(0.5))
 
   /** Input plus `med`, `mad`, `robust_z`, `is_outlier`. Row-preserving:
     * the statistic joins are null-safe, so a NULL group is screened
@@ -32,14 +45,14 @@ class RobustOutliers(cutoff: Double = 3.5) {
     */
   def flag(df: Dataset[_], groupCol: String, valueCol: String): DataFrame = {
     val meds = df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+      .agg(med(col(valueCol)).as("med"))
       .withColumnRenamed(groupCol, "__ro_g")
     val withMed = df.join(meds, col(groupCol) <=> col("__ro_g"))
       .drop("__ro_g")
     val mads = withMed
       .withColumn("__ad", abs(col(valueCol) - col("med")))
       .groupBy(col(groupCol))
-      .agg(percentile(col("__ad"), lit(0.5)).as("mad"))
+      .agg(med(col("__ad")).as("mad"))
       .withColumnRenamed(groupCol, "__ro_g")
     withMed.join(mads, col(groupCol) <=> col("__ro_g"))
       .drop("__ro_g")

@@ -10,25 +10,40 @@ import org.apache.spark.sql.functions._
   * ([[Binning]]), or model features.
   *
   * Two-pass shape that survives 100 TB: pass 1 learns one bounds row per
-  * group (exact `percentile` aggregate — partial-aggregated, state bounded
-  * by group count, same growth as any groupBy); pass 2 broadcast-joins the
-  * tiny bounds table back and clamps row-locally inside whole-stage
-  * codegen. The big table is never shuffled — only scanned twice, and the
-  * clamp pass is where callers chain their real pipeline.
+  * group (partial-aggregated, state bounded by group count, same growth as
+  * any groupBy); pass 2 joins the tiny bounds table back (strategy left to
+  * AQE — group cardinality is unbounded, so a hard broadcast hint would
+  * risk a driver OOM; AQE broadcasts while the frame is small) and clamps
+  * row-locally inside whole-stage codegen. The big table is never
+  * shuffled — only scanned twice, and the clamp pass is where callers
+  * chain their real pipeline.
   *
-  * Quantiles are exact with linear interpolation (Spark `percentile`,
-  * identical to ANSI `percentile_cont`), so the SQL oracle replays bounds
-  * bit-for-bit (q82).
+  * By default quantiles are exact with linear interpolation (Spark
+  * `percentile`, identical to ANSI `percentile_cont`), so the SQL oracle
+  * replays bounds bit-for-bit (q82) — but the exact aggregate's state is
+  * bounded by per-group DISTINCT VALUE count, which for a continuous
+  * metric at 100 TB is effectively row count. `approx = true` swaps in
+  * `percentile_approx` (KLL-sketch state, fixed size `accuracy`) — the
+  * same trade as [[graft.sql.TableProfiler]]'s approx flag.
   */
-class Winsorizer(lower: Double = 0.05, upper: Double = 0.95) {
+class Winsorizer(
+    lower: Double = 0.05,
+    upper: Double = 0.95,
+    approx: Boolean = false,
+    accuracy: Int = 10000) {
   require(0.0 <= lower && lower < upper && upper <= 1.0,
     s"need 0 <= lower < upper <= 1, got [$lower, $upper]")
+  require(accuracy > 0, s"accuracy ($accuracy) must be positive")
+
+  private def pct(v: Column, p: Double): Column =
+    if (approx) percentile_approx(v, lit(p), lit(accuracy))
+    else percentile(v, lit(p))
 
   /** Per-group clamp bounds: one row per group, columns `lo`/`hi`. */
   def bounds(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), lit(lower)).as("lo"),
-        percentile(col(valueCol), lit(upper)).as("hi"))
+      .agg(pct(col(valueCol), lower).as("lo"),
+        pct(col(valueCol), upper).as("hi"))
 
   /** Input plus `<valueCol>_wins`, the value clamped to the group bounds.
     * Row-preserving: the join back is null-safe, so a NULL group clamps to
@@ -38,7 +53,7 @@ class Winsorizer(lower: Double = 0.05, upper: Double = 0.95) {
   def transform(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val b = bounds(df, groupCol, valueCol)
       .withColumnRenamed(groupCol, "__wins_g")
-    df.join(broadcast(b), col(groupCol) <=> col("__wins_g"))
+    df.join(b, col(groupCol) <=> col("__wins_g"))
       .drop("__wins_g")
       .withColumn(s"${valueCol}_wins",
         Winsorizer.clamp(col(valueCol), col("lo"), col("hi")))

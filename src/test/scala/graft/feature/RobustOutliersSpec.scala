@@ -38,6 +38,21 @@ class RobustOutliersSpec extends SparkTestBase {
     assert(flagged === Set(4L)) // outlier within the null group is found
   }
 
+  test("approx flags agree with exact on all but boundary rows at sf0.01") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    def flags(approx: Boolean): Map[Long, Boolean] =
+      new RobustOutliers(3.5, approx).flag(ev, "event_type", "value")
+        .select(col("event_id"), col("is_outlier"))
+        .as[(Long, Boolean)].collect().toMap
+    val e = flags(false)
+    val a = flags(true)
+    val disagree = e.count { case (id, f) => a(id) != f }
+    // sketch error can flip only rows whose robust z sits at the cutoff;
+    // that boundary band is a small fraction of the table
+    assert(disagree <= e.size / 100, s"disagreements: $disagree of ${e.size}")
+  }
+
   test("groups are independent") {
     val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 50.0),
       (5L, "b", 50.0), (6L, "b", 51.0), (7L, "b", 52.0)).toDF("id", "grp", "v")

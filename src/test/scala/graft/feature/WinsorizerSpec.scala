@@ -39,6 +39,29 @@ class WinsorizerSpec extends SparkTestBase {
     intercept[IllegalArgumentException](new Winsorizer(0.9, 0.1))
   }
 
+  test("approx bounds stay within tolerance of exact on real-cardinality data") {
+    // the 100 TB path: KLL-sketch percentiles vs the exact aggregate on
+    // the sf0.01 events table; rank error <= 1/accuracy, so at accuracy
+    // 10000 the bounds should land within a fraction of a percent of the
+    // value range per group
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val exact = new Winsorizer(0.05, 0.95).bounds(ev, "event_type", "value")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = new Winsorizer(0.05, 0.95, approx = true).bounds(ev, "event_type", "value")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val spans = ev.groupBy(col("event_type"))
+      .agg((max(col("value")) - min(col("value"))).as("span"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet === approx.keySet)
+    for (g <- exact.keys) {
+      val span = spans(g)
+      assert(math.abs(exact(g)._1 - approx(g)._1) <= 0.02 * span,
+        s"group $g lo: exact=${exact(g)._1} approx=${approx(g)._1}")
+      assert(math.abs(exact(g)._2 - approx(g)._2) <= 0.02 * span,
+        s"group $g hi: exact=${exact(g)._2} approx=${approx(g)._2}")
+    }
+  }
+
   test("null group keys are clamped, not dropped") {
     import spark.implicits._
     val d = Seq[(String, Double)]((null, 1.0), (null, 100.0), ("g", 5.0))
