@@ -80,6 +80,24 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(merges.forall(r => r.getString(3) === r.getString(1) + r.getString(2)))
   }
 
+  test("trains 10k merges (real-tokenizer scale) within budget") {
+    // ~20k distinct pseudo-words: the heap argmax + incremental updates
+    // must sustain vocabulary-scale merge counts, not just the oracle's 10
+    val rnd = new scala.util.Random(23)
+    val words = (0 until 20000).map { _ =>
+      (1 to 6 + rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val docs = words.grouped(100).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val merges = new BpeTrainer(numMerges = 10000).fit(docs)
+      .select("rank").as[Long].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length === 10000)
+    assert(merges.toSeq === (1L to 10000L))
+    assert(secs < 120.0, s"10k merges took $secs s")
+  }
+
   test("segment runs end-to-end past the expression-fold cutoff (broadcast encoder path)") {
     val rnd = new scala.util.Random(5)
     val corpus = (0 until 600).map { i =>
