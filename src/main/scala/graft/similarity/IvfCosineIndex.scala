@@ -145,5 +145,31 @@ class IvfCosineIndex(
 /** A built IVF index: broadcast-sized refined centroids (cid, centroid)
   * plus the inverted lists (id, cv, cid). Produced by
   * [[IvfCosineIndex.build]]; reusable across query batches.
+  *
+  * [[save]] persists the true inverted-FILE layout: lists are written
+  * `partitionBy("cid")`, one directory per cluster, so a search over a
+  * loaded index reads ONLY the probed clusters' files (partition pruning
+  * does the `nprobe / numCentroids` data reduction at the scan, before
+  * any Spark task runs) — build once, serve query batches across jobs
+  * without ever rescanning the corpus.
   */
-case class IvfIndex(centroids: DataFrame, lists: DataFrame)
+case class IvfIndex(centroids: DataFrame, lists: DataFrame) {
+
+  def save(path: String): Unit = {
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    lists.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+}
+
+object IvfIndex {
+
+  /** Reopen a [[save]]d index. `cid` comes back as a partition column —
+    * re-cast to long so joins against probe frames stay equi-joins
+    * without runtime coercion surprises.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/lists")
+        .withColumn("cid", col("cid").cast("long")))
+}

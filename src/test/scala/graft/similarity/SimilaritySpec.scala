@@ -76,6 +76,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(batch2.nonEmpty)
   }
 
+  test("IVF index save/load round-trips and searches identically with partition pruning") {
+    val ivf = new IvfCosineIndex(numCentroids = 3, nprobe = 2)
+    val idx = ivf.build(vecs)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf").resolve("idx").toString
+    idx.save(path)
+    // inverted-FILE layout: one directory per cluster id
+    val listDirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cid=")).toSet
+    assert(listDirs.nonEmpty)
+    val loaded = IvfIndex.load(spark, path)
+    val viaLoaded = ivf.search(vecs.where($"vec_id" === 1), loaded, k = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val viaBuilt = ivf.search(vecs.where($"vec_id" === 1), idx, k = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaLoaded === viaBuilt)
+    // the probe filter prunes list partitions at the scan: filtering the
+    // loaded lists on one cid reads a subset of the cluster directories
+    val pruned = loaded.lists.where($"cid" === loaded.lists.select("cid")
+      .as[Long].head()).queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters"), pruned)
+  }
+
   test("IVF index assigns every vector to exactly one cluster") {
     val ivf = new IvfCosineIndex(numCentroids = 3, nprobe = 1)
     val idx = ivf.index(vecs)
