@@ -35,8 +35,7 @@ class RobustOutliers(
     * [[Winsorizer]] / [[graft.sql.TableProfiler]]).
     */
   private def med(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    if (approx) percentile_approx(v, lit(0.5), lit(accuracy))
-    else percentile(v, lit(0.5))
+    Percentiles.maybeApprox(v, 0.5, approx, accuracy)
 
   /** Input plus `med`, `mad`, `robust_z`, `is_outlier`. Row-preserving:
     * the statistic joins are null-safe, so a NULL group is screened

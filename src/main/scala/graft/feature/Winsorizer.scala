@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * any groupBy); pass 2 joins the tiny bounds table back (strategy left to
   * AQE — group cardinality is unbounded, so a hard broadcast hint would
   * risk a driver OOM; AQE broadcasts while the frame is small) and clamps
-  * row-locally inside whole-stage codegen. The big table is never
-  * shuffled — only scanned twice, and the clamp pass is where callers
-  * chain their real pipeline.
+  * row-locally inside whole-stage codegen. While the bounds frame
+  * broadcasts — the overwhelmingly common case — the big table is never
+  * shuffled, only scanned twice; past the broadcast threshold the join
+  * degrades to a shuffle on the group key rather than failing. The clamp
+  * pass is where callers chain their real pipeline.
   *
   * By default quantiles are exact with linear interpolation (Spark
   * `percentile`, identical to ANSI `percentile_cont`), so the SQL oracle
@@ -36,8 +38,7 @@ class Winsorizer(
   require(accuracy > 0, s"accuracy ($accuracy) must be positive")
 
   private def pct(v: Column, p: Double): Column =
-    if (approx) percentile_approx(v, lit(p), lit(accuracy))
-    else percentile(v, lit(p))
+    Percentiles.maybeApprox(v, p, approx, accuracy)
 
   /** Per-group clamp bounds: one row per group, columns `lo`/`hi`. */
   def bounds(df: DataFrame, groupCol: String, valueCol: String): DataFrame =

@@ -51,6 +51,7 @@ class ImportanceSampler(
 
     docs.select(col(idCol), graft.dedup.TextNormalizer.tokens(col(textCol)).as("tl"))
       .select(col(idCol), explode_outer(col("tl")).as("tok"))
+      .where(col("tok").isNotNull) // NULL-text docs score nothing (matches unnest)
       .join(base.withColumnRenamed("c", "cb"), Seq("tok"), "left")
       .join(tgt.withColumnRenamed("c", "ct"), Seq("tok"), "left")
       .crossJoin(broadcast(totals))

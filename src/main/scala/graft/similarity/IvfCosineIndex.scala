@@ -147,11 +147,13 @@ class IvfCosineIndex(
   * [[IvfCosineIndex.build]]; reusable across query batches.
   *
   * [[save]] persists the true inverted-FILE layout: lists are written
-  * `partitionBy("cid")`, one directory per cluster, so a search over a
-  * loaded index reads ONLY the probed clusters' files (partition pruning
-  * does the `nprobe / numCentroids` data reduction at the scan, before
-  * any Spark task runs) — build once, serve query batches across jobs
-  * without ever rescanning the corpus.
+  * `partitionBy("cid")`, one directory per cluster. A literal cid filter
+  * over the loaded lists prunes statically at the scan; the probe JOIN in
+  * `search` relies on dynamic partition pruning (the probe side is tiny,
+  * so DPP's subquery cost is negligible) — either way, build once and
+  * serve query batches across jobs without rescanning the corpus. For a
+  * fixed probe set, `loaded.lists.where(col("cid").isin(cids: _*))` pins
+  * the static-pruning path explicitly.
   */
 case class IvfIndex(centroids: DataFrame, lists: DataFrame) {
 

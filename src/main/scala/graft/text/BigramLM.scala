@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.TextNormalizer
@@ -18,11 +17,12 @@ import graft.dedup.TextNormalizer
   *
   * Scale shape: both models are DataFrames keyed by token / token pair
   * (wordcount-shaped, partial-aggregated — never driver state). Scoring
-  * positional-explodes the corpus once, derives each token's predecessor
-  * with a per-document window (parallel across documents; a document is
-  * the natural unit of sequence locality), and left-joins the two count
-  * tables on their keys. The first token of a document has no predecessor
-  * and is excluded from the mean — deterministic and oracle-replayable.
+  * derives each token's predecessor ROW-LOCALLY (the same zip_with slice
+  * pair array as [[fitBigrams]] — a lag window would shuffle and sort the
+  * whole exploded token stream just to look one element left inside an
+  * array it already holds) and left-joins the two count tables on their
+  * keys. The first token of a document has no predecessor and is excluded
+  * from the mean — deterministic and oracle-replayable.
   */
 class BigramLM(
     val lambda: Double = 0.7,
@@ -60,11 +60,13 @@ class BigramLM(
       sum(col("c")).cast("double").as("n_total"),
       count(lit(1)).cast("double").as("v_size"))
 
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     docs.select(col(idCol), TextNormalizer.tokens(col(textCol)).as("tl"))
-      .select(col(idCol), posexplode_outer(col("tl")).as(Seq("pos", "tok")))
-      .withColumn("prev", lag(col("tok"), 1).over(w))
-      .where(col("prev").isNotNull)
+      .select(col(idCol), explode_outer(zip_with(
+        slice(col("tl"), lit(1), greatest(size(col("tl")) - 1, lit(0))),
+        slice(col("tl"), lit(2), greatest(size(col("tl")) - 1, lit(0))),
+        (l, r) => struct(l.as("prev"), r.as("tok")))).as("p"))
+      .where(col("p").isNotNull)
+      .select(col(idCol), col("p.prev").as("prev"), col("p.tok").as("tok"))
       .join(bi, Seq("prev", "tok"), "left")
       .join(prevTotals, Seq("prev"), "left")
       .join(uni.withColumnRenamed("c", "cuni"), Seq("tok"), "left")

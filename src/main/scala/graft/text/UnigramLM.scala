@@ -27,10 +27,14 @@ class UnigramLM(
     val textCol: String = "text") {
   require(alpha > 0, s"alpha ($alpha) must be positive")
 
-  /** Unigram counts (tok, c) over the fit corpus. */
+  /** Unigram counts (tok, c) over the fit corpus. A NULL text yields a
+    * null token list, whose explode_outer row is dropped — SQL `unnest`
+    * of a NULL list yields no rows, and the oracle must agree.
+    */
   def fit(corpus: Dataset[_]): DataFrame =
     corpus.select(TextNormalizer.tokens(col(textCol)).as("tl"))
       .select(explode_outer(col("tl")).as("tok"))
+      .where(col("tok").isNotNull)
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
 
   /** (idCol, n_tokens, avg_nll): per-document mean token negative
@@ -43,6 +47,7 @@ class UnigramLM(
       count(lit(1)).cast("double").as("v_size"))
     docs.select(col(idCol), TextNormalizer.tokens(col(textCol)).as("tl"))
       .select(col(idCol), explode_outer(col("tl")).as("tok"))
+      .where(col("tok").isNotNull) // NULL-text docs score nothing (matches unnest)
       .join(model, Seq("tok"), "left") // vocab-keyed equi-join; AQE broadcasts small vocabs
       .crossJoin(broadcast(totals))
       .select(col(idCol),

@@ -32,14 +32,27 @@ class ImportanceSamplerSpec extends SparkTestBase {
     assert(got(1L)._3 > got(2L)._3)
   }
 
-  test("selection is deterministic and favors target-like documents") {
+  test("selection is deterministic and replays the md5 coin exactly") {
     val s = new ImportanceSampler(alpha = 0.5, rate = 0.5)
     val a = s.select(docs, target).orderBy($"doc_id").collect().toSeq
     val b = s.select(docs, target).orderBy($"doc_id").collect().toSeq
     assert(a === b)
-    // acceptance threshold is monotone in score: exp(score1) > exp(score2)
+    // kept must equal the hand-replayed coin: uniform md5 hash < rate·exp(score)
+    val scores = s.score(docs, target)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    def coin(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16)
+      h.toDouble < 0.5 * math.exp(scores(id)) * 4294967296.0
+    }
     val byId = a.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(byId.size === 2)
+    for (id <- byId.keys) assert(byId(id) === coin(id), s"doc $id")
+    // threshold is monotone in score: the target-like doc's acceptance
+    // probability strictly exceeds the off-domain doc's
+    assert(math.exp(scores(1L)) > math.exp(scores(2L)))
   }
 
   test("rate scales acceptance on a larger deterministic corpus") {

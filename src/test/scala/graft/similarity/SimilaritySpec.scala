@@ -92,11 +92,17 @@ class SimilaritySpec extends SparkTestBase {
     val viaBuilt = ivf.search(vecs.where($"vec_id" === 1), idx, k = 2)
       .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
     assert(viaLoaded === viaBuilt)
-    // the probe filter prunes list partitions at the scan: filtering the
-    // loaded lists on one cid reads a subset of the cluster directories
-    val pruned = loaded.lists.where($"cid" === loaded.lists.select("cid")
-      .as[Long].head()).queryExecution.executedPlan.toString
-    assert(pruned.contains("PartitionFilters"), pruned)
+    // the probe filter prunes list partitions at the scan: a literal cid
+    // filter must appear INSIDE the PartitionFilters bracket (the bracket
+    // itself prints even when empty, so match its contents) and the scan
+    // must touch fewer files than the full index holds
+    val oneCid = loaded.lists.select("cid").as[Long].head()
+    val prunedDf = loaded.lists.where($"cid" === oneCid)
+    val plan = prunedDf.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters: [")).getOrElse("")
+    assert(pf.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+      .contains("cid"), s"no cid partition filter in: $plan")
+    assert(prunedDf.select("cid").distinct().count() === 1L)
   }
 
   test("IVF index assigns every vector to exactly one cluster") {
