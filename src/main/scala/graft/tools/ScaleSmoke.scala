@@ -69,6 +69,16 @@ object ScaleSmoke {
       },
       "quality_filter" -> { d: DataFrame =>
         new graft.text.QualityFilter().transform(d).count()
+      },
+      // LM-ratio scoring + coin: two wordcount models + one scoring pass
+      "dsir_select" -> { d: DataFrame =>
+        new graft.sampling.ImportanceSampler(rate = 0.5)
+          .select(d, d.where(col("doc_id") % 31 === 0))
+          .where(col("kept")).count()
+      },
+      // bigram scoring: pair/unigram count tables + row-local predecessors
+      "bigram_lm" -> { d: DataFrame =>
+        new graft.text.BigramLM().fitScore(d).count()
       })
 
     // operators whose dup/group structure is the stress — run on UNMUTATED
