@@ -260,6 +260,14 @@ object TextQueries {
     "q100_bigram_lm" -> ((s, dir) => {
       new graft.text.BigramLM(lambda = 0.7, alpha = 0.5)
         .fitScore(Tables.documents(s, dir))
+    }),
+
+    // fastText-style hashing-trick features (unigrams + bigrams →
+    // md5-bucket counts): the quality-classifier front-end, in long
+    // format so the oracle replays the hash arithmetic exactly
+    "q101_hashed_features" -> ((s, dir) => {
+      new graft.text.HashedNgramFeaturizer(dim = 4096)
+        .features(Tables.documents(s, dir))
     })
   )
 
@@ -724,6 +732,24 @@ object TextQueries {
           |  JOIN uni USING (tok) CROSS JOIN tot
           |GROUP BY doc_id
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,256) bound
-          |SELECT -1, count(*), 0.0 FROM toks WHERE len(tl) > 256 HAVING count(*) > 0""".stripMargin)
+          |SELECT -1, count(*), 0.0 FROM toks WHERE len(tl) > 256 HAVING count(*) > 0""".stripMargin),
+    "q101_hashed_features" ->
+      (normSql +
+        """
+          |, uni AS (
+          |  SELECT doc_id, unnest(tl) AS gram FROM toks
+          |), bi AS (
+          |  SELECT doc_id, tl[CAST(i AS INT)] || ' ' || tl[CAST(i AS INT) + 1] AS gram
+          |  FROM toks CROSS JOIN range(1, 256) t(i)
+          |  WHERE i <= len(tl) - 1
+          |), grams AS (
+          |  SELECT * FROM uni UNION ALL SELECT * FROM bi
+          |)
+          |SELECT doc_id,
+          |  ('0x' || substring(md5('hng:' || gram), 1, 8))::BIGINT % 4096 AS bucket,
+          |  count(*) AS n
+          |FROM grams GROUP BY 1, 2
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,256) bound
+          |SELECT -1, count(*), 0 FROM toks WHERE len(tl) > 256 HAVING count(*) > 0""".stripMargin)
   )
 }
