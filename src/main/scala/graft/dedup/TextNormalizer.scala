@@ -16,4 +16,17 @@ object TextNormalizer {
 
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Row-local adjacent pairs of a token array, combined by `f(left,
+    * right)` — the zip_with-of-offset-slices skeleton shared by the
+    * bigram LM, PMI, and the hashing featurizer (one definition of the
+    * off-by-one; a lag window would shuffle the corpus to look one
+    * element left inside an array each row already holds). Empty and
+    * single-element arrays yield an empty array.
+    */
+  def adjacentPairs(tl: Column)(f: (Column, Column) => Column): Column =
+    zip_with(
+      slice(tl, lit(1), greatest(size(tl) - 1, lit(0))),
+      slice(tl, lit(2), greatest(size(tl) - 1, lit(0))),
+      f)
 }

@@ -180,9 +180,7 @@ object TextQueries {
         .groupBy(col("w")).agg(count(lit(1)).as("cw"))
       val totals = uni.agg(sum(col("cw")).cast("double").as("n1"))
       val bgCounts = tl.select(explode_outer(
-          zip_with(
-            slice(col("tl"), lit(1), size(col("tl")) - 1),
-            slice(col("tl"), lit(2), size(col("tl")) - 1),
+          graft.dedup.TextNormalizer.adjacentPairs(col("tl"))(
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .where(col("bg").isNotNull)
         .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))

@@ -132,9 +132,7 @@ class DownsamplingModel(override val uid: String)
           // md5 membership: the first 8 hex chars are uniform on [0, 2^32);
           // keep iff hash < fraction * 2^32 — same namespaced-bucket math
           // as HashSampler, replayable as ANSI SQL by the oracle
-          val h = conv(substring(md5(concat(lit("ds:"),
-            col($(deterministicIdCol)).cast("string"))), 1, 8), 16, 10)
-            .cast("long")
+          val h = graft.sql.functions.uniform32("ds", col($(deterministicIdCol)))
           secondaryRows.where(h < lit(fraction * 4294967296.0))
         } else {
           secondaryRows.sample(withReplacement = $(sampleWithReplacement), fraction)

@@ -33,8 +33,7 @@ class HashSampler(override val uid: String) extends Transformer
 
   /** The bucket (0..99) this row's id hashes into. */
   def bucket: Column =
-    conv(substring(md5(concat(lit($(salt)), lit(":"), col($(idCol)).cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 100
+    graft.sql.functions.uniform32($(salt), col($(idCol))) % 100
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)

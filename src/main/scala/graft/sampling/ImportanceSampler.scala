@@ -69,8 +69,7 @@ class ImportanceSampler(
     * (idCol, n_tokens, score, kept).
     */
   def select(docs: Dataset[_], target: Dataset[_]): DataFrame = {
-    val h = conv(substring(md5(concat(lit("dsir:"),
-      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val h = graft.sql.functions.uniform32("dsir", col(idCol))
     score(docs, target)
       .withColumn("kept",
         h.cast("double") < lit(rate) * exp(col("score")) * 4294967296.0)

@@ -31,8 +31,7 @@ class MixtureSampler(
 
   /** The 0..9999 bucket this row's id hashes into. */
   def bucket: Column =
-    conv(substring(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 10000
+    graft.sql.functions.uniform32(salt, col(idCol)) % 10000
 
   def transform(dataset: Dataset[_]): DataFrame = {
     val session = dataset.sparkSession

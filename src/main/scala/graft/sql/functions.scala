@@ -21,6 +21,18 @@ object functions {
     */
   def collectArray(e: Column): Column = collect_list(e)
 
+  /** The engine's md5-membership discipline, defined once: the first 8 hex
+    * chars of `md5("<salt>:<value>")` as a uniform long on [0, 2^32).
+    * Seed-free, partitioning-independent, and replayable as ANSI SQL by
+    * the DuckDB oracle (`('0x' || substring(md5(...), 1, 8))::BIGINT`) —
+    * the deterministic coin behind hash splits, downsampling, importance
+    * resampling, and the hashing-trick featurizer. Namespacing through
+    * `salt` keeps independent coins independent.
+    */
+  def uniform32(salt: String, v: Column): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), v.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
   /** Deterministic variant for result comparison: element-sorted array. */
   def collectArraySorted(e: Column): Column = array_sort(collect_list(e))
 

@@ -37,9 +37,7 @@ class BigramLM(
     */
   def fitBigrams(corpus: Dataset[_]): DataFrame =
     corpus.select(TextNormalizer.tokens(col(textCol)).as("tl"))
-      .select(explode_outer(zip_with(
-        slice(col("tl"), lit(1), greatest(size(col("tl")) - 1, lit(0))),
-        slice(col("tl"), lit(2), greatest(size(col("tl")) - 1, lit(0))),
+      .select(explode_outer(TextNormalizer.adjacentPairs(col("tl"))(
         (l, r) => struct(l.as("prev"), r.as("tok")))).as("p"))
       .where(col("p").isNotNull)
       .groupBy(col("p.prev").as("prev"), col("p.tok").as("tok"))
@@ -61,9 +59,7 @@ class BigramLM(
       count(lit(1)).cast("double").as("v_size"))
 
     docs.select(col(idCol), TextNormalizer.tokens(col(textCol)).as("tl"))
-      .select(col(idCol), explode_outer(zip_with(
-        slice(col("tl"), lit(1), greatest(size(col("tl")) - 1, lit(0))),
-        slice(col("tl"), lit(2), greatest(size(col("tl")) - 1, lit(0))),
+      .select(col(idCol), explode_outer(TextNormalizer.adjacentPairs(col("tl"))(
         (l, r) => struct(l.as("prev"), r.as("tok")))).as("p"))
       .where(col("p").isNotNull)
       .select(col(idCol), col("p.prev").as("prev"), col("p.tok").as("tok"))

@@ -32,40 +32,46 @@ class HashedNgramFeaturizer(
   require(dim > 0, s"dim ($dim) must be positive")
 
   private def bucketOf(gram: Column): Column =
-    conv(substring(md5(concat(lit("hng:"), gram)), 1, 8), 16, 10)
-      .cast("long") % dim
+    graft.sql.functions.uniform32("hng", gram) % dim
+
+  /** The per-document gram array (unigrams + optional bigrams), built
+    * row-locally from the token array.
+    */
+  private def gramsCol: Column = {
+    val tl = col("tl")
+    val pairs = TextNormalizer.adjacentPairs(tl)((l, r) => concat_ws(" ", l, r))
+    if (useBigrams) concat(tl, pairs) else tl
+  }
 
   /** (idCol, bucket, n): hashed gram counts in long format — the
     * oracle-checkable core. NULL-text documents emit no rows.
     */
-  def features(docs: Dataset[_]): DataFrame = {
-    val tl = col("tl")
-    val pairs = zip_with(
-      slice(tl, lit(1), greatest(size(tl) - 1, lit(0))),
-      slice(tl, lit(2), greatest(size(tl) - 1, lit(0))),
-      (l, r) => concat_ws(" ", l, r))
-    val grams = if (useBigrams) concat(tl, pairs) else tl
+  def features(docs: Dataset[_]): DataFrame =
     docs.select(col(idCol), TextNormalizer.tokens(col(textCol)).as("tl"))
-      .select(col(idCol), explode_outer(grams).as("gram"))
+      .select(col(idCol), explode_outer(gramsCol).as("gram"))
       .where(col("gram").isNotNull)
       .groupBy(col(idCol), bucketOf(col("gram")).as("bucket"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** (idCol, features): each document's bucket counts assembled into a
-    * `dim`-sized sparse ML vector, ready for an Estimator.
+    * `dim`-sized sparse ML vector, ready for an Estimator. Bucket
+    * counting is per-document by construction, so this is fully
+    * row-local — hashing in codegen over the gram array, counting in a
+    * per-row UDF — with ZERO shuffles (features()'s groupBy exists only
+    * for the long-format oracle contract).
     */
   def toVectors(docs: Dataset[_]): DataFrame = {
     val d = dim
-    // one struct list keeps (bucket, n) pairs aligned by construction
-    val assemble = udf { (bn: Seq[org.apache.spark.sql.Row]) =>
-      val idx = bn.map(r => (r.getLong(0).toInt, r.getLong(1).toDouble))
-        .sortBy(_._1).toArray
-      MlVectors.sparse(d, idx.map(_._1), idx.map(_._2))
+    val assemble = udf { (buckets: Seq[Long]) =>
+      val counts = scala.collection.mutable.TreeMap.empty[Int, Double]
+      if (buckets != null)
+        buckets.foreach(b => counts(b.toInt) = counts.getOrElse(b.toInt, 0.0) + 1.0)
+      MlVectors.sparse(d, counts.keys.toArray, counts.values.toArray)
     }
-    features(docs)
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("bucket"), col("n"))).as("bn"))
-      .select(col(idCol), assemble(col("bn")).as("features"))
+    docs.select(col(idCol), TextNormalizer.tokens(col(textCol)).as("tl"))
+      .select(col(idCol),
+        org.apache.spark.sql.functions.transform(gramsCol, g => bucketOf(g)).as("bs"))
+      .where(col("bs").isNotNull) // NULL-text docs emit no row, matching features()
+      .select(col(idCol), assemble(col("bs")).as("features"))
   }
 }
