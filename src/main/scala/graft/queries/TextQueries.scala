@@ -266,6 +266,24 @@ object TextQueries {
     "q101_hashed_features" -> ((s, dir) => {
       new graft.text.HashedNgramFeaturizer(dim = 4096)
         .features(Tables.documents(s, dir))
+    }),
+
+    // quality-classifier SCORING end-to-end: hashed features → linear
+    // margin → sigmoid → keep decision. Weights are a deterministic
+    // integer function of the bucket ((bucket % 7) - 3), so the margin
+    // sum is EXACT integer arithmetic on both engines before the one
+    // float division — the q41 fixed-coefficient pattern applied to the
+    // hashing-trick pipeline
+    "q102_quality_classifier" -> ((s, dir) => {
+      val margins = new graft.text.HashedNgramFeaturizer(dim = 4096)
+        .features(Tables.documents(s, dir))
+        .groupBy(col("doc_id"))
+        .agg(sum((col("bucket") % 7 - 3) * col("n")).as("m"))
+        .select(col("doc_id"), (col("m") / 10.0 - 0.3).as("margin"))
+      margins.select(col("doc_id"),
+        round(col("margin"), 6).as("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6).as("prob"),
+        (col("margin") > 0).as("kept"))
     })
   )
 
@@ -748,6 +766,30 @@ object TextQueries {
           |  count(*) AS n
           |FROM grams GROUP BY 1, 2
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,256) bound
-          |SELECT -1, count(*), 0 FROM toks WHERE len(tl) > 256 HAVING count(*) > 0""".stripMargin)
+          |SELECT -1, count(*), 0 FROM toks WHERE len(tl) > 256 HAVING count(*) > 0""".stripMargin),
+    "q102_quality_classifier" ->
+      (normSql +
+        """
+          |, uni AS (
+          |  SELECT doc_id, unnest(tl) AS gram FROM toks
+          |), bi AS (
+          |  SELECT doc_id, tl[CAST(i AS INT)] || ' ' || tl[CAST(i AS INT) + 1] AS gram
+          |  FROM toks CROSS JOIN range(1, 256) t(i)
+          |  WHERE i <= len(tl) - 1
+          |), grams AS (
+          |  SELECT * FROM uni UNION ALL SELECT * FROM bi
+          |), feats AS (
+          |  SELECT doc_id,
+          |    ('0x' || substring(md5('hng:' || gram), 1, 8))::BIGINT % 4096 AS bucket,
+          |    count(*) AS n
+          |  FROM grams GROUP BY 1, 2
+          |), m AS (
+          |  SELECT doc_id, CAST(sum((bucket % 7 - 3) * n) AS DOUBLE) / 10.0 - 0.3 AS margin
+          |  FROM feats GROUP BY 1
+          |)
+          |SELECT doc_id, round(margin, 6) AS margin,
+          |  round(1.0 / (1.0 + exp(-margin)), 6) AS prob,
+          |  margin > 0 AS kept
+          |FROM m""".stripMargin)
   )
 }
