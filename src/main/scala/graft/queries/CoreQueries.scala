@@ -166,18 +166,19 @@ object CoreQueries {
           round(sum(col("l_extendedprice")), 2).as("total_price"))
     }),
 
-    // per-group top-k: 3 highest-value orders per priority class via a
-    // rank window partitioned by the group (parallel; never a global sort)
+    // per-group top-k: 3 highest-value orders per priority class. The
+    // group key has ~5 distinct values, so a plain rank window would sort
+    // each priority's ENTIRE slice in one task — instead rank two-phase
+    // over totalprice-range buckets (GroupedNtile.rankByValue): parallel
+    // within every group, identical rank values.
     "q56_group_topk" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, dir)
-        .withColumn("rnk", row_number().over(w))
+      graft.sql.GroupedNtile.rankByValue(
+          Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+          descending = true, tieCols = Seq(col("o_orderkey")), rankName = "rnk")
         .where(col("rnk") <= 3)
         .select(col("o_orderpriority"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("totalprice"),
-          col("rnk").cast("long").as("rnk"))
+          col("rnk").as("rnk"))
     }),
 
     // exact per-group percentiles (interpolating PERCENTILE matches DuckDB

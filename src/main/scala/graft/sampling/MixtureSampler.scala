@@ -54,8 +54,12 @@ class MixtureSampler(
   * counterpart of [[MixtureSampler]]'s rate-based mixing, for carve-outs
   * that must hit a precise size ("exactly 5k eval docs per language").
   *
-  * Scale: one rank window PARTITIONED by the group — parallel across
-  * groups; a group's partition sorts only its own rows.
+  * Scale: the group key is low-cardinality (~tens of languages), so a
+  * rank window partitioned by it would sort the dominant group's whole
+  * corpus in ONE task. Instead rank two-phase ([[graft.sql.GroupedNtile]])
+  * over 256 buckets cut from the md5 order key's leading byte — trivially
+  * order-consistent because the ordering IS the hash's hex string, and
+  * uniform by construction, so no bucket degenerates.
   */
 class StratifiedSampler(
     n: Int,
@@ -66,12 +70,12 @@ class StratifiedSampler(
   require(n > 0, s"per-group sample size n ($n) must be positive")
 
   def transform(dataset: Dataset[_]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
-    dataset.withColumn("__rn", row_number().over(w))
+    val withH = dataset.withColumn("__h",
+      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+    graft.sql.GroupedNtile.rank(withH, groupCol, Seq(col("__h").asc),
+        conv(substring(col("__h"), 1, 2), 16, 10).cast("long"), "__rn")
       .where(col("__rn") <= n)
-      .drop("__rn")
+      .drop("__rn", "__h")
   }
 }
 

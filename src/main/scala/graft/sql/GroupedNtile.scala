@@ -60,6 +60,43 @@ object GroupedNtile {
       .drop("__bkt", "__rin", "__r0")
   }
 
+  /** Adds `rankName` = `row_number() OVER (PARTITION BY groupCol ORDER BY
+    * orderCol [DESC], tieCols*)` for a NUMERIC order column, deriving the
+    * order-consistent bucket from per-group value-range stats (min/max
+    * broadcast back, `numBuckets` equal-width slices, reversed when
+    * `descending`). Ties on `orderCol` always share a bucket because the
+    * bucket is a function of the value; `tieCols` only order within one.
+    *
+    * Degenerate case: a group whose order values are ALL equal lands
+    * entirely in bucket 0 and ranks in a single task — unavoidable without
+    * changing the (orderCol, tieCols) rank order, since any finer split
+    * would have to bucket by tie columns the ordering has not yet sorted.
+    * Constant-valued groups of unbounded size are the caller's smell; for
+    * uniform-hash order keys (the [[graft.sampling.StratifiedSampler]]
+    * case) the degenerate case cannot occur.
+    */
+  def rankByValue(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      descending: Boolean,
+      tieCols: Seq[Column],
+      rankName: String,
+      numBuckets: Int = 64): DataFrame = {
+    require(numBuckets > 0, s"numBuckets ($numBuckets) must be positive")
+    val g = col(groupCol)
+    val o = col(orderCol)
+    val stats = df.groupBy(g).agg(min(o).as("__omin"), max(o).as("__omax"))
+    val withStats = df.join(broadcast(stats), Seq(groupCol))
+    val span = col("__omax") - col("__omin")
+    val frac =
+      if (descending) (col("__omax") - o) / span else (o - col("__omin")) / span
+    val bucket = when(col("__omax") === col("__omin"), lit(0L))
+      .otherwise(least(lit(numBuckets - 1L), floor(frac * numBuckets)).cast("long"))
+    val ord = (if (descending) o.desc else o.asc) +: tieCols
+    rank(withStats, groupCol, ord, bucket, rankName).drop("__omin", "__omax")
+  }
+
   /** Adds `tileName` = `ntile(k) OVER (PARTITION BY groupCol ORDER BY
     * orderCol, tieCols*)` as a LONG column, computed two-phase over
     * value-range buckets of the numeric `orderCol` (ties always share a

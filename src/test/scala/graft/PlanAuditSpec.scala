@@ -38,6 +38,31 @@ class PlanAuditSpec extends SparkTestBase {
     filters.contains("size(") && filters.contains("> 0") &&
       expensiveInScan.exists(filters.contains)
 
+  /** Test-table columns (and their common aliases) with ~tens of distinct
+    * values. A window PARTITIONED solely by these sorts the dominant
+    * group's entire slice in ONE task — the q56/q58/q96 class, which
+    * shipped twice while this audit was green. A window is fine as soon as
+    * any partition column is NOT in this set (a real key or a bucket).
+    */
+  private val lowCardCols = Set(
+    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+    "l_shipmode", "l_shipinstruct", "r_name", "n_name", "p_brand",
+    "p_container", "p_mfgr", "c_mktsegment", "lang", "source",
+    "media_type", "event_type", "etype", "priority", "label", "tier")
+
+  // physical Window prints `Window [funcs], [partSpec], [orderSpec]`; the
+  // last two bracket groups never nest, so anchor on the line's tail
+  private val windowSpecs = """ Window \[.*\], \[([^\[\]]*)\], \[[^\[\]]*\]""".r.unanchored
+
+  private def lowCardWindows(plan: String): Seq[String] =
+    plan.linesIterator.filter(_.contains(" Window [")).flatMap {
+      case l @ windowSpecs(part) =>
+        val cols = part.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.takeWhile(_ != '#'))
+        if (cols.nonEmpty && cols.forall(lowCardCols)) Some(l.trim) else None
+      case _ => None
+    }.toSeq
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian, no unpartitioned window, clean scan filters") {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
@@ -53,6 +78,12 @@ class PlanAuditSpec extends SparkTestBase {
         .filter(_.contains("], [], ["))
       assert(unpartitioned.isEmpty,
         s"unpartitioned window in $name: ${unpartitioned.mkString("; ")}")
+      // a window partitioned ONLY by low-cardinality columns is a
+      // one-task-per-group sort at scale — use GroupedNtile instead
+      val lowCard = lowCardWindows(plan)
+      assert(lowCard.isEmpty,
+        s"low-cardinality-partition window in $name (one task per group " +
+          s"at scale; rank two-phase via GroupedNtile): ${lowCard.mkString("; ")}")
       // scan-filter audit: DataFilters rides inline on the FileScan line,
       // between "DataFilters: [" and the next "], " field separator
       val dirtyScans = plan.linesIterator
@@ -71,6 +102,23 @@ class PlanAuditSpec extends SparkTestBase {
       assert(dirtyScans.isEmpty,
         s"InferFiltersFromGenerate clone in scan DataFilters of $name:\n${dirtyScans.mkString("\n")}")
     }
+  }
+
+  test("low-card window detector fires on the one-task-per-group pattern") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the exact pre-fix q58 shape: rank window partitioned by `lang`
+    val bad = docs.withColumn("rn", row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(lowCardWindows(bad.queryExecution.executedPlan.toString).nonEmpty,
+      "detector must flag a window partitioned only by a low-card column")
+    // ...and stays silent once a bucket column joins the partition spec
+    // (the GroupedNtile shape)
+    val good = docs.withColumn("b", col("doc_id") % 64)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("b")).orderBy(col("doc_id"))))
+    assert(lowCardWindows(good.queryExecution.executedPlan.toString).isEmpty)
   }
 
   test("flagship entry() returns rows") {

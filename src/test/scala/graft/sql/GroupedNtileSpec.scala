@@ -60,6 +60,24 @@ class GroupedNtileSpec extends SparkTestBase {
     assert(sizes === Map(1L -> 34L, 2L -> 33L, 3L -> 33L))
   }
 
+  test("rankByValue matches the window row_number, asc and desc") {
+    val rnd = new Random(11)
+    val rows = (0L until 2000L).map { i =>
+      val g = if (i % 10 < 7) "en" else if (i % 10 < 9) "fr" else "de"
+      (g, math.floor(rnd.nextGaussian() * 4) / 2.0, i)
+    } ++ (0L until 40L).map(i => ("const", 9.5, 10000L + i)) // degenerate group
+    val df = rows.toDF("g", "v", "id").repartition(8)
+    for (desc <- Seq(true, false)) {
+      val ord = if (desc) Seq($"v".desc, $"id") else Seq($"v".asc, $"id")
+      val w = Window.partitionBy($"g").orderBy(ord: _*)
+      val want = df.withColumn("rnk", row_number().over(w).cast("long"))
+        .select($"g", $"id", $"rnk").as[(String, Long, Long)].collect().toMap2
+      val got = GroupedNtile.rankByValue(df, "g", "v", desc, Seq($"id"), "rnk")
+        .select($"g", $"id", $"rnk").as[(String, Long, Long)].collect().toMap2
+      assert(got === want)
+    }
+  }
+
   test("every physical window partitions by the bucket, never the group alone") {
     // the whole point: no window may sort an entire group in one task
     val rows = (0L until 500L).map(i => ("g" + i % 3, i.toDouble, i))
