@@ -38,6 +38,13 @@ object Bench {
     // (q20 1.7s→43s) purely from CPU contention; min-of-2 bounds that noise.
     val results = qs.flatMap { case (name, fn) =>
       try {
+        // full-run artifact guard: heap garbage carried across a 100+-query
+        // run inflated later queries (r6 recorded 5.62s for a query that
+        // measures 1.34s isolated — both timed passes, so min-of-2 didn't
+        // help). Collect OUTSIDE the timed window so every query starts
+        // from a settled heap, like its isolated run does.
+        System.gc()
+        Thread.sleep(50)
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
