@@ -10,16 +10,22 @@ import org.apache.spark.sql.types._
 
 /** Batched media decode over binary payloads via `mapPartitions` — the
   * Spark-side plumbing (schema, partition preservation, batch shape) for a
-  * decode stage whose inner kernel would normally call an image/audio codec.
+  * decode stage whose inner kernel calls an image/audio codec.
   *
-  * The decode kernel itself is a STUB: this environment ships no codec
-  * libraries, so [[MediaDecoder.decodeBatch]] produces deterministic fake
-  * features (per-chunk byte means) with the exact signature a real decoder
-  * would have (`Iterator[Array[Byte]] → Iterator[Array[Double]]`,
-  * batch-at-a-time like an Arrow UDF). Swap the kernel, keep the plumbing.
-  * Features are double so the stub's integer→double arithmetic is
-  * bit-replayable by the SQL oracle (q54); a production codec would emit
-  * float32 — plumbing unchanged.
+  * The kernel is REAL for images the JDK can read: a payload carrying the
+  * full 8-byte PNG signature is decoded with `javax.imageio`
+  * ([[ImageCodec.decodeStats]]) and yields pixel-derived features
+  * `[width, height, meanR/256, meanG/256, meanB/256, 0…]` (means exact:
+  * integer channel sums divided by pixel count; q103 hash-verifies the
+  * whole encode→decode→stats path against the SQL oracle). Payloads the
+  * JDK cannot decode — other containers, or signature-bearing garbage like
+  * q54's synthetic headers — fall back to the deterministic STUB kernel
+  * (per-chunk byte means; no video/audio codecs exist offline), keeping
+  * the exact batch signature a production codec would have
+  * (`Iterator[Array[Byte]] → Iterator[Array[Double]]`). Features are
+  * double so both kernels' integer→double arithmetic is bit-replayable by
+  * the SQL oracles (q54, q103); a production codec would emit float32 —
+  * plumbing unchanged.
   *
   * Scale: row-local, no shuffle; `batchSize` bounds peak memory per task
   * (batch of payloads decoded together, as a vectorized codec would want).
@@ -77,13 +83,30 @@ class MediaDecoder(override val uid: String) extends Transformer
 
 object MediaDecoder extends DefaultParamsReadable[MediaDecoder] {
 
-  /** STUB decode kernel — deterministic fake "decoder": splits the payload
-    * into `dim` chunks and emits each chunk's mean byte value scaled to
-    * [0,1). A real implementation would hand the batch to a codec here
-    * (??? in spirit); everything around it is production plumbing.
+  /** Decode kernel: real `javax.imageio` decode for PNG-signature payloads
+    * the JDK can read (features `[w, h, meanR/256, meanG/256, meanB/256]`
+    * zero-padded/truncated to `dim`; means are exact long-sum / pixel-count
+    * divisions), STUB chunk-mean features for everything else — this
+    * environment ships no video/audio codecs, so those containers keep the
+    * deterministic fake with the same batch signature.
     */
   def decodeBatch(payloads: Iterator[Array[Byte]], dim: Int): Iterator[Array[Double]] =
     payloads.map { bytes =>
+      val image =
+        if (ImageCodec.hasPngSignature(bytes)) ImageCodec.decodeStats(bytes) else None
+      image match {
+        case Some(st) =>
+          val feats = Array(st.width.toDouble, st.height.toDouble,
+            st.sumR.toDouble / st.pixels / 256.0d,
+            st.sumG.toDouble / st.pixels / 256.0d,
+            st.sumB.toDouble / st.pixels / 256.0d)
+          java.util.Arrays.copyOf(feats, dim)
+        case None => stubFeatures(bytes, dim)
+      }
+    }
+
+  /** The stub chunk-mean kernel (per-chunk byte means scaled to [0,1)). */
+  private def stubFeatures(bytes: Array[Byte], dim: Int): Array[Double] = {
       if (bytes.isEmpty) Array.fill(dim)(0.0d)
       else {
         val out = new Array[Double](dim)

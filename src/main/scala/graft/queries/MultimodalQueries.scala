@@ -1,10 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
 
 import graft.Tables
-import graft.multimodal.MediaDecoder
+import graft.multimodal.{ImageCodec, MediaDecoder}
 import graft.multimodal.MultimodalFunctions._
 
 /** Multimodal-column queries: deterministic binary payloads built from the
@@ -52,6 +54,45 @@ object MultimodalQueries {
       decoded.select(
         col("doc_id") +:
           (0 until 8).map(d => round(col("features")(d), 6).as(s"f$d")): _*)
+    }),
+
+    // REAL decode end-to-end: per doc, synthesize an 8×8 RGB PNG whose
+    // pixels are modular arithmetic in doc_id, push it through the actual
+    // javax.imageio encode→decode in MediaDecoder, and emit pixel-derived
+    // stats. PNG is lossless and the 64-pixel means are integer sums over
+    // a power-of-two divisor, so DuckDB replays the expected means purely
+    // arithmetically — any codec deviation breaks the hash. Width/height
+    // come from the DECODED image (a stub fallback would emit [0,1) chunk
+    // means there and fail loudly).
+    "q103_png_decode" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val withPng = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val png = ImageCodec.encodePng(8, 8) { (x, y) =>
+              val rr = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val gg = ((id * 17 + x * 11 + y * 3) % 256).toInt
+              val bb = ((id * 23 + x * 5 + y * 19) % 256).toInt
+              (rr << 16) | (gg << 8) | bb
+            }
+            Row(id, png)
+          }
+        }(RowEncoder.encoderFor(schema))
+      val decoded = new MediaDecoder()
+        .setInputCol("payload").setOutputCol("f")
+        .setFeatureDim(5).setBatchSize(64)
+        .transform(withPng)
+      decoded.select(
+        col("doc_id"),
+        col("f")(0).cast("long").as("width"),
+        col("f")(1).cast("long").as("height"),
+        round(col("f")(2) * 256, 6).as("mean_r"),
+        round(col("f")(3) * 256, 6).as("mean_g"),
+        round(col("f")(4) * 256, 6).as("mean_b"))
     })
   )
 
@@ -118,6 +159,17 @@ object MultimodalQueries {
         |GROUP BY hx.doc_id
         |UNION ALL -- guard: loud mismatch if a payload outgrows the range(1,700) byte bound
         |SELECT -1, -1, -1, -1, -1, -1, -1, -1, -1
-        |  WHERE (SELECT max(len) FROM hx) > 699""".stripMargin)
+        |  WHERE (SELECT max(len) FROM hx) > 699""".stripMargin),
+    // replays q103's pixel formula analytically: PNG round-trip is
+    // lossless, sums are ints, /64 is exact in binary — zero float wobble
+    "q103_png_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  round(avg(CAST((d.doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS DOUBLE)), 6) AS mean_r,
+        |  round(avg(CAST((d.doc_id * 17 + x.i * 11 + y.i * 3) % 256 AS DOUBLE)), 6) AS mean_g,
+        |  round(avg(CAST((d.doc_id * 23 + x.i * 5 + y.i * 19) % 256 AS DOUBLE)), 6) AS mean_b
+        |FROM documents d
+        |CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)
+        |GROUP BY d.doc_id""".stripMargin
   )
 }

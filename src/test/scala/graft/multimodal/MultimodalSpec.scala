@@ -52,6 +52,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats === again)
   }
 
+  test("png encode→decode round trip returns exact pixel sums") {
+    // lossless codec + TYPE_INT_RGB: decoded channel sums must equal the
+    // analytically computed ones, for several images
+    for (id <- Seq(0L, 1L, 17L, 4096L)) {
+      val png = ImageCodec.encodePng(8, 8) { (x, y) =>
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      assert(ImageCodec.hasPngSignature(png))
+      val st = ImageCodec.decodeStats(png).get
+      val px = for { x <- 0 until 8; y <- 0 until 8 } yield (x, y)
+      assert(st.width === 8 && st.height === 8)
+      assert(st.sumR === px.map { case (x, y) => (id * 31 + x * 7 + y * 13) % 256 }.sum)
+      assert(st.sumG === px.map { case (x, y) => (id * 17 + x * 11 + y * 3) % 256 }.sum)
+      assert(st.sumB === px.map { case (x, y) => (id * 23 + x * 5 + y * 19) % 256 }.sum)
+    }
+  }
+
+  test("committed png fixture decodes to pinned stats") {
+    // pins decode stability across JDK/ImageIO versions: fixed bytes on
+    // disk, hardcoded expected pixel sums (3×2, r=40x+10 g=90y+5 b=7x+11y+3)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/tiny3x2.png").toURI))
+    val st = ImageCodec.decodeStats(bytes).get
+    assert(st === ImageCodec.ImageStats(3, 2, 300L, 300L, 93L))
+  }
+
+  test("decoder kernel: real path for valid png, stub for signature-bearing garbage") {
+    val valid = ImageCodec.encodePng(4, 4)((x, y) => (x << 16) | (y << 8) | 255)
+    // full 8-byte signature followed by text — q54's synthetic payload shape
+    val garbage = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      "not really a png".getBytes("UTF-8")
+    val out = MediaDecoder.decodeBatch(Iterator(valid, garbage), 5).toSeq
+    // real path: f0/f1 are the decoded dimensions, means exact
+    assert(out(0)(0) === 4.0 && out(0)(1) === 4.0)
+    assert(out(0)(2) === (0 until 4).map(x => x * 4).sum / 16.0 / 256.0)
+    assert(out(0)(4) === 255.0 / 256.0)
+    // stub path: chunk means in [0,1) — same values q54's oracle replays
+    assert(out(1).forall(v => v >= 0.0 && v < 1.0))
+    val stubAgain = MediaDecoder.decodeBatch(Iterator(garbage), 5).toSeq.head
+    assert(out(1).toSeq === stubAgain.toSeq)
+  }
+
   test("decoder preserves existing columns and appends array<double>") {
     val out = new MediaDecoder().setInputCol("payload").setOutputCol("feats")
       .transform(payloads)
