@@ -106,6 +106,37 @@ object CurationQueries {
         .select(docs, docs.where(col("doc_id") % 31 === 0))
         .select(col("doc_id"), col("n_tokens"),
           round(col("score"), 6).as("score"), col("kept"))
+    }),
+
+    // the CLASSIFIER-scored curation loop, one declarative plan: heuristic
+    // quality filter → hashing-trick features → linear margin (q102's
+    // exact integer weights) → sigmoid-probability md5-coin acceptance
+    // (the ImportanceSampler idiom: keep iff coin < p·2^32, computed with
+    // the IDENTICAL float op order on both engines) → exact dedup keeping
+    // the canonical copy → token-budget shards. Upgrades q50's hash split
+    // to model-driven selection — every stage stays oracle-replayable
+    "q104_classifier_curation" -> ((s, dir) => {
+      val filtered = new QualityFilter().setTextCol("text")
+        .setMinTokens(40).setMaxTokens(100000)
+        .setMaxPunctRatio(0.2).setMinQuality(0.5)
+        .transform(Tables.documents(s, dir))
+      val margins = new graft.text.HashedNgramFeaturizer(dim = 4096)
+        .features(filtered)
+        .groupBy(col("doc_id"))
+        .agg(sum((col("bucket") % 7 - 3) * col("n")).as("m"))
+        .select(col("doc_id"), (col("m") / 10.0 - 0.3).as("margin"))
+      val coin = graft.sql.functions.uniform32("clf", col("doc_id"))
+      val accepted = filtered.join(margins, Seq("doc_id"))
+        .where(coin.cast("double") <
+          lit(4294967296.0) / (lit(1.0) + exp(-col("margin"))))
+      val deduped = new ExactDeduplicator()
+        .setIdCol("doc_id").setTextCol("text").setFingerprintCol("fingerprint")
+        .transform(accepted)
+      new TokenPacker().setIdCol("doc_id").setTextCol("text").setBudget(2048L)
+        .transform(deduped)
+        .join(margins, Seq("doc_id")) // packer projects its fixed schema; re-attach the score
+        .select(col("doc_id"), round(col("margin"), 6).as("margin"),
+          col("n_tokens"), col("prefix_tokens"), col("chunk"))
     })
   )
 
@@ -332,6 +363,72 @@ object CurationQueries {
         |SELECT doc_id, n_tokens, round(score, 6) AS score,
         |  (('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
         |    < 0.5 * exp(score) * 4294967296.0 AS kept
-        |FROM scored""".stripMargin
+        |FROM scored""".stripMargin,
+    // q50's skeleton with the hash split replaced by the q102 classifier
+    // margin + sigmoid coin; the coin threshold is written with the same
+    // float op order as the Spark plan (4294967296.0 / (1.0 + exp(-m)))
+    "q104_classifier_curation" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, text, norm, string_split(norm, ' ') AS tl FROM norm
+        |), scored AS (
+        |  SELECT doc_id, norm, tl,
+        |    len(tl) AS n_tokens,
+        |    (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text) AS punct,
+        |    len(list_filter(tl, t -> list_contains(
+        |      ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'],
+        |      t))) * 1.0 / len(tl) AS stop_ratio,
+        |    list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl) AS awl
+        |  FROM toks
+        |), kept AS (
+        |  SELECT doc_id, norm, tl, CAST(n_tokens AS BIGINT) AS n_tokens FROM scored
+        |  WHERE n_tokens BETWEEN 40 AND 100000
+        |    AND punct <= 0.2
+        |    AND stop_ratio >= 0.0
+        |    AND round((
+        |      least(n_tokens / 100.0, 1.0) +
+        |      greatest(0.0, 1.0 - punct * 4.0) +
+        |      least(stop_ratio * 3.0, 1.0) +
+        |      (CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+        |    ) / 4.0, 6) >= 0.5
+        |), uni AS (
+        |  SELECT doc_id, unnest(tl) AS gram FROM kept
+        |), bi AS (
+        |  SELECT doc_id, tl[CAST(i AS INT)] || ' ' || tl[CAST(i AS INT) + 1] AS gram
+        |  FROM kept CROSS JOIN range(1, 256) t(i)
+        |  WHERE i <= len(tl) - 1
+        |), grams AS (
+        |  SELECT * FROM uni UNION ALL SELECT * FROM bi
+        |), feats AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('hng:' || gram), 1, 8))::BIGINT % 4096 AS bucket,
+        |    count(*) AS n
+        |  FROM grams GROUP BY 1, 2
+        |), m AS (
+        |  SELECT doc_id, CAST(sum((bucket % 7 - 3) * n) AS DOUBLE) / 10.0 - 0.3 AS margin
+        |  FROM feats GROUP BY 1
+        |), coin AS (
+        |  SELECT k.doc_id, k.norm, k.n_tokens, m.margin
+        |  FROM kept k JOIN m USING (doc_id)
+        |  WHERE (('0x' || substr(md5('clf:' || k.doc_id), 1, 8))::BIGINT)::DOUBLE
+        |    < 4294967296.0 / (1.0 + exp(-m.margin))
+        |), dedup AS (
+        |  SELECT doc_id, n_tokens, margin FROM coin
+        |  QUALIFY row_number() OVER (PARTITION BY sha256(norm) ORDER BY doc_id) = 1
+        |), pref AS (
+        |  SELECT doc_id, margin, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prefix_tokens
+        |  FROM dedup
+        |)
+        |SELECT doc_id, round(margin, 6) AS margin, n_tokens, prefix_tokens,
+        |  CAST(floor(prefix_tokens / 2048.0) AS BIGINT) AS chunk
+        |FROM pref
+        |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,256) bigram bound
+        |SELECT -1, -1.0, count(*), 0, 0 FROM toks WHERE len(tl) > 256 HAVING count(*) > 0""".stripMargin
   )
 }
