@@ -210,10 +210,24 @@ class BpeTrainer(
     s.toSeq
   }
 
+  /** Per-task memo bound for the broadcast encoder: beyond this many
+    * distinct words a task stops caching (never evicts — encode cost, not
+    * memory, is the cheap resource past this point).
+    */
+  private[text] val segmentMemoMax = 1 << 20
+
   /** Apply a learned merge table to a corpus: per-document subword
     * segmentation. Row-local either way — small merge tables fold as
     * chained codegen'd rewrites; large ones ride a broadcast rank map
     * through [[encodeLocal]] (same greedy semantics, see there).
+    *
+    * Cost contract at vocabulary scale (>[[segmentExprMerges]] merges):
+    * [[encodeLocal]] is O(len²) rank-map lookups per word, INDEPENDENT of
+    * the merge-table size, and a per-task memo (capped at
+    * [[segmentMemoMax]] entries) pays that once per DISTINCT word per
+    * task — token repetition (Zipf) costs one hash hit. No shuffle either
+    * way; the merge table rides a broadcast. Throughput at a real 10k-merge
+    * vocabulary is pinned by spec (BpeTrainerSpec).
     */
   def segment(docs: Dataset[_], merges: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val ordered = merges.orderBy("rank")
@@ -232,7 +246,16 @@ class BpeTrainer(
       } else {
         val ranks = docs.sparkSession.sparkContext.broadcast(
           ordered.iterator.zipWithIndex.map { case (p, r) => p -> r }.toMap)
-        val enc = udf((word: String) => encodeLocal(word, ranks.value))
+        val self = this
+        // one closure instance per task (task binaries deserialize per
+        // task, and a task runs single-threaded), so the memo is plain
+        val encode: String => Seq[String] = new (String => Seq[String]) with Serializable {
+          @transient private lazy val memo = mutable.HashMap.empty[String, Seq[String]]
+          def apply(word: String): Seq[String] =
+            if (memo.size >= self.segmentMemoMax) self.encodeLocal(word, ranks.value)
+            else memo.getOrElseUpdate(word, self.encodeLocal(word, ranks.value))
+        }
+        val enc = udf(encode)
         enc(col("word"))
       }
     tokens.select(col(idCol), col("word"), segmented.as("subwords"))
