@@ -14,8 +14,16 @@ object TextNormalizer {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(text: Column): Column = split(normalize(text), " ")
+  /** Whitespace tokens of the normalized text. Zero-length tokens are
+    * filtered: blank/whitespace-only text normalizes to "" and `split`
+    * would yield `[""]` — a spurious empty token that every consumer
+    * (LMs, featurizers, counters) would otherwise ingest as a real gram.
+    * Blank docs therefore tokenize to an EMPTY array; consumers' size-0
+    * guards define the edge semantics (mirrored by the DuckDB oracles'
+    * `list_filter(..., t -> t <> '')`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(normalize(text), " "), t => length(t) > 0)
 
   /** Row-local adjacent pairs of a token array, combined by `f(left,
     * right)` — the zip_with-of-offset-slices skeleton shared by the

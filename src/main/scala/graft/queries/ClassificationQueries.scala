@@ -86,8 +86,8 @@ object ClassificationQueries {
     // a missing fingerprint an explicit marker mismatch, never a silent
     // empty result
     "q27_local_lr" ->
-      """WITH g AS (
-        |  SELECT * FROM read_parquet('/root/repo/src/test/resources/golden/q27_lr/*.parquet')
+      s"""WITH g AS (
+        |  SELECT * FROM read_parquet('${Goldens.path("q27_lr")}/*.parquet')
         |), n AS (SELECT count(*) AS nc FROM orders)
         |SELECT feature, weight FROM g, n WHERE g.n_orders = n.nc
         |UNION ALL

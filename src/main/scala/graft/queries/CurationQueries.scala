@@ -191,7 +191,7 @@ object CurationQueries {
         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
-        |  SELECT doc_id, text, n_chars, string_split(norm, ' ') AS tl FROM norm
+        |  SELECT doc_id, text, n_chars, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
         |), scored AS (
         |  SELECT doc_id, n_chars,
         |    len(tl) AS n_tokens,
@@ -245,7 +245,7 @@ object CurationQueries {
         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
-        |  SELECT doc_id, text, norm, string_split(norm, ' ') AS tl FROM norm
+        |  SELECT doc_id, text, norm, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
         |), scored AS (
         |  SELECT doc_id, norm, tl,
         |    len(tl) AS n_tokens,
@@ -305,7 +305,7 @@ object CurationQueries {
         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
-        |  SELECT doc_id, string_split(norm, ' ') AS tl FROM norm
+        |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
         |), tok AS (
         |  SELECT doc_id, unnest(tl) AS term FROM toks
         |), tc AS (
@@ -342,7 +342,7 @@ object CurationQueries {
         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
-        |  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM norm
+        |  SELECT doc_id, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM norm
         |), base AS (
         |  SELECT tok, count(*) AS cb FROM tok GROUP BY 1
         |), tgt AS (
@@ -373,7 +373,7 @@ object CurationQueries {
         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
-        |  SELECT doc_id, text, norm, string_split(norm, ' ') AS tl FROM norm
+        |  SELECT doc_id, text, norm, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
         |), scored AS (
         |  SELECT doc_id, norm, tl,
         |    len(tl) AS n_tokens,

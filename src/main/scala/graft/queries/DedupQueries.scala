@@ -137,7 +137,7 @@ object DedupQueries {
       s"substring('0123456789abcdef', ($v) + 1, 1)"
     }.mkString(" || ")
     s""", toks AS (
-       |  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM norm
+       |  SELECT doc_id, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM norm
        |), hashed AS (
        |  SELECT doc_id, md5(tok) AS h FROM toks
        |), votes AS (
@@ -234,7 +234,7 @@ object DedupQueries {
     "q32_jaccard_ngram" ->
       (seededSql +
         """, toks AS (
-          |  SELECT doc_id, string_split(norm, ' ') AS tl FROM norm
+          |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
           |), sh AS (
           |  SELECT DISTINCT doc_id,
           |    array_to_string(list_slice(tl, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS shingle
@@ -280,7 +280,7 @@ object DedupQueries {
       (seededSql +
         """
           |, toks AS (
-          |  SELECT doc_id, string_split(norm, ' ') AS tl FROM norm
+          |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
           |), segs AS (
           |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
           |    array_to_string(list_slice(tl, CAST(i*16+1 AS INT), CAST(i*16+16 AS INT)), ' ') AS segment

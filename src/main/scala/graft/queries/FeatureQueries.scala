@@ -276,8 +276,8 @@ object FeatureQueries {
     // missing fingerprint (new SF without regenerated goldens) read as an
     // explicit marker mismatch instead of a silent empty result
     "q14_s2_cell" ->
-      """WITH g AS (
-        |  SELECT * FROM read_parquet('/root/repo/src/test/resources/golden/q14_s2/*.parquet')
+      s"""WITH g AS (
+        |  SELECT * FROM read_parquet('${Goldens.path("q14_s2")}/*.parquet')
         |), n AS (SELECT count(*) AS nc FROM customer)
         |SELECT cell, n_customers FROM g, n WHERE g.n_customer = n.nc
         |UNION ALL

@@ -20,7 +20,7 @@ object TextQueries {
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents
       |), toks AS (
-      |  SELECT doc_id, text, string_split(norm, ' ') AS tl FROM norm
+      |  SELECT doc_id, text, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
       |)""".stripMargin
 
   private val enList = TextFunctions.stopwords.toMap.apply("en")
@@ -554,7 +554,7 @@ object TextQueries {
         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
-        |  SELECT source, unnest(string_split(norm, ' ')) AS tok FROM nrm
+        |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
         |), hd AS (
         |  SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS hv FROM tok
         |), rr AS (
@@ -581,7 +581,7 @@ object TextQueries {
         |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
-        |  SELECT string_split(norm, ' ') AS tl FROM nrm
+        |  SELECT list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM nrm
         |), uni AS (
         |  SELECT w, count(*) AS cw FROM (SELECT unnest(tl) AS w FROM toks) GROUP BY 1
         |), n1 AS (
@@ -630,7 +630,7 @@ object TextQueries {
         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
-        |  SELECT source, unnest(string_split(norm, ' ')) AS tok FROM nrm
+        |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
         |), hd AS (
         |  SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS hv
         |  FROM tok
@@ -666,7 +666,7 @@ object TextQueries {
         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
-        |  SELECT source, unnest(string_split(norm, ' ')) AS term FROM nrm
+        |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS term FROM nrm
         |), tc AS (
         |  SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2
         |)

@@ -25,6 +25,16 @@ import graft.text.UnigramLM
   * Boundary note: the threshold involves exp/ln doubles computed by two
   * engines; a document flips only if its uniform 2^32 hash lands inside
   * the ~1 ulp disagreement window (odds ~1e-13 per doc).
+  *
+  * DEVIATION from the paper: the score is the MEAN per-token log-ratio (a
+  * length-normalized geometric mean of the token likelihood ratios),
+  * where Xie et al. weight by the raw SUMMED log-ratio. The sum makes the
+  * acceptance odds scale exponentially with document length (long
+  * on-target documents saturate, long off-target documents vanish); the
+  * mean scores the per-token domain affinity independent of length,
+  * which composes better with a separate length policy (QualityFilter
+  * bounds, TokenPacker budgets). Callers wanting paper semantics can
+  * multiply: `sum_score = score * n_tokens` — both columns are returned.
   */
 class ImportanceSampler(
     val alpha: Double = 0.5,

@@ -47,8 +47,10 @@ class Chunker(override val uid: String) extends Transformer
     transformSchema(dataset.schema)
     val cs = $(chunkSize)
     val st = $(stride)
-    // the normalizer tokenizes "" to [""], so n >= 1 and every doc gets at
-    // least one chunk; last chunk index = ceil(max(n - chunkSize, 0) / stride)
+    // sequence(0, lastChunk) is non-empty even for n = 0 (blank docs
+    // tokenize to []), so every doc gets at least one chunk — blank docs
+    // one EMPTY chunk (chunk_tokens 0); last chunk index =
+    // ceil(max(n - chunkSize, 0) / stride)
     val n = size(col("tl"))
     val lastChunk = ceil(greatest(n - cs, lit(0)).cast("double") / st).cast("int")
     dataset.select(col($(idCol)), TextNormalizer.tokens(col($(textCol))).as("tl"))

@@ -32,17 +32,19 @@ object MakeGoldens {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"/root/testdata/$s")
+    val testdata = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"$testdata/$s")
 
     val q14 = sfDirs.map { dir =>
       val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
       SparkEntry.queries("q14_s2_cell")(spark, dir)
         .withColumn("n_customer", lit(nCust))
     }.reduce(_ unionByName _)
-    // absolute path: the oracle SQL references the same location, so the
-    // two halves can never disagree about where goldens live
+    // graft.queries.Goldens is the single path definition the oracle SQL
+    // also uses, so the two halves can never disagree about where goldens
+    // live — and neither hardcodes the checkout location
     q14.coalesce(1).write.mode("overwrite")
-      .parquet("/root/repo/src/test/resources/golden/q14_s2")
+      .parquet(graft.queries.Goldens.path("q14_s2"))
 
     val q27 = sfDirs.map { dir =>
       val nOrd = spark.read.parquet(s"$dir/orders.parquet").count()
@@ -50,7 +52,7 @@ object MakeGoldens {
         .withColumn("n_orders", lit(nOrd))
     }.reduce(_ unionByName _)
     q27.coalesce(1).write.mode("overwrite")
-      .parquet("/root/repo/src/test/resources/golden/q27_lr")
+      .parquet(graft.queries.Goldens.path("q27_lr"))
 
     println("goldens written to src/test/resources/golden/{q14_s2,q27_lr}")
     spark.stop()

@@ -19,7 +19,7 @@ class ChunkerSpec extends SparkTestBase {
     assert(counts(2L) === 1) // exactly one window
     assert(counts(3L) === 2) // one token over
     assert(counts(4L) === 1) // short doc -> whole doc
-    assert(counts(5L) === 1) // "" tokenizes to [""] -> one chunk
+    assert(counts(5L) === 1) // "" tokenizes to [] -> one EMPTY chunk (0 tokens)
   }
 
   test("chunks overlap by chunkSize - stride and cover every token") {
