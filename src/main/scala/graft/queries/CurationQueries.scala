@@ -120,21 +120,25 @@ object CurationQueries {
         .setMinTokens(40).setMaxTokens(100000)
         .setMaxPunctRatio(0.2).setMinQuality(0.5)
         .transform(Tables.documents(s, dir))
-      val margins = new graft.text.HashedNgramFeaturizer(dim = 4096)
-        .features(filtered)
-        .groupBy(col("doc_id"))
-        .agg(sum((col("bucket") % 7 - 3) * col("n")).as("m"))
-        .select(col("doc_id"), (col("m") / 10.0 - 0.3).as("margin"))
+      // row-local margin (Σ over grams of w(bucket), exact long sum) —
+      // same value as the features() groupBy/sum, but the corpus is
+      // scanned ONCE and scored in place: no gram explode, no shuffle,
+      // no self-join of the filtered corpus against its own scores
+      val scored = filtered.withColumn("margin",
+        new graft.text.HashedNgramFeaturizer(dim = 4096)
+          .marginCol(col("text"), b => b % 7 - 3) / 10.0 - 0.3)
       val coin = graft.sql.functions.uniform32("clf", col("doc_id"))
-      val accepted = filtered.join(margins, Seq("doc_id"))
+      val accepted = scored
         .where(coin.cast("double") <
           lit(4294967296.0) / (lit(1.0) + exp(-col("margin"))))
       val deduped = new ExactDeduplicator()
         .setIdCol("doc_id").setTextCol("text").setFingerprintCol("fingerprint")
         .transform(accepted)
+      // margin rides through the packer (carryCols) — re-joining `margins`
+      // here would inline the featurizer subtree a second time
       new TokenPacker().setIdCol("doc_id").setTextCol("text").setBudget(2048L)
+        .setCarryCols(Array("margin"))
         .transform(deduped)
-        .join(margins, Seq("doc_id")) // packer projects its fixed schema; re-attach the score
         .select(col("doc_id"), round(col("margin"), 6).as("margin"),
           col("n_tokens"), col("prefix_tokens"), col("chunk"))
     })

@@ -37,11 +37,29 @@ class HashedNgramFeaturizer(
   /** The per-document gram array (unigrams + optional bigrams), built
     * row-locally from the token array.
     */
-  private def gramsCol: Column = {
-    val tl = col("tl")
+  private def gramsOf(tl: Column): Column = {
     val pairs = TextNormalizer.adjacentPairs(tl)((l, r) => concat_ws(" ", l, r))
     if (useBigrams) concat(tl, pairs) else tl
   }
+
+  private def gramsCol: Column = gramsOf(col("tl"))
+
+  /** Row-local linear margin over the hashed grams: Σ_g weightOf(bucket(g)),
+    * evaluated inside codegen with no explode, no shuffle and no join —
+    * the scoring path for curation plans. Numerically identical to
+    * `features(docs).groupBy(id).agg(sum(weightOf(bucket) * n))` (the sum
+    * is over exact longs, so association order cannot change it), but the
+    * corpus is scanned once and scored in place: at 100 TB the margin is
+    * a map over the scan instead of a gram-explode shuffle joined back to
+    * the corpus. NULL text scores NULL (the long-format inner-join shape
+    * drops those documents; a `where` on any margin predicate does too).
+    */
+  def marginCol(text: Column, weightOf: Column => Column): Column =
+    aggregate(
+      org.apache.spark.sql.functions.transform(
+        gramsOf(TextNormalizer.tokens(text)),
+        g => weightOf(bucketOf(g)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
 
   /** (idCol, bucket, n): hashed gram counts in long format — the
     * oracle-checkable core. NULL-text documents emit no rows.

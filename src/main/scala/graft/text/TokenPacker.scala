@@ -1,7 +1,7 @@
 package graft.text
 
 import org.apache.spark.ml.Transformer
-import org.apache.spark.ml.param.{LongParam, Param, ParamMap, ParamValidators}
+import org.apache.spark.ml.param.{LongParam, Param, ParamMap, ParamValidators, StringArrayParam}
 import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -32,32 +32,49 @@ class TokenPacker(override val uid: String) extends Transformer
   final val textCol: Param[String] = new Param[String](this, "textCol", "Text column")
   final val budget: LongParam = new LongParam(this, "budget",
     "Target tokens per chunk", ParamValidators.gt(0))
+  final val carryCols: StringArrayParam = new StringArrayParam(this, "carryCols",
+    "Extra columns passed through to the output unchanged")
 
-  setDefault(idCol -> "doc_id", textCol -> "text", budget -> 4096L)
+  setDefault(idCol -> "doc_id", textCol -> "text", budget -> 4096L,
+    carryCols -> Array.empty[String])
 
   def setIdCol(value: String): this.type = set(idCol, value)
   def setTextCol(value: String): this.type = set(textCol, value)
   def setBudget(value: Long): this.type = set(budget, value)
+  def setCarryCols(value: Array[String]): this.type = set(carryCols, value)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    val counted = dataset.select(col($(idCol)), col($(textCol)))
+    val keep = col($(idCol)) +: $(carryCols).toSeq.map(col)
+    val counted = dataset.select(keep :+ col($(textCol)): _*)
       .withColumn("n_tokens", TextFunctions.tokenCount(col($(textCol))).cast("long"))
       .drop($(textCol))
+      // PrefixSum's two-phase scan references its input three times
+      // (min/max stats, bucketing, per-bucket totals). The projection here
+      // is a few longs per row — pin it (lazy localCheckpoint: first action
+      // materializes, later references reuse the blocks) so an expensive
+      // upstream pipeline (filter → score → dedup) is not re-executed per
+      // reference. At 100 TB, re-running the corpus pipeline 3× costs far
+      // more than storing id+count per surviving document.
+      .localCheckpoint(false)
     graft.sql.PrefixSum.exclusive(counted, $(idCol), "n_tokens", "prefix_tokens")
       .withColumn("chunk",
         floor(col("prefix_tokens") / $(budget).toDouble).cast("long"))
+      .select(col($(idCol)) +: $(carryCols).toSeq.map(col) :+ col("n_tokens")
+        :+ col("prefix_tokens") :+ col("chunk"): _*)
   }
 
   override def transformSchema(schema: StructType): StructType = {
     require(schema.fieldNames.contains($(idCol)), s"id column ${$(idCol)} not found")
     require(schema($(textCol)).dataType == StringType,
       s"text column must be string, got ${schema($(textCol)).dataType}")
-    StructType(Seq(
-      schema($(idCol)),
-      StructField("n_tokens", LongType),
-      StructField("prefix_tokens", LongType),
-      StructField("chunk", LongType)))
+    $(carryCols).foreach { c =>
+      require(schema.fieldNames.contains(c), s"carry column $c not found") }
+    StructType(
+      schema($(idCol)) +: $(carryCols).toSeq.map(schema(_)) :+
+      StructField("n_tokens", LongType) :+
+      StructField("prefix_tokens", LongType) :+
+      StructField("chunk", LongType))
   }
 
   override def copy(extra: ParamMap): TokenPacker = defaultCopy(extra)

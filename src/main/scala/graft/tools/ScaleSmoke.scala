@@ -79,7 +79,59 @@ object ScaleSmoke {
       // bigram scoring: pair/unigram count tables + row-local predecessors
       "bigram_lm" -> { d: DataFrame =>
         new graft.text.BigramLM().fitScore(d).count()
+      },
+      // q104 composition: filter → hashed features → margin → coin →
+      // dedup → token shards; growth must track the corpus, not any stage
+      "classifier_curation" -> { d: DataFrame =>
+        val filtered = new graft.text.QualityFilter().setTextCol("text")
+          .setMinTokens(40).setMaxTokens(100000)
+          .setMaxPunctRatio(0.2).setMinQuality(0.5).transform(d)
+        val scored = filtered.withColumn("margin",
+          new graft.text.HashedNgramFeaturizer(dim = 4096)
+            .marginCol(col("text"), b => b % 7 - 3) / 10.0 - 0.3)
+        val coin = graft.sql.functions.uniform32("clf", col("doc_id"))
+        val accepted = scored
+          .where(coin.cast("double") <
+            lit(4294967296.0) / (lit(1.0) + exp(-col("margin"))))
+        val deduped = new graft.dedup.ExactDeduplicator()
+          .setIdCol("doc_id").setTextCol("text").setFingerprintCol("fingerprint")
+          .transform(accepted)
+        new graft.text.TokenPacker()
+          .setIdCol("doc_id").setTextCol("text").setBudget(2048L)
+          .transform(deduped).count()
+      },
+      // q103 shape: synthesize an 8x8 PNG per doc, real javax.imageio
+      // encode+decode via the batched kernel — row-local, linear in rows
+      "png_decode" -> { d: DataFrame =>
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.catalyst.encoders.RowEncoder
+        import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        val withPng = d.select(col("doc_id").cast("long"))
+          .mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val png = graft.multimodal.ImageCodec.encodePng(8, 8) { (x, y) =>
+                (((id * 31 + x * 7 + y * 13) % 256).toInt << 16) |
+                  (((id * 17 + x * 11 + y * 3) % 256).toInt << 8) |
+                  ((id * 23 + x * 5 + y * 19) % 256).toInt
+              }
+              Row(id, png)
+            }
+          }(RowEncoder.encoderFor(schema))
+        new graft.multimodal.MediaDecoder()
+          .setInputCol("payload").setOutputCol("f")
+          .setFeatureDim(5).setBatchSize(64)
+          .transform(withPng)
+          .where(element_at(col("f"), 1) > 0).count() // forces the decode
       })
+
+    // one 200-merge table trained on the UNSCALED base corpus, shared by
+    // the segment op at both scales (constant fit work cancels in the ratio)
+    lazy val merges200 = new graft.text.BpeTrainer(numMerges = 200)
+      .fit(spark.read.parquet(s"$sfDir/documents.parquet"))
 
     // operators whose dup/group structure is the stress — run on UNMUTATED
     // copies (identical text across copies; vocabulary constant in `mult`)
@@ -95,6 +147,14 @@ object ScaleSmoke {
       // job (the merge loop itself is wordcount-sized, data-independent)
       "bpe_train_200" -> { d: DataFrame =>
         new graft.text.BpeTrainer(numMerges = 200).fit(d).count()
+      },
+      // broadcast-encoder segmentation (>32 merges → memoized UDF path):
+      // fit cost is constant (unscaled base table) on both sides, so the
+      // ratio isolates segment()'s row-local scaling
+      "bpe_segment_200" -> { d: DataFrame =>
+        val trainer = new graft.text.BpeTrainer(numMerges = 200)
+        trainer.segment(d, merges200)
+          .where(size(col("subwords")) > 0).count() // forces the encode UDF
       },
       // the q96 shape: two-phase grouped ntile instead of a per-language
       // window sort — growth should track rows, not the dominant group

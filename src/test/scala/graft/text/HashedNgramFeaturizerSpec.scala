@@ -50,6 +50,26 @@ class HashedNgramFeaturizerSpec extends SparkTestBase {
     assert(v.toArray.sum === 5.0)
   }
 
+  test("row-local marginCol equals the features() groupBy/sum formulation") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1L to 200L).map { i =>
+      (i, (1 to 1 + rnd.nextInt(20)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val feat = new HashedNgramFeaturizer(dim = 4096)
+    val viaGroupBy = feat.features(docs)
+      .groupBy($"doc_id").agg(sum(($"bucket" % 7 - 3) * $"n").as("m"))
+      .as[(Long, Long)].collect().toMap
+    val viaRowLocal = docs
+      .select($"doc_id", feat.marginCol($"text", b => b % 7 - 3).as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaRowLocal === viaGroupBy)
+    // and the row-local plan really is shuffle-free
+    val plan = docs.select(feat.marginCol($"text", b => b % 7 - 3))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"marginCol plan shuffles:\n$plan")
+  }
+
   test("end-to-end: a quality classifier trained on hashed features separates planted styles") {
     val rnd = new scala.util.Random(41)
     val goodWords = Seq("clear", "concise", "useful", "sourced", "read")

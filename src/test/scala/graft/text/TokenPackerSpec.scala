@@ -45,4 +45,21 @@ class TokenPackerSpec extends SparkTestBase {
       (1L, 4L, 0L, 0L), (2L, 3L, 4L, 0L), (3L, 5L, 7L, 0L),
       (4L, 2L, 12L, 1L), (5L, 1L, 14L, 1L)))
   }
+
+  test("carryCols pass through unchanged, in declared schema order") {
+    val docs = Seq(
+      (1L, "a b c d", 0.25, "en"),
+      (2L, "e f g", -1.5, "de"),
+      (3L, "h i j k l", 0.0, "en"))
+      .toDF("doc_id", "text", "margin", "lang")
+    val packer = new TokenPacker().setBudget(10L)
+      .setCarryCols(Array("margin", "lang"))
+    assert(packer.transformSchema(docs.schema).fieldNames ===
+      Array("doc_id", "margin", "lang", "n_tokens", "prefix_tokens", "chunk"))
+    val out = packer.transform(docs)
+    assert(out.columns === Array("doc_id", "margin", "lang", "n_tokens", "prefix_tokens", "chunk"))
+    val rows = out.select($"doc_id", $"margin", $"lang", $"chunk")
+      .as[(Long, Double, String, Long)].collect().sortBy(_._1)
+    assert(rows === Array((1L, 0.25, "en", 0L), (2L, -1.5, "de", 0L), (3L, 0.0, "en", 0L)))
+  }
 }
