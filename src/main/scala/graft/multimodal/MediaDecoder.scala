@@ -12,15 +12,18 @@ import org.apache.spark.sql.types._
   * Spark-side plumbing (schema, partition preservation, batch shape) for a
   * decode stage whose inner kernel calls an image/audio codec.
   *
-  * The kernel is REAL for images the JDK can read: a payload carrying the
+  * The kernel is REAL for media the JDK can read: a payload carrying the
   * full 8-byte PNG signature is decoded with `javax.imageio`
   * ([[ImageCodec.decodeStats]]) and yields pixel-derived features
   * `[width, height, meanR/256, meanG/256, meanB/256, 0…]` (means exact:
   * integer channel sums divided by pixel count; q103 hash-verifies the
-  * whole encode→decode→stats path against the SQL oracle). Payloads the
-  * JDK cannot decode — other containers, or signature-bearing garbage like
-  * q54's synthetic headers — fall back to the deterministic STUB kernel
-  * (per-chunk byte means; no video/audio codecs exist offline), keeping
+  * whole encode→decode→stats path against the SQL oracle), and a
+  * RIFF/WAVE payload is decoded with `javax.sound.sampled`
+  * ([[AudioCodec.decodeStats]]) into sample-derived features (q105
+  * likewise hash-verifies encode→decode→stats). Payloads the JDK cannot
+  * decode — other containers, or signature-bearing garbage like q54's
+  * synthetic headers — fall back to the deterministic STUB kernel
+  * (per-chunk byte means; no video or compressed-audio codecs offline), keeping
   * the exact batch signature a production codec would have
   * (`Iterator[Array[Byte]] → Iterator[Array[Double]]`). Features are
   * double so both kernels' integer→double arithmetic is bit-replayable by
@@ -83,25 +86,45 @@ class MediaDecoder(override val uid: String) extends Transformer
 
 object MediaDecoder extends DefaultParamsReadable[MediaDecoder] {
 
-  /** Decode kernel: real `javax.imageio` decode for PNG-signature payloads
-    * the JDK can read (features `[w, h, meanR/256, meanG/256, meanB/256]`
-    * zero-padded/truncated to `dim`; means are exact long-sum / pixel-count
-    * divisions), STUB chunk-mean features for everything else — this
-    * environment ships no video/audio codecs, so those containers keep the
-    * deterministic fake with the same batch signature.
+  /** Decode kernel: real JDK decodes for the containers the JRE ships
+    * codecs for, STUB chunk-mean features for everything else (video,
+    * compressed audio — no codecs offline), keeping the deterministic fake
+    * with the same batch signature.
+    *
+    *  - PNG signature → `javax.imageio` ([[ImageCodec.decodeStats]]):
+    *    `[w, h, meanR/256, meanG/256, meanB/256]`
+    *  - RIFF/WAVE signature → `javax.sound.sampled`
+    *    ([[AudioCodec.decodeStats]]):
+    *    `[channels, sampleRate, frames, meanAbs/32768, peak/32768]`
+    *
+    * All means are exact long-sum / count divisions followed only by
+    * power-of-two scaling (exact in binary), so both real kernels stay
+    * bit-replayable by the SQL oracles (q103, q105). A payload whose
+    * signature matches but whose body the JDK cannot decode falls back to
+    * the stub — signature-bearing garbage (q54) never aborts a batch.
     */
   def decodeBatch(payloads: Iterator[Array[Byte]], dim: Int): Iterator[Array[Double]] =
     payloads.map { bytes =>
       val image =
         if (ImageCodec.hasPngSignature(bytes)) ImageCodec.decodeStats(bytes) else None
-      image match {
-        case Some(st) =>
+      val audio =
+        if (image.isEmpty && AudioCodec.hasRiffWaveSignature(bytes))
+          AudioCodec.decodeStats(bytes)
+        else None
+      (image, audio) match {
+        case (Some(st), _) =>
           val feats = Array(st.width.toDouble, st.height.toDouble,
             st.sumR.toDouble / st.pixels / 256.0d,
             st.sumG.toDouble / st.pixels / 256.0d,
             st.sumB.toDouble / st.pixels / 256.0d)
           java.util.Arrays.copyOf(feats, dim)
-        case None => stubFeatures(bytes, dim)
+        case (_, Some(st)) =>
+          val feats = Array(st.channels.toDouble, st.sampleRate.toDouble,
+            st.frames.toDouble,
+            st.sumAbs.toDouble / st.samples / 32768.0d,
+            st.peakAbs.toDouble / 32768.0d)
+          java.util.Arrays.copyOf(feats, dim)
+        case _ => stubFeatures(bytes, dim)
       }
     }
 

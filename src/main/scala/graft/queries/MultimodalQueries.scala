@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
 
 import graft.Tables
-import graft.multimodal.{ImageCodec, MediaDecoder}
+import graft.multimodal.{AudioCodec, ImageCodec, MediaDecoder}
 import graft.multimodal.MultimodalFunctions._
 
 /** Multimodal-column queries: deterministic binary payloads built from the
@@ -93,6 +93,45 @@ object MultimodalQueries {
         round(col("f")(2) * 256, 6).as("mean_r"),
         round(col("f")(3) * 256, 6).as("mean_g"),
         round(col("f")(4) * 256, 6).as("mean_b"))
+    }),
+
+    // REAL audio decode end-to-end: per doc, synthesize a stereo PCM16 WAV
+    // (frame count varies per doc so header/frame parsing is genuinely
+    // exercised) whose samples are modular arithmetic in doc_id, push it
+    // through the actual javax.sound.sampled encode→decode in MediaDecoder,
+    // and emit sample-derived stats. PCM16 is lossless integers and the
+    // mean is an integer sum over count then a power-of-two scale, so
+    // DuckDB replays the expected values purely arithmetically — any codec
+    // deviation (header misparse, endianness, truncation) breaks the hash.
+    // channels/sample_rate/frames come from the DECODED stream; a stub
+    // fallback would emit [0,1) chunk means there and fail loudly.
+    "q105_wav_decode" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val withWav = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val frames = (64 + id % 64).toInt
+            val wav = AudioCodec.encodeWavPcm16(2, 8000, frames) { (c, f) =>
+              ((id * 31 + c * 7919 + f * 13) % 4096 - 2048).toShort
+            }
+            Row(id, wav)
+          }
+        }(RowEncoder.encoderFor(schema))
+      val decoded = new MediaDecoder()
+        .setInputCol("payload").setOutputCol("f")
+        .setFeatureDim(5).setBatchSize(64)
+        .transform(withWav)
+      decoded.select(
+        col("doc_id"),
+        col("f")(0).cast("long").as("channels"),
+        col("f")(1).cast("long").as("sample_rate"),
+        col("f")(2).cast("long").as("frames"),
+        round(col("f")(3) * 32768, 6).as("mean_abs"),
+        (col("f")(4) * 32768).cast("long").as("peak"))
     })
   )
 
@@ -170,6 +209,21 @@ object MultimodalQueries {
         |  round(avg(CAST((d.doc_id * 23 + x.i * 5 + y.i * 19) % 256 AS DOUBLE)), 6) AS mean_b
         |FROM documents d
         |CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // replays q105's sample formula analytically: PCM16 round-trip is
+    // lossless, |amplitude| sums are ints, the /32768 scale cancels the
+    // *32768 exactly (power of two) — zero float wobble
+    "q105_wav_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(2 AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(64 + d.doc_id % 64 AS BIGINT) AS frames,
+        |  round(avg(CAST(abs((d.doc_id * 31 + c.i * 7919 + f.i * 13) % 4096 - 2048) AS DOUBLE)), 6) AS mean_abs,
+        |  CAST(max(abs((d.doc_id * 31 + c.i * 7919 + f.i * 13) % 4096 - 2048)) AS BIGINT) AS peak
+        |FROM documents d
+        |CROSS JOIN range(0, 2) c(i) CROSS JOIN range(0, 128) f(i)
+        |WHERE f.i < 64 + d.doc_id % 64
         |GROUP BY d.doc_id""".stripMargin
   )
 }

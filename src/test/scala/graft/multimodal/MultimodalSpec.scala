@@ -97,6 +97,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).toSeq === stubAgain.toSeq)
   }
 
+  test("wav encode→decode round trip returns exact sample stats") {
+    // lossless PCM16: decoded |amplitude| sums must equal the analytically
+    // computed ones, across varying frame counts (q105's formula)
+    for (id <- Seq(0L, 5L, 63L, 4095L)) {
+      val frames = (64 + id % 64).toInt
+      val wav = AudioCodec.encodeWavPcm16(2, 8000, frames) { (c, f) =>
+        ((id * 31 + c * 7919 + f * 13) % 4096 - 2048).toShort
+      }
+      assert(AudioCodec.hasRiffWaveSignature(wav))
+      val st = AudioCodec.decodeStats(wav).get
+      val samples = for { f <- 0 until frames; c <- 0 until 2 }
+        yield (id * 31 + c * 7919 + f * 13) % 4096 - 2048
+      assert(st.channels === 2 && st.sampleRate === 8000 && st.frames === frames)
+      assert(st.sumAbs === samples.map(math.abs).sum)
+      assert(st.peakAbs === samples.map(math.abs).max)
+    }
+  }
+
+  test("hand-built canonical wav header parses to pinned stats") {
+    // canonical 44-byte PCM WAV laid out byte-by-byte from the public
+    // format spec, NOT via the JDK writer — pins the reader against the
+    // container layout itself (incl. both signed extremes)
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 123)
+    val dataLen = samples.length * 2
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1) /* PCM */ ; le16(1) /* mono */ ; le32(8000); le32(16000)
+    le16(2) /* block align */ ; le16(16) /* bits */
+    bos.write("data".getBytes("US-ASCII")); le32(dataLen)
+    samples.foreach(s => le16(s & 0xffff))
+    val st = AudioCodec.decodeStats(bos.toByteArray).get
+    assert(st === AudioCodec.AudioStats(1, 8000, 6, 0L + 1000 + 1000 + 32767 + 32768 + 123, 32768))
+  }
+
+  test("decoder kernel: real path for valid wav, stub for RIFF-signature garbage") {
+    val wav = AudioCodec.encodeWavPcm16(1, 8000, 4)((_, f) => (f * 100).toShort)
+    // full RIFF....WAVE signature, unparseable body — must fall to the stub
+    val garbage = "RIFFxxxxWAVE not a real body".getBytes("US-ASCII")
+    val out = MediaDecoder.decodeBatch(Iterator(wav, garbage), 5).toSeq
+    assert(out(0)(0) === 1.0 && out(0)(1) === 8000.0 && out(0)(2) === 4.0)
+    assert(out(0)(3) === (0 + 100 + 200 + 300) / 4.0 / 32768.0)
+    assert(out(0)(4) === 300.0 / 32768.0)
+    assert(out(1).forall(v => v >= 0.0 && v < 1.0))
+    val stubAgain = MediaDecoder.decodeBatch(Iterator(garbage), 5).toSeq.head
+    assert(out(1).toSeq === stubAgain.toSeq)
+  }
+
   test("decoder preserves existing columns and appends array<double>") {
     val out = new MediaDecoder().setInputCol("payload").setOutputCol("feats")
       .transform(payloads)
