@@ -184,7 +184,12 @@ object ScaleSmoke {
           .where(col("is_outlier")).count()
       })
 
-    def run(label: String, mk: Int => DataFrame, fs: Seq[(String, DataFrame => Long)]): Unit = {
+    // comma-separated op-name filter for focused re-measures
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSet)
+
+    def run(label: String, mk: Int => DataFrame, fs0: Seq[(String, DataFrame => Long)]): Unit = {
+      val fs = fs0.filter { case (name, _) => only.forall(_.contains(name)) }
+      if (fs.isEmpty) return
       val d1 = mk(1).cache(); d1.count()
       val dn = mk(mult).cache(); dn.count()
       fs.foreach { case (name, f) =>
