@@ -61,6 +61,28 @@ class HashedNgramFeaturizer(
         g => weightOf(bucketOf(g)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** Row-local score under a TRAINED linear model: intercept + Σ_g
+    * coefficients(bucket(g)) — i.e. the margin of a
+    * [[graft.classification.LocalLogisticRegression]] fit on
+    * [[toVectors]], evaluated without materializing any vector: the
+    * `dim`-sized coefficient array broadcasts as a literal into codegen
+    * and each gram does one array lookup. This is the 100 TB scoring
+    * path: train on a bounded labeled sample, then score the corpus as a
+    * pure map over the scan. Float caveat: the gram-order double sum can
+    * differ from a sparse-vector dot product in the last ulps (addition
+    * is not associative) — equal to ~1e-12 relative, not bit-equal.
+    */
+  def scoreCol(text: Column, coefficients: Array[Double], intercept: Double): Column = {
+    require(coefficients.length == dim,
+      s"coefficient length ${coefficients.length} != dim $dim")
+    val w = lit(coefficients)
+    aggregate(
+      org.apache.spark.sql.functions.transform(
+        gramsOf(TextNormalizer.tokens(text)),
+        g => element_at(w, bucketOf(g).cast("int") + 1)),
+      lit(intercept), (acc, x) => acc + x)
+  }
+
   /** (idCol, bucket, n): hashed gram counts in long format — the
     * oracle-checkable core. NULL-text documents emit no rows.
     */

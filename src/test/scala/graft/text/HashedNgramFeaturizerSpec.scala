@@ -78,7 +78,8 @@ class HashedNgramFeaturizerSpec extends SparkTestBase {
       val ws = if (i % 2 == 0) goodWords else junkWords
       (i, (1 to 12).map(_ => ws(rnd.nextInt(ws.size))).mkString(" "))
     }.toDF("doc_id", "text")
-    val feats = new HashedNgramFeaturizer(dim = 1 << 12).toVectors(docs)
+    val feat = new HashedNgramFeaturizer(dim = 1 << 12)
+    val feats = feat.toVectors(docs)
       .join(docs.select($"doc_id",
         when($"doc_id" % 2 === 0, 1.0).otherwise(0.0).as("label")), "doc_id")
       .coalesce(1)
@@ -87,5 +88,28 @@ class HashedNgramFeaturizerSpec extends SparkTestBase {
       .select($"probability".as("score"), $"label")
     val auc = new BinaryModelMetrics(scored).areaUnderROC()
     assert(auc > 0.99, s"AUC $auc")
+
+    // the trained model's margin, recomputed shuffle-free by scoreCol
+    // (broadcast coefficient array, one lookup per gram) — must agree
+    // with the sparse dot product up to float association order
+    val coef = model.coefficients.toArray
+    val expected = feat.toVectors(docs).join(docs, "doc_id")
+      .select($"doc_id", $"features", $"text").collect().map { r =>
+        val v = r.getAs[Vector]("features")
+        var dot = model.intercept
+        v.foreachActive((i, x) => dot += coef(i) * x)
+        r.getLong(0) -> dot
+      }.toMap
+    val got = docs.select($"doc_id",
+        feat.scoreCol($"text", coef, model.intercept).as("m"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, m) =>
+      assert(math.abs(m - expected(id)) <= 1e-9 * (1 + math.abs(m)),
+        s"doc $id: scoreCol $m vs dot ${expected(id)}")
+    }
+    val plan = docs.select(feat.scoreCol($"text", coef, model.intercept))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoreCol plan shuffles:\n$plan")
   }
 }
