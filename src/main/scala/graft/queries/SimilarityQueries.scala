@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.DedupClusters
-import graft.similarity.{CosineTopK, EmbeddingNormalizer, EmbeddingQuantizer, IvfCosineIndex, RandomHyperplaneLSH}
+import graft.similarity.{CosineTopK, EmbeddingNormalizer, EmbeddingQuantizer, IvfCosineIndex, RandomHyperplaneLSH, RandomProjection}
 
 /** Similarity-search queries over the embeddings table.
   *
@@ -103,6 +103,20 @@ object SimilarityQueries {
       new EmbeddingNormalizer("embedding").transform(e)
         .select(col("vec_id"), posexplode(col("embedding_norm")).as(Seq("dim", "val")))
         .select(col("vec_id"), col("dim"), round(col("val"), 6).as("val"))
+    }),
+
+    // JL signed random projection 64 → 16 dims: a deterministic ±1 matrix
+    // from the md5 coin (data-independent, re-derived identically by the
+    // oracle), applied as a pure row-local map — embedding compression in
+    // front of ANN with no fit, no shuffle, nothing persisted. √16 is
+    // exact in binary so the scale division carries no float wobble beyond
+    // the sum itself (same rounding discipline as q84)
+    "q106_random_projection" -> ((s, dir) => {
+      val rp = new RandomProjection(inDim = 64, outDim = 16)
+      vectors(s, dir)
+        .select(col("vec_id"), rp.project(col("embedding")).as("y"))
+        .select(col("vec_id"), posexplode(col("y")).as(Seq("dim", "val")))
+        .select(col("vec_id"), col("dim"), round(col("val"), 6).as("val"))
     })
   )
 
@@ -170,7 +184,26 @@ object SimilarityQueries {
         |)
         |SELECT vec_id, CAST(i - 1 AS INT) AS dim,
         |  round(CASE WHEN nrm = 0 THEN cx ELSE cx / nrm END, 6) AS val
-        |FROM c JOIN n USING (vec_id)""".stripMargin
+        |FROM c JOIN n USING (vec_id)""".stripMargin,
+
+    // re-derives the ±1 matrix from the same md5 coin (first 8 hex chars
+    // of md5('rp:j:k') as unsigned 32-bit, +1 iff < 2^31) and replays the
+    // projection sum; sqrt(16) = 4 exactly, so the scale division is
+    // float-exact on both engines
+    "q106_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |t AS (
+        |  SELECT vec_id, CAST(j.i AS INT) AS dim,
+        |    v[CAST(k.i AS INT) + 1] *
+        |      (CASE WHEN ('0x' || substr(md5('rp:' || j.i || ':' || k.i), 1, 8))::BIGINT
+        |            < 2147483648 THEN 1.0 ELSE -1.0 END) AS term
+        |  FROM e
+        |  CROSS JOIN range(0, 16) j(i)
+        |  CROSS JOIN range(0, 64) k(i)
+        |  WHERE k.i < len(v)
+        |)
+        |SELECT vec_id, dim, round(sum(term) / sqrt(16.0), 6) AS val
+        |FROM t GROUP BY 1, 2""".stripMargin
   )
 
   /** Shared q22/q42 fragment: seeded corpus → hyperplane signatures → band
