@@ -17,8 +17,17 @@ import org.apache.spark.sql.functions._
   * plan (16×64 here), so projecting a 100 TB embedding column is a pure
   * row-local map — no shuffle, no join, no broadcast beyond the literals.
   * Use it in front of [[CosineTopK]] / [[IvfCosineIndex]] to cut the
-  * per-vector arithmetic and index footprint while approximately
-  * preserving distances.
+  * per-vector arithmetic and index footprint.
+  *
+  * What compression preserves (ProjectedRecallSpec pins both sides):
+  * DISTANCES and cluster structure — projected top-k answers stay in the
+  * query's cluster with measured purity 1.0 on separated corpora. What it
+  * does NOT preserve: exact top-k IDENTITY when neighbors are weakly
+  * separated (gap ≪ the ~1/√outDim distortion) — measured recall@10 of
+  * 0.16/0.23/0.29 at outDim 16/32/48 on the barely-clustered test
+  * embeddings. Compress when downstream consumes neighborhoods (dedup,
+  * clustering, candidate generation with exact re-rank on the original
+  * vectors); keep full dimension when exact ranking is the product.
   */
 class RandomProjection(val inDim: Int, val outDim: Int, val salt: String = "rp") {
   require(inDim > 0 && outDim > 0, s"dims ($inDim, $outDim) must be positive")
