@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.sql.expressions.{HyperplaneSignature, KMinValues, MinHashSignature, Shingles, SimHash64}
+import graft.sql.expressions.{CosineSimilarity, HyperplaneSignature, KMinValues, MinHashSignature, Shingles, SimHash64}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * callable from SQL in any session built with
@@ -65,6 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"k must be an integer literal, got $other")
         }
         KMinValues(children.head, k).toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "cosine_similarity(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)")
+        CosineSimilarity(children.head, children(1))
       }))
 
     ext.injectFunction((

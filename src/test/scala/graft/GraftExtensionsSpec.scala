@@ -51,6 +51,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .agg(graft.sql.functions.kMinValues($"tok", 8).as("kmv"))
         .as[(String, Seq[Long])].collect().head._2
       assert(sqlKmv === directKmv && sqlKmv.length === 8)
+
+      // cosine_similarity: one fused codegen loop, same bits as Column path
+      val sqlCos = spark.sql(
+        """SELECT a.id AS ia, b.id AS ib, cosine_similarity(a.v, b.v) AS c
+          |FROM vecs a JOIN vecs b ON a.id < b.id""".stripMargin)
+        .as[(Long, Long, Double)].collect().toSet
+      val directCos = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+        .select($"a.id", $"b.id",
+          graft.sql.functions.cosineSimilarity($"a.v", $"b.v"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(sqlCos === directCos && sqlCos.nonEmpty)
     } finally {
       spark.catalog.dropTempView("vecs")
       SparkSession.clearActiveSession()
