@@ -43,8 +43,12 @@ object Bench {
         // measures 1.34s isolated — both timed passes, so min-of-2 didn't
         // help). Collect OUTSIDE the timed window so every query starts
         // from a settled heap, like its isolated run does.
-        System.gc()
-        Thread.sleep(50)
+        // SPARK_GRAFT_NO_SETTLE=1 skips the collection for A/B-ing the
+        // harness itself.
+        if (!sys.env.contains("SPARK_GRAFT_NO_SETTLE")) {
+          System.gc()
+          Thread.sleep(50)
+        }
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
