@@ -40,14 +40,22 @@ class QualityFilter(override val uid: String) extends Transformer
   def setMinStopwordRatio(value: Double): this.type = set(minStopwordRatio, value)
   def setMinQuality(value: Double): this.type = set(minQuality, value)
 
-  /** The keep predicate as a Column (exposed so callers can audit/invert). */
-  def keepCondition: org.apache.spark.sql.Column = {
-    val t = col($(textCol))
-    TextFunctions.tokenCount(t).between($(minTokens), $(maxTokens)) &&
-      TextFunctions.punctRatio(t) <= $(maxPunctRatio) &&
-      TextFunctions.stopwordRatio(t) >= $(minStopwordRatio) &&
-      TextFunctions.qualityScore(t) >= $(minQuality)
-  }
+  /** The keep predicate as a Column (exposed so callers can audit/invert).
+    * The token array and punctuation ratio are bound ONCE via lambda
+    * values ([[TextFunctions.withTokensAndPunct]]): Catalyst has no way
+    * to share a subexpression across a predicate's branches, and the
+    * naive compound predicate re-ran the normalize+split pipeline ~5×
+    * per row (measured 1.26 s naive vs 0.61 s bound at sf0.1 — the
+    * residue over a bare tokens-once scan is the per-token stopword /
+    * length metrics themselves, not re-tokenization).
+    */
+  def keepCondition: org.apache.spark.sql.Column =
+    TextFunctions.withTokensAndPunct(col($(textCol))) { (tl, punct) =>
+      TextFunctions.tokenCountOf(tl).between($(minTokens), $(maxTokens)) &&
+        punct <= $(maxPunctRatio) &&
+        TextFunctions.stopwordRatioOf(tl) >= $(minStopwordRatio) &&
+        TextFunctions.qualityScoreOf(tl, punct) >= $(minQuality)
+    }
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
