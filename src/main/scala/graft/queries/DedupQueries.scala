@@ -109,6 +109,16 @@ object DedupQueries {
         .transform(seeded(s, dir))
     }),
 
+    // substring-level exact dedup (fixed-k ExactSubstr): overlapping
+    // 8-token shingles counted corpus-wide, duplicated windows merged
+    // into maximal spans per doc via the sorted-position lag identity.
+    // Seeded exact copies are one full-doc span on both members; near-dup
+    // copies share everything but the mutated tail.
+    "q107_substring_dedup" -> ((s, dir) => {
+      new graft.dedup.SubstringDeduplicator(k = 8, minCount = 2)
+        .transform(seeded(s, dir))
+    }),
+
     // incremental ingest dedup: the seeded batch arrives against a known
     // corpus (every 3rd original doc's fingerprints); known content is
     // dropped via the Bloom-pruned anti-join, the rest dedups within-batch
@@ -298,6 +308,35 @@ object DedupQueries {
           |FROM rn GROUP BY doc_id
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(0,16) segment bound
           |SELECT -1, -1, -1, '' WHERE (SELECT max(len(tl)) FROM toks) > 256""".stripMargin),
+    "q107_substring_dedup" ->
+      (seededSql +
+        """
+          |, toks AS (
+          |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
+          |), sh AS (
+          |  SELECT doc_id, CAST(i AS INT) AS pos,
+          |    md5(array_to_string(list_slice(tl, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS fp
+          |  FROM toks CROSS JOIN range(1, 200) t(i)
+          |  WHERE i <= len(tl) - 7
+          |), dup AS (
+          |  SELECT fp FROM sh GROUP BY fp HAVING count(*) >= 2
+          |), hits AS (
+          |  SELECT s.doc_id, s.pos,
+          |    lag(s.pos) OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS prev
+          |  FROM sh s JOIN dup d ON s.fp = d.fp
+          |), agg AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN prev IS NULL OR pos - prev >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+          |    CAST(sum(CASE WHEN prev IS NULL OR pos - prev >= 8 THEN 8 ELSE pos - prev END) AS BIGINT) AS dup_tokens
+          |  FROM hits GROUP BY doc_id
+          |)
+          |SELECT t.doc_id, len(t.tl) AS n_tokens,
+          |  coalesce(a.dup_spans, 0) AS dup_spans,
+          |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+          |  len(t.tl) - coalesce(a.dup_tokens, 0) AS clean_tokens
+          |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,200) shingle bound
+          |SELECT -1, -1, -1, -1, -1 WHERE (SELECT max(len(tl)) FROM toks) > 206""".stripMargin),
     "q92_incremental_dedup" ->
       (seededSql +
         """

@@ -143,6 +143,13 @@ object ScaleSmoke {
       "segment_dedup" -> { d: DataFrame =>
         new graft.dedup.SegmentDeduplicator().transform(d).count()
       },
+      // overlapping-shingle span dedup: identical copies make EVERY window
+      // a duplicate (dup groups of size mult in the count table); the
+      // occurrence join and per-doc lag window must stay row-linear
+      "substring_dedup" -> { d: DataFrame =>
+        new graft.dedup.SubstringDeduplicator().transform(d)
+          .where(col("dup_tokens") > 0).count()
+      },
       // driver-side merge training: time must track the single word-count
       // job (the merge loop itself is wordcount-sized, data-independent)
       "bpe_train_200" -> { d: DataFrame =>
