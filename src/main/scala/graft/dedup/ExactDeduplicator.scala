@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * Beyond-reference operator (the reference has no dedup; this is the
   * LLM-training-pipeline extension mandated by the build brief).
   *
-  * Scale: one hash-partitioned window over the fingerprint — fully
-  * distributed, shuffles each row once on its 256-bit hash (uniform keys,
-  * no skew beyond genuine duplicate-group size). No driver state, no
-  * collect. At 100 TB this is the canonical exact-dedup plan: the
-  * fingerprint groupBy/window reduces before anything wide happens.
+  * Scale: the drop-duplicates path is a `min_by` hash aggregation on the
+  * fingerprint — partial aggregation collapses duplicate groups MAP-SIDE,
+  * so the exchange carries at most one (row, text) per fingerprint per
+  * input partition instead of every duplicate, and there is no sort.
+  * 256-bit keys are uniform; no driver state, no collect. The
+  * keepDuplicates flag path still uses the per-fingerprint window (every
+  * row survives anyway, so there is nothing for a partial agg to trim).
   */
 class ExactDeduplicator(override val uid: String) extends Transformer
     with DefaultParamsWritable {
@@ -46,12 +48,11 @@ class ExactDeduplicator(override val uid: String) extends Transformer
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
     val fp = sha2(TextNormalizer.normalize(col($(textCol))), 256)
-    val w = Window.partitionBy(col($(fingerprintCol))).orderBy(col($(idCol)))
-    val flagged = dataset
-      .withColumn($(fingerprintCol), fp)
-      .withColumn("is_canonical", row_number().over(w) === 1)
-    if ($(keepDuplicates)) flagged
-    else flagged.where(col("is_canonical")).drop("is_canonical")
+    val keyed = dataset.withColumn($(fingerprintCol), fp)
+    if ($(keepDuplicates)) {
+      val w = Window.partitionBy(col($(fingerprintCol))).orderBy(col($(idCol)))
+      keyed.withColumn("is_canonical", row_number().over(w) === 1)
+    } else ExactDeduplicator.lowestIdPerGroup(keyed, $(fingerprintCol), $(idCol))
   }
 
   override def transformSchema(schema: StructType): StructType = {
@@ -90,8 +91,20 @@ object ExactDeduplicator extends DefaultParamsReadable[ExactDeduplicator] {
       sha2(TextNormalizer.normalize(col(textCol)), 256))
     val fresh = graft.sql.BloomJoin.antiJoin(
       withFp, col(fpCol), knownFingerprints, col(fpCol), numBits)
-    val w = Window.partitionBy(col(fpCol)).orderBy(col(idCol))
-    fresh.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    lowestIdPerGroup(fresh, fpCol, idCol)
+  }
+
+  /** Keep the lowest-id row per group as a `min_by` hash aggregation —
+    * unlike a first-row window, partial aggregation discards duplicates
+    * map-side (the shuffle never carries a duplicate group's texts) and
+    * nothing sorts. Ids are assumed unique (min_by tie order is otherwise
+    * unspecified, same as the window's row_number between equal ids).
+    */
+  private[dedup] def lowestIdPerGroup(
+      keyed: DataFrame, fpCol: String, idCol: String): DataFrame = {
+    val cols = keyed.columns
+    keyed.groupBy(col(fpCol))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
   }
 }
