@@ -196,8 +196,8 @@ object CoreQueries {
     // the (unique) event time — partial-aggregated, no per-bucket sort
     "q65_time_bars" -> ((s, dir) => {
       Tables.events(s, dir)
-        .select(expr("(ts div 1000) div 3600000000").as("hour"),
-          expr("ts div 1000").as("tu"), col("value"))
+        .select(expr("(unix_micros(cast(ts as timestamp))) div 3600000000").as("hour"),
+          expr("unix_micros(cast(ts as timestamp))").as("tu"), col("value"))
         .groupBy(col("hour"))
         .agg(count(lit(1)).as("n"),
           min_by(col("value"), col("tu")).as("open"),
@@ -351,7 +351,7 @@ object CoreQueries {
         .rangeBetween(-3600000000L, org.apache.spark.sql.expressions.Window.currentRow)
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("value"))
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("value"))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           count(lit(1)).over(w).as("n_trailing"),
           round(sum(col("value")).over(w), 6).as("sum_trailing"))

@@ -15,12 +15,11 @@ object StreamingQueries {
 
   val queries: Map[String, Q] = Map(
     // gap-based sessionization (4h gap) + per-session rollup. The events
-    // table stores NANOSECOND timestamps (Spark reads them as raw longs via
-    // nanosAsLong); both engines truncate to integer MICROseconds so the
-    // time axis is bit-identical.
+    // table stores µs timestamps (NTZ); both engines share the integer
+    // epoch-µs axis (session zone UTC) so the time axis is bit-identical.
     "q28_sessionize" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
       Sessionize.batch(ev, tsCol = "ts_us",
         gap = 14400L * 1000000L, toTicks = identity)
         .groupBy(col("user_id"), col("session_idx"))
@@ -36,7 +35,7 @@ object StreamingQueries {
     // epoch µs so the time axis is engine-portable.
     "q43_window_agg" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts_t", expr("cast(ts as timestamp)"))
       Sessionize.windowedEventCounts(ev, windowLength = "1 hour",
         watermark = "2 hours", tsCol = "ts_t", typeCol = "event_type")
         .select(unix_micros(col("window_start")).as("window_start_us"),
@@ -48,7 +47,7 @@ object StreamingQueries {
     // per-hour, per-type counts, null counts, and value min/avg/max
     "q91_stream_monitor" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts_t", expr("cast(ts as timestamp)"))
         // plant deterministic nulls so the null-rate column is exercised
         .withColumn("value", when(col("event_id") % 97 === 0, lit(null)).otherwise(col("value")))
       StreamMonitor.stats(ev, windowLength = "1 hour", watermark = "2 hours",

@@ -8,9 +8,10 @@ import graft.temporal.{AsOfJoin, Funnel, RangeJoin}
 
 /** Temporal-join queries over the events table.
   *
-  * The events `ts` column is nanosecond parquet (read as LONG ns); both
-  * sides use the shared integer-µs axis (`ts div 1000` == DuckDB
-  * `epoch_us(ts)`).
+  * The events `ts` column is µs parquet timestamp (isAdjustedToUTC=false,
+  * which Spark reads as TIMESTAMP_NTZ); both sides use the shared
+  * integer-µs axis — `unix_micros(cast(ts as timestamp))` with the session
+  * zone pinned to UTC equals DuckDB `epoch_us(ts)` exactly.
   */
 object TemporalQueries {
 
@@ -24,10 +25,10 @@ object TemporalQueries {
     "q44_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        .select(col("event_id"), col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       val views = ev.where(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"),
-          expr("ts div 1000").as("view_ts_us"))
+          expr("unix_micros(cast(ts as timestamp))").as("view_ts_us"))
       new AsOfJoin(Seq("user_id"), "ts_us", "view_ts_us").join(clicks, views)
     }),
 
@@ -39,11 +40,11 @@ object TemporalQueries {
       val ev = Tables.events(s, dir)
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
-          expr("ts div 1000").as("click_us"))
+          expr("unix_micros(cast(ts as timestamp))").as("click_us"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
-          (expr("ts div 1000") - win).as("win_start"),
-          expr("ts div 1000").as("win_end"))
+          (expr("unix_micros(cast(ts as timestamp))") - win).as("win_start"),
+          expr("unix_micros(cast(ts as timestamp))").as("win_end"))
       new RangeJoin(Seq("user_id"), "click_us", "win_start", "win_end", win)
         .join(clicks, purchases)
         .select(col("user_id"), col("click_id"), col("purchase_id"))
@@ -53,7 +54,7 @@ object TemporalQueries {
     // signup → view → click → purchase with strictly increasing times
     "q57_funnel" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+        .select(col("user_id"), col("event_type"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       new Funnel(Seq("signup", "view", "click", "purchase")).counts(ev)
     }),
 
@@ -61,7 +62,7 @@ object TemporalQueries {
     // counted per activity-day offset
     "q62_retention" -> ((s, dir) => {
       val e = Tables.events(s, dir)
-        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        .select(col("user_id"), expr("(unix_micros(cast(ts as timestamp))) div 86400000000").as("day"))
       val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
       e.distinct()
         .join(cohort, "user_id")
@@ -77,7 +78,7 @@ object TemporalQueries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000").as("tu"))
+          expr("unix_micros(cast(ts as timestamp))").as("tu"))
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .where(col("next_type").isNotNull)
         .groupBy(col("event_type"), col("next_type"))
@@ -93,7 +94,7 @@ object TemporalQueries {
       Tables.events(s, dir)
         .select(
           pmod(col("user_id"), lit(1024L)).cast("long").as("x"),
-          pmod(expr("(ts div 1000) div 3600000000"), lit(1024L)).cast("long").as("y"))
+          pmod(expr("(unix_micros(cast(ts as timestamp))) div 3600000000"), lit(1024L)).cast("long").as("y"))
         .select(col("x"), col("y"), z.as("z"))
         .groupBy(expr("z div 4096").as("z_bucket"))
         .agg(count(lit(1)).as("n"),
@@ -108,7 +109,7 @@ object TemporalQueries {
       new graft.temporal.RollingFeatures(n = 5)
         .transform(Tables.events(s, dir)
           .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("ts_us"), col("value")))
+            expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("value")))
     }),
 
     // behavioral sequence mining: top-20 event-type trigram paths across

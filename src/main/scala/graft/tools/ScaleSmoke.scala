@@ -21,7 +21,6 @@ object ScaleSmoke {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -183,7 +182,7 @@ object ScaleSmoke {
     val evOps: Seq[(String, DataFrame => Long)] = Seq(
       "sessionize" -> { e: DataFrame =>
         graft.streaming.Sessionize.batch(
-          e.withColumn("ts_us", expr("ts div 1000")),
+          e.withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))")),
           tsCol = "ts_us", gap = 14400L * 1000000L, toTicks = identity).count()
       },
       "outliers" -> { e: DataFrame =>

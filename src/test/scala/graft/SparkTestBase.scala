@@ -12,7 +12,6 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is ns
     // saveAsTable (bucketed-layout specs) must not write into the repo
     .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .config("spark.ui.enabled", "false")
