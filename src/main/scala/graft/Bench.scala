@@ -82,7 +82,15 @@ object Bench {
     val qJson = results.map { case (k, v) => jstr(short(k)) + ":" + num(v) }.mkString("{", ",", "}")
     val qJsonFull = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val eJsonShort = errors.map { case (k, v) => jstr(short(k)) + ":" + jstr(v.take(60)) }.mkString("{", ",", "}")
+    // r7's 12-error run pushed the printed line past the driver's log-tail
+    // window and the clipped head failed to parse — so the one round where
+    // errors existed is the round the bench numbers vanished. Cap the
+    // printed error map (first 5, 30-char messages); bench_out.json keeps
+    // every error in full.
+    val eJsonShort = (errors.take(5).map { case (k, v) =>
+        jstr(short(k)) + ":" + jstr(v.take(30))
+      } ++ (if (errors.size > 5) Seq(jstr("more") + ":" + jstr((errors.size - 5).toString)) else Nil))
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qJson,"errors":$eJsonShort,"sf":${jstr(sfDir)}}"""

@@ -117,6 +117,17 @@ object SimilarityQueries {
         .select(col("vec_id"), rp.project(col("embedding")).as("y"))
         .select(col("vec_id"), posexplode(col("y")).as(Seq("dim", "val")))
         .select(col("vec_id"), col("dim"), round(col("val"), 6).as("val"))
+    }),
+
+    // SemDeDup semantic dedup: 16-cell quantizer (q35's), duplicates
+    // pruned within cells only, keep = farthest-from-centroid pair member.
+    // Runs on the seeded corpus (the perturbed copies are the planted
+    // semantic dups the LSH queries also use).
+    "q108_semantic_dedup" -> ((s, dir) => {
+      new graft.dedup.SemanticDeduplicator(numCells = 16, threshold = 0.9,
+        dim = Some(64))
+        .verdicts(seeded(s, dir))
+        .select(col("vec_id"), col("cid"), col("cent_cos"), col("keep"))
     })
   )
 
@@ -203,7 +214,52 @@ object SimilarityQueries {
         |  WHERE k.i < len(v)
         |)
         |SELECT vec_id, dim, round(sum(term) / sqrt(16.0), 6) AS val
-        |FROM t GROUP BY 1, 2""".stripMargin
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // replays the q35 quantizer over the SEEDED corpus (lowest-id seeds +
+    // one Lloyd step), then the SemDeDup keep rule: drop a row iff a
+    // same-cell partner has pairwise cosine >= 0.9 and a smaller
+    // (cent_cos, id) keep-key. cent_cos enters the key already rounded to
+    // the 1e-6 grid, mirroring the operator.
+    "q108_semantic_dedup" ->
+      ("WITH " + lshPairsSql + """,
+        |seeds2 AS (SELECT vec_id AS cid, v AS cv FROM allv ORDER BY vec_id LIMIT 16),
+        |sa0 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT a.vec_id, s.cid,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.v, s.cv) DESC, s.cid) AS rn
+        |    FROM allv a CROSS JOIN seeds2 s)
+        |  WHERE rn = 1
+        |), scomps AS (
+        |  SELECT sa0.cid, CAST(i AS INT) - 1 AS pos, v[CAST(i AS INT)] AS x
+        |  FROM allv JOIN sa0 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        |  WHERE i <= len(v)
+        |), scents AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv
+        |  FROM (SELECT cid, pos, avg(x) AS m FROM scomps GROUP BY 1, 2)
+        |  GROUP BY cid
+        |), sa1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT a.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) AS rn
+        |    FROM allv a CROSS JOIN scents c)
+        |  WHERE rn = 1
+        |), cells AS (
+        |  SELECT a.vec_id, sa1.cid, a.v,
+        |    round(list_cosine_similarity(a.v, c.cv), 6) AS cent_cos
+        |  FROM allv a JOIN sa1 USING (vec_id) JOIN scents c ON c.cid = sa1.cid
+        |), dropped AS (
+        |  SELECT DISTINCT x.vec_id
+        |  FROM cells x JOIN cells y ON x.cid = y.cid
+        |    AND (y.cent_cos, y.vec_id) < (x.cent_cos, x.vec_id)
+        |    AND list_cosine_similarity(x.v, y.v) >= 0.9
+        |)
+        |SELECT c.vec_id, c.cid, c.cent_cos, (d.vec_id IS NULL) AS keep
+        |FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+        |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
+        |SELECT -1, -1, -1.0, false WHERE (SELECT max(len(v)) FROM allv) > 64""".stripMargin)
   )
 
   /** Shared q22/q42 fragment: seeded corpus → hyperplane signatures → band
