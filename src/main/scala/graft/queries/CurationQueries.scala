@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.{DedupClusters, ExactDeduplicator, MinHashDeduplicator}
-import graft.sampling.{HashSampler, MixtureSampler, StratifiedSampler, WeightedSampler}
+import graft.sampling.{HashSampler, MixtureSampler, StratifiedSampler, TemperatureMixture, WeightedSampler}
 import graft.text.{QualityFilter, TfIdf, TokenPacker}
 
 /** Corpus-curation queries: heuristic quality filtering, deterministic
@@ -71,6 +71,16 @@ object CurationQueries {
       new MixtureSampler(
         targets = Map("en" -> 200L, "de" -> 50L, "fr" -> 50L, "es" -> 30L, "zh" -> 20L),
         idCol = "doc_id", groupCol = "lang", salt = "mix")
+        .transform(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // temperature-scaled mixing: per-lang targets derived from counts,
+    // target ∝ n^0.5 scaled to 250 rows — α-sampling boosts low-resource
+    // langs; head langs rate-capped, tiny langs hit the min(1,·) branch
+    "q109_temperature_mix" -> ((s, dir) => {
+      new TemperatureMixture(totalTarget = 250, alpha = 0.5,
+        idCol = "doc_id", groupCol = "lang", salt = "temp")
         .transform(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"))
     }),
@@ -299,6 +309,26 @@ object CurationQueries {
         |SELECT doc_id, d.lang AS lang
         |FROM documents d JOIN rates ON d.lang = rates.lang
         |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT % 10000 < thr""".stripMargin,
+    // replays the α=0.5 targets: sqrt is correctly rounded on both
+    // engines, and the normalizer is a SEQUENTIAL in-lang-order fold
+    // (list_reduce == the operator's sorted-array left-fold), so Z is
+    // bit-identical. Division order mirrors the operator exactly.
+    "q109_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS c FROM documents GROUP BY 1
+        |), z AS (
+        |  SELECT list_reduce(list(sqrt(CAST(c AS DOUBLE)) ORDER BY lang),
+        |                     (a, b) -> a + b) AS z
+        |  FROM counts
+        |), thr AS (
+        |  SELECT lang,
+        |    CAST(floor(least(1.0, 250.0 * sqrt(CAST(c AS DOUBLE)) / z / c) * 10000)
+        |      AS BIGINT) AS thr
+        |  FROM counts, z
+        |)
+        |SELECT doc_id, d.lang AS lang
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE ('0x' || substr(md5('temp:' || doc_id), 1, 8))::BIGINT % 10000 < thr""".stripMargin,
     "q58_stratified" ->
       """SELECT doc_id, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang

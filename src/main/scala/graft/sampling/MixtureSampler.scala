@@ -48,6 +48,59 @@ class MixtureSampler(
   }
 }
 
+/** Temperature-scaled mixture sampling: per-group targets are DERIVED
+  * from the observed counts, target_g ∝ count_g^α scaled to `totalTarget`
+  * rows — the multilingual-training α-sampling rule (XLM-R style): α=1
+  * keeps natural proportions, α→0 flattens toward uniform, 0<α<1 boosts
+  * low-resource groups without starving the head. The acceptance coin is
+  * [[MixtureSampler]]'s md5 idiom, so membership is deterministic and
+  * engine-replayable.
+  *
+  * Float discipline (what makes the sample bit-replayable): α=0.5 uses
+  * `sqrt` (correctly rounded everywhere — `pow(x, 0.5)` is not), and the
+  * normalizer Σ count^α is summed SEQUENTIALLY over groups in group order
+  * (a sorted-array left-fold, not a parallel float agg), so every engine
+  * adds the same terms in the same order. Other α values replay only on
+  * engines whose `pow` bit-matches the JVM's.
+  *
+  * Scale: one groupBy for the (low-cardinality) per-group counts, the
+  * fold runs over that tiny array, thresholds broadcast back — the corpus
+  * itself is never shuffled, exactly like [[MixtureSampler]].
+  */
+class TemperatureMixture(
+    totalTarget: Long,
+    alpha: Double = 0.5,
+    idCol: String = "doc_id",
+    groupCol: String = "lang",
+    salt: String = "temp") {
+
+  require(totalTarget > 0, "totalTarget must be positive")
+  require(alpha > 0 && alpha <= 1, s"alpha ($alpha) must be in (0, 1]")
+
+  private def powA(c: Column): Column =
+    if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+
+  /** Per-group (group, __cnt, __thr): thr = floor(min(1, total·n^α/Z/n)·10⁴). */
+  def thresholds(dataset: Dataset[_]): DataFrame = {
+    val counts = dataset.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val z = counts.agg(
+      aggregate(
+        expr(s"transform(array_sort(collect_list(struct($groupCol AS g, __cnt AS c)))," +
+          " x -> CAST(x.c AS DOUBLE))"),
+        lit(0.0), (acc, x) => acc + powA(x)).as("__z"))
+    counts.crossJoin(broadcast(z))
+      .select(col(groupCol), col("__cnt"),
+        floor(least(lit(1.0),
+          lit(totalTarget.toDouble) * powA(col("__cnt").cast("double")) / col("__z") / col("__cnt"))
+          * 10000).cast("long").as("__thr"))
+  }
+
+  def transform(dataset: Dataset[_]): DataFrame =
+    dataset.join(broadcast(thresholds(dataset).drop("__cnt")), groupCol)
+      .where(graft.sql.functions.uniform32(salt, col(idCol)) % 10000 < col("__thr"))
+      .drop("__thr")
+}
+
 /** Exact-count stratified sampling: keep EXACTLY min(n, |group|) rows per
   * group, chosen by md5 rank — deterministic, engine-portable, and
   * uniform-ish (hash order is unrelated to any data order). The exact
