@@ -29,7 +29,7 @@ object SparkEntry {
       DedupQueries.queries ++ SimilarityQueries.queries ++ TextQueries.queries ++
       ClassificationQueries.queries ++ StreamingQueries.queries ++
       MultimodalQueries.queries ++ CurationQueries.queries ++
-      TemporalQueries.queries
+      TemporalQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -40,5 +40,5 @@ object SparkEntry {
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ TextQueries.oracles ++
       ClassificationQueries.oracles ++ StreamingQueries.oracles ++
       MultimodalQueries.oracles ++ CurationQueries.oracles ++
-      TemporalQueries.oracles
+      TemporalQueries.oracles ++ GraphQueries.oracles
 }
