@@ -151,6 +151,18 @@ object TextQueries {
         .score(Tables.documents(s, dir), Seq("spark", "query", "join", "stream"))
     }),
 
+    // batch BM25 retrieval: top-10 docs for each of 3 query profiles in
+    // ONE corpus pass (df/counts over the union of terms, tiny
+    // (query, term) fan-out, two-phase per-query rank — no per-query
+    // window sort)
+    "q111_bm25_retrieval" -> ((s, dir) => {
+      new Bm25(k1 = 1.2, b = 0.75)
+        .retrieve(Tables.documents(s, dir), Seq(
+          "q_engine" -> Seq("spark", "query", "join", "stream"),
+          "q_exec" -> Seq("hash", "merge", "sort", "group"),
+          "q_vector" -> Seq("vector", "window", "filter", "dup")), k = 10)
+    }),
+
     // HyperLogLog distinct-token estimate per source: 2^10 one-byte
     // registers per group (merge = element-wise max) — the fixed-state
     // counterpart of q67's KMV sketch. md5-derived registers let the
@@ -624,6 +636,43 @@ object TextQueries {
           |  ), 6) AS score
           |FROM tc JOIN df USING (term) CROSS JOIN corpus
           |GROUP BY doc_id""".stripMargin),
+    "q111_bm25_retrieval" ->
+      (normSql +
+        """
+          |, tok AS (
+          |  SELECT doc_id, len(tl) AS len, unnest(tl) AS term FROM toks
+          |), qt(query_id, term) AS (
+          |  VALUES ('q_engine', 'spark'), ('q_engine', 'query'),
+          |         ('q_engine', 'join'), ('q_engine', 'stream'),
+          |         ('q_exec', 'hash'), ('q_exec', 'merge'),
+          |         ('q_exec', 'sort'), ('q_exec', 'group'),
+          |         ('q_vector', 'vector'), ('q_vector', 'window'),
+          |         ('q_vector', 'filter'), ('q_vector', 'dup')
+          |), tc AS (
+          |  SELECT doc_id, len, term, count(*) AS c FROM tok
+          |  WHERE term IN (SELECT term FROM qt)
+          |  GROUP BY 1, 2, 3
+          |), df AS (
+          |  SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY 1
+          |), corpus AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(tl)) AS avgdl
+          |  FROM toks
+          |), scored AS (
+          |  SELECT query_id, doc_id,
+          |    round(sum(
+          |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+          |      (c * (1.2 + 1)) / (c + 1.2 * (1 - 0.75 + 0.75 * len / avgdl))
+          |    ), 6) AS score
+          |  FROM tc JOIN qt USING (term) JOIN df USING (term) CROSS JOIN corpus
+          |  GROUP BY 1, 2
+          |)
+          |SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+          |FROM (
+          |  SELECT query_id, doc_id, score,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score DESC, doc_id) AS rnk
+          |  FROM scored)
+          |WHERE rnk <= 10""".stripMargin),
     "q67_distinct_sketch" ->
       """WITH nrm AS (
         |  SELECT source,

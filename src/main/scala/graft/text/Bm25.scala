@@ -77,4 +77,55 @@ class Bm25(
       .agg(count(lit(1)).as("n_terms"),
         round(sum(col("term_score")), 6).as("score"))
   }
+
+  /** Batch retrieval: top-`k` documents per query for a (bounded) query
+    * SET — (query_id, idCol, score, rank). One corpus pass serves every
+    * query: term counts and document frequencies are computed once over
+    * the UNION of query terms, then the tiny (query, term) table fans the
+    * per-(doc, term) scores out to queries (broadcast join, fan-out ≤
+    * queries-per-term, never corpus × queries).
+    *
+    * The per-query top-k rides [[graft.sql.GroupedNtile.rankByValue]]'s
+    * two-phase rank over score-range buckets: a window partitioned by
+    * query_id would sort each query's whole match set in ONE task — the
+    * low-cardinality-window class this repo bans. Ranks tie-break on the
+    * rounded score by doc id, so ordering is engine-replayable.
+    */
+  def retrieve(docs: Dataset[_], queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(queries.forall(_._2.nonEmpty), "every query needs at least one term")
+    require(k > 0, s"k ($k) must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map(q -> _) }
+      .toDF("query_id", "term")
+    val uniq = qt.select(col("term")).distinct()
+
+    val toks = docs.select(col(idCol), TextNormalizer.tokens(col(textCol)).as("tl"))
+    val terms = toks.select(col(idCol), size(col("tl")).cast("long").as("len"),
+      explode_outer(col("tl")).as("term"))
+    val tc = terms.join(broadcast(uniq), Seq("term"))
+      .groupBy(col(idCol), col("len"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val df = tc.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+    val corpus = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("tl"))).as("avgdl"))
+
+    val scored = tc.join(broadcast(qt), "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * (col("c") * (k1 + 1)) /
+          (col("c") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl"))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("term_score")), 6).as("score"))
+
+    graft.sql.GroupedNtile.rankByValue(scored, "query_id", "score",
+        descending = true, tieCols = Seq(col(idCol)), rankName = "rank")
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
 }

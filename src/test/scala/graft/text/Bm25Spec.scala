@@ -54,4 +54,33 @@ class Bm25Spec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("retrieve: single-query scores match score() exactly") {
+    val viaScore = new Bm25().score(docs, Seq("cat", "dog"))
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toSet
+    val viaRetrieve = new Bm25()
+      .retrieve(docs, Seq("q" -> Seq("cat", "dog")), k = 10)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toSet
+    assert(viaRetrieve === viaScore)
+  }
+
+  test("retrieve: per-query top-k with contiguous ranks, descending scores") {
+    val got = new Bm25().retrieve(docs,
+      Seq("q1" -> Seq("cat"), "q2" -> Seq("dog", "bird")), k = 1)
+      .as[(String, Long, Double, Long)].collect()
+    assert(got.length === 2)
+    assert(got.forall(_._4 === 1L))
+    // q1's best is doc 1 (cat twice)
+    assert(got.find(_._1 == "q1").get._2 === 1L)
+  }
+
+  test("retrieve: df is corpus-wide per term, not per query") {
+    // the same term in two queries must produce identical per-doc scores
+    val got = new Bm25().retrieve(docs,
+      Seq("qa" -> Seq("cat"), "qb" -> Seq("cat")), k = 10)
+      .select($"query_id", $"doc_id", $"score")
+      .as[(String, Long, Double)].collect()
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toSet)
+    assert(byQ("qa") === byQ("qb"))
+  }
 }
