@@ -62,10 +62,37 @@ object ClassificationQueries {
           round(col("rawPrediction"), 6).as("margin"),
           round(col("probability"), 6).as("probability"),
           col("prediction"))
+    }),
+
+    // kNN label propagation: every 20th embedding classified by the
+    // majority label of its 5 nearest labeled neighbors (leave-one-out:
+    // self excluded); vote ties toward the smallest label
+    "q112_knn_classify" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      new graft.classification.KnnClassifier(k = 5)
+        .predict(e.where(col("vec_id") % 20 === 0), e)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q112_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 20 = 0),
+        |ranked AS (
+        |  SELECT qid, label,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rnk
+        |  FROM q JOIN e ON vec_id != qid
+        |), votes AS (
+        |  SELECT qid AS query_id, label, count(*) AS votes
+        |  FROM ranked WHERE rnk <= 5 GROUP BY 1, 2
+        |), win AS (
+        |  SELECT query_id, label, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, label) AS rn
+        |  FROM votes
+        |)
+        |SELECT query_id, label AS predicted, votes FROM win WHERE rn = 1""".stripMargin,
     "q41_lr_score" ->
       """WITH f AS (
         |  SELECT o_orderkey,
