@@ -179,6 +179,50 @@ object ScaleSmoke {
           .where(col("status") =!= "unchanged").count()
       })
 
+    // embeddings scaled with per-copy perturbation (same idea as text
+    // `mutate`): copies must not be near-dups of each other, or the pair
+    // output itself is quadratic and hides the plan's scaling
+    def scaledEmb(n: Int): DataFrame =
+      scaled("embeddings", "vec_id", n).withColumn("embedding", expr(
+        """zip_with(CAST(embedding AS ARRAY<DOUBLE>),
+          |  sequence(0, size(embedding) - 1),
+          |  (x, d) -> x + 0.05 * ((((vec_id div 10000000) * 131 + d * 7) % 17) / 17.0 - 0.5))
+          |""".stripMargin))
+    val embOps: Seq[(String, DataFrame => Long)] = Seq(
+      // cells sized ∝ corpus (the documented production knob): cell
+      // population stays constant, so Σ|cell|² pair work grows linearly
+      "semantic_dedup" -> { d: DataFrame =>
+        val cells = 16 * math.max(1, (d.count() / 5000L).toInt)
+        new graft.dedup.SemanticDeduplicator(
+          numCells = cells, threshold = 0.9, dim = Some(64))
+          .verdicts(d).where(!col("keep")).count()
+      },
+      // FIXED query batch against the growing corpus: brute-force scan is
+      // linear in candidates; the vote tail is two partial aggregations
+      "knn_classify" -> { d: DataFrame =>
+        new graft.classification.KnnClassifier(k = 5)
+          .predict(d.where(col("vec_id") < 2000 && col("vec_id") % 20 === 0), d)
+          .count()
+      })
+
+    // part–supplier graph from lineitem with BOTH endpoint id spaces
+    // offset per copy → disjoint copies, nodes/edges grow ×n
+    def scaledGraph(n: Int): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"))
+      val copies = spark.range(n).select(col("id").as("__copy"))
+      base.crossJoin(copies)
+        .select((col("l_partkey") + col("__copy") * 10000000L).as("pk"),
+          (col("l_suppkey") + col("__copy") * 10000000L).as("sk"))
+    }
+    val graphOps: Seq[(String, DataFrame => Long)] = Seq(
+      // 3 fixed iterations; each is join + partial-agg sum on node keys
+      "pagerank_3it" -> { d: DataFrame =>
+        val ed = d.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst")).distinct()
+        val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+        new graft.graph.PageRank(iterations = 3).run(sym).count()
+      })
+
     val evOps: Seq[(String, DataFrame => Long)] = Seq(
       "sessionize" -> { e: DataFrame =>
         graft.streaming.Sessionize.batch(
@@ -230,6 +274,8 @@ object ScaleSmoke {
     run("events", n => scaled("events", "event_id", n), evOps)
     run("names", scaledNames, nameOps)
     run("lineitem", n => scaled("lineitem", "l_orderkey", n), liOps)
+    run("embeddings", scaledEmb, embOps)
+    run("graph", scaledGraph, graphOps)
     spark.stop()
   }
 }
