@@ -119,6 +119,22 @@ object DedupQueries {
         .transform(seeded(s, dir))
     }),
 
+    // cross-source duplication matrix: distinct shared fingerprints per
+    // source pair — "which feeds duplicate each other" before mixing
+    // weights are set. Sources derived as doc_id mod 3 on the seeded
+    // corpus (the +100000/+200000 copies shift bucket, planting overlap).
+    // One fingerprint-keyed self-join; output is |sources|² rows.
+    "q113_source_overlap" -> ((s, dir) => {
+      val fp = seeded(s, dir)
+        .select(concat(lit("s"), (col("doc_id") % 3).cast("string")).as("src"),
+          sha2(graft.dedup.TextNormalizer.normalize(col("text")), 256).as("f"))
+        .distinct()
+      fp.as("a").join(fp.as("b"),
+          col("a.f") === col("b.f") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
     // incremental ingest dedup: the seeded batch arrives against a known
     // corpus (every 3rd original doc's fingerprints); known content is
     // dropped via the Bloom-pruned anti-join, the rest dedups within-batch
@@ -179,6 +195,15 @@ object DedupQueries {
         """
           |SELECT doc_id, sha256(norm) AS fingerprint FROM norm
           |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""".stripMargin),
+    "q113_source_overlap" ->
+      (seededSql +
+        """, fp AS (
+          |  SELECT DISTINCT 's' || (doc_id % 3) AS src, sha256(norm) AS f
+          |  FROM norm
+          |)
+          |SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+          |FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+          |GROUP BY 1, 2""".stripMargin),
     "q20_dedup_minhash" ->
       (seededSql +
         """, sh AS (

@@ -119,6 +119,16 @@ object SimilarityQueries {
         .select(col("vec_id"), col("dim"), round(col("val"), 6).as("val"))
     }),
 
+    // incremental IVF append: index built on the first 400 vectors only,
+    // the rest arrive as a new batch and get ONE broadcast-centroid
+    // assignment pass — no re-training, no corpus rescan
+    "q114_ivf_append" -> ((s, dir) => {
+      val e = vectors(s, dir)
+      val ivf = new IvfCosineIndex(numCentroids = 16, nprobe = 4, dim = Some(64))
+      val idx = ivf.build(e.where(col("vec_id") < 400))
+      ivf.assignNew(idx, e.where(col("vec_id") >= 400))
+    }),
+
     // SemDeDup semantic dedup: 16-cell quantizer (q35's), duplicates
     // pruned within cells only, keep = farthest-from-centroid pair member.
     // Runs on the seeded corpus (the perturbed copies are the planted
@@ -215,6 +225,39 @@ object SimilarityQueries {
         |)
         |SELECT vec_id, dim, round(sum(term) / sqrt(16.0), 6) AS val
         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // replays the 400-vector build (lowest-id seeds + one Lloyd step over
+    // the first 400 only), then assigns the appended batch to those
+    // centroids — ties to the lowest cid, matching assignNew's max_by key
+    "q114_ivf_append" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e0 AS (SELECT * FROM e WHERE vec_id < 400),
+        |seeds0 AS (SELECT vec_id AS cid, v AS cv FROM e0 ORDER BY vec_id LIMIT 16),
+        |b0 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT a.vec_id, s.cid,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.v, s.cv) DESC, s.cid) AS rn
+        |    FROM e0 a CROSS JOIN seeds0 s)
+        |  WHERE rn = 1
+        |), bcomps AS (
+        |  SELECT b0.cid, CAST(i AS INT) - 1 AS pos, v[CAST(i AS INT)] AS x
+        |  FROM e0 JOIN b0 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        |  WHERE i <= len(v)
+        |), bcents AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv
+        |  FROM (SELECT cid, pos, avg(x) AS m FROM bcomps GROUP BY 1, 2)
+        |  GROUP BY cid
+        |)
+        |SELECT vec_id, cid FROM (
+        |  SELECT a.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) AS rn
+        |  FROM e a CROSS JOIN bcents c
+        |  WHERE a.vec_id >= 400)
+        |WHERE rn = 1
+        |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
+        |SELECT -1, -1 WHERE (SELECT max(len(v)) FROM e) > 64""".stripMargin,
 
     // replays the q35 quantizer over the SEEDED corpus (lowest-id seeds +
     // one Lloyd step), then the SemDeDup keep rule: drop a row iff a

@@ -110,6 +110,23 @@ class IvfCosineIndex(
     IvfIndex(cents, e.join(assign(e, cents), idCol))
   }
 
+  /** Assignment (id, cid) of NEW vectors to a prebuilt index's centroids —
+    * the incremental-append path: a nightly embedding batch joins an
+    * existing index with ONE broadcast-centroid pass over the batch, no
+    * quantizer re-training, no rescan of the indexed corpus. (Centroids
+    * drift as the corpus grows; rebuild cadence is the caller's policy —
+    * the standard IVF operational trade.)
+    */
+  def assignNew(index: IvfIndex, vectors: DataFrame): DataFrame =
+    assign(corpus(vectors), index.centroids)
+
+  /** The index with `vectors`' inverted-list rows appended. */
+  def append(index: IvfIndex, vectors: DataFrame): IvfIndex = {
+    val e = corpus(vectors)
+    IvfIndex(index.centroids,
+      index.lists.unionByName(e.join(assign(e, index.centroids), idCol)))
+  }
+
   /** Top-k cosine neighbors per query over a prebuilt index, searching only
     * the nprobe nearest clusters. Self-pairs excluded.
     */

@@ -114,6 +114,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(cids.subsetOf(Set(1L, 2L, 3L, 4L))) // seed ids are vec_id < 3 + refined
   }
 
+  test("IVF incremental append: new batch assigned without re-training, search sees it") {
+    val ivf = new IvfCosineIndex(numCentroids = 2, nprobe = 2)
+    val idx = ivf.build(vecs.where($"vec_id" <= 2))
+    val appended = ivf.append(idx, vecs.where($"vec_id" > 2))
+    // centroids are untouched (same frame), lists grew by the batch
+    assert(appended.centroids eq idx.centroids)
+    assert(appended.lists.count() === 5)
+    // assignNew matches the appended lists' cids for the new rows
+    val viaAssign = ivf.assignNew(idx, vecs.where($"vec_id" > 2))
+      .as[(Long, Long)].collect().toSet
+    val viaLists = appended.lists.where($"vec_id" > 2)
+      .select($"vec_id", $"cid").as[(Long, Long)].collect().toSet
+    assert(viaAssign === viaLists)
+    // a search over the appended index finds the appended near-copy of v1
+    val hit = ivf.search(vecs.where($"vec_id" === 1), appended, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(hit === 3L)
+  }
+
   test("near-dup plan is a bucketed join, not a cartesian product") {
     val plan = new RandomHyperplaneLSH(numPlanes = 16, numBands = 4)
       .nearDupPairs(vecs, 0.9).queryExecution.executedPlan.toString
