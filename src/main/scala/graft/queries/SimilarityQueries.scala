@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.DedupClusters
-import graft.similarity.{CosineTopK, EmbeddingNormalizer, EmbeddingQuantizer, IvfCosineIndex, RandomHyperplaneLSH, RandomProjection}
+import graft.similarity.{CosineTopK, EmbeddingNormalizer, EmbeddingQuantizer, IvfCosineIndex, ProductQuantizer, RandomHyperplaneLSH, RandomProjection}
 
 /** Similarity-search queries over the embeddings table.
   *
@@ -119,6 +119,15 @@ object SimilarityQueries {
         .select(col("vec_id"), col("dim"), round(col("val"), 6).as("val"))
     }),
 
+    // product quantization: 8 subspaces × 16 codes over the 64-dim
+    // corpus — fit (per-subspace lowest-id seeds + one Lloyd step under
+    // squared-L2) then encode; long (vec_id, sub, code) output
+    "q115_pq_encode" -> ((s, dir) => {
+      val e = vectors(s, dir)
+      val pq = new ProductQuantizer(numSubspaces = 8, codebookSize = 16, dim = 64)
+      pq.encode(e, pq.fit(e))
+    }),
+
     // incremental IVF append: index built on the first 400 vectors only,
     // the rest arrive as a new batch and get ONE broadcast-centroid
     // assignment pass — no re-training, no corpus rescan
@@ -225,6 +234,57 @@ object SimilarityQueries {
         |)
         |SELECT vec_id, dim, round(sum(term) / sqrt(16.0), 6) AS val
         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // replays PQ fit + encode: per-subspace seeds = the 16 lowest ids'
+    // slices (code = id rank via triangle count), one Lloyd step, argmin
+    // with (d2, code) ties; distances are SEQUENTIAL folds (list_reduce ==
+    // the operator's aggregate(zip_with)) so both engines sum the 8 terms
+    // in the same order
+    "q115_pq_encode" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, CAST(j AS INT) AS sub, list_slice(v, j*8 + 1, j*8 + 8) AS sl
+        |  FROM e CROSS JOIN range(0, 8) t(j)
+        |), ids AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16),
+        |seedids AS (
+        |  SELECT x.vec_id, CAST(count(y.vec_id) AS BIGINT) AS code
+        |  FROM ids x LEFT JOIN ids y ON y.vec_id < x.vec_id GROUP BY 1
+        |), seeds AS (
+        |  SELECT s.sub, seedids.code, s.sl AS cv FROM s JOIN seedids USING (vec_id)
+        |), d0 AS (
+        |  SELECT s.vec_id, s.sub, seeds.code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |         * (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM s JOIN seeds ON s.sub = seeds.sub
+        |), a0 AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        |    FROM d0) WHERE rn = 1
+        |), cents AS (
+        |  SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT s.sub, a0.code, CAST(i AS INT) - 1 AS pos, avg(s.sl[CAST(i AS INT)]) AS m
+        |    FROM s JOIN a0 ON s.vec_id = a0.vec_id AND s.sub = a0.sub
+        |    CROSS JOIN range(1, 9) t(i)
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2
+        |), d1 AS (
+        |  SELECT s.vec_id, s.sub, cents.code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |         * (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM s JOIN cents ON s.sub = cents.sub
+        |)
+        |SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        |  FROM d1) WHERE rn = 1
+        |UNION ALL -- guard: loud mismatch unless every vector is exactly 64-dim
+        |SELECT -1, -1, -1 WHERE (SELECT max(len(v)) FROM e) != 64
+        |   OR (SELECT min(len(v)) FROM e) != 64""".stripMargin,
 
     // replays the 400-vector build (lowest-id seeds + one Lloyd step over
     // the first 400 only), then assigns the appended batch to those

@@ -1,0 +1,118 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): split each d-dim vector into `m`
+  * contiguous subvectors, learn a small codebook per subspace, and store
+  * each vector as `m` small codes — the 8-32× compression that makes
+  * billion-vector ANN memory-resident. Complements [[IvfCosineIndex]]
+  * (IVF prunes WHICH vectors to score; PQ shrinks WHAT is scored) and the
+  * scalar [[EmbeddingQuantizer]] (per-component int8; PQ trades more
+  * compression for a learned codebook).
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build brief).
+  *
+  * Deterministic, oracle-replayable training (the [[IvfCosineIndex]]
+  * discipline): per subspace, seed centroids are the `k` lowest-id
+  * vectors' slices refined by ONE Lloyd step under squared-L2; argmin
+  * ties break to the lowest code. Distances are SEQUENTIAL left-folds
+  * over the 8-dim slices (`aggregate(zip_with(...))`), so both engines
+  * add the same terms in the same order.
+  *
+  * Scale: codebooks are m×k rows (broadcast); training is one streamed
+  * assignment pass + one partial-aggregated mean per (subspace, code,
+  * pos); encoding is row-local against the broadcast codebook. Nothing
+  * shuffles but the tiny codebook aggregation. ADC query scoring
+  * ([[adcSearch]]) builds a per-query distance table (m×k entries) and
+  * scores codes with lookups — never touching raw vectors.
+  */
+class ProductQuantizer(
+    numSubspaces: Int,
+    codebookSize: Int,
+    dim: Int,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+  require(numSubspaces > 0 && dim % numSubspaces == 0,
+    s"dim ($dim) must divide into numSubspaces ($numSubspaces)")
+  require(codebookSize > 0, "codebookSize must be positive")
+
+  private val subDim = dim / numSubspaces
+
+  /** Squared L2 between two equal-length ARRAY<DOUBLE>s as a sequential
+    * left-fold (engine-replayable summation order).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** (idCol, sub, slice): the m subvectors of each input vector. */
+  private def slices(vectors: DataFrame): DataFrame =
+    graft.sql.functions.spread(
+      vectors.select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, ${numSubspaces - 1}), j -> slice($vecCol, j * $subDim + 1, $subDim))"))
+          .as(Seq("sub", "slice")))
+        .select(col(idCol), col("sub"), col("slice").cast("array<double>").as("slice")),
+      col(idCol))
+
+  /** Learned codebooks (sub, code, centroid): per-subspace k-lowest-id
+    * seeds + one Lloyd step. `code` is the seed's rank (0-based) in id
+    * order, so codes are dense 0..k-1 in every subspace.
+    */
+  def fit(vectors: DataFrame): DataFrame = {
+    val s = slices(vectors)
+    // code = rank of the seed id among the k lowest ids, via a tiny
+    // triangle self-join (k rows) — no global window node anywhere
+    val ids = vectors.select(col(idCol)).orderBy(col(idCol)).limit(codebookSize)
+    val seedIds = ids.as("x")
+      .join(ids.select(col(idCol).as("__y")).as("y"), col("__y") < col(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__y")).cast("long").as("code"))
+    val seeds = s.join(broadcast(seedIds), idCol)
+      .select(col("sub"), col("code"), col("slice").as("centroid"))
+    val assigned = assign(s, seeds)
+    s.join(assigned, Seq(idCol, "sub"))
+      .groupBy(col("sub"), col("code"))
+      .agg(array((0 until subDim).map(i => avg(col("slice")(i))): _*).as("centroid"))
+  }
+
+  /** (idCol, sub, code): nearest codebook entry per (vector, subspace);
+    * ties to the lowest code.
+    */
+  private def assign(s: DataFrame, codebook: DataFrame): DataFrame =
+    s.join(broadcast(codebook), "sub")
+      .select(col(idCol), col("sub"), col("code"),
+        l2sq(col("slice"), col("centroid")).as("d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** PQ codes (idCol, sub, code) for every vector under a fitted codebook
+    * — long format (one row per subspace), the join-friendly layout.
+    */
+  def encode(vectors: DataFrame, codebook: DataFrame): DataFrame =
+    assign(slices(vectors), codebook)
+
+  /** Asymmetric-distance (ADC) top-k: exact query-to-centroid distance
+    * tables (m×k per query, broadcast), approximate distance to a coded
+    * vector = Σ_sub table(sub, code). Returns (query_id, idCol, adc,
+    * rank ≤ k); ties to the lowest id. Queries keep full precision —
+    * only the corpus is compressed (the PQ asymmetry that preserves
+    * accuracy).
+    */
+  def adcSearch(queries: DataFrame, codes: DataFrame, codebook: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qs = slices(queries).select(col(idCol).as("query_id"), col("sub"), col("slice"))
+    val table = qs.join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sq(col("slice"), col("centroid")).as("dpart"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
+    codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("dpart")).as("adc"))
+      .where(col("query_id") =!= col(idCol))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

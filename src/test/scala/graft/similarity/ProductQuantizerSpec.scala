@@ -1,0 +1,71 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ProductQuantizerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 4-dim vectors, 2 subspaces of 2 dims, 2 codes per subspace. Each
+  // subspace has two tight value clusters; ids 1-2 (the seeds) sit one in
+  // each cluster of each subspace so the codebook spans both.
+  lazy val vecs = Seq(
+    (1L, Array(0.0, 0.0, 9.0, 9.0)),
+    (2L, Array(9.0, 9.0, 0.0, 0.0)),
+    (3L, Array(0.1, 0.1, 9.1, 9.1)), // near 1 in both subspaces
+    (4L, Array(9.1, 9.1, 0.1, 0.1)), // near 2 in both subspaces
+    (5L, Array(0.2, 0.1, 0.2, 0.1))) // low cluster in BOTH subspaces
+    .toDF("vec_id", "embedding")
+
+  lazy val pq = new ProductQuantizer(numSubspaces = 2, codebookSize = 2, dim = 4)
+
+  test("codebook has one centroid per (subspace, code), codes dense from 0") {
+    val cb = pq.fit(vecs)
+    assert(cb.count() === 4)
+    assert(cb.select("sub").distinct().count() === 2)
+    assert(cb.select("code").as[Long].collect().toSet === Set(0L, 1L))
+  }
+
+  test("encode groups cluster members onto the same code, one row per (vec, sub)") {
+    val codes = pq.encode(vecs, pq.fit(vecs))
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, sub, code) => (id, sub) -> code }.toMap
+    assert(codes.size === 10)
+    // 3 follows 1, 4 follows 2, in both subspaces
+    assert(codes((3L, 0)) === codes((1L, 0)))
+    assert(codes((3L, 1)) === codes((1L, 1)))
+    assert(codes((4L, 0)) === codes((2L, 0)))
+    assert(codes((4L, 1)) === codes((2L, 1)))
+    // 5 mixes: low in sub 0 (like 1) and low in sub 1 (like 2) — the
+    // product structure PQ exists for
+    assert(codes((5L, 0)) === codes((1L, 0)))
+    assert(codes((5L, 1)) === codes((2L, 1)))
+  }
+
+  test("encode is partitioning-invariant") {
+    val cb = pq.fit(vecs)
+    val a = pq.encode(vecs, cb).collect().toSet
+    val b = pq.encode(vecs.repartition(7), cb).collect().toSet
+    assert(a === b)
+  }
+
+  test("ADC search ranks the true near-copy first without touching raw vectors") {
+    val cb = pq.fit(vecs)
+    val codes = pq.encode(vecs, cb)
+    val got = new ProductQuantizer(2, 2, 4)
+      .adcSearch(vecs.where($"vec_id" === 1), codes, cb, k = 2)
+      .orderBy("rank")
+      .select("vec_id", "adc").as[(Long, Double)].collect()
+    assert(got.head._1 === 3L, got.mkString(","))
+    assert(got.head._2 <= got(1)._2)
+  }
+
+  test("ADC distances are nonnegative and self-row is excluded") {
+    val cb = pq.fit(vecs)
+    val codes = pq.encode(vecs, cb)
+    val out = pq.adcSearch(vecs.where($"vec_id" <= 2), codes, cb, k = 4)
+    assert(out.where($"query_id" === $"vec_id").count() === 0)
+    assert(out.where($"adc" < 0).count() === 0)
+  }
+}
