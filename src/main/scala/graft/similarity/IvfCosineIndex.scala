@@ -127,24 +127,28 @@ class IvfCosineIndex(
       index.lists.unionByName(e.join(assign(e, index.centroids), idCol)))
   }
 
-  /** Top-k cosine neighbors per query over a prebuilt index, searching only
-    * the nprobe nearest clusters. Self-pairs excluded.
+  /** (query_id, qv, cid): each query's `nprobe` nearest cells — the probe
+    * set every IVF-family search starts from (shared by [[search]] and
+    * IVF-PQ compositions).
     */
-  def search(queries: DataFrame, index: IvfIndex, k: Int): DataFrame = {
-    val cents = index.centroids
-    val lists = index.lists
-
+  def probes(queries: DataFrame, index: IvfIndex): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), dvec(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
-    val probes = qv.crossJoin(broadcast(cents))
+    qv.crossJoin(broadcast(index.centroids))
       .select(col("query_id"), col("qv"), col("cid"),
         cosineSimilarity(col("qv"), col("centroid")).as("cos"))
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
+  }
 
+  /** Top-k cosine neighbors per query over a prebuilt index, searching only
+    * the nprobe nearest clusters. Self-pairs excluded.
+    */
+  def search(queries: DataFrame, index: IvfIndex, k: Int): DataFrame = {
+    val lists = index.lists
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol))
-    probes.join(lists, "cid")
+    probes(queries, index).join(lists, "cid")
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol),
         cosineSimilarity(col("qv"), col("cv")).as("cosine"))

@@ -100,18 +100,56 @@ class ProductQuantizer(
     * only the corpus is compressed (the PQ asymmetry that preserves
     * accuracy).
     */
-  def adcSearch(queries: DataFrame, codes: DataFrame, codebook: DataFrame, k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
+  def adcSearch(queries: DataFrame, codes: DataFrame, codebook: DataFrame, k: Int): DataFrame =
+    rankAdc(adcAll(queries, codes, codebook), k)
+
+  /** ADC top-k restricted to an explicit candidate set (query_id, idCol) —
+    * the IVF-PQ composition: [[IvfCosineIndex.probes]] × inverted lists
+    * pick the candidates, PQ codes get them scored without raw vectors.
+    * The semi-join runs BEFORE the distance aggregation, so only probed
+    * candidates' code rows flow into the sum.
+    */
+  def adcSearchIn(
+      queries: DataFrame,
+      candidates: DataFrame,
+      codes: DataFrame,
+      codebook: DataFrame,
+      k: Int): DataFrame = {
+    val cand = candidates.select(col("query_id"), col(idCol))
     val qs = slices(queries).select(col(idCol).as("query_id"), col("sub"), col("slice"))
     val table = qs.join(broadcast(codebook), "sub")
       .select(col("query_id"), col("sub"), col("code"),
         l2sq(col("slice"), col("centroid")).as("dpart"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
+    val scoredPairs = codes.join(cand, idCol)
+      .join(broadcast(table), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("dpart")).as("adc"))
+    rankAdc(scoredPairs, k)
+  }
+
+  private def adcAll(queries: DataFrame, codes: DataFrame, codebook: DataFrame): DataFrame = {
+    val qs = slices(queries).select(col(idCol).as("query_id"), col("sub"), col("slice"))
+    val table = qs.join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sq(col("slice"), col("centroid")).as("dpart"))
     codes.join(broadcast(table), Seq("sub", "code"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("dpart")).as("adc"))
+  }
+
+  /** Rank by the 1e-6-snapped ADC value (ties → lowest id): the per-pair
+    * sum aggregates m rows in shuffle order, so its last ulp is engine-
+    * and partitioning-dependent — on the grid, near-ties resolve
+    * identically everywhere (same discipline as SemanticDeduplicator's
+    * keep-key).
+    */
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
+    scored
       .where(col("query_id") =!= col(idCol))
+      .withColumn("adc", round(col("adc"), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

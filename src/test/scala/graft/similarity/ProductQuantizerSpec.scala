@@ -61,6 +61,16 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(got.head._2 <= got(1)._2)
   }
 
+  test("adcSearchIn only scores the given candidate pairs (IVF-PQ pruning)") {
+    val cb = pq.fit(vecs)
+    val codes = pq.encode(vecs, cb)
+    // candidate set deliberately omits the true near-copy (3)
+    val cands = Seq((1L, 4L), (1L, 5L)).toDF("query_id", "vec_id")
+    val got = pq.adcSearchIn(vecs.where($"vec_id" === 1), cands, codes, cb, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === Set(4L, 5L))
+  }
+
   test("ADC distances are nonnegative and self-row is excluded") {
     val cb = pq.fit(vecs)
     val codes = pq.encode(vecs, cb)
