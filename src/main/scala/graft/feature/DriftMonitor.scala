@@ -1,0 +1,72 @@
+package graft.feature
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two snapshots of a table — the
+  * Population Stability Index (PSI) gate a pipeline runs before promoting
+  * a new ingest: PSI = Σ_b (p_b − q_b)·ln(p_b / q_b) over buckets b,
+  * with the conventional reading <0.1 stable / 0.1-0.25 drifting / >0.25
+  * broken.
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build
+  * brief): corpus monitoring (source mix, document-length profile, token
+  * distributions) between crawl snapshots.
+  *
+  * Deterministic contract: bucket shares are smoothed as
+  * `(count + 0.5) / (n + 0.5·B)` (Laplace half-count over the observed
+  * bucket set), so empty buckets never produce ln(0) and the whole
+  * computation is closed-form replayable; numeric bucket bounds come
+  * from the BEFORE snapshot's min/max (equal-width), so the reference
+  * frame is fixed while `after` moves.
+  *
+  * Scale: two partial-aggregated groupBys (one per side), a broadcast
+  * stats row, and a bucket-keyed full-outer join over ≤B (or
+  * distinct-category) rows. Neither snapshot is ever shuffled whole.
+  */
+class DriftMonitor(numBuckets: Int = 10) {
+  require(numBuckets > 1, s"numBuckets ($numBuckets) must be > 1")
+
+  private def psiTerms(before: DataFrame, after: DataFrame, bucketCol: String): DataFrame = {
+    val b = before.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_before"))
+    val a = after.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_after"))
+    val joined = b.join(a, Seq(bucketCol), "full_outer")
+      .select(col(bucketCol),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    val tot = broadcast(joined.agg(
+      sum(col("n_before")).cast("double").as("tb"),
+      sum(col("n_after")).cast("double").as("ta"),
+      count(lit(1)).cast("double").as("nb")))
+    joined.crossJoin(tot)
+      .select(col(bucketCol), col("n_before"), col("n_after"),
+        ((col("n_before") + 0.5) / (col("tb") + lit(0.5) * col("nb"))).as("p"),
+        ((col("n_after") + 0.5) / (col("ta") + lit(0.5) * col("nb"))).as("q"))
+      .select(col(bucketCol), col("n_before"), col("n_after"),
+        ((col("p") - col("q")) * log(col("p") / col("q"))).as("psi_term"))
+  }
+
+  /** Per-category drift terms (category, n_before, n_after, psi_term) for
+    * a categorical column; total PSI = sum of terms.
+    */
+  def categorical(before: DataFrame, after: DataFrame, keyCol: String): DataFrame =
+    psiTerms(before.select(col(keyCol)), after.select(col(keyCol)), keyCol)
+
+  /** Per-bucket drift terms over `numBuckets` equal-width buckets of a
+    * numeric column, bounds fixed by the BEFORE snapshot (values outside
+    * clamp into the edge buckets).
+    */
+  def numeric(before: DataFrame, after: DataFrame, valCol: String): DataFrame = {
+    val stats = broadcast(before.agg(
+      min(col(valCol)).cast("double").as("__mn"),
+      max(col(valCol)).cast("double").as("__mx")))
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col(valCol)).crossJoin(stats)
+        .select(when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(greatest(lit(0L), least(lit(numBuckets - 1L),
+            floor((col(valCol) - col("__mn")) / (col("__mx") - col("__mn")) * numBuckets)
+              .cast("long"))))
+          .as("bucket"))
+    psiTerms(bucketed(before), bucketed(after), "bucket")
+  }
+}

@@ -170,10 +170,61 @@ object FeatureQueries {
         .transform(c)
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // snapshot drift gate: PSI over 10 equal-width n_chars buckets (bounds
+    // fixed by the BEFORE snapshot); v2 drops every 5th doc and shifts
+    // every 7th doc's length — the q98 mutation pattern read as a
+    // distribution instead of a diff
+    "q117_drift_psi" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val v2 = v1.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, col("n_chars") + 200)
+            .otherwise(col("n_chars")).as("n_chars"))
+      new graft.feature.DriftMonitor(numBuckets = 10).numeric(v1, v2, "n_chars")
+        .select(col("bucket"), col("n_before"), col("n_after"),
+          round(col("psi_term"), 9).as("psi_term"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // replays bounds-from-before bucketing and the half-count-smoothed
+    // PSI terms; p/q recomputed inline (deterministic double exprs)
+    "q117_drift_psi" ->
+      """WITH v1 AS (SELECT doc_id, n_chars FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 200 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 5 != 0
+        |), st AS (
+        |  SELECT CAST(min(n_chars) AS DOUBLE) AS mn, CAST(max(n_chars) AS DOUBLE) AS mx
+        |  FROM v1
+        |), b1 AS (
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE greatest(0, least(9, CAST(floor((n_chars - mn) / (mx - mn) * 10) AS BIGINT)))
+        |    END AS bucket
+        |  FROM v1, st
+        |), b2 AS (
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE greatest(0, least(9, CAST(floor((n_chars - mn) / (mx - mn) * 10) AS BIGINT)))
+        |    END AS bucket
+        |  FROM v2, st
+        |), cb AS (SELECT bucket, count(*) AS n_before FROM b1 GROUP BY 1),
+        |ca AS (SELECT bucket, count(*) AS n_after FROM b2 GROUP BY 1),
+        |j AS (
+        |  SELECT bucket, coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after
+        |  FROM cb FULL JOIN ca USING (bucket)
+        |), t AS (
+        |  SELECT CAST(sum(n_before) AS DOUBLE) AS tb, CAST(sum(n_after) AS DOUBLE) AS ta,
+        |    CAST(count(*) AS DOUBLE) AS nb
+        |  FROM j
+        |)
+        |SELECT bucket, n_before, n_after,
+        |  round(((n_before + 0.5) / (tb + 0.5 * nb) - (n_after + 0.5) / (ta + 0.5 * nb))
+        |    * ln(((n_before + 0.5) / (tb + 0.5 * nb)) / ((n_after + 0.5) / (ta + 0.5 * nb))), 9)
+        |    AS psi_term
+        |FROM j, t""".stripMargin,
     "q09_gather_encoder_top" ->
       """WITH gathered AS (
         |  SELECT o_custkey, o_orderpriority AS key,
