@@ -119,6 +119,19 @@ object SimilarityQueries {
         .select(col("vec_id"), col("dim"), round(col("val"), 6).as("val"))
     }),
 
+    // embedding-space decontamination: the seeded perturbed copies play
+    // the EVAL set, originals the training corpus; cross-corpus LSH join
+    // surfaces each eval vector's contamination source at cosine >= 0.9
+    // (the paraphrase case lexical n-gram contamination checks miss)
+    "q118_embed_contamination" -> ((s, dir) => {
+      val all = seeded(s, dir)
+      new RandomHyperplaneLSH(numPlanes = 64, numBands = 4)
+        .crossPairs(all.where(col("vec_id") >= 100000),
+          all.where(col("vec_id") < 100000), threshold = 0.9)
+        .select(col("id_l").as("eval_id"), col("id_r").as("train_id"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
     // product quantization: 8 subspaces × 16 codes over the 64-dim
     // corpus — fit (per-subspace lowest-id seeds + one Lloyd step under
     // squared-L2) then encode; long (vec_id, sub, code) output
@@ -252,6 +265,22 @@ object SimilarityQueries {
         |)
         |SELECT vec_id, dim, round(sum(term) / sqrt(16.0), 6) AS val
         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    // reuses the q22 band-signature fragment; candidates restricted to
+    // cross-side (eval = seeded ids >= 100000, train = originals)
+    "q118_embed_contamination" ->
+      ("WITH " + lshPairsSql + """,
+        |crossc AS (
+        |  SELECT DISTINCT a.vec_id AS eval_id, b.vec_id AS train_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig
+        |  WHERE a.vec_id >= 100000 AND b.vec_id < 100000
+        |)
+        |SELECT eval_id, train_id, round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+        |FROM crossc
+        |JOIN allv x ON x.vec_id = eval_id JOIN allv y ON y.vec_id = train_id
+        |WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+        |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
+        |SELECT -1, -1, -1.0 WHERE (SELECT max(len(v)) FROM allv) > 64""".stripMargin),
 
     // replays the full IVF-PQ composition: the q35 quantizer (probes,
     // inverted lists) + the q115 PQ codebook (codes, per-query distance

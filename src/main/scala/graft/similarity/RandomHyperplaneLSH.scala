@@ -85,6 +85,26 @@ class RandomHyperplaneLSH(
       .where(col("cosine") >= threshold)
   }
 
+  /** Cross-corpus near-dup pairs (id_l, id_r, cosine ≥ threshold):
+    * left/right meet ONLY through shared band buckets — the embedding-
+    * space decontamination join (eval-set vectors against a training
+    * corpus), where the lexical `ContaminationChecker` would miss
+    * paraphrases. Both sides shuffle once on band keys; within-side pairs
+    * are never formed.
+    */
+  def crossPairs(left: DataFrame, right: DataFrame, threshold: Double): DataFrame = {
+    val lb = bandSignatures(left).select(col(idCol).as("id_l"), col("band"), col("bandSig"))
+    val rb = bandSignatures(right).select(col(idCol).as("id_r"), col("band"), col("bandSig"))
+    val pairs = lb.join(rb, Seq("band", "bandSig"))
+      .select(col("id_l"), col("id_r")).distinct()
+    val lv = left.select(col(idCol).as("id_l"), dvec(col(vecCol)).as("lv"))
+    val rv = right.select(col(idCol).as("id_r"), dvec(col(vecCol)).as("rv"))
+    pairs.join(lv, "id_l").join(rv, "id_r")
+      .select(col("id_l"), col("id_r"),
+        cosineSimilarity(col("lv"), col("rv")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Approximate top-k: queries joined to candidates through shared band
     * buckets (the scale path — both sides shuffle on band keys, queries
     * need not be broadcast-small).

@@ -133,6 +133,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(hit === 3L)
   }
 
+  test("crossPairs links near-dups ACROSS frames only, never within a side") {
+    val left = vecs.where($"vec_id" === 3) // near-copy of 1
+    val right = vecs.where($"vec_id" =!= 3)
+    val got = new RandomHyperplaneLSH(numPlanes = 16, numBands = 4)
+      .crossPairs(left, right, threshold = 0.9)
+      .select($"id_l", $"id_r").as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L)))
+    // a side joined against itself via crossPairs still yields cross ids
+    // only (1 vs 4 are opposite: no pair survives the cosine bar)
+    val none = new RandomHyperplaneLSH(numPlanes = 16, numBands = 4)
+      .crossPairs(vecs.where($"vec_id" === 1), vecs.where($"vec_id" === 4), 0.9)
+    assert(none.count() === 0)
+  }
+
   test("near-dup plan is a bucketed join, not a cartesian product") {
     val plan = new RandomHyperplaneLSH(numPlanes = 16, numBands = 4)
       .nearDupPairs(vecs, 0.9).queryExecution.executedPlan.toString
