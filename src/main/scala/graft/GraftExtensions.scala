@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.sql.expressions.{CosineSimilarity, HyperplaneSignature, KMinValues, MinHashSignature, Shingles, SimHash64}
+import graft.sql.expressions.{CosineSimilarity, HyperplaneSignature, KMinValues, MinHashSignature, Shingles, SimHash64, SquaredL2}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * callable from SQL in any session built with
@@ -74,6 +74,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "cosine_similarity(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)")
         CosineSimilarity(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "squared_l2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "squared_l2(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)")
+        SquaredL2(children.head, children(1))
       }))
 
     ext.injectFunction((

@@ -149,7 +149,9 @@ object SimilarityQueries {
       val ivf = new IvfCosineIndex(numCentroids = 16, nprobe = 4, dim = Some(64))
       val idx = ivf.build(e)
       val pq = new ProductQuantizer(numSubspaces = 8, codebookSize = 16, dim = 64)
-      val cb = pq.fit(e)
+      // the codebook is m×k rows consumed by BOTH encode and the ADC
+      // tables — materialize once (the IvfIndex.build centroid discipline)
+      val cb = pq.fit(e).localCheckpoint()
       val codes = pq.encode(e, cb)
       val queries = e.where(col("vec_id") < 5)
       val cands = ivf.probes(queries, idx)

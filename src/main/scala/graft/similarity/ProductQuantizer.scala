@@ -40,11 +40,12 @@ class ProductQuantizer(
 
   private val subDim = dim / numSubspaces
 
-  /** Squared L2 between two equal-length ARRAY<DOUBLE>s as a sequential
-    * left-fold (engine-replayable summation order).
+  /** Squared L2 between two equal-length ARRAY<DOUBLE>s — the native
+    * codegen kernel; accumulates in index order, bit-identical to a
+    * sequential left-fold (engine-replayable summation order).
     */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    graft.sql.functions.squaredL2(a, b)
 
   /** (idCol, sub, slice): the m subvectors of each input vector. */
   private def slices(vectors: DataFrame): DataFrame =

@@ -50,6 +50,17 @@ object functions {
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** Squared L2 distance between two ARRAY&lt;DOUBLE&gt; columns as a native
+    * codegen expression ([[graft.sql.expressions.SquaredL2]]) — the PQ
+    * assignment/ADC kernel; index-order accumulation keeps it
+    * bit-identical to the `aggregate(zip_with(...))` fold it replaces.
+    */
+  def squaredL2(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.SquaredL2(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** Repartition a narrow input to the session's default parallelism before
     * CPU-heavy row-local kernels (minhash/simhash/signature/cosine loops).
     * No-op when the input already has enough partitions — on a real cluster

@@ -71,6 +71,24 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(got === Set(4L, 5L))
   }
 
+  test("native squared_l2 kernel is bit-identical to the HOF fold") {
+    val pairs = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 6.0, 8.0)),
+      (Array(0.1, -0.2), Array(0.3, 0.05)),
+      (Array.empty[Double], Array.empty[Double]))
+      .toDF("a", "b")
+    val got = pairs.select(
+      graft.sql.functions.squaredL2($"a", $"b").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0.0d, (acc, v) -> acc + v)")
+        .as("hof"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (n, h) => assert(n === h) } // exact, not approximate
+    // length mismatch and null input -> null
+    val bad = Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(graft.sql.functions.squaredL2($"a", $"b"))
+    assert(bad.collect().head.isNullAt(0))
+  }
+
   test("ADC distances are nonnegative and self-row is excluded") {
     val cb = pq.fit(vecs)
     val codes = pq.encode(vecs, cb)
