@@ -27,30 +27,50 @@ import org.apache.spark.sql.functions._
 class DriftMonitor(numBuckets: Int = 10) {
   require(numBuckets > 1, s"numBuckets ($numBuckets) must be > 1")
 
-  private def psiTerms(before: DataFrame, after: DataFrame, bucketCol: String): DataFrame = {
-    val b = before.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_before"))
-    val a = after.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_after"))
-    val joined = b.join(a, Seq(bucketCol), "full_outer")
-      .select(col(bucketCol),
+  /** PSI terms per (groupCols*, bucketCol): counts joined full-outer on
+    * the bucket (within each group), per-GROUP totals broadcast back. An
+    * empty `groupCols` monitors the whole table as one distribution.
+    */
+  private def psiTerms(
+      before: DataFrame, after: DataFrame,
+      bucketCol: String, groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols :+ bucketCol
+    val b = before.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_before"))
+    val a = after.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_after"))
+    val joined = b.join(a, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
         coalesce(col("n_before"), lit(0L)).as("n_before"),
-        coalesce(col("n_after"), lit(0L)).as("n_after"))
-    val tot = broadcast(joined.agg(
+        coalesce(col("n_after"), lit(0L)).as("n_after")): _*)
+    val totAgg = joined.groupBy(groupCols.map(col): _*).agg(
       sum(col("n_before")).cast("double").as("tb"),
       sum(col("n_after")).cast("double").as("ta"),
-      count(lit(1)).cast("double").as("nb")))
-    joined.crossJoin(tot)
-      .select(col(bucketCol), col("n_before"), col("n_after"),
+      count(lit(1)).cast("double").as("nb"))
+    val withTot =
+      if (groupCols.isEmpty) joined.crossJoin(broadcast(totAgg))
+      else joined.join(broadcast(totAgg), groupCols)
+    withTot
+      .select(keys.map(col) ++ Seq(col("n_before"), col("n_after"),
         ((col("n_before") + 0.5) / (col("tb") + lit(0.5) * col("nb"))).as("p"),
-        ((col("n_after") + 0.5) / (col("ta") + lit(0.5) * col("nb"))).as("q"))
-      .select(col(bucketCol), col("n_before"), col("n_after"),
-        ((col("p") - col("q")) * log(col("p") / col("q"))).as("psi_term"))
+        ((col("n_after") + 0.5) / (col("ta") + lit(0.5) * col("nb"))).as("q")): _*)
+      .select(keys.map(col) ++ Seq(col("n_before"), col("n_after"),
+        ((col("p") - col("q")) * log(col("p") / col("q"))).as("psi_term")): _*)
   }
 
   /** Per-category drift terms (category, n_before, n_after, psi_term) for
     * a categorical column; total PSI = sum of terms.
     */
   def categorical(before: DataFrame, after: DataFrame, keyCol: String): DataFrame =
-    psiTerms(before.select(col(keyCol)), after.select(col(keyCol)), keyCol)
+    psiTerms(before.select(col(keyCol)), after.select(col(keyCol)), keyCol, Nil)
+
+  /** Per-group categorical drift: one distribution per value of
+    * `groupCol` (e.g. the source mix per language) — each group's PSI is
+    * the sum of its terms. Group cardinality must be broadcast-small.
+    */
+  def categoricalBy(
+      before: DataFrame, after: DataFrame,
+      groupCol: String, keyCol: String): DataFrame =
+    psiTerms(before.select(col(groupCol), col(keyCol)),
+      after.select(col(groupCol), col(keyCol)), keyCol, Seq(groupCol))
 
   /** Per-bucket drift terms over `numBuckets` equal-width buckets of a
     * numeric column, bounds fixed by the BEFORE snapshot (values outside
@@ -67,6 +87,6 @@ class DriftMonitor(numBuckets: Int = 10) {
             floor((col(valCol) - col("__mn")) / (col("__mx") - col("__mn")) * numBuckets)
               .cast("long"))))
           .as("bucket"))
-    psiTerms(bucketed(before), bucketed(after), "bucket")
+    psiTerms(bucketed(before), bucketed(after), "bucket", Nil)
   }
 }

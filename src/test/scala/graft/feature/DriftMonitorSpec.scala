@@ -46,6 +46,21 @@ class DriftMonitorSpec extends SparkTestBase {
     assert(psi > 0.25)
   }
 
+  test("categoricalBy: drift isolated to one group, stable groups stay ~0") {
+    // group = lang; shift the source mix for 'de' only
+    val b = (1 to 40).map(i => (i.toLong, "en", s"src${i % 2}")) ++
+      (41 to 80).map(i => (i.toLong, "de", s"src${i % 2}"))
+    val a = (1 to 40).map(i => (i.toLong, "en", s"src${i % 2}")) ++
+      (41 to 80).map(i => (i.toLong, "de", "src0")) // de collapses to one source
+    val terms = new DriftMonitor()
+      .categoricalBy(b.toDF("id", "lang", "source"), a.toDF("id", "lang", "source"),
+        "lang", "source")
+      .groupBy($"lang").agg(sum($"psi_term").as("psi"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(terms("en")) < 1e-12)
+    assert(terms("de") > 0.25)
+  }
+
   test("numeric: constant column degenerates to one bucket, PSI 0 vs itself") {
     val const = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "x")
     val terms = new DriftMonitor().numeric(const, const, "x").collect()
