@@ -1,0 +1,110 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pins PQ search quality the way IvfRecallSpec pins IVF pruning: ADC
+  * recall@10 against the exact scan on the sf0.01 embeddings (500 ×
+  * 64-dim), 50 queries. Vectors are L2-normalized first so cosine and
+  * squared-L2 rank identically (‖a−b‖² = 2 − 2·cos on unit vectors) —
+  * the standard deployment for a cosine corpus behind an L2 quantizer.
+  *
+  * Floors sit deliberately below the measured values (table in SURVEY §8)
+  * to catch structural regressions — a broken codebook, assignment, or
+  * ADC table all crater recall — without flaking on data-shaped numbers.
+  */
+class PqRecallSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val vecs =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .select($"vec_id", expr(
+        "transform(embedding, x -> x / sqrt(aggregate(transform(embedding, y -> y * y), 0.0d, (a, v) -> a + v)))")
+        .as("embedding"))
+      .localCheckpoint()
+  private lazy val queries = vecs.where($"vec_id" < 50)
+
+  private lazy val exact10: Map[Long, Set[Long]] =
+    new CosineTopK(10).search(queries, vecs)
+      .select($"query_id".cast("long"), $"vec_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recall(got: Map[Long, Set[Long]]): Double = {
+    val per = exact10.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).count(want) / want.size.toDouble
+    }
+    per.sum / per.size
+  }
+
+  private def adcRecall(numSubspaces: Int): Double = {
+    val pq = new ProductQuantizer(numSubspaces, codebookSize = 16, dim = 64)
+    val cb = pq.fit(vecs).localCheckpoint()
+    val got = pq.adcSearch(queries, pq.encode(vecs, cb), cb, 10)
+      .select($"query_id".cast("long"), $"vec_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    recall(got)
+  }
+
+  test("ADC recall@10 clears documented floors and improves with more subspaces") {
+    // measured on this fixture: m=8 -> 0.262, m=16 -> 0.386. Low in
+    // absolute terms — near-uniform synthetic data quantized to 16
+    // centroids/subspace by the deterministic 1-step Lloyd keeps high
+    // distortion — which is exactly why the deployment pattern below
+    // (ADC shortlist + exact re-rank) exists. Floors sit under measured.
+    val r8 = adcRecall(8)
+    val r16 = adcRecall(16)
+    info(f"PQ ADC recall@10: m=8 -> $r8%.3f, m=16 -> $r16%.3f")
+    assert(r8 >= 0.18, f"m=8 recall $r8%.3f under floor")
+    assert(r16 >= 0.30, f"m=16 recall $r16%.3f under floor")
+    assert(r16 >= r8 - 0.02, "finer codes should not lose recall")
+  }
+
+  test("ADC shortlist + exact re-rank recovers most of the exact top-k") {
+    // the production PQ deployment: ADC is the cheap SHORTLIST stage
+    // (here 50 = 5k candidates scored from codes), exact cosine re-ranks
+    // the shortlist — recall then only needs the true top-10 to appear
+    // anywhere in the ADC top-50
+    val pq = new ProductQuantizer(numSubspaces = 16, codebookSize = 16, dim = 64)
+    val cb = pq.fit(vecs).localCheckpoint()
+    val shortlist = pq.adcSearch(queries, pq.encode(vecs, cb), cb, 50)
+      .select($"query_id", $"vec_id")
+    val qv = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val cv = vecs.select($"vec_id", $"embedding".as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    val got = shortlist.join(qv, "query_id").join(cv, "vec_id")
+      .select($"query_id", $"vec_id",
+        graft.sql.functions.cosineSimilarity($"qv", $"cv").as("cos"))
+      .withColumn("rk", row_number().over(w)).where($"rk" <= 10)
+      .select($"query_id".cast("long"), $"vec_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = recall(got)
+    info(f"PQ shortlist(50) + exact re-rank recall@10: $r%.3f")
+    assert(r >= 0.70, f"re-ranked recall $r%.3f under floor")
+  }
+
+  test("IVF-PQ (probe-pruned ADC) recall@10 tracks the probed fraction") {
+    val ivf = new IvfCosineIndex(numCentroids = 16, nprobe = 8, dim = Some(64))
+    val idx = ivf.build(vecs)
+    val pq = new ProductQuantizer(numSubspaces = 16, codebookSize = 16, dim = 64)
+    val cb = pq.fit(vecs).localCheckpoint()
+    val cands = ivf.probes(queries, idx)
+      .join(idx.lists.select($"vec_id", $"cid"), "cid")
+      .select($"query_id", $"vec_id")
+    val got = pq.adcSearchIn(queries, cands, pq.encode(vecs, cb), cb, 10)
+      .select($"query_id".cast("long"), $"vec_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = recall(got)
+    info(f"IVF-PQ recall@10 (16 cells, nprobe=8, m=16): $r%.3f")
+    // measured 0.388 — bounded by IVF's half-probe recall (~0.84 on this
+    // fixture) times PQ's ADC approximation (~0.39 full-scan); floor
+    // under measured
+    assert(r >= 0.30, f"IVF-PQ recall $r%.3f under floor")
+  }
+}
