@@ -62,6 +62,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
           graft.sql.functions.cosineSimilarity($"a.v", $"b.v"))
         .as[(Long, Long, Double)].collect().toSet
       assert(sqlCos === directCos && sqlCos.nonEmpty)
+
+      // squared_l2: the PQ distance kernel, same bits as Column path
+      val sqlL2 = spark.sql(
+        """SELECT a.id AS ia, b.id AS ib, squared_l2(a.v, b.v) AS d
+          |FROM vecs a JOIN vecs b ON a.id < b.id""".stripMargin)
+        .as[(Long, Long, Double)].collect().toSet
+      val directL2 = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+        .select($"a.id", $"b.id",
+          graft.sql.functions.squaredL2($"a.v", $"b.v"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(sqlL2 === directL2 && sqlL2.nonEmpty)
     } finally {
       spark.catalog.dropTempView("vecs")
       SparkSession.clearActiveSession()
