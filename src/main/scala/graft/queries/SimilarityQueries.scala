@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.DedupClusters
-import graft.similarity.{CosineTopK, EmbeddingNormalizer, EmbeddingQuantizer, IvfCosineIndex, ProductQuantizer, RandomHyperplaneLSH, RandomProjection}
+import graft.similarity.{CosineTopK, EmbeddingNormalizer, EmbeddingQuantizer, IvfCosineIndex, KMeans, ProductQuantizer, RandomHyperplaneLSH, RandomProjection}
 
 /** Similarity-search queries over the embeddings table.
   *
@@ -175,6 +175,18 @@ object SimilarityQueries {
     // pruned within cells only, keep = farthest-from-centroid pair member.
     // Runs on the seeded corpus (the perturbed copies are the planted
     // semantic dups the LSH queries also use).
+    // fixed-iteration distributed k-means: 8 clusters, 2 Lloyd
+    // refinements beyond the seeds — the multi-step production knob the
+    // 1-step IVF/PQ quantizers document. The per-cluster (size, inertia)
+    // summary pins every assignment and every refined centroid: one
+    // flipped membership or drifted mean changes the hash.
+    "q119_kmeans" -> ((s, dir) => {
+      val e = vectors(s, dir)
+      val km = new KMeans(k = 8, iters = 2, dim = 64)
+      km.summary(e, km.fit(e))
+        .select(col("cid"), col("size"), round(col("inertia"), 6).as("inertia"))
+    }),
+
     "q108_semantic_dedup" -> ((s, dir) => {
       new graft.dedup.SemanticDeduplicator(numCells = 16, threshold = 0.9,
         dim = Some(64))
@@ -184,6 +196,80 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // unrolled 2-iteration Lloyd replay: seeds (dense rank of the 8
+    // lowest ids) → assign/mean/coalesce twice → final assignment summed
+    // per cluster. Distances are the same index-order left-fold as the
+    // squared_l2 kernel, so assignments match bit-for-bit; the COALESCE
+    // replays the empty-cluster guard.
+    "q119_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ids AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8),
+        |ranked AS (
+        |  SELECT x.vec_id, CAST(count(y.vec_id) AS BIGINT) AS cid
+        |  FROM ids x LEFT JOIN ids y ON y.vec_id < x.vec_id GROUP BY 1
+        |), c0 AS (
+        |  SELECT ranked.cid, e.v AS cv FROM e JOIN ranked USING (vec_id)
+        |), d0 AS (
+        |  SELECT e.vec_id, c0.cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |         * (e.v[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e CROSS JOIN c0
+        |), a0 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d0) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT a0.cid, CAST(i AS INT) - 1 AS pos, avg(e.v[CAST(i AS INT)]) AS m
+        |    FROM e JOIN a0 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), c1 AS (
+        |  SELECT c0.cid, COALESCE(m1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN m1 USING (cid)
+        |), d1 AS (
+        |  SELECT e.vec_id, c1.cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |         * (e.v[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e CROSS JOIN c1
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d1) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT a1.cid, CAST(i AS INT) - 1 AS pos, avg(e.v[CAST(i AS INT)]) AS m
+        |    FROM e JOIN a1 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), c2 AS (
+        |  SELECT c1.cid, COALESCE(m2.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN m2 USING (cid)
+        |), dft AS (
+        |  SELECT e.vec_id, c2.cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |         * (e.v[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e CROSS JOIN c2
+        |), aft AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT vec_id, cid, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM dft) WHERE rn = 1
+        |)
+        |SELECT cid, count(*) AS size, round(sum(d2), 6) AS inertia
+        |FROM aft GROUP BY 1
+        |UNION ALL -- guard: loud mismatch unless every vector is exactly 64-dim
+        |SELECT -1, -1, -1 WHERE (SELECT max(len(v)) FROM e) != 64
+        |   OR (SELECT min(len(v)) FROM e) != 64""".stripMargin,
+
     "q21_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),

@@ -1,0 +1,116 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sql.functions.squaredL2
+
+/** Fixed-iteration distributed k-means (Lloyd's algorithm) under squared
+  * L2 — the "more Lloyd refinement steps" production knob that
+  * [[IvfCosineIndex]] and [[ProductQuantizer]] document but deliberately
+  * pin to one step for oracle replay. This operator IS that knob as a
+  * first-class citizen: train real cluster structure offline, then hand
+  * the centroids to the IVF/PQ plumbing (both consume a plain
+  * (cid, centroid) frame).
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build brief).
+  *
+  * Deterministic and oracle-replayable, matching the PQ discipline: seeds
+  * are the `k` lowest-id vectors (cid = dense 0-based rank in id order),
+  * each of the `iters` Lloyd steps assigns by argmin squared-L2 (ties to
+  * the lowest cid; the distance kernel accumulates in index order, so
+  * both engines add the same terms in the same order) and recomputes each
+  * centroid as the per-dimension member mean. A cluster that loses every
+  * member keeps its previous centroid (the standard empty-cluster guard —
+  * without it the next assignment would silently drop a cid).
+  *
+  * Scale, per iteration: centroids are k rows, broadcast; assignment is
+  * ONE streamed pass over the corpus whose argmin partial-aggregates
+  * map-side (`min_by`, no per-vector window), and the new means are one
+  * partial-aggregated groupBy of `dim` scalar avgs — no per-component
+  * explode. The corpus is scanned `iters + 1` times total (the inherent
+  * Lloyd cost) and never shuffled on anything wider than (cid, d scalar
+  * sums); centroids are localCheckpoint-ed per round so the final plan's
+  * lineage stays flat no matter how many iterations ran. Exactly the
+  * fixed-iteration contract [[graft.graph.PageRank]] uses: run length
+  * never depends on float-drift convergence tests.
+  */
+class KMeans(
+    k: Int,
+    iters: Int,
+    dim: Int,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+  require(k > 0, "k must be positive")
+  require(iters >= 0, "iters must be non-negative")
+  require(dim > 0, "dim must be positive")
+
+  /** (id, cv) spread to full parallelism: each assignment row evaluates k
+    * distance kernels, which a single-split input would serialize.
+    */
+  private def corpus(vectors: DataFrame): DataFrame =
+    graft.sql.functions.spread(
+      vectors.select(col(idCol), col(vecCol).cast("array<double>").as("cv")),
+      col(idCol))
+
+  /** Seed centroids (cid, centroid): the k lowest-id vectors, cid = the
+    * seed's dense 0-based rank in id order via the tiny triangle
+    * self-join (k rows) — no global window node.
+    */
+  def seeds(vectors: DataFrame): DataFrame = {
+    val e = corpus(vectors)
+    val ids = e.select(col(idCol)).orderBy(col(idCol)).limit(k)
+    val ranked = ids.as("x")
+      .join(ids.select(col(idCol).as("__y")).as("y"), col("__y") < col(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__y")).cast("long").as("cid"))
+    e.join(broadcast(ranked), idCol)
+      .select(col("cid"), col("cv").as("centroid"))
+  }
+
+  /** (id, cid, d2): nearest centroid per vector under squared L2; ties to
+    * the lowest cid. `min_by` over (d2, cid) partial-aggregates map-side —
+    * the shuffle carries one row per vector, not k.
+    */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignCv(corpus(vectors), centroids)
+
+  /** [[assign]] over an already-projected (id, cv) frame. */
+  private def assignCv(cvFrame: DataFrame, centroids: DataFrame): DataFrame =
+    cvFrame.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cid"), squaredL2(col("cv"), col("centroid")).as("d2"))
+      .groupBy(col(idCol))
+      .agg(
+        min_by(struct(col("cid"), col("d2")), struct(col("d2"), col("cid"))).as("b"))
+      .select(col(idCol), col("b.cid").as("cid"), col("b.d2").as("d2"))
+
+  /** Centroids after `iters` Lloyd refinements of the seeds. Each round's
+    * k-row result is localCheckpoint-ed: the next round (and the caller's
+    * downstream plan) reuses the materialized rows instead of replaying
+    * every prior corpus pass.
+    */
+  def fit(vectors: DataFrame): DataFrame = {
+    val e = corpus(vectors)
+    var cents = seeds(vectors).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val means = e.join(assignCv(e, cents).select(col(idCol), col("cid")), idCol)
+        .groupBy(col("cid"))
+        .agg(array((0 until dim).map(i => avg(col("cv")(i))): _*).as("m"))
+      cents = cents.as("c")
+        .join(means.as("n"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("n.m"), col("c.centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Per-cluster fit summary (cid, size, inertia): membership counts and
+    * the within-cluster sum of squared distances — the number a Lloyd
+    * iteration is guaranteed never to increase in total. One assignment
+    * pass, one partial-aggregated groupBy.
+    */
+  def summary(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assign(vectors, centroids)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("size"), sum(col("d2")).as("inertia"))
+}
