@@ -114,6 +114,22 @@ object DedupQueries {
     // into maximal spans per doc via the sorted-position lag identity.
     // Seeded exact copies are one full-doc span on both members; near-dup
     // copies share everything but the mutated tail.
+    // EXACT Jaccard >= 0.5 join over 8-char shingle sets via prefix
+    // filtering (AllPairs) — q20's near-dup semantics with a recall
+    // guarantee instead of LSH's probabilistic bands. The oracle verifies
+    // completeness the strong way: it computes the answer EXHAUSTIVELY
+    // (every shingle-sharing pair), so one pair missed by the prefix
+    // filter is a hash mismatch.
+    "q120_setsim_join" -> ((s, dir) => {
+      val sh = org.apache.spark.sql.GraftBridge.column(
+        graft.sql.expressions.Shingles(
+          org.apache.spark.sql.GraftBridge.expression(
+            graft.dedup.TextNormalizer.normalize(col("text"))), 8))
+      new graft.dedup.SetSimilarityJoin(0.5, "doc_id", "sh")
+        .pairs(seeded(s, dir).select(col("doc_id"), sh.as("sh")))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "q107_substring_dedup" -> ((s, dir) => {
       new graft.dedup.SubstringDeduplicator(k = 8, minCount = 2)
         .transform(seeded(s, dir))
@@ -190,6 +206,32 @@ object DedupQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // EXHAUSTIVE replay (no prefix filter): every shingle-sharing pair's
+    // exact Jaccard — any pair with J > 0 shares a shingle, so this is
+    // the complete ground truth the prefix-filtered join must equal.
+    "q120_setsim_join" ->
+      (seededSql +
+        """, sh AS (
+          |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
+          |  FROM norm CROSS JOIN range(1, 700) t(i)
+          |  WHERE i <= greatest(length(norm) - 7, 1)
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+          |), inter AS (
+          |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+          |  FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+          |  GROUP BY 1, 2
+          |), jac AS (
+          |  SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+          |  FROM inter
+          |  JOIN sizes sa ON sa.doc_id = id_a
+          |  JOIN sizes sb ON sb.doc_id = id_b
+          |)
+          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
+          |WHERE jaccard >= 0.5
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+          |SELECT -1, -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
+
     "q19_dedup_exact" ->
       (seededSql +
         """
