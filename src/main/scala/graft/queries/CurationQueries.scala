@@ -48,6 +48,19 @@ object CurationQueries {
       DedupClusters.components(docs, pairs, "doc_id")
     }),
 
+    // the SAME component semantics as q39 via the O(log n) algorithm:
+    // alternating large-star/small-star contraction (Kiveris et al. 2014)
+    // instead of O(diameter) min-label propagation. Identical oracle —
+    // two independent distributed algorithms must agree on every label.
+    "q121_cc_star" -> ((s, dir) => {
+      val docs = seeded(s, dir)
+      val pairs = new MinHashDeduplicator()
+        .setIdCol("doc_id").setTextCol("text")
+        .setShingleSize(8).setNumHashes(12).setNumBands(4).setThreshold(0.5)
+        .transform(docs)
+      graft.graph.StarContraction.components(docs, pairs, "doc_id")
+    }),
+
     // the end-game composition in ONE declarative plan: quality filter →
     // exact dedup (keep canonical) → 70% train split → token-budget shards
     "q50_curation_pipeline" -> ((s, dir) => {
@@ -198,6 +211,33 @@ object CurationQueries {
       |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
       |)""".stripMargin
 
+  // ground truth for connected components over the q20 pair graph —
+  // shared verbatim by q39 (min-label propagation) and q121 (star
+  // contraction): one recursive-CTE closure, two independent distributed
+  // algorithms that must both hash-match it
+  private val ccOracleSql =
+    ("""WITH RECURSIVE base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text || ' graft near dup probe'
+       |  FROM documents WHERE doc_id % 7 = 0
+       |)""".stripMargin
+      + minhashPairsSql +
+      """, ed AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM base
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+        |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+        |SELECT -1, -1 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "q37_quality_filter" ->
       """WITH norm AS (
@@ -231,28 +271,11 @@ object CurationQueries {
         |  ('0x' || substr(md5('val:' || doc_id), 1, 8))::BIGINT % 100 AS bucket
         |FROM documents
         |WHERE ('0x' || substr(md5('val:' || doc_id), 1, 8))::BIGINT % 100 < 30""".stripMargin,
-    "q39_dedup_clusters" ->
-      ("""WITH RECURSIVE base AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 200000, text || ' graft near dup probe'
-         |  FROM documents WHERE doc_id % 7 = 0
-         |)""".stripMargin
-        + minhashPairsSql +
-        """, ed AS (
-          |  SELECT id_a AS src, id_b AS dst FROM pairs
-          |  UNION ALL
-          |  SELECT id_b, id_a FROM pairs
-          |), reach(id, r) AS (
-          |  SELECT doc_id, doc_id FROM base
-          |  UNION
-          |  SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id
-          |)
-          |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
-          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
-          |SELECT -1, -1 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
+    "q39_dedup_clusters" -> ccOracleSql,
+    // q121 runs a DIFFERENT distributed algorithm (star contraction) over
+    // the same pair graph — one ground truth, two independent engines
+    // AND two independent algorithms agreeing on every cluster label
+    "q121_cc_star" -> ccOracleSql,
     "q50_curation_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, text,
