@@ -114,7 +114,7 @@ object DedupQueries {
     // into maximal spans per doc via the sorted-position lag identity.
     // Seeded exact copies are one full-doc span on both members; near-dup
     // copies share everything but the mutated tail.
-    // EXACT Jaccard >= 0.5 join over 8-char shingle sets via prefix
+    // EXACT Jaccard >= 0.8 join over 8-char shingle sets via prefix
     // filtering (AllPairs) — q20's near-dup semantics with a recall
     // guarantee instead of LSH's probabilistic bands. The oracle verifies
     // completeness the strong way: it computes the answer EXHAUSTIVELY
@@ -125,7 +125,7 @@ object DedupQueries {
         graft.sql.expressions.Shingles(
           org.apache.spark.sql.GraftBridge.expression(
             graft.dedup.TextNormalizer.normalize(col("text"))), 8))
-      new graft.dedup.SetSimilarityJoin(0.5, "doc_id", "sh")
+      new graft.dedup.SetSimilarityJoin(0.8, "doc_id", "sh")
         .pairs(seeded(s, dir).select(col("doc_id"), sh.as("sh")))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
@@ -228,7 +228,7 @@ object DedupQueries {
           |  JOIN sizes sb ON sb.doc_id = id_b
           |)
           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
-          |WHERE jaccard >= 0.5
+          |WHERE jaccard >= 0.8
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
           |SELECT -1, -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
 

@@ -99,6 +99,17 @@ object ScaleSmoke {
           .setIdCol("doc_id").setTextCol("text").setBudget(2048L)
           .transform(deduped).count()
       },
+      // exact prefix-filtered Jaccard join: the copy-specific md5 tail is
+      // each doc's RAREST shingles, so prefixes stay copy-unique and the
+      // candidate join must not blow up with the 20x-df original shingles
+      "setsim_join" -> { d: DataFrame =>
+        val sh = org.apache.spark.sql.GraftBridge.column(
+          graft.sql.expressions.Shingles(
+            org.apache.spark.sql.GraftBridge.expression(
+              graft.dedup.TextNormalizer.normalize(col("text"))), 8))
+        new graft.dedup.SetSimilarityJoin(0.8, "doc_id", "sh")
+          .pairs(d.select(col("doc_id"), sh.as("sh"))).count()
+      },
       // q103 shape: synthesize an 8x8 PNG per doc, real javax.imageio
       // encode+decode via the batched kernel — row-local, linear in rows
       "png_decode" -> { d: DataFrame =>
@@ -197,6 +208,12 @@ object ScaleSmoke {
           numCells = cells, threshold = 0.9, dim = Some(64))
           .verdicts(d).where(!col("keep")).count()
       },
+      // fixed k, 2 Lloyd iterations: each pass is O(n·k) assignment +
+      // one partial-aggregated mean — growth must be ~linear in rows
+      "kmeans_2it" -> { d: DataFrame =>
+        val km = new graft.similarity.KMeans(k = 16, iters = 2, dim = 64)
+        km.summary(d, km.fit(d)).count()
+      },
       // FIXED query batch against the growing corpus: brute-force scan is
       // linear in candidates; the vote tail is two partial aggregations
       "knn_classify" -> { d: DataFrame =>
@@ -221,6 +238,15 @@ object ScaleSmoke {
         val ed = d.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst")).distinct()
         val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
         new graft.graph.PageRank(iterations = 3).run(sym).count()
+      },
+      // disjoint copies keep component structure (and round count)
+      // constant while nodes/edges grow ×n — per-round cost must be the
+      // only thing that scales
+      "cc_star" -> { d: DataFrame =>
+        val pairs = d.select((col("pk") * 2).as("id_a"), (col("sk") * 2 + 1).as("id_b")).distinct()
+        val nodes = pairs.select(col("id_a").as("id"))
+          .union(pairs.select(col("id_b").as("id"))).distinct()
+        graft.graph.StarContraction.components(nodes, pairs, "id").count()
       })
 
     val evOps: Seq[(String, DataFrame => Long)] = Seq(
