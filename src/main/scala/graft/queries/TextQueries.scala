@@ -180,6 +180,30 @@ object TextQueries {
           round(graft.sql.functions.hllEstimate(col("regs"), p), 6).as("est_distinct"))
     }),
 
+    // mergeable-sketch rollup: sketch distinct tokens ONCE per
+    // (source, lang), then roll up per source AND globally by MERGING
+    // registers (element-wise max) — tokens are never rescanned for the
+    // coarser scopes. The oracle computes every scope's sketch DIRECTLY
+    // from the tokens, so the hash pins the merge identity itself:
+    // merged sub-sketches must equal the direct sketch bit-for-bit.
+    "q122_sketch_rollup" -> ((s, dir) => {
+      val p = 10
+      val sk = Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          explode_outer(graft.dedup.TextNormalizer.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(graft.sql.functions.hllSketch(col("tok"), p).as("regs"))
+      val perSource = sk.groupBy(col("source"))
+        .agg(graft.sql.functions.hllMerge(col("regs"), p).as("regs"))
+      val global = sk.groupBy()
+        .agg(graft.sql.functions.hllMerge(col("regs"), p).as("regs"))
+        .select(lit("__all__").as("source"), col("regs"))
+      perSource.unionByName(global)
+        .select(col("source"),
+          size(filter(col("regs"), r => r === lit(0))).as("zero_regs"),
+          round(graft.sql.functions.hllEstimate(col("regs"), p), 6).as("est_distinct"))
+    }),
+
     // bigram collocation mining: top-20 bigrams by frequency with PMI —
     // two distributed wordcounts, then only the tiny top-k set (not the
     // vocabulary) broadcast-joins back to unigram counts. Bigrams come
@@ -569,6 +593,41 @@ object TextQueries {
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
         |), hd AS (
         |  SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS hv FROM tok
+        |), rr AS (
+        |  SELECT source, hv >> 46 AS reg,
+        |    CASE WHEN (hv & ((1::BIGINT << 46) - 1)) = 0 THEN 47
+        |         ELSE 47 - length(format('{:b}', hv & ((1::BIGINT << 46) - 1))) END AS rho
+        |  FROM hd
+        |), regs AS (
+        |  SELECT source, reg, max(rho) AS mj FROM rr GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source,
+        |    sum(pow(2.0, -mj)) + (1024 - count(*)) AS harm,
+        |    1024 - count(*) AS zero_regs
+        |  FROM regs GROUP BY 1
+        |)
+        |SELECT source, CAST(zero_regs AS INT) AS zero_regs,
+        |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 / harm <= 2560.0
+        |              AND zero_regs > 0
+        |    THEN 1024.0 * ln(1024.0 / zero_regs)
+        |    ELSE 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 / harm END, 6) AS est_distinct
+        |FROM st""".stripMargin,
+    // every scope's registers derived DIRECTLY from the token hashes (the
+    // q80 replay) — the Spark side must arrive at identical registers by
+    // merging (source, lang) sub-sketches
+    "q122_sketch_rollup" ->
+      """WITH nrm AS (
+        |  SELECT source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), tok AS (
+        |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
+        |), hd0 AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS hv FROM tok
+        |), hd AS (
+        |  SELECT source, hv FROM hd0
+        |  UNION ALL
+        |  SELECT '__all__' AS source, hv FROM (SELECT DISTINCT hv FROM hd0)
         |), rr AS (
         |  SELECT source, hv >> 46 AS reg,
         |    CASE WHEN (hv & ((1::BIGINT << 46) - 1)) = 0 THEN 47

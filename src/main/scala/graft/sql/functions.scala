@@ -147,6 +147,24 @@ object functions {
       graft.sql.expressions.HllSketch(
         org.apache.spark.sql.GraftBridge.expression(c), p).toAggregateExpression())
 
+  /** Merge aggregate for [[hllSketch]] register arrays: element-wise max
+    * across the group's sketches — the property that makes HLL the 100 TB
+    * distinct-count workhorse: sketch each partition/day/source ONCE,
+    * store the 2^p-int array, and roll up any grouping later WITHOUT
+    * rescanning the data. Merging sub-sketches yields BIT-IDENTICAL
+    * registers to sketching the union directly (max is associative and
+    * commutative), so merged estimates replay exactly.
+    *
+    * Declarative form: the group's sketches (bounded: one per
+    * sub-partition in the rollup, e.g. #langs per source) fold through a
+    * row-local `zip_with(_, _, greatest)`.
+    */
+  def hllMerge(regs: Column, p: Int): Column =
+    aggregate(
+      collect_list(regs),
+      array_repeat(lit(0), 1 << p),
+      (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b)))
+
   /** Distinct-count estimate from a [[hllSketch]] register array: the
     * standard bias-corrected `alpha_m * m^2 / sum(2^-M_j)` with the
     * small-range linear-counting branch `m * ln(m/V)` (V = zero registers).

@@ -52,4 +52,26 @@ class HllSpec extends SparkTestBase {
     // all registers zero -> V = m -> linear counting gives m * ln(1) = 0
     assert(est === 0.0)
   }
+
+  test("hllMerge: merged sub-sketches equal the direct union sketch bit-for-bit") {
+    // overlapping groups (shared items across g0/g1/g2) — merge must
+    // reproduce the union's registers exactly despite the overlap
+    val df = (1 to 9000).map(i => (s"g${i % 3}", s"v${i % 2500}")).toDF("g", "v")
+    val direct = df.agg(hllSketch($"v", 10).as("regs"))
+      .select($"regs").as[Seq[Int]].head()
+    val merged = df.groupBy($"g").agg(hllSketch($"v", 10).as("regs"))
+      .agg(graft.sql.functions.hllMerge($"regs", 10).as("regs"))
+      .select($"regs").as[Seq[Int]].head()
+    assert(merged === direct)
+  }
+
+  test("hllMerge: merge is grouping-order invariant") {
+    val df = (1 to 6000).map(i => (s"g${i % 5}", s"v$i")).toDF("g", "v")
+    val sk = df.groupBy($"g").agg(hllSketch($"v", 8).as("regs"))
+    def merge(d: org.apache.spark.sql.DataFrame): Seq[Int] =
+      d.agg(graft.sql.functions.hllMerge($"regs", 8).as("regs"))
+        .select($"regs").as[Seq[Int]].head()
+    assert(merge(sk.orderBy($"g")) === merge(sk.orderBy($"g".desc)))
+    assert(merge(sk.repartition(13)) === merge(sk.coalesce(1)))
+  }
 }
