@@ -92,6 +92,11 @@ class KMeans(
   def fit(vectors: DataFrame): DataFrame = {
     val e = corpus(vectors)
     var cents = seeds(vectors).localCheckpoint()
+    // the estimator contract shared with the other fits (LR, binning,
+    // downsampling): a model fit on zero rows must fail loudly, never
+    // silently return a degenerate (here: centroid-less) model. The
+    // seeds are already materialized, so this check costs no extra pass.
+    require(!cents.isEmpty, "cannot fit k-means on an empty vector column")
     for (_ <- 0 until iters) {
       val means = e.join(assignCv(e, cents).select(col(idCol), col("cid")), idCol)
         .groupBy(col("cid"))

@@ -75,6 +75,14 @@ class KMeansSpec extends SparkTestBase {
     assert(sizes === Map(0L -> 1L, 1L -> 2L))
   }
 
+  test("fit on an empty corpus fails loudly (estimator contract)") {
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      new KMeans(k = 2, iters = 1, dim = 2).fit(empty)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("assignment is exhaustive and unique per vector") {
     val km = new KMeans(k = 3, iters = 2, dim = 2)
     val a = km.assign(vecs, km.fit(vecs))
