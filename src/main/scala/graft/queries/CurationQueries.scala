@@ -61,6 +61,31 @@ object CurationQueries {
       graft.graph.StarContraction.components(docs, pairs, "doc_id")
     }),
 
+    // canonical selection by QUALITY: near-dup clusters keep their
+    // best-quality member (ties to the lowest id), not the min-id — the
+    // production keep rule when duplicates differ in boilerplate/truncation.
+    // One per-cluster max_by partial aggregation over the q39 components;
+    // the quality score is row-local codegen, so the only new wide op is
+    // the cluster-keyed argmax.
+    "q123_keep_best" -> ((s, dir) => {
+      val docs = seeded(s, dir)
+      val pairs = new MinHashDeduplicator()
+        .setIdCol("doc_id").setTextCol("text")
+        .setShingleSize(8).setNumHashes(12).setNumBands(4).setThreshold(0.5)
+        .transform(docs)
+      val comps = DedupClusters.components(docs, pairs, "doc_id")
+      val scored = docs.select(col("doc_id"),
+        graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
+      comps.join(scored, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(
+          max_by(struct(col("doc_id"), col("quality")),
+            struct(col("quality"), -col("doc_id"))).as("k"),
+          count(lit(1)).as("members"))
+        .select(col("cluster"), col("k.doc_id").as("keep_id"),
+          col("k.quality").as("quality"), col("members"))
+    }),
+
     // the end-game composition in ONE declarative plan: quality filter →
     // exact dedup (keep canonical) → 70% train split → token-budget shards
     "q50_curation_pipeline" -> ((s, dir) => {
@@ -211,11 +236,10 @@ object CurationQueries {
       |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
       |)""".stripMargin
 
-  // ground truth for connected components over the q20 pair graph —
-  // shared verbatim by q39 (min-label propagation) and q121 (star
-  // contraction): one recursive-CTE closure, two independent distributed
-  // algorithms that must both hash-match it
-  private val ccOracleSql =
+  // shared closure CTEs over the q20 pair graph (through `comps`) — the
+  // connected-components ground truth consumed by q39 (min-label
+  // propagation), q121 (star contraction), and q123 (keep-best selection)
+  private val ccClustersCte =
     ("""WITH RECURSIVE base AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -233,8 +257,14 @@ object CurationQueries {
         |  SELECT doc_id, doc_id FROM base
         |  UNION
         |  SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id
-        |)
-        |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+        |), comps AS (
+        |  SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+        |)""".stripMargin)
+
+  private val ccOracleSql =
+    (ccClustersCte +
+      """
+        |SELECT doc_id, cluster FROM comps
         |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
         |SELECT -1, -1 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin)
 
@@ -272,6 +302,40 @@ object CurationQueries {
         |FROM documents
         |WHERE ('0x' || substr(md5('val:' || doc_id), 1, 8))::BIGINT % 100 < 30""".stripMargin,
     "q39_dedup_clusters" -> ccOracleSql,
+    // clusters from the shared closure + the q50 quality formula, keep =
+    // highest quality then lowest id (rounded to 6dp on both engines
+    // BEFORE the argmax, so the comparison replays exactly)
+    "q123_keep_best" ->
+      (ccClustersCte +
+        """, tk AS (
+          |  SELECT doc_id, text,
+          |    list_filter(string_split(
+          |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+          |      ' '), t -> t <> '') AS tl
+          |  FROM base
+          |), q AS (
+          |  SELECT doc_id,
+          |    round((
+          |      least(len(tl) / 100.0, 1.0) +
+          |      greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 4.0) +
+          |      least(len(list_filter(tl, t -> list_contains(
+          |        ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'],
+          |        t))) * 1.0 / len(tl) * 3.0, 1.0) +
+          |      (CASE WHEN list_sum(list_transform(tl, t -> length(t))) * 1.0 / len(tl)
+          |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+          |    ) / 4.0, 6) AS quality
+          |  FROM tk
+          |), ranked AS (
+          |  SELECT comps.cluster, comps.doc_id, q.quality,
+          |    row_number() OVER (PARTITION BY comps.cluster
+          |      ORDER BY q.quality DESC, comps.doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY comps.cluster) AS members
+          |  FROM comps JOIN q USING (doc_id)
+          |)
+          |SELECT cluster, doc_id AS keep_id, quality, members
+          |FROM ranked WHERE rn = 1
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+          |SELECT -1, -1, -1.0, -1 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
     // q121 runs a DIFFERENT distributed algorithm (star contraction) over
     // the same pair graph — one ground truth, two independent engines
     // AND two independent algorithms agreeing on every cluster label

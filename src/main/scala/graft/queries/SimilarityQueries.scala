@@ -187,6 +187,29 @@ object SimilarityQueries {
         .select(col("cid"), col("size"), round(col("inertia"), 6).as("inertia"))
     }),
 
+    // hard-negative mining for contrastive/embedding training: per query,
+    // the top-5 MOST similar corpus vectors with a DIFFERENT label — the
+    // negatives that actually teach the margin. q21's broadcast-query scan
+    // shape with the label-mismatch predicate pushed below the rank.
+    "q124_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("label").as("qlabel"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .where(col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id"),
+          graft.sql.functions.cosineSimilarity(col("qv"), col("v")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     "q108_semantic_dedup" -> ((s, dir) => {
       new graft.dedup.SemanticDeduplicator(numCells = 16, threshold = 0.9,
         dim = Some(64))
@@ -269,6 +292,20 @@ object SimilarityQueries {
         |UNION ALL -- guard: loud mismatch unless every vector is exactly 64-dim
         |SELECT -1, -1, -1 WHERE (SELECT max(len(v)) FROM e) != 64
         |   OR (SELECT min(len(v)) FROM e) != 64""".stripMargin,
+
+    "q124_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT qid, vec_id, list_cosine_similarity(qv, v) AS cos
+        |  FROM q JOIN e ON e.label != q.ql
+        |), ranked AS (
+        |  SELECT qid AS query_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "q21_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
