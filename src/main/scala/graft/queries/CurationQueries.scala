@@ -317,7 +317,9 @@ object CurationQueries {
           |  SELECT doc_id,
           |    round((
           |      least(len(tl) / 100.0, 1.0) +
-          |      greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0 / length(text)) * 4.0) +
+          |      greatest(0.0, 1.0 - ((length(text) -
+          |        length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+          |        * 1.0 / length(text)) * 4.0) +
           |      least(len(list_filter(tl, t -> list_contains(
           |        ['the', 'a', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for'],
           |        t))) * 1.0 / len(tl) * 3.0, 1.0) +
