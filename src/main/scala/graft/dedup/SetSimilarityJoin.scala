@@ -52,20 +52,33 @@ class SetSimilarityJoin(
   /** All pairs (id_a, id_b, jaccard) with id_a < id_b and exact Jaccard
     * >= threshold over the distinct-token sets.
     */
-  def pairs(sets: DataFrame): DataFrame = {
-    val t = threshold
+  def pairs(sets: DataFrame): DataFrame = pairsFrom(sorted(sets))
+
+  /** Candidate pairs (id_a, id_b) surviving the prefix + length +
+    * positional filters, BEFORE the exact verify — a superset of the true
+    * result. Public so callers can plug their own verification (e.g. a
+    * containment or weighted-overlap scorer) behind the same pruning.
+    */
+  def candidates(sets: DataFrame): DataFrame = candidatesFrom(sorted(sets))
+
+  /** (id, ts, sz): each set re-sorted in the global (df asc, tok asc)
+    * order — a total order, so every engine derives the identical prefix.
+    */
+  private def sorted(sets: DataFrame): DataFrame = {
     val toks = graft.sql.functions.spread(
       sets.select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("ts0")),
       col("id"))
       .select(col("id"), explode_outer(col("ts0")).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // each set re-sorted in the global (df asc, tok asc) order — a total
-    // order, so every engine derives the identical prefix
-    val ordered = toks.join(dfreq, "tok")
+    toks.join(dfreq, "tok")
       .groupBy(col("id"))
       .agg(expr("transform(array_sort(collect_list(struct(df, tok))), x -> x.tok)")
         .as("ts"))
       .select(col("id"), col("ts"), size(col("ts")).as("sz"))
+  }
+
+  private def candidatesFrom(ordered: DataFrame): DataFrame = {
+    val t = threshold
     // 1-based position rides along for the PPJoin positional filter below
     val prefix = ordered.select(col("id"), col("sz"),
       posexplode_outer(expr(
@@ -80,7 +93,7 @@ class SetSimilarityJoin(
     // only impossible ones. J >= t needs overlap >= t/(1+t)*(sz_a+sz_b).
     // On templated corpora (many moderately-shared tokens inside
     // prefixes) this prunes the candidate set ~7x before the verify.
-    val cands = prefix.as("a")
+    prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")).cast("double") >=
@@ -90,7 +103,11 @@ class SetSimilarityJoin(
             ceil(lit(t / (1 + t)) * (col("a.sz") + col("b.sz")) - lit(eps)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cands
+  }
+
+  private def pairsFrom(ordered: DataFrame): DataFrame = {
+    val t = threshold
+    candidatesFrom(ordered)
       .join(ordered.select(col("id").as("id_a"), col("ts").as("ta"), col("sz").as("sa")), "id_a")
       .join(ordered.select(col("id").as("id_b"), col("ts").as("tb"), col("sz").as("sb")), "id_b")
       .select(col("id_a"), col("id_b"),

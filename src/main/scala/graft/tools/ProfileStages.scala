@@ -41,11 +41,23 @@ object ProfileStages {
       println(f"### $label%-22s ${ts.map(_._1).min}%.3f s  (${ts.head._2} rows)")
     }
 
-    time("scan_seeded") { seeded().count() }
-    time("signatures") { m.signatures(seeded()).count() }
-    time("bandSignatures") { m.bandSignatures(seeded()).count() }
-    time("candidatePairs") { m.candidatePairs(seeded()).count() }
-    time("transform_full") { m.transform(seeded()).count() }
+    if (args.length > 1 && args(1) == "setsim") {
+      val sh = org.apache.spark.sql.GraftBridge.column(
+        graft.sql.expressions.Shingles(
+          org.apache.spark.sql.GraftBridge.expression(
+            graft.dedup.TextNormalizer.normalize(col("text"))), 8))
+      def sets() = seeded().select(col("doc_id"), sh.as("sh"))
+      val j = new graft.dedup.SetSimilarityJoin(0.8, "doc_id", "sh")
+      time("setsim_sets") { sets().count() }
+      time("setsim_candidates") { j.candidates(sets()).count() }
+      time("setsim_pairs_full") { j.pairs(sets()).count() }
+    } else {
+      time("scan_seeded") { seeded().count() }
+      time("signatures") { m.signatures(seeded()).count() }
+      time("bandSignatures") { m.bandSignatures(seeded()).count() }
+      time("candidatePairs") { m.candidatePairs(seeded()).count() }
+      time("transform_full") { m.transform(seeded()).count() }
+    }
     spark.stop()
   }
 }
