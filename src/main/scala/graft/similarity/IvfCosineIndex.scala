@@ -110,6 +110,20 @@ class IvfCosineIndex(
     IvfIndex(cents, e.join(assign(e, cents), idCol))
   }
 
+  /** Index build against EXTERNALLY-trained centroids (cid, centroid) —
+    * the [[KMeans]] integration: train real cluster structure with
+    * multi-step Lloyd offline, then list the corpus under those cells
+    * with the same one-pass assignment. `numCentroids`/`nprobe` keep
+    * governing probe width, so construct the index with numCentroids =
+    * the trained k.
+    */
+  def buildWith(candidates: DataFrame, cents: DataFrame): IvfIndex = {
+    val c = cents.select(col("cid"), dvec(col("centroid")).as("centroid"))
+      .localCheckpoint()
+    val e = corpus(candidates)
+    IvfIndex(c, e.join(assign(e, c), idCol))
+  }
+
   /** Assignment (id, cid) of NEW vectors to a prebuilt index's centroids —
     * the incremental-append path: a nightly embedding batch joins an
     * existing index with ONE broadcast-centroid pass over the batch, no

@@ -53,6 +53,39 @@ class KMeans(
       vectors.select(col(idCol), col(vecCol).cast("array<double>").as("cv")),
       col(idCol))
 
+  /** Farthest-point (k-center greedy) seeds: seed 0 = the lowest-id
+    * vector, each next seed = the point with the LARGEST squared distance
+    * to its nearest already-chosen seed (ties to the lowest id). The
+    * classic deterministic cure for Lloyd's local optima under degenerate
+    * init — [[KMeansIvfSpec]] shows lowest-id seeding converging to a
+    * doubled-up cell that no amount of Lloyd fixes, while these seeds land
+    * one per planted cluster. Costs k-1 extra corpus passes (each one
+    * broadcast-seed scan + a top-1 TakeOrdered, no shuffle) — the same
+    * cost class as the Lloyd iterations themselves.
+    */
+  def seedsFarthest(vectors: DataFrame): DataFrame = {
+    val e = corpus(vectors)
+    var chosen = e.orderBy(col(idCol)).limit(1)
+      .select(lit(0L).as("cid"), col("cv").as("centroid"))
+      .localCheckpoint()
+    for (i <- 1 until k) {
+      val next = e.crossJoin(broadcast(chosen))
+        .select(col(idCol), col("cv"), squaredL2(col("cv"), col("centroid")).as("d2"))
+        .groupBy(col(idCol)).agg(min(col("d2")).as("md"), first(col("cv")).as("cv"))
+        .orderBy(col("md").desc, col(idCol)).limit(1)
+        .select(lit(i.toLong).as("cid"), col("cv").as("centroid"))
+      chosen = chosen.unionByName(next).localCheckpoint()
+    }
+    chosen
+  }
+
+  /** Centroids after `iters` Lloyd refinements of [[seedsFarthest]] —
+    * [[fit]] with the k-center init for data whose cluster structure the
+    * lowest-id seeds would start blind to.
+    */
+  def fitFarthest(vectors: DataFrame): DataFrame =
+    refine(corpus(vectors), seedsFarthest(vectors))
+
   /** Seed centroids (cid, centroid): the k lowest-id vectors, cid = the
     * seed's dense 0-based rank in id order via the tiny triangle
     * self-join (k rows) — no global window node.
@@ -89,9 +122,14 @@ class KMeans(
     * downstream plan) reuses the materialized rows instead of replaying
     * every prior corpus pass.
     */
-  def fit(vectors: DataFrame): DataFrame = {
-    val e = corpus(vectors)
-    var cents = seeds(vectors).localCheckpoint()
+  def fit(vectors: DataFrame): DataFrame =
+    refine(corpus(vectors), seeds(vectors))
+
+  /** The shared Lloyd loop: `iters` refinements of `initial` over the
+    * projected corpus `e`.
+    */
+  private def refine(e: DataFrame, initial: DataFrame): DataFrame = {
+    var cents = initial.localCheckpoint()
     // the estimator contract shared with the other fits (LR, binning,
     // downsampling): a model fit on zero rows must fail loudly, never
     // silently return a degenerate (here: centroid-less) model. The
