@@ -210,6 +210,18 @@ object SimilarityQueries {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // k-center (farthest-point) seeded k-means: the deterministic init
+    // that cures Lloyd's degenerate-seed local optima (KMeansIvfSpec).
+    // k=4 seeds chosen by 3 unrolled argmax-of-min-distance passes, one
+    // Lloyd refinement, per-cluster summary — every seed choice, every
+    // assignment, and every refined mean is pinned by the hash.
+    "q125_kmeans_farthest" -> ((s, dir) => {
+      val e = vectors(s, dir)
+      val km = new KMeans(k = 4, iters = 1, dim = 64)
+      km.summary(e, km.fitFarthest(e))
+        .select(col("cid"), col("size"), round(col("inertia"), 6).as("inertia"))
+    }),
+
     "q108_semantic_dedup" -> ((s, dir) => {
       new graft.dedup.SemanticDeduplicator(numCells = 16, threshold = 0.9,
         dim = Some(64))
@@ -306,6 +318,91 @@ object SimilarityQueries {
         |)
         |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // unrolled k-center replay: 3 argmax-of-min-distance seed picks
+    // (ties to the lowest id), one Lloyd step with the empty-cluster
+    // COALESCE guard, per-cluster sums — the q119 idiom with the
+    // farthest-point init in place of lowest-id seeds
+    "q125_kmeans_farthest" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS cid, v AS cv FROM e
+        |  ORDER BY vec_id LIMIT 1
+        |), md1 AS (
+        |  SELECT e.vec_id, min(list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[CAST(i AS INT)] - s0.cv[CAST(i AS INT)])
+        |         * (e.v[CAST(i AS INT)] - s0.cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b)) AS md
+        |  FROM e CROSS JOIN s0 GROUP BY 1
+        |), s1 AS (
+        |  SELECT * FROM s0
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) AS cid, e.v AS cv
+        |  FROM (SELECT vec_id FROM md1 ORDER BY md DESC, vec_id LIMIT 1) w
+        |  JOIN e USING (vec_id)
+        |), md2 AS (
+        |  SELECT e.vec_id, min(list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[CAST(i AS INT)] - s.cv[CAST(i AS INT)])
+        |         * (e.v[CAST(i AS INT)] - s.cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b)) AS md
+        |  FROM e CROSS JOIN s1 s GROUP BY 1
+        |), s2 AS (
+        |  SELECT * FROM s1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT) AS cid, e.v AS cv
+        |  FROM (SELECT vec_id FROM md2 ORDER BY md DESC, vec_id LIMIT 1) w
+        |  JOIN e USING (vec_id)
+        |), md3 AS (
+        |  SELECT e.vec_id, min(list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[CAST(i AS INT)] - s.cv[CAST(i AS INT)])
+        |         * (e.v[CAST(i AS INT)] - s.cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b)) AS md
+        |  FROM e CROSS JOIN s2 s GROUP BY 1
+        |), s3 AS (
+        |  SELECT * FROM s2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT) AS cid, e.v AS cv
+        |  FROM (SELECT vec_id FROM md3 ORDER BY md DESC, vec_id LIMIT 1) w
+        |  JOIN e USING (vec_id)
+        |), d0 AS (
+        |  SELECT e.vec_id, s3.cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |         * (e.v[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e CROSS JOIN s3
+        |), a0 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d0) WHERE rn = 1
+        |), mm AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT a0.cid, CAST(i AS INT) - 1 AS pos, avg(e.v[CAST(i AS INT)]) AS m
+        |    FROM e JOIN a0 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), c1 AS (
+        |  SELECT s3.cid, COALESCE(mm.cv, s3.cv) AS cv
+        |  FROM s3 LEFT JOIN mm USING (cid)
+        |), dft AS (
+        |  SELECT e.vec_id, c1.cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (e.v[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |         * (e.v[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e CROSS JOIN c1
+        |), aft AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT vec_id, cid, d2,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM dft) WHERE rn = 1
+        |)
+        |SELECT cid, count(*) AS size, round(sum(d2), 6) AS inertia
+        |FROM aft GROUP BY 1
+        |UNION ALL -- guard: loud mismatch unless every vector is exactly 64-dim
+        |SELECT -1, -1, -1 WHERE (SELECT max(len(v)) FROM e) != 64
+        |   OR (SELECT min(len(v)) FROM e) != 64""".stripMargin,
 
     "q21_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
