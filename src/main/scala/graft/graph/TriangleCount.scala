@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-node triangle counts via the degree-ordered edge orientation —
+  * the classic bounded-fan-out formulation (node-iterator with degree
+  * ordering; Schank & Wagner 2005, and the standard MapReduce variant of
+  * Suri & Vassilvitskii WWW'11). Triangles are the local-clustering
+  * ingredient a link/co-occurrence graph analysis needs (community
+  * density, spam-farm detection) — and the naive wedge join without
+  * orientation explodes on hubs (a degree-10^6 node contributes 10^12
+  * wedges).
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build brief).
+  *
+  * The orientation: direct every undirected edge from its (degree, id)-
+  * smaller endpoint to the larger. Every out-neighborhood is then bounded
+  * by O(sqrt(m)) regardless of hub degree, so the wedge self-join
+  * generates each triangle's wedge EXACTLY once (at its smallest-key
+  * apex), and the closing-edge check is one EQUI-join against the same
+  * oriented edge list (wedge endpoints are emitted in the same global
+  * (degree, id) order the orientation uses — a triangle's closing edge
+  * can only exist in that orientation).
+  *
+  * Scale shape: two keyed degree joins, one src-keyed wedge self-join
+  * (fan-out bounded by the orientation), one (v, w)-keyed closing
+  * equi-join, one partial-aggregated count. No window, no driver state,
+  * nothing quadratic in any node's raw degree.
+  */
+object TriangleCount {
+
+  /** (node, triangles): triangle participation count per node, for nodes
+    * in at least one triangle. Input edges (id_a, id_b) are treated as
+    * undirected; duplicates and self-loops are dropped.
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+      least(col("id_a"), col("id_b")).as("x"),
+      greatest(col("id_a"), col("id_b")).as("y"))
+      .where(col("x") =!= col("y")).distinct()
+    val deg = e.select(col("x").as("n")).union(e.select(col("y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val xFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val dir = e
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(
+        when(xFirst, col("x")).otherwise(col("y")).as("src"),
+        when(xFirst, col("y")).otherwise(col("x")).as("dst"),
+        when(xFirst, col("dy")).otherwise(col("dx")).as("dd"))
+    val wedges = dir.as("a")
+      .join(dir.as("b"),
+        col("a.src") === col("b.src") &&
+          struct(col("a.dd"), col("a.dst")) < struct(col("b.dd"), col("b.dst")))
+      .select(col("a.src").as("u"), col("a.dst").as("v"), col("b.dst").as("w"))
+    val tri = wedges.join(dir.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+}

@@ -15,6 +15,21 @@ object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // per-part triangle counts over the co-purchase graph (parts sharing
+    // an order) — degree-ordered orientation keeps the wedge join bounded
+    // (never a hub's raw degree squared). Demo sized to even orders: the
+    // full sf0.1 graph's 41M wedges run fine but would dominate the
+    // bench with redundant work; the operator itself takes any edge list
+    "q126_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("a")
+        .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("id_a"), col("b.p").as("id_b")).distinct()
+      graft.graph.TriangleCount.perNode(edges)
+    }),
+
     // 3-iteration PageRank over the symmetrized part–supplier graph.
     // Node encoding keeps the two id spaces disjoint: part → 2k,
     // supplier → 2k+1. Ranks rounded to the 1e-9 grid (values ~1/N):
@@ -30,6 +45,37 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same degree-ordered derivation: orientation, wedge generation at
+    // the smallest-(deg,id) apex, one equi-join closing-edge check —
+    // integer-only, so the replay is exact
+    "q126_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 2 = 0
+        |), e AS (
+        |  SELECT DISTINCT a.p AS x, b.p AS y
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |), deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT x AS n FROM e UNION ALL SELECT y FROM e) GROUP BY 1
+        |), dir AS (
+        |  SELECT CASE WHEN (da.d, e.x) < (db.d, e.y) THEN e.x ELSE e.y END AS src,
+        |         CASE WHEN (da.d, e.x) < (db.d, e.y) THEN e.y ELSE e.x END AS dst,
+        |         CASE WHEN (da.d, e.x) < (db.d, e.y) THEN db.d ELSE da.d END AS dd
+        |  FROM e JOIN deg da ON da.n = e.x JOIN deg db ON db.n = e.y
+        |), w AS (
+        |  SELECT a.src AS u, a.dst AS v, b.dst AS wv
+        |  FROM dir a JOIN dir b
+        |    ON a.src = b.src AND (a.dd, a.dst) < (b.dd, b.dst)
+        |), tri AS (
+        |  SELECT u, v, wv FROM w JOIN dir d ON d.src = w.v AND d.dst = w.wv
+        |)
+        |SELECT node, count(*) AS triangles FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT wv FROM tri)
+        |GROUP BY 1""".stripMargin,
+
     // unrolled 3-iteration replay; damping constants written EXACTLY as
     // the operator computes them ((1.0 - 0.85), not 0.15 — they differ in
     // the last ulp)
