@@ -109,6 +109,18 @@ object functions {
         org.apache.spark.sql.GraftBridge.expression(c), depth, width)
         .toAggregateExpression())
 
+  /** Merge aggregate for [[countMinSketch]] arrays: element-wise SUM of
+    * the group's sketches — CMS is linear, so merged counters are
+    * bit-identical to sketching the union directly. Same operational
+    * story as [[hllMerge]]: sketch each partition/day/source once, roll
+    * up any coarser scope without rescanning tokens.
+    */
+  def cmsMerge(sketch: Column, depth: Int, width: Int): Column =
+    aggregate(
+      collect_list(sketch),
+      array_repeat(lit(0L), depth * width),
+      (acc, x) => zip_with(acc, x, (a, b) => a + b))
+
   /** Point frequency estimate from a [[countMinSketch]] array: min over the
     * key's `depth` buckets (an upper bound on the true count). Bucket
     * hashing replays the sketch's md5 scheme with built-ins (`conv` of the

@@ -249,6 +249,26 @@ object ScaleSmoke {
         graft.graph.StarContraction.components(nodes, pairs, "id").count()
       })
 
+    // co-purchase graph (q126 shape) with BOTH order and part id spaces
+    // offset per copy → disjoint copies, per-copy wedge structure constant
+    def scaledCopurchase(n: Int): DataFrame = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .where(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val copies = spark.range(n).select(col("id").as("__copy"))
+      val sc = li.crossJoin(copies)
+        .select((col("o") + col("__copy") * 100000000L).as("o"),
+          (col("p") + col("__copy") * 10000000L).as("p"))
+      sc.as("a").join(sc.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("id_a"), col("b.p").as("id_b")).distinct()
+    }
+    val triOps: Seq[(String, DataFrame => Long)] = Seq(
+      // time must track edges (the orientation bound), never a hub's
+      // degree squared
+      "triangles" -> { d: DataFrame =>
+        graft.graph.TriangleCount.perNode(d).count()
+      })
+
     val evOps: Seq[(String, DataFrame => Long)] = Seq(
       "sessionize" -> { e: DataFrame =>
         graft.streaming.Sessionize.batch(
@@ -302,6 +322,7 @@ object ScaleSmoke {
     run("lineitem", n => scaled("lineitem", "l_orderkey", n), liOps)
     run("embeddings", scaledEmb, embOps)
     run("graph", scaledGraph, graphOps)
+    run("copurchase", scaledCopurchase, triOps)
     spark.stop()
   }
 }

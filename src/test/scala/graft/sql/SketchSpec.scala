@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
 import graft.sql.expressions.{BloomFilterOps, ZOrder64}
-import graft.sql.functions.{bloomFilter, bloomMightContain, cmsEstimate, countMinSketch, zorder}
+import graft.sql.functions.{bloomFilter, bloomMightContain, cmsEstimate, cmsMerge, countMinSketch, zorder}
 
 /** Count-Min sketch, Bloom filter, and Z-order kernels: estimate bounds,
   * merge correctness (partition invariance), and codegen safety.
@@ -93,6 +93,21 @@ class SketchSpec extends SparkTestBase {
     val z = ZOrder64.interleave(0x7FFFFFFFL, 0L, 31)
     assert((0 until 31).forall(i => ((z >> (2 * i)) & 1L) == 1L))
     assert((0 until 31).forall(i => ((z >> (2 * i + 1)) & 1L) == 0L))
+  }
+
+  test("cmsMerge: merged sub-sketches equal the direct union sketch (CMS is linear)") {
+    val df = (1 to 9000).map(i => (s"g${i % 3}", s"v${i % 800}")).toDF("g", "v")
+    val direct = df.agg(countMinSketch($"v", 4, 256).as("sk"))
+      .select($"sk").as[Seq[Long]].head()
+    val merged = df.groupBy($"g").agg(countMinSketch($"v", 4, 256).as("sk"))
+      .agg(cmsMerge($"sk", 4, 256).as("sk"))
+      .select($"sk").as[Seq[Long]].head()
+    assert(merged === direct)
+    // and merged estimates answer like the direct sketch
+    val est = df.groupBy($"g").agg(countMinSketch($"v", 4, 256).as("sk"))
+      .agg(cmsMerge($"sk", 4, 256).as("sk"))
+      .select(cmsEstimate($"sk", lit("v7"), 4, 256)).as[Long].head()
+    assert(est >= 9000 / 800) // CMS estimates never undercount
   }
 
   test("zorder column: codegen matches interleave, two instances coexist") {
