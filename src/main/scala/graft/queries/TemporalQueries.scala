@@ -105,6 +105,21 @@ object TemporalQueries {
     // point-in-time-correct rolling user-history features: trailing-5
     // stats strictly before each event (the ML feature-leakage guard) —
     // one keyed shuffle, one window pass for all features
+    // per-user EWMA (alpha = 0.25): the recursive smoother a window frame
+    // can't express — one key-shuffle, then the recurrence runs as a
+    // row-local fold in (ts, event_id) order. Output UNROUNDED on
+    // purpose: the recurrence is bit-identical across engines (same op
+    // order, exactly-representable 0.25/0.75), while rounding would
+    // DIVERGE — the recurrence systematically lands values on exact 6dp
+    // half-boundaries where the two engines' round() disagree.
+    "q127_ewma" -> ((s, dir) => {
+      new graft.temporal.EwmaFeatures(alpha = 0.25)
+        .transform(Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("value")))
+        .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+    }),
+
     "q79_rolling_features" -> ((s, dir) => {
       new graft.temporal.RollingFeatures(n = 5)
         .transform(Tables.events(s, dir)
@@ -216,6 +231,25 @@ object TemporalQueries {
         |  min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY 1""".stripMargin,
+    // the same recurrence as a recursive CTE: rn=1 seeds at the value,
+    // each step computes 0.25*v + 0.75*prev in the identical order (both
+    // constants exactly representable, so no cross-engine drift)
+    "q127_ewma" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |), rec(user_id, event_id, value, rn, ewma) AS (
+        |  SELECT user_id, event_id, value, rn, value FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.event_id, ev.value, ev.rn,
+        |    0.25 * ev.value + 0.75 * rec.ewma
+        |  FROM rec JOIN ev ON ev.user_id = rec.user_id AND ev.rn = rec.rn + 1
+        |)
+        |SELECT user_id, event_id, value, ewma
+        |FROM rec""".stripMargin,
+
     "q79_rolling_features" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events

@@ -1,0 +1,44 @@
+package graft.temporal
+
+import graft.SparkTestBase
+
+class EwmaFeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Long, Long, Double)]): Map[(Long, Long), Double] =
+    new EwmaFeatures(alpha = 0.25)
+      .transform(rows.toDF("user_id", "event_id", "ts_us", "value"))
+      .select("user_id", "event_id", "ewma")
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, e, w) => (u, e) -> w }.toMap
+
+  test("recurrence matches the hand-computed chain; seeds at the first value") {
+    val got = run(Seq(
+      (1L, 10L, 100L, 8.0),
+      (1L, 11L, 200L, 4.0),
+      (1L, 12L, 300L, 12.0),
+      (2L, 20L, 100L, 5.0)))
+    assert(got((1L, 10L)) === 8.0)
+    assert(got((1L, 11L)) === 0.25 * 4.0 + 0.75 * 8.0) // 7.0
+    assert(got((1L, 12L)) === 0.25 * 12.0 + 0.75 * 7.0) // 8.25
+    assert(got((2L, 20L)) === 5.0) // single-event key
+  }
+
+  test("order is (ts, event_id): ties break deterministically, arrival order irrelevant") {
+    val base = Seq(
+      (1L, 11L, 100L, 2.0), // same ts as event 10 — event_id orders them
+      (1L, 10L, 100L, 6.0),
+      (1L, 12L, 200L, 10.0))
+    val a = run(base)
+    val b = run(base.reverse)
+    assert(a === b)
+    assert(a((1L, 10L)) === 6.0)
+    assert(a((1L, 11L)) === 0.25 * 2.0 + 0.75 * 6.0) // 5.0
+    assert(a((1L, 12L)) === 0.25 * 10.0 + 0.75 * 5.0) // 6.25
+  }
+
+  test("one output row per input event") {
+    val rows = (1L to 100L).map(i => (i % 7, i, i * 10L, i.toDouble))
+    assert(run(rows).size === 100)
+  }
+}
