@@ -130,6 +130,44 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // source-level resemblance WITHOUT pairwise doc scans: per-doc
+    // minhash signatures min-merged into ONE 12-long signature per source
+    // (bit-equal to signing the source's shingle UNION directly — the
+    // oracle computes it that way), pairwise signature match fraction
+    // beside the exact shingle-set Jaccard it estimates
+    "q128_source_resemblance" -> ((s, dir) => {
+      val shCol = org.apache.spark.sql.GraftBridge.column(
+        graft.sql.expressions.Shingles(
+          org.apache.spark.sql.GraftBridge.expression(
+            graft.dedup.TextNormalizer.normalize(col("text"))), 8))
+      val sigCol = org.apache.spark.sql.GraftBridge.column(
+        graft.sql.expressions.MinHashSignature(
+          org.apache.spark.sql.GraftBridge.expression(shCol), 12))
+      val docs = Tables.documents(s, dir)
+      val sigs = docs.select(col("source"), sigCol.as("sig"))
+        .groupBy(col("source"))
+        .agg(graft.sql.functions.minhashMerge(col("sig"), 12).as("sig"))
+      val occ = docs.select(col("source"), explode_outer(shCol).as("shingle")).distinct()
+      val sz = occ.groupBy(col("source")).agg(count(lit(1)).as("z"))
+      val inter = occ.as("x")
+        .join(occ.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("i"))
+      sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .select(col("src_a"), col("src_b"),
+          expr("CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS BIGINT)")
+            .as("sig_matches"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .join(sz.select(col("source").as("src_a"), col("z").as("za")), "src_a")
+        .join(sz.select(col("source").as("src_b"), col("z").as("zb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("sig_matches"),
+          round(coalesce(col("i"), lit(0L)).cast("double") /
+            (col("za") + col("zb") - coalesce(col("i"), lit(0L))), 6).as("jaccard"))
+    }),
+
     "q107_substring_dedup" -> ((s, dir) => {
       new graft.dedup.SubstringDeduplicator(k = 8, minCount = 2)
         .transform(seeded(s, dir))
@@ -206,6 +244,49 @@ object DedupQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // per-source signature computed DIRECTLY over the source's distinct
+    // shingle union (the Spark side min-merges per-doc signatures — the
+    // merge identity is what the hash checks), exact Jaccard exhaustively
+    "q128_source_resemblance" ->
+      """WITH norm AS (
+        |  SELECT source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT source, substring(norm, CAST(i AS INT), 8) AS shingle
+        |  FROM norm CROSS JOIN range(1, 700) t(i)
+        |  WHERE i <= greatest(length(norm) - 7, 1)
+        |), hashed AS (
+        |  SELECT source, shingle,
+        |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+        |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+        |  FROM sh
+        |), sig AS (
+        |  SELECT source, CAST(j AS INT) AS seed,
+        |         min((h1 + j * h2) % 72057594037927936) AS mh
+        |  FROM hashed CROSS JOIN range(0, 12) t(j)
+        |  GROUP BY 1, 2
+        |), pm AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(count(*) FILTER (a.mh = b.mh) AS BIGINT) AS sig_matches
+        |  FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
+        |  GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT source, count(*) AS z FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS i
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.source < y.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT pm.src_a, pm.src_b, pm.sig_matches,
+        |  round(coalesce(i, 0)::DOUBLE / (za.z + zb.z - coalesce(i, 0)), 6) AS jaccard
+        |FROM pm
+        |JOIN sz za ON za.source = pm.src_a
+        |JOIN sz zb ON zb.source = pm.src_b
+        |LEFT JOIN inter ON inter.src_a = pm.src_a AND inter.src_b = pm.src_b
+        |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+        |SELECT 'x', 'x', -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin,
+
     // EXHAUSTIVE replay (no prefix filter): every shingle-sharing pair's
     // exact Jaccard — any pair with J > 0 shares a shingle, so this is
     // the complete ground truth the prefix-filtered join must equal.

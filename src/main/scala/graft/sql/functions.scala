@@ -177,6 +177,21 @@ object functions {
       array_repeat(lit(0), 1 << p),
       (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b)))
 
+  /** Merge aggregate for MinHash signature arrays
+    * ([[graft.sql.expressions.MinHashSignature]]): element-wise MIN of
+    * the group's signatures — the min over a union of sets is the min of
+    * the per-subset minima, so a merged signature is bit-identical to
+    * signing the union's shingle set directly. Completes the mergeable
+    * sketch trio (HLL max-merge, CMS sum-merge, MinHash min-merge):
+    * signature per document once, roll up corpus/source-level signatures
+    * for resemblance estimates without pairwise scans.
+    */
+  def minhashMerge(sig: Column, numHashes: Int): Column =
+    aggregate(
+      collect_list(sig),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, x) => zip_with(acc, x, (a, b) => least(a, b)))
+
   /** Distinct-count estimate from a [[hllSketch]] register array: the
     * standard bias-corrected `alpha_m * m^2 / sum(2^-M_j)` with the
     * small-range linear-counting branch `m * ln(m/V)` (V = zero registers).

@@ -110,6 +110,22 @@ class SketchSpec extends SparkTestBase {
     assert(est >= 9000 / 800) // CMS estimates never undercount
   }
 
+  test("minhashMerge: merged per-subset signatures equal the union's direct signature") {
+    def sig(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.sql.expressions.MinHashSignature(
+          org.apache.spark.sql.GraftBridge.expression(c), 12))
+    val parts = Seq(Seq("aardvark", "beetle", "caribou"), Seq("caribou", "dingo"), Seq("emu"))
+      .toDF("sh")
+    val merged = parts.select(sig($"sh").as("s"))
+      .agg(graft.sql.functions.minhashMerge($"s", 12).as("s"))
+      .select($"s").as[Seq[Long]].head()
+    val direct = Seq(Seq("aardvark", "beetle", "caribou", "dingo", "emu")).toDF("sh")
+      .select(sig($"sh").as("s")).as[Seq[Long]].head()
+    assert(merged === direct)
+    assert(merged.length === 12)
+  }
+
   test("zorder column: codegen matches interleave, two instances coexist") {
     val df = (0L until 64L).map(x => (x, 63L - x)).toDF("x", "y")
     // two zorder calls in ONE projection — guards the freshName codegen fix
