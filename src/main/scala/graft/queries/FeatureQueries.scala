@@ -172,6 +172,20 @@ object FeatureQueries {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // leave-one-out smoothed target encoding of a high-cardinality key
+    // (l_partkey, ~30 rows/key): per-key stats from ONE partial-aggregated
+    // groupBy, prior as a broadcast scalar, the LOO correction row-local —
+    // every sum is integer-valued so the encoding replays bit-exactly
+    "q129_target_encode" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      new graft.feature.TargetEncoder(20.0)
+        .transformLoo(li, "l_partkey", "y")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey_cnt").as("cnt"),
+          round(col("l_partkey_enc"), 9).as("enc"))
+    }),
+
     // snapshot drift gate: PSI over 10 equal-width n_chars buckets (bounds
     // fixed by the BEFORE snapshot); v2 drops every 5th doc and shifts
     // every 7th doc's length — the q98 mutation pattern read as a
@@ -189,6 +203,23 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // prior and per-key sums are integer-valued (0/1 labels), so the LOO
+    // arithmetic is deterministic double math on both engines
+    "q129_target_encode" ->
+      """WITH lab AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |    CASE WHEN l_returnflag = 'R' THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM lineitem
+        |), p AS (SELECT avg(y) AS prior FROM lab),
+        |s AS (
+        |  SELECT l_partkey, count(*) AS cnt, sum(y) AS sum_y FROM lab GROUP BY 1
+        |)
+        |SELECT l_orderkey, l_linenumber, cnt,
+        |  round(CASE WHEN CAST(cnt - 1 AS DOUBLE) + 20.0 > 0
+        |    THEN (sum_y - y + 20.0 * prior) / (CAST(cnt - 1 AS DOUBLE) + 20.0)
+        |    ELSE prior END, 9) AS enc
+        |FROM lab JOIN s USING (l_partkey), p""".stripMargin,
     // replays bounds-from-before bucketing and the half-count-smoothed
     // PSI terms; p/q recomputed inline (deterministic double exprs)
     "q117_drift_psi" ->

@@ -96,10 +96,46 @@ object MetricsQueries {
     "q40_roc_curve" -> ((s, dir) => {
       new BinaryModelMetrics(scoreAndLabels(s, dir)).roc()
         .select(round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
+    }),
+
+    // reliability diagram + ECE: the calibration companion to the ranking
+    // curves — one histogram-shaped groupBy on the predicted axis, the
+    // ECE a count-weighted fold of the tiny bin table (broadcast back so
+    // the output is one tidy frame)
+    "q132_calibration" -> ((s, dir) => {
+      val cal = new graft.evaluation.ScoreCalibration(10)
+      val rel = cal.reliability(scoreAndLabels(s, dir), "score", "label")
+      rel.crossJoin(broadcast(cal.ece(rel)))
+        .select(col("bin"), col("n"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("accuracy"), 6).as("accuracy"),
+          round(col("gap"), 6).as("gap"),
+          round(col("ece"), 6).as("ece"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // equal-width bins on the predicted axis; every sum feeding
+    // accuracy/n is integer-valued, confidence/ece tolerate aggregation-
+    // order ulp via round(6) like the rest of the metrics family
+    "q132_calibration" ->
+      """WITH sl AS (
+        |  SELECT ((o_orderkey * 2654435761) % 1000) / 1000.0 AS score,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label
+        |  FROM orders
+        |), b AS (
+        |  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, count(*) AS n,
+        |    avg(score) AS confidence, avg(label) AS accuracy
+        |  FROM sl GROUP BY 1
+        |), g AS (
+        |  SELECT bin, n, confidence, accuracy,
+        |    abs(confidence - accuracy) AS gap
+        |  FROM b
+        |), e AS (SELECT sum(gap * n) / sum(n) AS ece FROM g)
+        |SELECT bin, n, round(confidence, 6) AS confidence,
+        |  round(accuracy, 6) AS accuracy, round(gap, 6) AS gap,
+        |  round(ece, 6) AS ece
+        |FROM g, e""".stripMargin,
     "q15_gains_curve" ->
       (cumSql +
         """

@@ -143,6 +143,43 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
         .limit(20)
+    }),
+
+    // daily-grid resample with LOCF fill: irregular per-user value events
+    // onto a dense day grid — terminal observation per (user, day) via a
+    // partial-aggregated argmax, per-user span explode (≤30 ticks), one
+    // user-keyed window for the fill. NULL values filtered upstream (a
+    // null reading is "no observation", not a value to carry).
+    "q130_resample_locf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("value"), col("event_id"))
+      new graft.temporal.Resampler(86400000000L).resample(ev)
+        .select(col("user_id"), col("tick"), round(col("value"), 6).as("value"))
+    }),
+
+    // nearest-direction as-of join with a 6h tolerance: each click matches
+    // its closest purchase by the same user in EITHER direction (ties to
+    // backward) — both directional scans ride ONE key shuffle (two window
+    // sorts over the same exchange), reconciled row-locally. Right side
+    // pre-deduped to one row per (user, ts) so the winner is
+    // order-independent.
+    "q134_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_id"), col("event_type"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("r_ts"))
+        .agg(min(col("event_id")).as("r_id"))
+      new AsOfJoin(Seq("user_id"), "ts_us", "r_ts", "nearest",
+        Some(21600000000L)).join(clicks, purchases)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("r_id"), col("r_ts"))
     })
   )
 
@@ -279,6 +316,64 @@ object TemporalQueries {
         |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n DESC, e1, e2, e3
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    // terminal observation per day replayed with a (ts, event_id) DESC
+    // rank; grid via generate_series; LOCF via last_value IGNORE NULLS
+    "q130_resample_locf" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value, event_id
+        |  FROM events WHERE value IS NOT NULL
+        |), t AS (
+        |  SELECT user_id, ts_us // 86400000000 AS tick, value,
+        |    row_number() OVER (PARTITION BY user_id, ts_us // 86400000000
+        |                       ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM e
+        |), term AS (SELECT user_id, tick, value FROM t WHERE rn = 1),
+        |span AS (
+        |  SELECT user_id, min(tick) AS t0, max(tick) AS t1 FROM term GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1)) AS tick FROM span
+        |), f AS (
+        |  SELECT g.user_id, g.tick,
+        |    last_value(term.value IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.tick
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |  FROM grid g
+        |  LEFT JOIN term ON g.user_id = term.user_id AND g.tick = term.tick
+        |)
+        |SELECT user_id, tick, round(value, 6) AS value FROM f""".stripMargin,
+    // nearest = reconcile DuckDB's two native ASOF directions row-wise
+    // with the same gap/tolerance/tie rules as the operator
+    "q134_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, ts_us AS r_ts, min(event_id) AS r_id
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), b AS (
+        |  SELECT l.user_id, l.event_id, l.ts_us, r.r_ts AS b_ts, r.r_id AS b_id
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts_us >= r.r_ts
+        |), f AS (
+        |  SELECT l.user_id, l.event_id, l.ts_us, r.r_ts AS f_ts, r.r_id AS f_id
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts_us <= r.r_ts
+        |), m AS (
+        |  SELECT b.user_id, b.event_id, b.ts_us,
+        |    (b_ts IS NOT NULL AND b.ts_us - b_ts <= 21600000000) AS ok_b,
+        |    (f_ts IS NOT NULL AND f_ts - b.ts_us <= 21600000000) AS ok_f,
+        |    b.ts_us - b_ts AS gap_b, f_ts - b.ts_us AS gap_f,
+        |    b_ts, b_id, f_ts, f_id
+        |  FROM b JOIN f USING (user_id, event_id, ts_us)
+        |)
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN ok_b AND (NOT ok_f OR gap_b <= gap_f) THEN b_id
+        |       WHEN ok_f THEN f_id END AS r_id,
+        |  CASE WHEN ok_b AND (NOT ok_f OR gap_b <= gap_f) THEN b_ts
+        |       WHEN ok_f THEN f_ts END AS r_ts
+        |FROM m""".stripMargin
   )
 }

@@ -204,6 +204,44 @@ object TextQueries {
           round(graft.sql.functions.hllEstimate(col("regs"), p), 6).as("est_distinct"))
     }),
 
+    // mergeable bottom-k uniform sample (custom TypedImperativeAggregate,
+    // k strings of state per group): per-source doc samples, global scope
+    // by MERGING the per-source sketches (union + re-rank by the same md5
+    // order) — the oracle samples every scope DIRECTLY, so the hash pins
+    // the merge identity: merged samples == direct samples, bit-for-bit
+    "q131_bottomk_sample" -> ((s, dir) => {
+      val k = 8
+      val sk = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(graft.sql.functions.bottomKSample(
+          col("doc_id").cast("string"), k).as("sample"))
+      val global = sk.groupBy()
+        .agg(graft.sql.functions.bottomKMerge(col("sample"), k).as("sample"))
+        .select(lit("__all__").as("source"), col("sample"))
+      sk.unionByName(global)
+        .select(col("source"), posexplode(col("sample")))
+        .select(col("source"), col("pos").cast("int").as("pos"),
+          col("col").cast("long").as("doc_id"))
+    }),
+
+    // mergeable fixed-bin histogram quantiles: per-source n_chars
+    // histograms (32 bins over [0, 640)), global scope by element-wise SUM
+    // of the count arrays — p50/p90/p99 estimated by in-bin interpolation
+    // at every scope without rescanning rows. The oracle recomputes each
+    // scope's histogram and interpolation directly from the rows.
+    "q133_hist_quantiles" -> ((s, dir) => {
+      val hs = new graft.sql.HistogramSketch(0.0, 640.0, 32)
+      val sk = hs.sketch(Tables.documents(s, dir), "source", "n_chars")
+      val global = sk.groupBy().agg(hs.merge(col("hist")).as("hist"))
+        .select(lit("__all__").as("source"), col("hist"))
+      sk.unionByName(global)
+        .select(col("source"),
+          aggregate(col("hist"), lit(0L), (a, c) => a + c).as("n"),
+          round(hs.quantile(col("hist"), 0.5), 9).as("p50"),
+          round(hs.quantile(col("hist"), 0.9), 9).as("p90"),
+          round(hs.quantile(col("hist"), 0.99), 9).as("p99"))
+    }),
+
     // bigram collocation mining: top-20 bigrams by frequency with PMI —
     // two distributed wordcounts, then only the tiny top-k set (not the
     // vocabulary) broadcast-joins back to unigram counts. Bigrams come
@@ -614,6 +652,56 @@ object TextQueries {
         |FROM st""".stripMargin,
     // every scope's registers derived DIRECTLY from the token hashes (the
     // q80 replay) — the Spark side must arrive at identical registers by
+    // every scope sampled DIRECTLY (distinct doc_ids ranked by the same
+    // 56-bit md5 order) — equality with the Spark side's merged sketches
+    // pins the bottom-k merge identity
+    "q131_bottomk_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS hv
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY hv, CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM h
+        |), g AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY hv, CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM (SELECT DISTINCT doc_id, hv FROM h)
+        |)
+        |SELECT source, CAST(rn - 1 AS INT) AS pos, doc_id FROM ranked
+        |WHERE rn <= 8
+        |UNION ALL
+        |SELECT '__all__' AS source, CAST(rn - 1 AS INT) AS pos, doc_id FROM g
+        |WHERE rn <= 8""".stripMargin,
+    // per-scope histogram + cumulative-bin interpolation replayed from the
+    // raw rows; only nonzero bins exist as rows, so "first bin with
+    // cum >= target" matches the Spark fold's c > 0 guard
+    "q133_hist_quantiles" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    greatest(0, least(31, CAST(floor(n_chars / 20.0) AS INT))) AS b
+        |  FROM documents
+        |), scoped AS (
+        |  SELECT source, b, count(*) AS c FROM d GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT '__all__' AS source, b, count(*) AS c FROM d GROUP BY 2
+        |), cum AS (
+        |  SELECT source, b, CAST(c AS DOUBLE) AS c,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY b) AS DOUBLE) AS cum_incl,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY b) - c AS DOUBLE) AS cum_b,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS total
+        |  FROM scoped
+        |)
+        |SELECT source, CAST(max(total) AS BIGINT) AS n,
+        |  round(min_by((b + greatest(0.0, 0.5 * total - cum_b) / c) * 20.0, b)
+        |    FILTER (WHERE cum_incl >= 0.5 * total), 9) AS p50,
+        |  round(min_by((b + greatest(0.0, 0.9 * total - cum_b) / c) * 20.0, b)
+        |    FILTER (WHERE cum_incl >= 0.9 * total), 9) AS p90,
+        |  round(min_by((b + greatest(0.0, 0.99 * total - cum_b) / c) * 20.0, b)
+        |    FILTER (WHERE cum_incl >= 0.99 * total), 9) AS p99
+        |FROM cum GROUP BY source""".stripMargin,
     // merging (source, lang) sub-sketches
     "q122_sketch_rollup" ->
       """WITH nrm AS (

@@ -98,6 +98,42 @@ object functions {
     when(size(arr) < k, size(arr).cast("double"))
       .otherwise(lit((k - 1).toDouble * 72057594037927936.0) / element_at(arr, k))
 
+  /** Bottom-k uniform sample aggregate (custom
+    * [[graft.sql.expressions.BottomKSample]] TypedImperativeAggregate):
+    * the k distinct values with the smallest 56-bit md5 hashes, in hash
+    * order — a deterministic, MERGEABLE uniform sample without replacement
+    * in bounded (k-value) state. The sampling sibling of [[kMinValues]].
+    */
+  def bottomKSample(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.BottomKSample(
+        org.apache.spark.sql.GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** Merge aggregate for [[bottomKSample]] arrays: union the group's
+    * sample arrays, re-rank by the same 56-bit md5 order (recomputable
+    * from the values — the sketch is self-describing), keep k. Because
+    * the k smallest of a union live inside the union of per-part k
+    * smallest, merged samples are bit-identical to sampling the union
+    * directly — per-source/per-day sketches roll up without rescans,
+    * completing the mergeable-register quartet (HLL max, CMS sum,
+    * MinHash min, bottom-k rank).
+    *
+    * Declarative: flatten + distinct + sort by `(hash56, value)` +
+    * slice — row-local array ops over the group's collected sketches
+    * (bounded: #subgroups × k strings).
+    */
+  def bottomKMerge(samples: Column, k: Int): Column = {
+    val h = (v: Column) =>
+      conv(substring(md5(v), 1, 14), 16, 10).cast("long")
+    slice(
+      transform(
+        array_sort(
+          transform(array_distinct(flatten(collect_list(samples))),
+            v => struct(h(v).as("h"), v.as("v")))),
+        e => e("v")),
+      1, k)
+  }
+
   /** Count-Min sketch aggregate ([[graft.sql.expressions.CountMinSketch]]):
     * `depth × width` counters as a flattened ARRAY&lt;LONG&gt; — fixed-size,
     * mergeable per-group frequency state (vs shuffling the whole

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Time-series as-of join: for each left row, the single right row with the
-  * greatest right-time <= left-time (`backward`, the default) or the
-  * smallest right-time >= left-time (`forward`), equi-matched on key
-  * columns — the join behind "attach the most recent signal reading /
-  * price / prior event to each observation".
+  * greatest right-time <= left-time (`backward`, the default), the
+  * smallest right-time >= left-time (`forward`), or whichever of the two
+  * is closer in time (`nearest`, ties to backward — the pandas
+  * `merge_asof` convention), equi-matched on key columns — the join
+  * behind "attach the most recent signal reading / price / prior event
+  * to each observation".
   *
   * Beyond-reference operator (the build brief's canonical example of an
   * operator Spark lacks). Spark has no ASOF JOIN; a naive formulation is a
@@ -42,8 +44,8 @@ class AsOfJoin(
     tolerance: Option[Long] = None) {
 
   require(keyCols.nonEmpty, "as-of join needs at least one key column")
-  require(direction == "backward" || direction == "forward",
-    s"direction must be backward|forward, got $direction")
+  require(Set("backward", "forward", "nearest").contains(direction),
+    s"direction must be backward|forward|nearest, got $direction")
   require(tolerance.forall(_ >= 0), "tolerance must be nonnegative")
 
   /** Left-outer as-of join; right payload columns (everything except the
@@ -77,30 +79,55 @@ class AsOfJoin(
         lit(null).cast(lStruct).as("__l"), rPayload.as("__r")): _*)
 
     // backward: right rows sort before left at equal __t (inclusive match);
-    // forward: scan time descending so "last right seen" = next-at-or-after
-    val timeOrder =
-      if (direction == "backward") Seq(col("__t").asc, col("__side").asc)
-      else Seq(col("__t").desc, col("__side").asc)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(timeOrder: _*)
+    // forward: scan time descending so "last right seen" = next-at-or-after.
+    // nearest: both scans — two Window nodes over the SAME partitioning
+    // (one exchange, two per-partition sorts), candidates reconciled
+    // row-locally by gap.
+    val wBack = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = lTagged.unionByName(rTagged)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-
-    val withinTol: Column = tolerance match {
-      case None => col("__m").isNotNull
-      case Some(tol) =>
-        val gap =
-          if (direction == "backward") col("__t") - col("__m")(rightTimeCol)
-          else col("__m")(rightTimeCol) - col("__t")
-        col("__m").isNotNull && gap <= tol
+    val union = lTagged.unionByName(rTagged)
+    // candidate validity: present, and inside tolerance when one is set
+    def valid(m: Column, gap: Column): Column = tolerance match {
+      case None => m.isNotNull
+      case Some(tol) => m.isNotNull && gap <= tol
+    }
+    val matched = direction match {
+      case "backward" =>
+        val m = last(col("__r"), ignoreNulls = true).over(wBack)
+        union.withColumn("__m", m)
+          .withColumn("__ok", valid(col("__m"), col("__t") - col("__m")(rightTimeCol)))
+      case "forward" =>
+        val m = last(col("__r"), ignoreNulls = true).over(wFwd)
+        union.withColumn("__m", m)
+          .withColumn("__ok", valid(col("__m"), col("__m")(rightTimeCol) - col("__t")))
+      case "nearest" =>
+        val both = union
+          .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wBack))
+          .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(wFwd))
+        val gapB = col("__t") - col("__mb")(rightTimeCol)
+        val gapF = col("__mf")(rightTimeCol) - col("__t")
+        val okB = valid(col("__mb"), gapB)
+        val okF = valid(col("__mf"), gapF)
+        // both valid → smaller gap wins, tie → backward (the pandas
+        // merge_asof nearest convention)
+        both
+          .withColumn("__m",
+            // no otherwise: an unmatched row gets a typed NULL for free
+            when(okB && (!okF || gapB <= gapF), col("__mb"))
+              .when(okF, col("__mf")))
+          .withColumn("__ok", okB || okF)
+          .drop("__mb", "__mf")
     }
 
+    val kept = matched.where(col("__side") === 1)
     val leftCols = left.columns.map(c => col("__l")(c).as(c)).toIndexedSeq
     val rightCols = rPayloadCols.map(c =>
-      when(withinTol, col("__m")(c)).as(c))
-    matched.select(leftCols ++ rightCols: _*)
+      when(col("__ok"), col("__m")(c)).as(c))
+    kept.select(leftCols ++ rightCols: _*)
   }
 }

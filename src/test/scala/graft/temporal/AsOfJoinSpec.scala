@@ -85,4 +85,38 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"unexpected join node in:\n$plan")
     assert(!plan.toLowerCase.contains("cartesian"))
   }
+
+  // extra trades exercising the nearest-specific cases: 145 is equidistant
+  // from quotes 90/200 (gap 55 both -> tie goes backward), 195 is much
+  // closer to the next quote than the prior one
+  lazy val tradesN = trades.unionByName(Seq(
+    (6L, "A", 145L), (7L, "A", 195L)).toDF("trade_id", "sym", "t"))
+
+  private def nearest(tol: Option[Long]) =
+    new AsOfJoin(Seq("sym"), "t", "qt", "nearest", tol)
+      .join(tradesN, quotes)
+      .select($"trade_id", $"qt", $"px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("nearest picks the closer side, either direction") {
+    val m = nearest(None)
+    assert(m(1L) === ((Some(90L), Some(1.0))))   // gap 10 back vs 100 fwd
+    assert(m(2L) === ((Some(200L), Some(2.0))))  // gap 5 back vs 95 fwd
+    assert(m(4L) === ((Some(100L), Some(4.0))))  // no backward -> forward
+    assert(m(5L) === ((Some(100L), Some(4.0))))  // no forward -> backward
+    assert(m(7L) === ((Some(200L), Some(2.0))))  // gap 105 back vs 5 fwd
+  }
+
+  test("nearest tie goes backward (merge_asof convention)") {
+    assert(nearest(None)(6L) === ((Some(90L), Some(1.0))))
+  }
+
+  test("nearest tolerance disqualifies per side, not globally") {
+    val m = nearest(Some(50L))
+    assert(m(7L) === ((Some(200L), Some(2.0))))  // backward out, forward in
+    assert(m(4L) === ((Some(100L), Some(4.0))))  // gap 50 inclusive
+    assert(m(5L) === ((None, None)))             // both sides out/absent
+    assert(m(6L) === ((None, None)))             // 55 > 50 on both sides
+  }
 }
