@@ -278,6 +278,32 @@ object ScaleSmoke {
       "outliers" -> { e: DataFrame =>
         new graft.feature.RobustOutliers().flag(e, "event_type", "value")
           .where(col("is_outlier")).count()
+      },
+      // same users, ×n events each: both directional windows grow with the
+      // per-user slice; output (clicks) grows linearly
+      "asof_nearest" -> { e: DataFrame =>
+        val ev = e.select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_id"), col("event_type"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts_us").as("r_ts"))
+          .agg(min(col("event_id")).as("r_id"))
+        new graft.temporal.AsOfJoin(Seq("user_id"), "ts_us", "r_ts",
+          "nearest", Some(21600000000L)).join(clicks, purchases)
+          .where(col("r_id").isNotNull).count()
+      })
+
+    // user ids offset per copy: the LOCF grid (keys × span) grows ×n —
+    // time must track the grid, with the terminal-value agg and fill
+    // window staying keyed by the growing user space
+    val evUserOps: Seq[(String, DataFrame => Long)] = Seq(
+      "resample_locf" -> { e: DataFrame =>
+        new graft.temporal.Resampler(86400000000L).resample(
+          e.where(col("value").isNotNull).select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+            col("value"), col("event_id"))).count()
       })
 
     // comma-separated op-name filter for focused re-measures
@@ -311,6 +337,14 @@ object ScaleSmoke {
       "profiler" -> { d: DataFrame =>
         new graft.sql.TableProfiler().profile(d.toDF(),
           Seq("l_quantity", "l_extendedprice", "l_returnflag")).count()
+      },
+      // key space constant, ×n rows per key: the stats groupBy absorbs
+      // the density map-side; the join back is the only other exchange
+      "target_encode_loo" -> { d: DataFrame =>
+        new graft.feature.TargetEncoder(20.0).transformLoo(
+          d.withColumn("y",
+            when(col("l_returnflag") === "R", 1.0).otherwise(0.0)),
+          "l_partkey", "y").count()
       })
 
     // dup-structured ops on UNMUTATED copies (dup groups of size `mult`
@@ -318,6 +352,7 @@ object ScaleSmoke {
     run("docs", n => scaled("documents", "doc_id", n), dupOps)
     run("docs", n => scaled("documents", "doc_id", n, mutate = true), ops)
     run("events", n => scaled("events", "event_id", n), evOps)
+    run("events_u", n => scaled("events", "user_id", n), evUserOps)
     run("names", scaledNames, nameOps)
     run("lineitem", n => scaled("lineitem", "l_orderkey", n), liOps)
     run("embeddings", scaledEmb, embOps)
