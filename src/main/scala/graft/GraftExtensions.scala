@@ -98,5 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSignature(children.head, numHashes)
       }))
+
+    // plan-time structural guard (opt-in via spark.graft.planGuard): fail
+    // at optimization when a window would plan as a single-task global
+    // sort — the injectOptimizerRule tier for whole-plan concerns
+    ext.injectOptimizerRule(graft.plans.PlanGuard)
   }
 }

@@ -180,6 +180,18 @@ object TemporalQueries {
         Some(21600000000L)).join(clicks, purchases)
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("r_id"), col("r_ts"))
+    }),
+
+    // per-user interval union: 30-min activity windows around each event
+    // merged into non-overlapping islands — true active time without the
+    // double-counting a sum of window lengths would give. One keyed
+    // shuffle + sort, island rollup partial-aggregated.
+    "q135_interval_coverage" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("start_us"))
+        .withColumn("end_us", col("start_us") + lit(1800000000L))
+      new graft.temporal.IntervalCoverage().coverage(iv)
     })
   )
 
@@ -374,6 +386,34 @@ object TemporalQueries {
         |       WHEN ok_f THEN f_id END AS r_id,
         |  CASE WHEN ok_b AND (NOT ok_f OR gap_b <= gap_f) THEN b_ts
         |       WHEN ok_f THEN f_ts END AS r_ts
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // identical gaps-and-islands window replay; touching intervals merge
+    // (strict > in the new-island test)
+    "q135_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv
+        |), fl AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+        |  FROM m
+        |), isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl
+        |), seg AS (
+        |  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(i_e - i_s) AS BIGINT) AS covered,
+        |  count(*) AS n_islands,
+        |  min(i_s) AS first_start, max(i_e) AS last_end
+        |FROM seg GROUP BY 1""".stripMargin
   )
 }

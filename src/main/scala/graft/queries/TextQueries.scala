@@ -224,6 +224,28 @@ object TextQueries {
           col("col").cast("long").as("doc_id"))
     }),
 
+    // weighted sample sketch (Efraimidis–Spirakis A-Res, custom typed
+    // aggregate): per-lang samples weighted by n_chars, global scope by
+    // re-keyed merge — the fixed-size mixture-weighted selection
+    // primitive. The oracle ranks every scope directly by the same
+    // -ln(u)/w key, pinning both the scheme and the merge identity.
+    "q136_weighted_sample_sketch" -> ((s, dir) => {
+      val k = 6
+      val sk = Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(graft.sql.functions.weightedBottomK(
+          col("doc_id").cast("string"), col("n_chars").cast("double"), k)
+          .as("sample"))
+      val global = sk.groupBy()
+        .agg(graft.sql.functions.weightedBottomKMerge(col("sample"), k)
+          .as("sample"))
+        .select(lit("__all__").as("lang"), col("sample"))
+      sk.unionByName(global)
+        .select(col("lang"), posexplode(col("sample")))
+        .select(col("lang"), col("pos").cast("int").as("pos"),
+          col("col.v").cast("long").as("doc_id"), col("col.w").as("w"))
+    }),
+
     // mergeable fixed-bin histogram quantiles: per-source n_chars
     // histograms (32 bins over [0, 640)), global scope by element-wise SUM
     // of the count arrays — p50/p90/p99 estimated by in-bin interpolation
@@ -675,6 +697,32 @@ object TextQueries {
         |UNION ALL
         |SELECT '__all__' AS source, CAST(rn - 1 AS INT) AS pos, doc_id FROM g
         |WHERE rn <= 8""".stripMargin,
+    // every scope ranked directly by the A-Res key; ln/division replayed
+    // with the identical (hv+1)/2^56 coin
+    "q136_weighted_sample_sketch" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS hv
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT lang, doc_id, w,
+        |    -ln((hv + 1) / 72057594037927936.0) / w AS key
+        |  FROM h WHERE w > 0
+        |), ranked AS (
+        |  SELECT lang, doc_id, w,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY key, CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM keyed
+        |), g AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (ORDER BY key, CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM keyed
+        |)
+        |SELECT lang, CAST(rn - 1 AS INT) AS pos, doc_id, w FROM ranked
+        |WHERE rn <= 6
+        |UNION ALL
+        |SELECT '__all__' AS lang, CAST(rn - 1 AS INT) AS pos, doc_id, w
+        |FROM g WHERE rn <= 6""".stripMargin,
     // per-scope histogram + cumulative-bin interpolation replayed from the
     // raw rows; only nonzero bins exist as rows, so "first bin with
     // cum >= target" matches the Spark fold's c > 0 guard

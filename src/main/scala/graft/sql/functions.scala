@@ -213,6 +213,38 @@ object functions {
       array_repeat(lit(0), 1 << p),
       (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b)))
 
+  /** Weighted bottom-k sample aggregate (custom
+    * [[graft.sql.expressions.WeightedBottomK]] TypedImperativeAggregate):
+    * Efraimidis–Spirakis A-Res with the deterministic md5 coin — an exact
+    * weighted sample without replacement of k (value, weight) pairs in
+    * bounded state, mergeable like [[bottomKSample]].
+    */
+  def weightedBottomK(v: Column, w: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.WeightedBottomK(
+        org.apache.spark.sql.GraftBridge.expression(v),
+        org.apache.spark.sql.GraftBridge.expression(w), k).toAggregateExpression())
+
+  /** Merge aggregate for [[weightedBottomK]] sample arrays: union, re-key
+    * by the same Efraimidis–Spirakis formula (keys recompute from the
+    * (v, w) pairs), keep the k smallest. Contract: sub-sketches come from
+    * DISJOINT scopes with one weight per value (the rollup case) — the
+    * same value under conflicting weights is a modeling error upstream.
+    */
+  def weightedBottomKMerge(samples: Column, k: Int): Column = {
+    val h = (v: Column) =>
+      conv(substring(md5(v), 1, 14), 16, 10).cast("long")
+    val key = (e: Column) =>
+      -log((h(e("v")) + 1).cast("double") / lit(7.2057594037927936E16)) / e("w")
+    slice(
+      transform(
+        array_sort(
+          transform(array_distinct(flatten(collect_list(samples))),
+            e => struct(key(e).as("k"), e("v").as("v"), e("w").as("w")))),
+        e => struct(e("v").as("v"), e("w").as("w"))),
+      1, k)
+  }
+
   /** Merge aggregate for MinHash signature arrays
     * ([[graft.sql.expressions.MinHashSignature]]): element-wise MIN of
     * the group's signatures — the min over a union of sets is the min of

@@ -81,4 +81,45 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prior.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("PlanGuard rejects single-task global windows at planning time, opt-in") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-guard-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+      // a Dataset memoizes its optimized plan, so each phase builds the
+      // frame fresh — what a pipeline does anyway
+      def global() = df.withColumn("r", row_number().over(Window.orderBy($"v")))
+      def keyed() = df.withColumn("r",
+        row_number().over(Window.partitionBy($"k").orderBy($"v")))
+
+      // default off: the global window plans (small-data behavior unchanged)
+      assert(global().collect().length === 3)
+
+      spark.conf.set(graft.plans.PlanGuard.Key, "true")
+      val e = intercept[Exception] { global().collect() }
+      assert(e.getMessage.contains("plan guard"), e.getMessage)
+      // keyed windows are untouched by the guard
+      assert(keyed().collect().length === 3)
+
+      spark.conf.set(graft.plans.PlanGuard.Key, "false")
+      assert(global().collect().length === 3)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+      prior.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
