@@ -192,6 +192,33 @@ object TemporalQueries {
           expr("unix_micros(cast(ts as timestamp))").as("start_us"))
         .withColumn("end_us", col("start_us") + lit(1800000000L))
       new graft.temporal.IntervalCoverage().coverage(iv)
+    }),
+
+    // 7-day trailing distinct users from MERGED day sketches: the raw
+    // stream is scanned ONCE (one HLL register array per day); every
+    // sliding window is a merge of ≤7 tiny sketches — the sliding-window
+    // answer to count(DISTINCT) that never rescans history. The oracle
+    // recomputes each window's sketch directly from the rows, so the hash
+    // pins merge == direct per window.
+    "q137_sliding_distinct" -> ((s, dir) => {
+      val p = 10
+      val days = Tables.events(s, dir)
+        .select(expr("(unix_micros(cast(ts as timestamp))) div 86400000000")
+          .as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(graft.sql.functions.hllSketch(
+          col("user_id").cast("string"), p).as("regs"))
+      val mx = days.agg(max(col("day")).as("mx"))
+      days
+        .select(col("day"), col("regs"),
+          explode(sequence(col("day"), col("day") + 6)).as("win"))
+        .crossJoin(broadcast(mx)).where(col("win") <= col("mx"))
+        .groupBy(col("win"))
+        .agg(graft.sql.functions.hllMerge(col("regs"), p).as("regs"),
+          count(lit(1)).as("n_days"))
+        .select(col("win").as("day"), col("n_days"),
+          round(graft.sql.functions.hllEstimate(col("regs"), p), 6)
+            .as("est_users"))
     })
   )
 
@@ -414,6 +441,47 @@ object TemporalQueries {
         |SELECT user_id, CAST(sum(i_e - i_s) AS BIGINT) AS covered,
         |  count(*) AS n_islands,
         |  min(i_s) AS first_start, max(i_e) AS last_end
-        |FROM seg GROUP BY 1""".stripMargin
+        |FROM seg GROUP BY 1""".stripMargin,
+    // every window's HLL registers recomputed DIRECTLY from the rows
+    // (same md5 register/rho scheme as the q122 replay) — equality with
+    // the Spark side's merged day sketches pins the rollup identity
+    "q137_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(user_id AS VARCHAR) AS u
+        |  FROM events
+        |), du AS (SELECT DISTINCT day, u FROM e),
+        |wins AS (
+        |  SELECT DISTINCT day + o AS win FROM du, range(0, 7) t(o)
+        |  WHERE day + o <= (SELECT max(day) FROM du)
+        |), wd AS (
+        |  SELECT w.win, du.day, du.u
+        |  FROM wins w JOIN du ON du.day BETWEEN w.win - 6 AND w.win
+        |), nd AS (
+        |  SELECT win, count(DISTINCT day) AS n_days FROM wd GROUP BY 1
+        |), hd AS (
+        |  SELECT DISTINCT win, ('0x' || substr(md5(u), 1, 14))::BIGINT AS hv
+        |  FROM wd
+        |), rr AS (
+        |  SELECT win, hv >> 46 AS reg,
+        |    CASE WHEN (hv & ((1::BIGINT << 46) - 1)) = 0 THEN 47
+        |         ELSE 47 - length(format('{:b}', hv & ((1::BIGINT << 46) - 1)))
+        |         END AS rho
+        |  FROM hd
+        |), regs AS (
+        |  SELECT win, reg, max(rho) AS mj FROM rr GROUP BY 1, 2
+        |), st AS (
+        |  SELECT win,
+        |    sum(pow(2.0, -mj)) + (1024 - count(*)) AS harm,
+        |    1024 - count(*) AS zero_regs
+        |  FROM regs GROUP BY 1
+        |)
+        |SELECT st.win AS day, nd.n_days,
+        |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 / harm
+        |              <= 2560.0 AND zero_regs > 0
+        |    THEN 1024.0 * ln(1024.0 / zero_regs)
+        |    ELSE 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 / harm
+        |    END, 6) AS est_users
+        |FROM st JOIN nd USING (win)""".stripMargin
   )
 }
