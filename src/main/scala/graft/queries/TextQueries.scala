@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, RepetitionStats, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
+import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, RepetitionStats, SequencePacker, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -222,6 +222,15 @@ object TextQueries {
         .select(col("source"), posexplode(col("sample")))
         .select(col("source"), col("pos").cast("int").as("pos"),
           col("col").cast("long").as("doc_id"))
+    }),
+
+    // pretraining document packing: concatenate the corpus token stream
+    // in doc_id order, cut every 64 tokens, emit the (doc, sequence) span
+    // table — pure prefix-sum arithmetic (two-phase PrefixSum, row-local
+    // span explode); no token is ever materialized
+    "q138_sequence_pack" -> ((s, dir) => {
+      new SequencePacker(seqLen = 64)
+        .spans(Tables.documents(s, dir))
     }),
 
     // weighted sample sketch (Efraimidis–Spirakis A-Res, custom typed
@@ -697,6 +706,37 @@ object TextQueries {
         |UNION ALL
         |SELECT '__all__' AS source, CAST(rn - 1 AS INT) AS pos, doc_id FROM g
         |WHERE rn <= 8""".stripMargin,
+    // the same packing arithmetic over a plain ordered window (the oracle
+    // is allowed the single-task luxury the Spark side is not)
+    "q138_sequence_pack" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(norm, ' '), t -> t <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM nrm
+        |), pre AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start
+        |  FROM cnt
+        |), nz AS (SELECT * FROM pre WHERE n_tokens > 0),
+        |spans AS (
+        |  SELECT doc_id, n_tokens, start,
+        |    unnest(generate_series(start // 64, (start + n_tokens - 1) // 64))
+        |      AS seq_id
+        |  FROM nz
+        |)
+        |SELECT doc_id, n_tokens, seq_id,
+        |  greatest(start, seq_id * 64) - seq_id * 64 AS seq_off,
+        |  greatest(start, seq_id * 64) - start AS doc_off,
+        |  least(start + n_tokens, (seq_id + 1) * 64)
+        |    - greatest(start, seq_id * 64) AS len
+        |FROM spans""".stripMargin,
     // every scope ranked directly by the A-Res key; ln/division replayed
     // with the identical (hv+1)/2^56 coin
     "q136_weighted_sample_sketch" ->
