@@ -186,6 +186,21 @@ object FeatureQueries {
           round(col("l_partkey_enc"), 9).as("enc"))
     }),
 
+    // exact ε-neighbor spatial self-join over the q14 synthetic lat/lon:
+    // grid-cell equi-join (cell side = ε, 3×3 neighborhood explode) +
+    // row-local verify — never a cross join; the distance is pure
+    // arithmetic so the boundary decision replays bit-exactly
+    "q139_spatial_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"),
+          ((col("c_custkey") % 160).cast("double") - 80.0
+            + col("c_acctbal") / 100000.0).as("x"),
+          ((col("c_custkey") % 340).cast("double") - 170.0
+            + col("c_nationkey").cast("double") / 100.0).as("y"))
+      new graft.geo.GridNeighborJoin(0.5).pairs(c)
+        .select(col("id_a"), col("id_b"), round(col("dist2"), 9).as("dist2"))
+    }),
+
     // snapshot drift gate: PSI over 10 equal-width n_chars buckets (bounds
     // fixed by the BEFORE snapshot); v2 drops every 5th doc and shifts
     // every 7th doc's length — the q98 mutation pattern read as a
@@ -203,6 +218,30 @@ object FeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical grid blocking + arithmetic distance; each pair meets once
+    // (home cell unique, id_a < id_b)
+    "q139_spatial_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(c_custkey % 160 AS DOUBLE) - 80.0 + c_acctbal / 100000.0 AS x,
+        |    CAST(c_custkey % 340 AS DOUBLE) - 170.0
+        |      + CAST(c_nationkey AS DOUBLE) / 100.0 AS y
+        |  FROM customer
+        |), g AS (
+        |  SELECT id, x, y,
+        |    CAST(floor(x / 0.5) AS BIGINT) AS cx,
+        |    CAST(floor(y / 0.5) AS BIGINT) AS cy
+        |  FROM c
+        |), n AS (
+        |  SELECT id AS id_b, x AS xb, y AS yb,
+        |    cx + dx.o AS cx, cy + dy.o AS cy
+        |  FROM g, range(-1, 2) dx(o), range(-1, 2) dy(o)
+        |)
+        |SELECT a.id AS id_a, n.id_b,
+        |  round((a.x - xb) * (a.x - xb) + (a.y - yb) * (a.y - yb), 9) AS dist2
+        |FROM g a JOIN n ON a.cx = n.cx AND a.cy = n.cy
+        |WHERE a.id < n.id_b
+        |  AND (a.x - xb) * (a.x - xb) + (a.y - yb) * (a.y - yb) <= 0.25""".stripMargin,
     // prior and per-key sums are integer-valued (0/1 labels), so the LOO
     // arithmetic is deterministic double math on both engines
     "q129_target_encode" ->
