@@ -151,6 +151,23 @@ object CoreQueries {
           col("sum_qty"), col("cnt"), col("gid"))
     }),
 
+    // incremental stats maintenance: sketch "history" and "delta" slices
+    // separately (counts + sums + HLL users + value histogram, one
+    // mergeable state row per event_type), MERGE the state frames, report
+    // — the oracle recomputes every statistic directly from the full
+    // table, so the hash pins merged-state == recomputed-from-scratch
+    "q140_incremental_stats" -> ((s, dir) => {
+      val hs = new graft.sql.HistogramSketch(0.0, 640.0, 32)
+      val ms = new graft.sql.MergeableStats("value", "user_id", 10, hs)
+      val ev = Tables.events(s, dir)
+        .withColumn("day",
+          expr("(unix_micros(cast(ts as timestamp))) div 86400000000"))
+      val history = ms.sketch(ev.where(col("day") % 3 =!= 0), "event_type")
+      val delta = ms.sketch(ev.where(col("day") % 3 === 0), "event_type")
+      ms.report(ms.merge(history.unionByName(delta), "event_type"),
+        "event_type")
+    }),
+
     // salted skew join: lineitem (big, salted by orderkey hash) x orders
     // (small, replicated per salt) on orderkey — same rows as the plain
     // join, hot keys spread over 8 salt partitions
@@ -455,6 +472,62 @@ object CoreQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
         |GROUP BY o_orderpriority""".stripMargin,
+    // every statistic recomputed DIRECTLY from the full table (HLL
+    // registers and histogram interpolation replayed as in q137/q133) —
+    // equality with the merged history+delta state pins the maintenance
+    // identity
+    "q140_incremental_stats" ->
+      """WITH base AS (
+        |  SELECT event_type, value, CAST(user_id AS VARCHAR) AS u FROM events
+        |), agg AS (
+        |  SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_v
+        |  FROM base GROUP BY 1
+        |), hd AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(u), 1, 14))::BIGINT AS hv
+        |  FROM base
+        |), rr AS (
+        |  SELECT event_type, hv >> 46 AS reg,
+        |    CASE WHEN (hv & ((1::BIGINT << 46) - 1)) = 0 THEN 47
+        |         ELSE 47 - length(format('{:b}', hv & ((1::BIGINT << 46) - 1)))
+        |         END AS rho
+        |  FROM hd
+        |), regs AS (
+        |  SELECT event_type, reg, max(rho) AS mj FROM rr GROUP BY 1, 2
+        |), est AS (
+        |  SELECT event_type,
+        |    round(CASE WHEN 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+        |        / (sum(pow(2.0, -mj)) + (1024 - count(*))) <= 2560.0
+        |        AND (1024 - count(*)) > 0
+        |      THEN 1024.0 * ln(1024.0 / (1024 - count(*)))
+        |      ELSE 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+        |        / (sum(pow(2.0, -mj)) + (1024 - count(*)))
+        |      END, 6) AS est_entities
+        |  FROM regs GROUP BY 1
+        |), d AS (
+        |  SELECT event_type,
+        |    greatest(0, least(31, CAST(floor(value / 20.0) AS INT))) AS b
+        |  FROM base
+        |), bc AS (
+        |  SELECT event_type, b, count(*) AS c FROM d GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, b, CAST(c AS DOUBLE) AS c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b) AS DOUBLE)
+        |      AS cum_incl,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b) - c AS DOUBLE)
+        |      AS cum_b,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE) AS total
+        |  FROM bc
+        |), q AS (
+        |  SELECT event_type,
+        |    round(min_by((b + greatest(0.0, 0.5 * total - cum_b) / c) * 20.0, b)
+        |      FILTER (WHERE cum_incl >= 0.5 * total), 9) AS p50,
+        |    round(min_by((b + greatest(0.0, 0.9 * total - cum_b) / c) * 20.0, b)
+        |      FILTER (WHERE cum_incl >= 0.9 * total), 9) AS p90
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT event_type, n, sum_v, est_entities, p50, p90
+        |FROM agg JOIN est USING (event_type) JOIN q USING (event_type)""".stripMargin,
     "q56_group_topk" ->
       """SELECT o_orderpriority, o_orderkey,
         |  round(o_totalprice, 2) AS totalprice,
