@@ -56,6 +56,22 @@ object StreamingQueries {
           col("event_type"), col("n_events"), col("n_nulls"),
           round(col("avg_value"), 6).as("avg_value"),
           col("min_value"), col("max_value"))
+    }),
+
+    // monitor + distinct-entity estimate: the HLL sketch aggregate runs
+    // INSIDE the windowed (streaming-capable) aggregation — per-window
+    // distinct users under bounded state; batch replay here, streaming
+    // parity pinned by StreamMonitorSpec
+    "q141_monitor_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_t", expr("cast(ts as timestamp)"))
+      StreamMonitor.statsWithDistinct(ev, windowLength = "1 hour",
+        watermark = "2 hours", tsCol = "ts_t", groupCol = "event_type",
+        valueCol = "value", entityCol = "user_id", p = 10)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("n_nulls"),
+          round(col("avg_value"), 6).as("avg_value"),
+          col("est_entities"))
     })
   )
 
@@ -100,6 +116,47 @@ object StreamingQueries {
         |  round(avg(value), 6) AS avg_value,
         |  min(value) AS min_value,
         |  max(value) AS max_value
-        |FROM ev GROUP BY 1, 2""".stripMargin
+        |FROM ev GROUP BY 1, 2""".stripMargin,
+    // per-(window, type) HLL registers replayed directly from the rows
+    // (q137/q140 scheme)
+    "q141_monitor_distinct" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w,
+        |    event_type, value, CAST(user_id AS VARCHAR) AS u
+        |  FROM events
+        |), agg AS (
+        |  SELECT w AS window_start_us, event_type, count(*) AS n_events,
+        |    count(*) - count(value) AS n_nulls,
+        |    round(avg(value), 6) AS avg_value
+        |  FROM e GROUP BY 1, 2
+        |), hd AS (
+        |  SELECT DISTINCT w, event_type,
+        |    ('0x' || substr(md5(u), 1, 14))::BIGINT AS hv
+        |  FROM e
+        |), rr AS (
+        |  SELECT w, event_type, hv >> 46 AS reg,
+        |    CASE WHEN (hv & ((1::BIGINT << 46) - 1)) = 0 THEN 47
+        |         ELSE 47 - length(format('{:b}', hv & ((1::BIGINT << 46) - 1)))
+        |         END AS rho
+        |  FROM hd
+        |), regs AS (
+        |  SELECT w, event_type, reg, max(rho) AS mj FROM rr GROUP BY 1, 2, 3
+        |), st AS (
+        |  SELECT w, event_type,
+        |    sum(pow(2.0, -mj)) + (1024 - count(*)) AS harm,
+        |    1024 - count(*) AS zero_regs
+        |  FROM regs GROUP BY 1, 2
+        |), est AS (
+        |  SELECT w AS window_start_us, event_type,
+        |    round(CASE WHEN 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 / harm
+        |                <= 2560.0 AND zero_regs > 0
+        |      THEN 1024.0 * ln(1024.0 / zero_regs)
+        |      ELSE 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 / harm
+        |      END, 6) AS est_entities
+        |  FROM st
+        |)
+        |SELECT window_start_us, event_type, n_events, n_nulls, avg_value,
+        |  est_entities
+        |FROM agg JOIN est USING (window_start_us, event_type)""".stripMargin
   )
 }

@@ -38,4 +38,36 @@ object StreamMonitor {
       .select(col("window.start").as("window_start"), col(groupCol),
         col("n_events"), col("n_nulls"),
         col("avg_value"), col("min_value"), col("max_value"))
+
+  /** [[stats]] plus a per-window distinct-entity estimate from the HLL
+    * sketch aggregate — "how many distinct users/sessions/documents did
+    * this window actually see", the monitor question an exact
+    * count(DISTINCT) cannot answer under streaming state bounds. The
+    * sketch's partial/merge cycle is exactly what streaming aggregation
+    * state does between micro-batches, so the estimate is identical to
+    * the batch run over the same data (parity spec); state per (window,
+    * group) stays 2^p ints regardless of entity cardinality.
+    */
+  def statsWithDistinct(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours",
+      tsCol: String = "ts",
+      groupCol: String = "event_type",
+      valueCol: String = "value",
+      entityCol: String = "user_id",
+      p: Int = 10): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(groupCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (count(lit(1)) - count(col(valueCol))).as("n_nulls"),
+        avg(col(valueCol)).as("avg_value"),
+        graft.sql.functions.hllSketch(col(entityCol).cast("string"), p)
+          .as("__regs"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("n_events"), col("n_nulls"), col("avg_value"),
+        round(graft.sql.functions.hllEstimate(col("__regs"), p), 6)
+          .as("est_entities"))
 }

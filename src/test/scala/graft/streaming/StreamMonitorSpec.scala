@@ -58,4 +58,32 @@ class StreamMonitorSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally query.stop()
   }
+
+  test("streaming distinct-entity estimate matches the batch sketch exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // many entities across two windows; user u repeats within a window
+    val ev = (0 until 120).map { i =>
+      (ts(i % 90), if (i % 2 == 0) "click" else "view", i.toDouble, s"u${i % 37}")
+    }
+    val df = ev.toDF("ts", "event_type", "value", "user_id")
+    val input = MemoryStream[(Timestamp, String, Double, String)]
+    val query = StreamMonitor.statsWithDistinct(
+      input.toDF().toDF("ts", "event_type", "value", "user_id"),
+      windowLength = "1 hour", tsCol = "ts")
+      .writeStream.format("memory").queryName("monitor_hll")
+      .outputMode("complete").start()
+    try {
+      // two adds -> the sketch state must MERGE across micro-batches
+      input.addData(ev.take(60): _*)
+      query.processAllAvailable()
+      input.addData(ev.drop(60): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("monitor_hll").collect().map(_.toString).sorted.toSeq
+      val batch = StreamMonitor.statsWithDistinct(df,
+        windowLength = "1 hour", tsCol = "ts")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
 }
