@@ -180,6 +180,12 @@ object ScaleSmoke {
           d.select(col("doc_id"), col("lang"), length(col("text")).as("len")),
           3, "lang", "len", Seq(col("doc_id")), "bucket").count()
       },
+      // corpus token stream ×n: the packing is prefix-sum arithmetic, so
+      // time must track documents (one (count, offset) pair each), with
+      // the span explode exactly output-sized
+      "sequence_pack" -> { d: DataFrame =>
+        new graft.text.SequencePacker(seqLen = 512).spans(d).count()
+      },
       // snapshot diff vs a copy with every 10th document's text changed:
       // full-outer on fixed-width fingerprints, output tracks rows
       "snapshot_diff" -> { d: DataFrame =>
@@ -304,6 +310,33 @@ object ScaleSmoke {
           e.where(col("value").isNotNull).select(col("user_id"),
             expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
             col("value"), col("event_id"))).count()
+      },
+      // keys ×n with constant per-key interval structure: the keyed sort
+      // and island rollup must track rows
+      "interval_coverage" -> { e: DataFrame =>
+        new graft.temporal.IntervalCoverage().coverage(
+          e.select(col("user_id"),
+            expr("unix_micros(cast(ts as timestamp))").as("start_us"))
+            .withColumn("end_us", col("start_us") + lit(1800000000L))).count()
+      })
+
+    // customers ×n with each copy displaced to its own disjoint spatial
+    // tile (the custkey offset is ≡ 0 mod the coordinate formula's
+    // moduli, so without the tile shift copies would stack at identical
+    // coordinates and the PAIR OUTPUT itself would grow quadratically)
+    def scaledPoints(n: Int): DataFrame =
+      scaled("customer", "c_custkey", n)
+        .select(col("c_custkey").as("id"),
+          ((col("c_custkey") % 160).cast("double") - 80.0
+            + col("c_acctbal") / 100000.0
+            + (col("c_custkey") / 10000000L).cast("long").cast("double") * 400.0).as("x"),
+          ((col("c_custkey") % 340).cast("double") - 170.0
+            + col("c_nationkey").cast("double") / 100.0).as("y"))
+    val ptOps: Seq[(String, DataFrame => Long)] = Seq(
+      // disjoint tiles: pairs grow ×n; the cell equi-join must track
+      // cells × density, never all-pairs
+      "spatial_join" -> { d: DataFrame =>
+        new graft.geo.GridNeighborJoin(0.5).pairs(d).count()
       })
 
     // comma-separated op-name filter for focused re-measures
@@ -353,6 +386,7 @@ object ScaleSmoke {
     run("docs", n => scaled("documents", "doc_id", n, mutate = true), ops)
     run("events", n => scaled("events", "event_id", n), evOps)
     run("events_u", n => scaled("events", "user_id", n), evUserOps)
+    run("points", scaledPoints, ptOps)
     run("names", scaledNames, nameOps)
     run("lineitem", n => scaled("lineitem", "l_orderkey", n), liOps)
     run("embeddings", scaledEmb, embOps)
