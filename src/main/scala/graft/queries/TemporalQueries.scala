@@ -194,6 +194,29 @@ object TemporalQueries {
       new graft.temporal.IntervalCoverage().coverage(iv)
     }),
 
+    // funnel step-latency distributions: per consecutive stage pair, the
+    // count/median/p90/mean of conversion time — Funnel.stageTimes (a
+    // chain of keyed conditional-min aggs, no windows) stacked long and
+    // re-aggregated; exact interpolated percentiles replay in DuckDB's
+    // quantile_cont
+    "q142_funnel_latency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+      val st = new Funnel(Seq("signup", "view", "click", "purchase"))
+        .stageTimes(ev)
+      val deltas = Seq(("signup", "view"), ("view", "click"),
+        ("click", "purchase")).map { case (a, b) =>
+        st.select(lit(s"${a}_to_${b}").as("step"),
+          (col(s"t_$b") - col(s"t_$a")).as("delta"))
+          .where(col("delta").isNotNull)
+      }.reduce(_ unionByName _)
+      deltas.groupBy(col("step"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(delta, 0.5)"), 6).as("p50"),
+          round(expr("percentile(delta, 0.9)"), 6).as("p90"),
+          round(avg(col("delta")), 6).as("avg_delta"))
+    }),
+
     // 7-day trailing distinct users from MERGED day sketches: the raw
     // stream is scanned ONCE (one HLL register array per day); every
     // sliding window is a merge of ≤7 tiny sketches — the sliding-window
@@ -442,6 +465,39 @@ object TemporalQueries {
         |  count(*) AS n_islands,
         |  min(i_s) AS first_start, max(i_e) AS last_end
         |FROM seg GROUP BY 1""".stripMargin,
+    // q57's sequential-matching CTE chain reused; deltas are integer µs,
+    // so avg is exact and quantile_cont matches Spark's percentile
+    "q142_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events
+        |), s0 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN tu END) AS t0
+        |  FROM e GROUP BY 1 HAVING t0 IS NOT NULL
+        |), s1 AS (
+        |  SELECT e.user_id, min(t0) AS t0,
+        |    min(CASE WHEN event_type = 'view' AND tu > t0 THEN tu END) AS t1
+        |  FROM e JOIN s0 USING (user_id) GROUP BY e.user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(t0) AS t0, min(t1) AS t1,
+        |    min(CASE WHEN event_type = 'click' AND tu > t1 THEN tu END) AS t2
+        |  FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' AND tu > t2 THEN tu END) AS t3
+        |  FROM e JOIN s2 USING (user_id) GROUP BY e.user_id
+        |), d AS (
+        |  SELECT 'signup_to_view' AS step, t1 - t0 AS delta FROM s3
+        |  WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'view_to_click', t2 - t1 FROM s3 WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', t3 - t2 FROM s3 WHERE t3 IS NOT NULL
+        |)
+        |SELECT step, count(*) AS n,
+        |  round(quantile_cont(delta, 0.5), 6) AS p50,
+        |  round(quantile_cont(delta, 0.9), 6) AS p90,
+        |  round(avg(delta), 6) AS avg_delta
+        |FROM d GROUP BY step""".stripMargin,
     // every window's HLL registers recomputed DIRECTLY from the rows
     // (same md5 register/rho scheme as the q122 replay) — equality with
     // the Spark side's merged day sketches pins the rollup identity
