@@ -33,8 +33,17 @@ object TriangleCount {
   /** (node, triangles): triangle participation count per node, for nodes
     * in at least one triangle. Input edges (id_a, id_b) are treated as
     * undirected; duplicates and self-loops are dropped.
+    *
+    * `materialize` (default true) localCheckpoints the oriented edge
+    * list: it is consumed THREE times (both wedge sides + the closing
+    * join), and the closing join's different partitioning key defeats
+    * ReuseExchange, so a lazy plan recomputes the whole
+    * dedup+degree-join subtree per consumer (measured 1.7× slower at
+    * sf0.1). Same trade as [[graft.dedup.DedupClusters]]: pay one
+    * materialization of the (already-deduped, fixed-width) edge frame,
+    * truncate the lineage for every consumer.
     */
-  def perNode(edges: DataFrame): DataFrame = {
+  def perNode(edges: DataFrame, materialize: Boolean = true): DataFrame = {
     val e = edges.select(
       least(col("id_a"), col("id_b")).as("x"),
       greatest(col("id_a"), col("id_b")).as("y"))
@@ -42,13 +51,14 @@ object TriangleCount {
     val deg = e.select(col("x").as("n")).union(e.select(col("y").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val xFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
-    val dir = e
+    val dir0 = e
       .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
       .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
       .select(
         when(xFirst, col("x")).otherwise(col("y")).as("src"),
         when(xFirst, col("y")).otherwise(col("x")).as("dst"),
         when(xFirst, col("dy")).otherwise(col("dx")).as("dd"))
+    val dir = if (materialize) dir0.localCheckpoint(true) else dir0
     val wedges = dir.as("a")
       .join(dir.as("b"),
         col("a.src") === col("b.src") &&
