@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, RepetitionStats, SequencePacker, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
+import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, PhraseMatcher, RepetitionStats, SequencePacker, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -222,6 +222,15 @@ object TextQueries {
         .select(col("source"), posexplode(col("sample")))
         .select(col("source"), col("pos").cast("int").as("pos"),
           col("col").cast("long").as("doc_id"))
+    }),
+
+    // blocklist gate: exact multi-phrase occurrence counts via k-gram
+    // broadcast equi-joins (one explode per distinct phrase LENGTH, work
+    // independent of list size) — never a per-row contains sweep
+    "q143_blocklist" -> ((s, dir) => {
+      new PhraseMatcher(Seq("table scan", "slow query", "hash join",
+        "big table", "window", "sort merge join"))
+        .counts(Tables.documents(s, dir))
     }),
 
     // pretraining document packing: concatenate the corpus token stream
@@ -706,6 +715,36 @@ object TextQueries {
         |UNION ALL
         |SELECT '__all__' AS source, CAST(rn - 1 AS INT) AS pos, doc_id FROM g
         |WHERE rn <= 8""".stripMargin,
+    // k-gram streams per phrase length replayed with list indexing
+    "q143_blocklist" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl
+        |  FROM nrm
+        |), g1 AS (
+        |  SELECT doc_id, 1 AS k, unnest(tl) AS gram FROM toks
+        |), g2 AS (
+        |  SELECT doc_id, 2 AS k, tl[i] || ' ' || tl[i + 1] AS gram
+        |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(tl))) AS i) t
+        |), g3 AS (
+        |  SELECT doc_id, 3 AS k, tl[i] || ' ' || tl[i + 1] || ' ' || tl[i + 2] AS gram
+        |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(tl) - 1)) AS i) t
+        |), p(gram, k) AS (
+        |  VALUES ('table scan', 2), ('slow query', 2), ('hash join', 2),
+        |    ('big table', 2), ('window', 1), ('sort merge join', 3)
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_hits, count(DISTINCT g.gram) AS n_phrases
+        |  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        |        UNION ALL SELECT * FROM g3) g
+        |  JOIN p ON g.gram = p.gram AND g.k = p.k
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+        |  coalesce(n_phrases, 0) AS n_phrases
+        |FROM documents d LEFT JOIN hits USING (doc_id)""".stripMargin,
     // the same packing arithmetic over a plain ordered window (the oracle
     // is allowed the single-task luxury the Spark side is not)
     "q138_sequence_pack" ->
