@@ -151,6 +151,27 @@ object CoreQueries {
           col("sum_qty"), col("cnt"), col("gid"))
     }),
 
+    // join-size estimation from two CMS sketches (row-wise inner product,
+    // min over depths — an upper bound on Σ_k cnt_a(k)·cnt_b(k) = the
+    // equi-join cardinality): predict the explosion BEFORE running the
+    // join, from two fixed-size sketches, no second scan of either side
+    "q144_join_size_sketch" -> ((s, dir) => {
+      val d = 4; val w = 2048
+      val skL = Tables.lineitem(s, dir).agg(
+        graft.sql.functions.countMinSketch(
+          col("l_orderkey").cast("string"), d, w).as("ska"))
+      val skO = Tables.orders(s, dir).agg(
+        graft.sql.functions.countMinSketch(
+          col("o_orderkey").cast("string"), d, w).as("skb"))
+      val exact = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_n"))
+      exact.crossJoin(broadcast(skL)).crossJoin(broadcast(skO))
+        .select(col("exact_n"),
+          graft.sql.functions.cmsJoinSize(col("ska"), col("skb"), d, w)
+            .as("est_n"))
+    }),
+
     // incremental stats maintenance: sketch "history" and "delta" slices
     // separately (counts + sums + HLL users + value histogram, one
     // mergeable state row per event_type), MERGE the state frames, report
@@ -472,6 +493,30 @@ object CoreQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
         |GROUP BY o_orderpriority""".stripMargin,
+    // both sides' sketches replayed with the shared md5 bucket scheme;
+    // the bucket join only covers co-occupied buckets — empty ones
+    // contribute 0 to the inner product either way
+    "q144_join_size_sketch" ->
+      """WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+        |ba AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5(j::VARCHAR || ':' || k), 1, 14))::BIGINT % 2048 AS b,
+        |    count(*) AS c
+        |  FROM la CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2
+        |), bb AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5(j::VARCHAR || ':' || k), 1, 14))::BIGINT % 2048 AS b,
+        |    count(*) AS c
+        |  FROM ob CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2
+        |), prod AS (
+        |  SELECT ba.j, CAST(sum(ba.c * bb.c) AS BIGINT) AS ip
+        |  FROM ba JOIN bb ON ba.j = bb.j AND ba.b = bb.b GROUP BY 1
+        |), ex AS (
+        |  SELECT count(*) AS exact_n
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT exact_n, (SELECT min(ip) FROM prod) AS est_n FROM ex""".stripMargin,
     // every statistic recomputed DIRECTLY from the full table (HLL
     // registers and histogram interpolation replayed as in q137/q133) —
     // equality with the merged history+delta state pins the maintenance

@@ -157,6 +157,24 @@ object functions {
       array_repeat(lit(0L), depth * width),
       (acc, x) => zip_with(acc, x, (a, b) => a + b))
 
+  /** Join-size estimate from two [[countMinSketch]] arrays over the SAME
+    * (depth, width) layout: min over rows of the row-wise inner product —
+    * the classic CMS application (Cormode & Muthukrishnan §4.2): an upper
+    * bound on `Σ_k cnt_a(k)·cnt_b(k)`, which IS the equi-join output
+    * cardinality on key k. Lets a pipeline predict whether a join is
+    * about to explode from two fixed-size sketches — no second scan of
+    * either table, mergeable across partitions like every CMS.
+    * Row-local array arithmetic, replayable by the SQL oracle.
+    */
+  def cmsJoinSize(a: Column, b: Column, depth: Int, width: Int): Column =
+    array_min(transform(sequence(lit(0), lit(depth - 1)), j =>
+      aggregate(
+        zip_with(
+          slice(a, j * width + 1, lit(width)),
+          slice(b, j * width + 1, lit(width)),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)))
+
   /** Point frequency estimate from a [[countMinSketch]] array: min over the
     * key's `depth` buckets (an upper bound on the true count). Bucket
     * hashing replays the sketch's md5 scheme with built-ins (`conv` of the

@@ -139,6 +139,28 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("cmsJoinSize: upper bound on the true join size, exact when sparse") {
+    import graft.sql.{functions => gf}
+    val d = 4; val w = 4096
+    // a: keys 0..49 with multiplicity (i%3)+1; b: keys 25..74 once each
+    val a = (0 until 50).flatMap(i => Seq.fill(i % 3 + 1)(s"k$i")).toDF("k")
+    val b = (25 until 75).map(i => s"k$i").toDF("k")
+    val trueSize = (25 until 50).map(i => i % 3 + 1).sum.toLong
+    val est = a.agg(gf.countMinSketch($"k", d, w).as("sa"))
+      .crossJoin(b.agg(gf.countMinSketch($"k", d, w).as("sb")))
+      .select(gf.cmsJoinSize($"sa", $"sb", d, w)).as[Long].head()
+    assert(est >= trueSize, s"est $est under true $trueSize")
+    // width >> distinct keys: collisions are improbable enough that the
+    // bound is tight on this fixture
+    assert(est === trueSize, s"est $est vs true $trueSize")
+    // disjoint key sets estimate (near) zero
+    val c = (1000 until 1050).map(i => s"k$i").toDF("k")
+    val estDisjoint = a.agg(gf.countMinSketch($"k", d, w).as("sa"))
+      .crossJoin(c.agg(gf.countMinSketch($"k", d, w).as("sb")))
+      .select(gf.cmsJoinSize($"sa", $"sb", d, w)).as[Long].head()
+    assert(estDisjoint <= 4L, s"disjoint estimate $estDisjoint too large")
+  }
+
   test("zorder: sorting by z clusters both dimensions (range pruning works)") {
     val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
     val sorted = df.select($"x", $"y", zorder($"x", $"y", 5).as("z"))
