@@ -151,6 +151,23 @@ object CoreQueries {
           col("sum_qty"), col("cnt"), col("gid"))
     }),
 
+    // SCD Type-2 merge: timestamped attribute updates versioned into a
+    // [valid_from, valid_to) dimension — closed history passes through
+    // unshuffled, open rows + updates take ONE keyed window; consecutive
+    // duplicates suppressed so idempotent re-ingest can't bloat versions
+    "q146_scd2_merge" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+      val ups = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderpriority").as("segment"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("ts"))
+        .groupBy(col("c_custkey"), col("ts"))
+        .agg(min(col("segment")).as("segment"))
+      new graft.sql.Scd2Merge("c_custkey").apply(dim, ups, "segment", "ts")
+    }),
+
     // join-size estimation from two CMS sketches (row-wise inner product,
     // min over depths — an upper bound on Σ_k cnt_a(k)·cnt_b(k) = the
     // equi-join cardinality): predict the explosion BEFORE running the
@@ -493,6 +510,26 @@ object CoreQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
         |GROUP BY o_orderpriority""".stripMargin,
+    // the same version-chain window over the stacked dim+updates rows
+    "q146_scd2_merge" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, CAST(0 AS BIGINT) AS t
+        |  FROM customer
+        |), ups AS (
+        |  SELECT o_custkey AS c_custkey, min(o_orderpriority) AS segment,
+        |    epoch_us(o_orderdate) AS t
+        |  FROM orders GROUP BY o_custkey, epoch_us(o_orderdate)
+        |), chain AS (
+        |  SELECT c_custkey, segment, t,
+        |    lag(segment) OVER (PARTITION BY c_custkey ORDER BY t) AS prev
+        |  FROM (SELECT * FROM dim UNION ALL SELECT * FROM ups)
+        |), keep AS (
+        |  SELECT c_custkey, segment, t FROM chain
+        |  WHERE prev IS NULL OR segment IS DISTINCT FROM prev
+        |)
+        |SELECT c_custkey, segment, t AS valid_from,
+        |  lead(t) OVER (PARTITION BY c_custkey ORDER BY t) AS valid_to
+        |FROM keep""".stripMargin,
     // both sides' sketches replayed with the shared md5 bucket scheme;
     // the bucket join only covers co-occupied buckets — empty ones
     // contribute 0 to the inner product either way

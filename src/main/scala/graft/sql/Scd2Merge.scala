@@ -1,0 +1,59 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 merge: apply a batch of timestamped
+  * attribute updates to a versioned dimension (rows carry
+  * [valid_from, valid_to) validity, open rows have NULL valid_to),
+  * closing superseded versions and opening new ones — the warehouse
+  * MERGE-INTO-with-history operation, as a plain deterministic DataFrame
+  * transform (no table format required).
+  *
+  * Semantics per key, processing updates in time order:
+  *   - an update whose payload EQUALS the currently-open payload is a
+  *     no-op (consecutive-duplicate suppression — the property that keeps
+  *     version tables from bloating under idempotent re-ingest);
+  *   - otherwise the open version closes at the update's time and a new
+  *     open version starts there;
+  *   - already-closed history rows pass through untouched.
+  *
+  * Scale: closed rows never shuffle (pass-through union); the open
+  * rows + updates shuffle ONCE on the key for a per-key ordered window
+  * (lag for duplicate suppression, lead for the close time) — the same
+  * cost class as any keyed window, with version chains bounded by the
+  * update batch, not history. Duplicate (key, time) updates must be
+  * resolved upstream (the deliberate contract — silently picking one
+  * hides an ingest bug).
+  */
+class Scd2Merge(
+    keyCol: String,
+    fromCol: String = "valid_from",
+    toCol: String = "valid_to") {
+
+  /** New dimension state with `payloadCol` versioned by `tsCol` updates.
+    * Output columns: (keyCol, payloadCol, fromCol, toCol).
+    */
+  def apply(
+      dim: DataFrame,
+      updates: DataFrame,
+      payloadCol: String,
+      tsCol: String): DataFrame = {
+    val closed = dim.where(col(toCol).isNotNull)
+      .select(col(keyCol), col(payloadCol), col(fromCol), col(toCol))
+    val open = dim.where(col(toCol).isNull)
+      .select(col(keyCol), col(payloadCol), col(fromCol).as("__t"))
+    val ups = updates.select(col(keyCol), col(payloadCol),
+      col(tsCol).cast("long").as("__t"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+    val chain = open.unionByName(ups)
+      .withColumn("__prev", lag(col(payloadCol), 1).over(w))
+      // keep version starts: the first row per key, and every payload change
+      .where(col("__prev").isNull || !(col(payloadCol) <=> col("__prev")))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .select(col(keyCol), col(payloadCol),
+        col("__t").as(fromCol), col("__next").as(toCol))
+    closed.unionByName(chain)
+  }
+}

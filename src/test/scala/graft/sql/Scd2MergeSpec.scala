@@ -1,0 +1,52 @@
+package graft.sql
+
+import graft.SparkTestBase
+
+class Scd2MergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // k1: open 'a' since 0; k2: open 'x' since 5 plus a CLOSED historical
+  // row; k3 has no updates
+  lazy val dim = Seq(
+    (1L, "a", 0L, Option.empty[Long]),
+    (2L, "x", 5L, Option.empty[Long]),
+    (2L, "w", 0L, Some(5L)),
+    (3L, "z", 0L, Option.empty[Long]))
+    .toDF("k", "segment", "valid_from", "valid_to")
+
+  // k1: a->a (no-op) at 10, a->b at 20, b->a at 30; k2: x->y at 50
+  lazy val ups = Seq(
+    (1L, "a", 10L), (1L, "b", 20L), (1L, "a", 30L),
+    (2L, "y", 50L))
+    .toDF("k", "segment", "ts")
+
+  private lazy val out = new Scd2Merge("k").apply(dim, ups, "segment", "ts")
+    .as[(Long, String, Long, Option[Long])].collect().toSet
+
+  test("changes open new versions and close the old ones") {
+    assert(out.filter(_._1 == 1L) === Set(
+      (1L, "a", 0L, Some(20L)),   // the t=10 'a' update was a no-op
+      (1L, "b", 20L, Some(30L)),
+      (1L, "a", 30L, None)))      // back to 'a' IS a new version
+  }
+
+  test("closed history passes through untouched; updates chain off the open row") {
+    assert(out.filter(_._1 == 2L) === Set(
+      (2L, "w", 0L, Some(5L)),
+      (2L, "x", 5L, Some(50L)),
+      (2L, "y", 50L, None)))
+  }
+
+  test("keys with no updates keep their open row") {
+    assert(out.filter(_._1 == 3L) === Set((3L, "z", 0L, None)))
+  }
+
+  test("re-ingesting current values later is a no-op (no version bloat)") {
+    val once = new Scd2Merge("k").apply(dim, ups, "segment", "ts")
+    val noop = Seq((1L, "a", 40L), (2L, "y", 60L), (3L, "z", 45L))
+      .toDF("k", "segment", "ts")
+    val twice = new Scd2Merge("k").apply(once, noop, "segment", "ts")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(twice === out)
+  }
+}
