@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, PhraseMatcher, RepetitionStats, SequencePacker, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
+import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, LinkageField, LinkageScorer, PhraseMatcher, RepetitionStats, SequencePacker, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -222,6 +222,29 @@ object TextQueries {
         .select(col("source"), posexplode(col("sample")))
         .select(col("source"), col("pos").cast("int").as("pos"),
           col("col").cast("long").as("doc_id"))
+    }),
+
+    // Fellegi–Sunter record linkage: deletion-hash blocking (q88's edit
+    // join) → per-field agreement weights (driver-computed constants, so
+    // the distributed plan is pure codegen arithmetic) → match/possible/
+    // non-match verdicts
+    "q145_record_linkage" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val pairs = new EditDistanceJoin().pairs(cust, "c_name")
+      val attrsA = cust.select(col("c_name").as("a"),
+        col("c_nationkey").as("nat_a"), col("c_mktsegment").as("seg_a"),
+        col("c_acctbal").as("bal_a"))
+      val attrsB = cust.select(col("c_name").as("b"),
+        col("c_nationkey").as("nat_b"), col("c_mktsegment").as("seg_b"),
+        col("c_acctbal").as("bal_b"))
+      new LinkageScorer(Seq(
+        LinkageField(col("nat_a") === col("nat_b"), 0.9, 0.04),
+        LinkageField(col("seg_a") === col("seg_b"), 0.8, 0.2),
+        LinkageField(abs(col("bal_a") - col("bal_b")) <= 500.0, 0.7, 0.1)),
+        upper = 6.0, lower = 0.0)
+        .score(pairs.join(attrsA, "a").join(attrsB, "b"))
+        .select(col("a"), col("b"), round(col("weight"), 6).as("weight"),
+          col("verdict"))
     }),
 
     // blocklist gate: exact multi-phrase occurrence counts via k-gram
@@ -715,6 +738,38 @@ object TextQueries {
         |UNION ALL
         |SELECT '__all__' AS source, CAST(rn - 1 AS INT) AS pos, doc_id FROM g
         |WHERE rn <= 8""".stripMargin,
+    // q88's exact pair set + the SAME driver-computed weight literals
+    // (Double.toString round-trips, so DuckDB parses identical doubles —
+    // no libm in either engine's scoring path)
+    "q145_record_linkage" -> {
+      val f1 = LinkageField(lit(true), 0.9, 0.04)
+      val f2 = LinkageField(lit(true), 0.8, 0.2)
+      val f3 = LinkageField(lit(true), 0.7, 0.1)
+      s"""WITH n AS (SELECT DISTINCT c_name AS s FROM customer),
+        |p AS (
+        |  SELECT a.s AS a, b.s AS b
+        |  FROM n a JOIN n b
+        |    ON a.s < b.s
+        |   AND abs(length(a.s) - length(b.s)) <= 1
+        |   AND levenshtein(a.s, b.s) = 1
+        |), j AS (
+        |  SELECT p.a, p.b,
+        |    (CASE WHEN ca.c_nationkey = cb.c_nationkey
+        |       THEN ${f1.wAgree} ELSE ${f1.wDisagree} END
+        |     + CASE WHEN ca.c_mktsegment = cb.c_mktsegment
+        |       THEN ${f2.wAgree} ELSE ${f2.wDisagree} END)
+        |     + CASE WHEN abs(ca.c_acctbal - cb.c_acctbal) <= 500.0
+        |       THEN ${f3.wAgree} ELSE ${f3.wDisagree} END AS weight
+        |  FROM p
+        |  JOIN customer ca ON ca.c_name = p.a
+        |  JOIN customer cb ON cb.c_name = p.b
+        |)
+        |SELECT a, b, round(weight, 6) AS weight,
+        |  CASE WHEN weight >= 6.0 THEN 'match'
+        |       WHEN weight >= 0.0 THEN 'possible'
+        |       ELSE 'non_match' END AS verdict
+        |FROM j""".stripMargin
+    },
     // k-gram streams per phrase length replayed with list indexing
     "q143_blocklist" ->
       """WITH nrm AS (
