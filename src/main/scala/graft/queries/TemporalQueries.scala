@@ -194,6 +194,25 @@ object TemporalQueries {
       new graft.temporal.IntervalCoverage().coverage(iv)
     }),
 
+    // Kaplan–Meier retention: per-user activity lifetimes right-censored
+    // at the observation horizon (users still active in the final days
+    // leave the risk set without counting as churn); everything reduces
+    // to one row per distinct event time, cumulated via broadcast
+    // triangle joins — no global window, PlanGuard-legal
+    "q147_survival" -> ((s, dir) => {
+      val days = Tables.events(s, dir).select(col("user_id"),
+        expr("(unix_micros(cast(ts as timestamp))) div 86400000000").as("day"))
+      val span = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val horizon = days.agg(max(col("day")).as("h"))
+      val subjects = span.crossJoin(broadcast(horizon))
+        .select((col("d1") - col("d0")).as("duration"),
+          (col("d1") < col("h") - 2).as("event"))
+      new graft.temporal.KaplanMeier().survival(subjects)
+        .select(col("t"), col("n_risk"), col("d"),
+          round(col("survival"), 6).as("survival"))
+    }),
+
     // funnel step-latency distributions: per consecutive stage pair, the
     // count/median/p90/mean of conversion time — Funnel.stageTimes (a
     // chain of keyed conditional-min aggs, no windows) stacked long and
@@ -465,6 +484,41 @@ object TemporalQueries {
         |  count(*) AS n_islands,
         |  min(i_s) AS first_start, max(i_e) AS last_end
         |FROM seg GROUP BY 1""".stripMargin,
+    // the product-limit estimator replayed with correlated subqueries
+    // over the tiny distinct-time frame (same exp-of-summed-logs form)
+    "q147_survival" ->
+      """WITH days AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM days GROUP BY 1
+        |), h AS (SELECT max(day) AS h FROM days),
+        |subj AS (
+        |  SELECT d1 - d0 AS t, (d1 < h - 2) AS e FROM span, h
+        |), byt AS (
+        |  SELECT t, sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    count(*) AS leave
+        |  FROM subj GROUP BY 1
+        |), tot AS (SELECT count(*) AS n FROM subj),
+        |risk AS (
+        |  SELECT b.t, b.d,
+        |    n - coalesce((SELECT sum(leave) FROM byt x WHERE x.t < b.t), 0)
+        |      AS n_risk
+        |  FROM byt b, tot WHERE b.d > 0
+        |), terms AS (
+        |  SELECT t,
+        |    CASE WHEN d < n_risk
+        |      THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END AS lg,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+        |  FROM risk
+        |)
+        |SELECT r.t, CAST(r.n_risk AS BIGINT) AS n_risk,
+        |  CAST(r.d AS BIGINT) AS d,
+        |  round(CASE
+        |    WHEN (SELECT max(z) FROM terms WHERE terms.t <= r.t) = 1 THEN 0.0
+        |    ELSE exp((SELECT sum(lg) FROM terms WHERE terms.t <= r.t))
+        |    END, 6) AS survival
+        |FROM risk r""".stripMargin,
     // q57's sequential-matching CTE chain reused; deltas are integer µs,
     // so avg is exact and quantile_cont matches Spark's percentile
     "q142_funnel_latency" ->
