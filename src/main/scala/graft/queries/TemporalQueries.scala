@@ -194,6 +194,59 @@ object TemporalQueries {
       new graft.temporal.IntervalCoverage().coverage(iv)
     }),
 
+    // per-user activity trend: closed-form OLS slope/intercept of value
+    // over per-user day offsets (centered at each user's first day — no
+    // epoch-magnitude cancellation), from 5 partial-aggregated sums; the
+    // formula replays identically in SQL
+    "q148_trend" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("(unix_micros(cast(ts as timestamp))) div 86400000000").as("day"),
+          col("value"))
+      val d0 = ev.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      val xy = ev.join(d0, "user_id")
+        .select(col("user_id"), (col("day") - col("d0")).cast("double").as("x"),
+          col("value").as("y"))
+      xy.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .where(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+        .select(col("user_id"), col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
+    }),
+
+    // two-sample Kolmogorov–Smirnov: D = max |F_click − F_view| over the
+    // pooled distinct values. Cumulatives ride the two-phase PrefixSum
+    // (never a global window — PlanGuard-legal); each |ΔF| is exact
+    // rational arithmetic per row, so no rounding tolerance is needed
+    "q150_ks_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      val byV = ev.where(col("event_type").isin("click", "view"))
+        .groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      val withCum = graft.sql.PrefixSum.exclusive(
+        graft.sql.PrefixSum.exclusive(byV, "value", "c1", "p1"),
+        "value", "c2", "p2")
+        .select(col("value"),
+          (col("p1") + col("c1")).as("f1"), (col("p2") + col("c2")).as("f2"))
+      val tot = byV.agg(sum(col("c1")).cast("double").as("n1"),
+        sum(col("c2")).cast("double").as("n2"))
+      val d = withCum.crossJoin(broadcast(tot))
+        .select(col("value"),
+          abs(col("f1") / col("n1") - col("f2") / col("n2")).as("dv"),
+          col("n1"), col("n2"))
+      d.agg(max(struct(col("dv"), col("value"))).as("m"),
+          max(col("n1").cast("long")).as("n1"),
+          max(col("n2").cast("long")).as("n2"))
+        .select(col("m.dv").as("d_stat"), col("m.value").as("at_value"),
+          col("n1"), col("n2"))
+    }),
+
     // Kaplan–Meier retention: per-user activity lifetimes right-censored
     // at the observation horizon (users still active in the final days
     // leave the risk set without counting as churn); everything reduces
@@ -484,6 +537,49 @@ object TemporalQueries {
         |  count(*) AS n_islands,
         |  min(i_s) AS first_start, max(i_e) AS last_end
         |FROM seg GROUP BY 1""".stripMargin,
+    // identical closed-form OLS arithmetic from the same 5 sums
+    "q148_trend" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+        |  FROM events WHERE value IS NOT NULL
+        |), d0 AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
+        |xy AS (
+        |  SELECT ev.user_id, CAST(day - d0 AS DOUBLE) AS x, value AS y
+        |  FROM ev JOIN d0 USING (user_id)
+        |), agg AS (
+        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM xy GROUP BY 1
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+        |FROM agg WHERE n * sxx - sx * sx > 0""".stripMargin,
+    // the oracle may use the single ordered window the Spark side avoids
+    "q150_ks_test" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |), byv AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM ev GROUP BY 1
+        |), cum AS (
+        |  SELECT value,
+        |    CAST(sum(c1) OVER (ORDER BY value) AS DOUBLE) AS f1,
+        |    CAST(sum(c2) OVER (ORDER BY value) AS DOUBLE) AS f2
+        |  FROM byv
+        |), tot AS (
+        |  SELECT CAST(sum(c1) AS DOUBLE) AS n1, CAST(sum(c2) AS DOUBLE) AS n2
+        |  FROM byv
+        |), d AS (
+        |  SELECT value, abs(f1 / n1 - f2 / n2) AS dv FROM cum, tot
+        |)
+        |SELECT dv AS d_stat, value AS at_value,
+        |  (SELECT CAST(n1 AS BIGINT) FROM tot) AS n1,
+        |  (SELECT CAST(n2 AS BIGINT) FROM tot) AS n2
+        |FROM d ORDER BY dv DESC, value DESC LIMIT 1""".stripMargin,
     // the product-limit estimator replayed with correlated subqueries
     // over the tiny distinct-time frame (same exp-of-summed-logs form)
     "q147_survival" ->

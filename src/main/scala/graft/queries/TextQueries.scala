@@ -224,6 +224,32 @@ object TextQueries {
           col("col").cast("long").as("doc_id"))
     }),
 
+    // chi-squared independence test for the lang × source contingency
+    // table (zero cells included via the margins cross): is the language
+    // mix independent of the source feed — the categorical drift
+    // companion to q117's PSI. All aggregation is wordcount-shaped; the
+    // statistic folds over R×C tiny cells
+    "q149_chi2" -> ((s, dir) => {
+      val obs = Tables.documents(s, dir).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+      val colT = obs.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+      val n = obs.agg(sum(col("o")).cast("double").as("nn"))
+      val cells = rowT.crossJoin(colT)
+        .join(obs, Seq("lang", "source"), "left")
+        .withColumn("oo", coalesce(col("o"), lit(0L)).cast("double"))
+        .crossJoin(broadcast(n))
+        .withColumn("e",
+          col("rt").cast("double") * col("ct").cast("double") / col("nn"))
+        .withColumn("term",
+          (col("oo") - col("e")) * (col("oo") - col("e")) / col("e"))
+      val dims = obs.agg(count_distinct(col("lang")).as("r"),
+        count_distinct(col("source")).as("c"))
+      cells.agg(round(sum(col("term")), 6).as("chi2"))
+        .crossJoin(broadcast(dims))
+        .select(col("chi2"), ((col("r") - 1) * (col("c") - 1)).as("dof"))
+    }),
+
     // Fellegi–Sunter record linkage: deletion-hash blocking (q88's edit
     // join) → per-field agreement weights (driver-computed constants, so
     // the distributed plan is pure codegen arithmetic) → match/possible/
@@ -738,6 +764,27 @@ object TextQueries {
         |UNION ALL
         |SELECT '__all__' AS source, CAST(rn - 1 AS INT) AS pos, doc_id FROM g
         |WHERE rn <= 8""".stripMargin,
+    // same margins-cross cell set (zero cells contribute e) and formula
+    "q149_chi2" ->
+      """WITH obs AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+        |), rt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS DOUBLE) AS nn FROM obs),
+        |cells AS (
+        |  SELECT rt.lang, ct.source,
+        |    CAST(coalesce(o, 0) AS DOUBLE) AS oo,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / nn AS e
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+        |  CROSS JOIN n
+        |), dims AS (
+        |  SELECT count(DISTINCT lang) AS r, count(DISTINCT source) AS c
+        |  FROM obs
+        |)
+        |SELECT round(sum((oo - e) * (oo - e) / e), 6) AS chi2,
+        |  (SELECT (r - 1) * (c - 1) FROM dims) AS dof
+        |FROM cells""".stripMargin,
     // q88's exact pair set + the SAME driver-computed weight literals
     // (Double.toString round-trips, so DuckDB parses identical doubles —
     // no libm in either engine's scoring path)
