@@ -247,6 +247,60 @@ object TemporalQueries {
           col("n1"), col("n2"))
     }),
 
+    // Mann–Whitney U (rank-sum): midranks from per-value counts + the
+    // two-phase PrefixSum (cumBefore + (cnt+1)/2 — exact halves, no
+    // float accumulation risk), U and the rank-biserial effect size in
+    // closed form. The nonparametric "are clicks' values larger than
+    // views'" answer, tie-correct
+    "q151_mannwhitney" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      val byV = ev.where(col("event_type").isin("click", "view"))
+        .groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+        .withColumn("cnt", col("c1") + col("c2"))
+      val ranked = graft.sql.PrefixSum.exclusive(byV, "value", "cnt", "cb")
+        .withColumn("midrank",
+          col("cb").cast("double") + (col("cnt") + 1).cast("double") / 2.0)
+      val agg = ranked.agg(
+        sum(col("c1")).cast("double").as("n1"),
+        sum(col("c2")).cast("double").as("n2"),
+        sum(col("c1").cast("double") * col("midrank")).as("r1"))
+      agg.select(
+        (col("r1") - col("n1") * (col("n1") + 1.0) / 2.0).as("u1"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"))
+        .withColumn("rank_biserial",
+          round(lit(2.0) * col("u1") / (col("n1") * col("n2")) - 1.0, 6))
+    }),
+
+    // Spearman rank correlation (value vs activity day): midrank maps per
+    // column from per-value counts + PrefixSum, joined back row-locally,
+    // then closed-form Pearson on the ranks — every sum is exact
+    // (half-integer ranks), so the statistic replays bit-for-bit
+    "q152_spearman" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(expr("(unix_micros(cast(ts as timestamp))) div 86400000000")
+          .as("day"), col("value"))
+      def midranks(keyCol: String): DataFrame = {
+        val byK = ev.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+        graft.sql.PrefixSum.exclusive(byK, keyCol, "cnt", "cb")
+          .select(col(keyCol),
+            (col("cb").cast("double") + (col("cnt") + 1).cast("double") / 2.0)
+              .as(s"r_$keyCol"))
+      }
+      val ranked = ev.join(midranks("day"), "day")
+        .join(midranks("value"), "value")
+      ranked.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("r_day")).as("sx"), sum(col("r_value")).as("sy"),
+          sum(col("r_day") * col("r_day")).as("sxx"),
+          sum(col("r_value") * col("r_value")).as("syy"),
+          sum(col("r_day") * col("r_value")).as("sxy"))
+        .select(col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("rho"))
+    }),
+
     // Kaplan–Meier retention: per-user activity lifetimes right-censored
     // at the observation horizon (users still active in the final days
     // leave the risk set without counting as churn); everything reduces
@@ -555,6 +609,66 @@ object TemporalQueries {
         |SELECT user_id, CAST(n AS BIGINT) AS n,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
         |FROM agg WHERE n * sxx - sx * sx > 0""".stripMargin,
+    // same midranks from an ordered-window cumulative
+    "q151_mannwhitney" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        |), byv AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2,
+        |    count(*) AS cnt
+        |  FROM ev GROUP BY 1
+        |), r AS (
+        |  SELECT value, c1, c2,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |      + CAST(cnt + 1 AS DOUBLE) / 2.0 AS midrank
+        |  FROM byv
+        |), agg AS (
+        |  SELECT CAST(sum(c1) AS DOUBLE) AS n1, CAST(sum(c2) AS DOUBLE) AS n2,
+        |    sum(CAST(c1 AS DOUBLE) * midrank) AS r1
+        |  FROM r
+        |)
+        |SELECT r1 - n1 * (n1 + 1.0) / 2.0 AS u1,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round(2.0 * (r1 - n1 * (n1 + 1.0) / 2.0)
+        |    / (CAST(n1 AS BIGINT) * CAST(n2 AS BIGINT)) - 1.0, 6)
+        |    AS rank_biserial
+        |FROM agg""".stripMargin,
+    // identical midrank construction + closed-form Pearson on the ranks
+    "q152_spearman" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, value
+        |  FROM events WHERE value IS NOT NULL
+        |), bd AS (SELECT day, count(*) AS cnt FROM ev GROUP BY 1),
+        |rd AS (
+        |  SELECT day,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |      + CAST(cnt + 1 AS DOUBLE) / 2.0 AS r_day
+        |  FROM bd
+        |), bv AS (SELECT value, count(*) AS cnt FROM ev GROUP BY 1),
+        |rv AS (
+        |  SELECT value,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |      + CAST(cnt + 1 AS DOUBLE) / 2.0 AS r_value
+        |  FROM bv
+        |), ranked AS (
+        |  SELECT r_day, r_value FROM ev JOIN rd USING (day) JOIN rv USING (value)
+        |), agg AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(r_day) AS sx, sum(r_value) AS sy,
+        |    sum(r_day * r_day) AS sxx, sum(r_value * r_value) AS syy,
+        |    sum(r_day * r_value) AS sxy
+        |  FROM ranked
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
+        |    * (n * syy - sy * sy)), 6) AS rho
+        |FROM agg""".stripMargin,
     // the oracle may use the single ordered window the Spark side avoids
     "q150_ks_test" ->
       """WITH ev AS (
