@@ -86,6 +86,31 @@ object CurationQueries {
           col("k.quality").as("quality"), col("members"))
     }),
 
+    // dedup savings report: q39's clusters rolled up by size — how many
+    // clusters of each size, docs removable (k−1 each), characters saved
+    // under the keep-min-id rule. The number a curation run actually
+    // reports to its owner before committing the drop.
+    "q153_dedup_report" -> ((s, dir) => {
+      val docs = seeded(s, dir)
+      val pairs = new MinHashDeduplicator()
+        .setIdCol("doc_id").setTextCol("text")
+        .setShingleSize(8).setNumHashes(12).setNumBands(4).setThreshold(0.5)
+        .transform(docs)
+      val comps = DedupClusters.components(docs, pairs, "doc_id")
+      val sized = comps
+        .join(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("chars")), "doc_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("k"), sum(col("chars")).as("tot"),
+          min_by(col("chars"), col("doc_id")).as("kept"))
+      sized.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("tot") - col("kept")).as("chars_saved"))
+        .select(col("k"), col("n_clusters"),
+          ((col("k") - 1) * col("n_clusters")).as("docs_removable"),
+          col("chars_saved"))
+    }),
+
     // the end-game composition in ONE declarative plan: quality filter →
     // exact dedup (keep canonical) → 70% train split → token-budget shards
     "q50_curation_pipeline" -> ((s, dir) => {
@@ -302,6 +327,20 @@ object CurationQueries {
         |FROM documents
         |WHERE ('0x' || substr(md5('val:' || doc_id), 1, 8))::BIGINT % 100 < 30""".stripMargin,
     "q39_dedup_clusters" -> ccOracleSql,
+    // shared closure + the same size/savings rollup (keep = min doc_id)
+    "q153_dedup_report" ->
+      (ccClustersCte +
+        """, sized AS (
+          |  SELECT cluster, count(*) AS k,
+          |    sum(length(text)) AS tot,
+          |    min_by(length(text), doc_id) AS kept
+          |  FROM comps JOIN base USING (doc_id)
+          |  GROUP BY 1
+          |)
+          |SELECT k, count(*) AS n_clusters,
+          |  CAST((k - 1) * count(*) AS BIGINT) AS docs_removable,
+          |  CAST(sum(tot - kept) AS BIGINT) AS chars_saved
+          |FROM sized GROUP BY k""".stripMargin),
     // clusters from the shared closure + the q50 quality formula, keep =
     // highest quality then lowest id (rounded to 6dp on both engines
     // BEFORE the argmax, so the comparison replays exactly)
