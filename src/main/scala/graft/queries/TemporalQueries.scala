@@ -247,6 +247,26 @@ object TemporalQueries {
           col("n1"), col("n2"))
     }),
 
+    // Theil–Sen robust trend: median of pairwise slopes per user — the
+    // outlier-proof companion to q148's OLS. The pairwise self-join is
+    // keyed by user and bounded by per-key observation count (the
+    // documented robust-stats cost: O(n_k²) WITHIN each key, never
+    // across keys); exact interpolated median replays in quantile_cont
+    "q154_theilsen" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("(unix_micros(cast(ts as timestamp))) div 86400000000")
+            .cast("double").as("x"),
+          col("value").as("y"), col("event_id"))
+      val slopes = ev.as("a").join(ev.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.x") < col("b.x"))
+        .select(col("a.user_id").as("user_id"),
+          ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("slope"))
+      slopes.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))
+    }),
+
     // Mann–Whitney U (rank-sum): midranks from per-value counts + the
     // two-phase PrefixSum (cumBefore + (cnt+1)/2 — exact halves, no
     // float accumulation risk), U and the rank-biserial effect size in
@@ -609,6 +629,19 @@ object TemporalQueries {
         |SELECT user_id, CAST(n AS BIGINT) AS n,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
         |FROM agg WHERE n * sxx - sx * sx > 0""".stripMargin,
+    // identical pairwise slopes + interpolated median
+    "q154_theilsen" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS DOUBLE) AS x,
+        |    value AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), s AS (
+        |  SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.x < b.x
+        |)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS ts_slope
+        |FROM s GROUP BY 1""".stripMargin,
     // same midranks from an ordered-window cumulative
     "q151_mannwhitney" ->
       """WITH ev AS (
