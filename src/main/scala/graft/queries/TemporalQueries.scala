@@ -363,6 +363,36 @@ object TemporalQueries {
           round(avg(col("delta")), 6).as("avg_delta"))
     }),
 
+    // 7-day sliding per-user activity estimates from MERGED day CMS
+    // sketches — the frequency companion to q137's sliding HLL: one CMS
+    // per day (raw stream scanned once), each trailing window an
+    // element-wise SUM of ≤7 sketches, probed for a fixed user set. The
+    // oracle rebuilds every window's buckets directly from rows, pinning
+    // the linear merge.
+    "q155_sliding_cms" -> ((s, dir) => {
+      val d = 4; val w = 1024
+      val days = Tables.events(s, dir)
+        .select(expr("(unix_micros(cast(ts as timestamp))) div 86400000000")
+          .as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(graft.sql.functions.countMinSketch(
+          col("user_id").cast("string"), d, w).as("sk"))
+      val mx = days.agg(max(col("day")).as("mx"))
+      val wins = days
+        .select(col("day"), col("sk"),
+          explode(sequence(col("day"), col("day") + 6)).as("win"))
+        .crossJoin(broadcast(mx)).where(col("win") <= col("mx"))
+        .groupBy(col("win"))
+        .agg(graft.sql.functions.cmsMerge(col("sk"), d, w).as("sk"),
+          count(lit(1)).as("n_days"))
+      val probeDf = broadcast(s.createDataFrame(
+        (1 to 10).map(i => Tuple1(i * 15L))).toDF("probe_user"))
+      wins.crossJoin(probeDf)
+        .select(col("win").as("day"), col("n_days"), col("probe_user"),
+          graft.sql.functions.cmsEstimate(col("sk"),
+            col("probe_user").cast("string"), d, w).as("est_events"))
+    }),
+
     // 7-day trailing distinct users from MERGED day sketches: the raw
     // stream is scanned ONCE (one HLL register array per day); every
     // sliding window is a merge of ≤7 tiny sketches — the sliding-window
@@ -795,6 +825,48 @@ object TemporalQueries {
         |  round(quantile_cont(delta, 0.9), 6) AS p90,
         |  round(avg(delta), 6) AS avg_delta
         |FROM d GROUP BY step""".stripMargin,
+    // every window's CMS buckets recomputed DIRECTLY from the rows (q74
+    // bucket scheme); empty probe buckets coalesce to 0
+    "q155_sliding_cms" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(user_id AS VARCHAR) AS u
+        |  FROM events
+        |), dd AS (SELECT DISTINCT day FROM e),
+        |wins AS (
+        |  SELECT DISTINCT day + o AS win FROM dd, range(0, 7) t(o)
+        |  WHERE day + o <= (SELECT max(day) FROM dd)
+        |), nd AS (
+        |  SELECT w.win, count(*) AS n_days
+        |  FROM wins w JOIN dd ON dd.day BETWEEN w.win - 6 AND w.win
+        |  GROUP BY 1
+        |), wd AS (
+        |  SELECT w.win, e.u FROM wins w
+        |  JOIN e ON e.day BETWEEN w.win - 6 AND w.win
+        |), b AS (
+        |  SELECT win, j,
+        |    ('0x' || substr(md5(j::VARCHAR || ':' || u), 1, 14))::BIGINT % 1024
+        |      AS bkt,
+        |    count(*) AS c
+        |  FROM wd CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2, 3
+        |), probes AS (
+        |  SELECT unnest([15, 30, 45, 60, 75, 90, 105, 120, 135, 150])
+        |    AS probe_user
+        |), q AS (
+        |  SELECT w2.win, probes.probe_user, r.j,
+        |    ('0x' || substr(md5(r.j::VARCHAR || ':'
+        |      || CAST(probe_user AS VARCHAR)), 1, 14))::BIGINT % 1024 AS pb
+        |  FROM wins w2, probes, range(0, 4) r(j)
+        |), est AS (
+        |  SELECT q.win, q.probe_user, min(coalesce(b.c, 0)) AS est
+        |  FROM q LEFT JOIN b
+        |    ON b.win = q.win AND b.j = q.j AND b.bkt = q.pb
+        |  GROUP BY 1, 2
+        |)
+        |SELECT est.win AS day, nd.n_days,
+        |  CAST(probe_user AS BIGINT) AS probe_user,
+        |  CAST(est AS BIGINT) AS est_events
+        |FROM est JOIN nd ON nd.win = est.win""".stripMargin,
     // every window's HLL registers recomputed DIRECTLY from the rows
     // (same md5 register/rho scheme as the q122 replay) — equality with
     // the Spark side's merged day sketches pins the rollup identity
