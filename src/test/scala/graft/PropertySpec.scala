@@ -226,6 +226,35 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("histogram-sketch quantile equals the sequential reference fold") {
+    import graft.sql.HistogramSketch
+    val hs = new HistogramSketch(0.0, 100.0, 10)
+    // sequential reference of the documented interpolation
+    def ref(counts: Seq[Long], p: Double): Option[Double] = {
+      val total = counts.sum.toDouble
+      if (total == 0) return None
+      val target = p * total
+      var cum = 0.0
+      counts.zipWithIndex.foreach { case (c, i) =>
+        if (c > 0 && cum + c >= target)
+          return Some((i + math.max(0.0, target - cum) / c) * 10.0)
+        cum += c
+      }
+      None
+    }
+    val gen = Gen.zip(
+      Gen.listOfN(10, Gen.choose(0L, 50L)),
+      Gen.oneOf(0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0))
+    forAll(gen, trials = 25) { case (counts, p) =>
+      val got = Seq(Tuple1(counts)).toDF("hist")
+        .select(hs.quantile($"hist", p).as("q"))
+        .as[Option[Double]].head()
+      assert(got === ref(counts, p), s"counts=$counts p=$p")
+      // estimate stays inside the histogram's bounds whenever defined
+      got.foreach(q => assert(q >= 0.0 && q <= 100.0))
+    }
+  }
+
   test("two-phase prefix sum equals the sequential scan on random data") {
     val rows: Gen[List[(Long, Long)]] =
       Gen.listOfN(30, Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 9L)))
