@@ -247,6 +247,31 @@ object TemporalQueries {
           col("n1"), col("n2"))
     }),
 
+    // autocorrelation of the corpus's daily mean-value series at lags
+    // 0..7: the heavy lifting (per-day means) is one partial-aggregated
+    // pass over the stream; the lag correlations are closed-form sums
+    // over the tiny (day, day+lag) self-join
+    "q156_acf" -> ((s, dir) => {
+      val series = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(expr("(unix_micros(cast(ts as timestamp))) div 86400000000")
+          .as("day"), col("value"))
+        .groupBy(col("day")).agg(avg(col("value")).as("m"))
+      val lags = broadcast(s.range(0, 8).select(col("id").as("lag")))
+      val pairs = series.crossJoin(lags)
+        .join(broadcast(series.select(col("day").as("bd"), col("m").as("mb"))),
+          col("bd") === col("day") + col("lag"))
+      pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("m")).as("sa"), sum(col("mb")).as("sb"),
+          sum(col("m") * col("m")).as("saa"),
+          sum(col("mb") * col("mb")).as("sbb"),
+          sum(col("m") * col("mb")).as("sab"))
+        .select(col("lag"), col("n").cast("long").as("n"),
+          round((col("n") * col("sab") - col("sa") * col("sb")) /
+            sqrt((col("n") * col("saa") - col("sa") * col("sa")) *
+              (col("n") * col("sbb") - col("sb") * col("sb"))), 6).as("acf"))
+    }),
+
     // Theil–Sen robust trend: median of pairwise slopes per user — the
     // outlier-proof companion to q148's OLS. The pairwise self-join is
     // keyed by user and bounded by per-key observation count (the
@@ -659,6 +684,27 @@ object TemporalQueries {
         |SELECT user_id, CAST(n AS BIGINT) AS n,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
         |FROM agg WHERE n * sxx - sx * sx > 0""".stripMargin,
+    // identical per-day means, lag self-join, and Pearson sums
+    "q156_acf" ->
+      """WITH series AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), lags AS (SELECT unnest(range(0, 8)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, a.m AS ma, b.m AS mb
+        |  FROM series a CROSS JOIN lags l
+        |  JOIN series b ON b.day = a.day + l.lag
+        |), agg AS (
+        |  SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(ma) AS sa, sum(mb) AS sb,
+        |    sum(ma * ma) AS saa, sum(mb * mb) AS sbb,
+        |    sum(ma * mb) AS sab
+        |  FROM pairs GROUP BY 1
+        |)
+        |SELECT lag, CAST(n AS BIGINT) AS n,
+        |  round((n * sab - sa * sb) / sqrt((n * saa - sa * sa)
+        |    * (n * sbb - sb * sb)), 6) AS acf
+        |FROM agg""".stripMargin,
     // identical pairwise slopes + interpolated median
     "q154_theilsen" ->
       """WITH ev AS (
