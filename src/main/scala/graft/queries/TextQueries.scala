@@ -802,11 +802,14 @@ object TextQueries {
         |), j AS (
         |  SELECT p.a, p.b,
         |    (CASE WHEN ca.c_nationkey = cb.c_nationkey
-        |       THEN ${f1.wAgree} ELSE ${f1.wDisagree} END
+        |       THEN CAST(${f1.wAgree} AS DOUBLE)
+        |       ELSE CAST(${f1.wDisagree} AS DOUBLE) END
         |     + CASE WHEN ca.c_mktsegment = cb.c_mktsegment
-        |       THEN ${f2.wAgree} ELSE ${f2.wDisagree} END)
+        |       THEN CAST(${f2.wAgree} AS DOUBLE)
+        |       ELSE CAST(${f2.wDisagree} AS DOUBLE) END)
         |     + CASE WHEN abs(ca.c_acctbal - cb.c_acctbal) <= 500.0
-        |       THEN ${f3.wAgree} ELSE ${f3.wDisagree} END AS weight
+        |       THEN CAST(${f3.wAgree} AS DOUBLE)
+        |       ELSE CAST(${f3.wDisagree} AS DOUBLE) END AS weight
         |  FROM p
         |  JOIN customer ca ON ca.c_name = p.a
         |  JOIN customer cb ON cb.c_name = p.b
