@@ -247,6 +247,24 @@ object TemporalQueries {
           col("n1"), col("n2"))
     }),
 
+    // weekday seasonality profile: per day-of-week event counts, mean
+    // value, and traffic share — the weekly-cycle companion to q156's
+    // ACF (epoch day 0 = Thursday, so dow = (day + 4) % 7 with 0=Sunday)
+    "q158_weekday_profile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(pmod(expr(
+          "(unix_micros(cast(ts as timestamp))) div 86400000000") + 4, lit(7))
+          .cast("int").as("dow"), col("value"))
+      val tot = ev.agg(count(lit(1)).cast("double").as("tot"))
+      ev.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("n"),
+          col("avg_value"),
+          round(col("n").cast("double") / col("tot"), 9).as("share"))
+    }),
+
     // autocorrelation of the corpus's daily mean-value series at lags
     // 0..7: the heavy lifting (per-day means) is one partial-aggregated
     // pass over the stream; the lag correlations are closed-form sums
@@ -684,6 +702,16 @@ object TemporalQueries {
         |SELECT user_id, CAST(n AS BIGINT) AS n,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
         |FROM agg WHERE n * sxx - sx * sx > 0""".stripMargin,
+    "q158_weekday_profile" ->
+      """WITH e AS (
+        |  SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+        |    value
+        |  FROM events
+        |), tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM e)
+        |SELECT dow, count(*) AS n,
+        |  round(avg(value), 6) AS avg_value,
+        |  round(CAST(count(*) AS DOUBLE) / tot, 9) AS share
+        |FROM e, tot GROUP BY dow, tot""".stripMargin,
     // identical per-day means, lag self-join, and Pearson sums
     "q156_acf" ->
       """WITH series AS (

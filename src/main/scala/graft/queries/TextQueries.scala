@@ -224,6 +224,23 @@ object TextQueries {
           col("col").cast("long").as("doc_id"))
     }),
 
+    // source-concentration (Herfindahl) per language: Σ share² over the
+    // source mix — the "is this language dominated by one feed" number a
+    // mixing plan checks before setting weights. Pure wordcount-shaped
+    // aggregation, no ranks, no windows.
+    "q157_source_hhi" -> ((s, dir) => {
+      val bySrc = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      val byLang = bySrc.groupBy(col("lang"))
+        .agg(sum(col("n")).cast("double").as("tot"),
+          count(lit(1)).as("n_sources"))
+      bySrc.join(byLang, "lang")
+        .withColumn("sh", col("n").cast("double") / col("tot"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_sources")).as("n_sources"),
+          round(sum(col("sh") * col("sh")), 9).as("hhi"))
+    }),
+
     // chi-squared independence test for the lang × source contingency
     // table (zero cells included via the margins cross): is the language
     // mix independent of the source feed — the categorical drift
@@ -764,6 +781,18 @@ object TextQueries {
         |UNION ALL
         |SELECT '__all__' AS source, CAST(rn - 1 AS INT) AS pos, doc_id FROM g
         |WHERE rn <= 8""".stripMargin,
+    "q157_source_hhi" ->
+      """WITH bs AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+        |), bl AS (
+        |  SELECT lang, CAST(sum(n) AS DOUBLE) AS tot, count(*) AS n_sources
+        |  FROM bs GROUP BY 1
+        |)
+        |SELECT lang, max(n_sources) AS n_sources,
+        |  round(sum((CAST(n AS DOUBLE) / tot) * (CAST(n AS DOUBLE) / tot)), 9)
+        |    AS hhi
+        |FROM bs JOIN bl USING (lang)
+        |GROUP BY lang""".stripMargin,
     // same margins-cross cell set (zero cells contribute e) and formula
     "q149_chi2" ->
       """WITH obs AS (
