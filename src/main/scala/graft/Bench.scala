@@ -79,7 +79,12 @@ object Bench {
     // driver's parsed JSON — fail loudly at bench time instead
     require(results.map(r => short(r._1)).distinct.size == results.size,
       "duplicate qNN prefixes across query names; printed JSON keys would collide")
-    val qJson = results.map { case (k, v) => jstr(short(k)) + ":" + num(v) }.mkString("{", ",", "}")
+    // the PRINTED per-query map uses centisecond precision: at 158 queries
+    // the line sits near the observed ~2.4 KB log-tail window (the r7
+    // clipping), and 10 ms resolution is ample for round-over-round
+    // comparison; bench_out.json keeps millisecond precision + full names
+    def num2(v: Double): String = f"$v%.2f"
+    val qJson = results.map { case (k, v) => jstr(short(k)) + ":" + num2(v) }.mkString("{", ",", "}")
     val qJsonFull = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     // r7's 12-error run pushed the printed line past the driver's log-tail
