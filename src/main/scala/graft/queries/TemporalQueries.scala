@@ -247,6 +247,69 @@ object TemporalQueries {
           col("n1"), col("n2"))
     }),
 
+    // last-touch attribution: each purchase's value credits the most
+    // recent prior click by the same user within a 24h window (backward
+    // as-of join — one keyed shuffle), rolled up per attribution day;
+    // unattributed purchases land in an explicit bucket instead of
+    // silently vanishing
+    "q159_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("c_ts"))
+        .agg(min(col("event_id")).as("c_id"))
+      new AsOfJoin(Seq("user_id"), "ts_us", "c_ts", "backward",
+        Some(86400000000L)).join(purchases, clicks)
+        .select(
+          when(col("c_id").isNotNull,
+            expr("c_ts div 86400000000")).otherwise(lit(-1L)).as("attr_day"),
+          col("value"))
+        .groupBy(col("attr_day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(coalesce(col("value"), lit(0.0))), 6).as("revenue"))
+    }),
+
+    // hash-randomized A/B readout: users split 50/50 by the deterministic
+    // md5 coin, per-arm conversion (any purchase) rates plus the 2×2
+    // chi-squared statistic — the full experimentation loop (assignment,
+    // exposure, outcome, test) as one declarative plan
+    "q160_ab_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("arm",
+          when(graft.sql.functions.uniform32("ab", col("user_id")) % 2 === 0,
+            "A").otherwise("B"))
+      // conversion = a purchase of at least 150 (~45% of users at every
+      // SF — plain "any purchase" saturates to 100% and the chi2
+      // expecteds degenerate to a zero divisor)
+      val conv = ev.where(col("event_type") === "purchase" &&
+          col("value") >= 150.0)
+        .select(col("user_id")).distinct().withColumn("converted", lit(1L))
+      val cells = users.join(conv, Seq("user_id"), "left")
+        .withColumn("converted", coalesce(col("converted"), lit(0L)))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("n_conv"))
+      val tot = cells.agg(sum(col("n")).cast("double").as("tn"),
+        sum(col("n_conv")).cast("double").as("tc"))
+      // chi2 over the 2x2 (converted / not) with margin-derived expecteds
+      val terms = cells.crossJoin(broadcast(tot))
+        .withColumn("e1", col("n").cast("double") * col("tc") / col("tn"))
+        .withColumn("e0",
+          col("n").cast("double") * (col("tn") - col("tc")) / col("tn"))
+        .withColumn("chi_part",
+          (col("n_conv") - col("e1")) * (col("n_conv") - col("e1")) / col("e1")
+            + ((col("n") - col("n_conv")) - col("e0"))
+            * ((col("n") - col("n_conv")) - col("e0")) / col("e0"))
+      val chi = terms.agg(round(sum(col("chi_part")), 6).as("chi2"))
+      terms.select(col("arm"), col("n"), col("n_conv"),
+          round(col("n_conv").cast("double") / col("n"), 9).as("conv_rate"))
+        .crossJoin(broadcast(chi))
+    }),
+
     // weekday seasonality profile: per day-of-week event counts, mean
     // value, and traffic share — the weekly-cycle companion to q156's
     // ACF (epoch day 0 = Thursday, so dow = (day + 4) % 7 with 0=Sunday)
@@ -702,6 +765,61 @@ object TemporalQueries {
         |SELECT user_id, CAST(n AS BIGINT) AS n,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
         |FROM agg WHERE n * sxx - sx * sx > 0""".stripMargin,
+    // DuckDB's native ASOF gives the backward match; the tolerance and
+    // the unattributed bucket replay in the CASE
+    "q159_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, ts_us, value FROM e WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts_us AS c_ts, min(event_id) AS c_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+        |), j AS (
+        |  SELECT p.user_id, p.ts_us, p.value, c.c_ts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts_us >= c.c_ts
+        |)
+        |SELECT CASE WHEN c_ts IS NOT NULL AND ts_us - c_ts <= 86400000000
+        |         THEN c_ts // 86400000000 ELSE -1 END AS attr_day,
+        |  count(*) AS n_purchases,
+        |  round(sum(coalesce(value, 0.0)), 6) AS revenue
+        |FROM j GROUP BY 1""".stripMargin,
+    // same md5 coin, margins, and 2x2 chi2 formula
+    "q160_ab_test" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |ua AS (
+        |  SELECT user_id,
+        |    CASE WHEN ('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |           % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM u
+        |), cv AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND value >= 150.0
+        |), cells AS (
+        |  SELECT arm, count(*) AS n,
+        |    sum(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+        |  FROM ua LEFT JOIN cv ON ua.user_id = cv.user_id
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS tn, CAST(sum(n_conv) AS DOUBLE) AS tc
+        |  FROM cells
+        |), terms AS (
+        |  SELECT arm, n, n_conv,
+        |    CAST(n AS DOUBLE) * tc / tn AS e1,
+        |    CAST(n AS DOUBLE) * (tn - tc) / tn AS e0
+        |  FROM cells, tot
+        |), chi AS (
+        |  SELECT round(sum((n_conv - e1) * (n_conv - e1) / e1
+        |    + ((n - n_conv) - e0) * ((n - n_conv) - e0) / e0), 6) AS chi2
+        |  FROM terms
+        |)
+        |SELECT arm, n, CAST(n_conv AS BIGINT) AS n_conv,
+        |  round(CAST(n_conv AS DOUBLE) / n, 9) AS conv_rate,
+        |  (SELECT chi2 FROM chi) AS chi2
+        |FROM terms""".stripMargin,
     "q158_weekday_profile" ->
       """WITH e AS (
         |  SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
