@@ -98,6 +98,37 @@ object MetricsQueries {
         .select(round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
     }),
 
+    // per-subgroup AUC (fairness slicing): the ranking metric recomputed
+    // inside each order-priority slice via the exact rank-sum identity
+    // AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with midranks from per-score
+    // counts + PrefixSum — exact half-integer arithmetic, one bucketed
+    // prefix pass per (known, enumerable) slice, never a low-cardinality
+    // window partition
+    "q161_grouped_auc" -> ((s, dir) => {
+      val groups = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val base = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("g"),
+        (((col("o_orderkey") * 2654435761L) % 1000) / 1000.0).as("score"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"))
+      groups.map { g =>
+        val byV = base.where(col("g") === g).groupBy(col("score"))
+          .agg(sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("cp"),
+            count(lit(1)).as("cnt"))
+        val ranked = graft.sql.PrefixSum.exclusive(byV, "score", "cnt", "cb")
+          .withColumn("midrank",
+            col("cb").cast("double") + (col("cnt") + 1).cast("double") / 2.0)
+        ranked.agg(sum(col("cp")).cast("double").as("np"),
+            (sum(col("cnt")) - sum(col("cp"))).cast("double").as("nn"),
+            sum(col("cp").cast("double") * col("midrank")).as("rp"))
+          .select(lit(g).as("g"),
+            round((col("rp") - col("np") * (col("np") + 1.0) / 2.0) /
+              (col("np") * col("nn")), 9).as("auc"),
+            col("np").cast("long").as("n_pos"),
+            col("nn").cast("long").as("n_neg"))
+      }.reduce(_ unionByName _)
+    }),
+
     // reliability diagram + ECE: the calibration companion to the ranking
     // curves — one histogram-shaped groupBy on the predicted axis, the
     // ECE a count-weighted fold of the tiny bin table (broadcast back so
@@ -115,6 +146,33 @@ object MetricsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same per-slice midrank construction over an ordered window
+    "q161_grouped_auc" ->
+      """WITH sl AS (
+        |  SELECT o_orderpriority AS g,
+        |    ((o_orderkey * 2654435761) % 1000) / 1000.0 AS score,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label
+        |  FROM orders
+        |), byv AS (
+        |  SELECT g, score,
+        |    sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS cp,
+        |    count(*) AS cnt
+        |  FROM sl GROUP BY 1, 2
+        |), r AS (
+        |  SELECT g, cp, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |      + CAST(cnt + 1 AS DOUBLE) / 2.0 AS midrank
+        |  FROM byv
+        |), agg AS (
+        |  SELECT g, CAST(sum(cp) AS DOUBLE) AS np,
+        |    CAST(sum(cnt) - sum(cp) AS DOUBLE) AS nn,
+        |    sum(CAST(cp AS DOUBLE) * midrank) AS rp
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT g, round((rp - np * (np + 1.0) / 2.0) / (np * nn), 9) AS auc,
+        |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+        |FROM agg""".stripMargin,
     // equal-width bins on the predicted axis; every sum feeding
     // accuracy/n is integer-valued, confidence/ece tolerate aggregation-
     // order ulp via round(6) like the rest of the metrics family

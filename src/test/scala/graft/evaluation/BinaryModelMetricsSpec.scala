@@ -79,4 +79,27 @@ class BinaryModelMetricsSpec extends SparkTestBase {
     val m = new BinaryModelMetrics(rdd)
     assert(m.areaUnderROC() === 1.0)
   }
+
+  test("trapezoid AUC equals the rank-sum (Mann-Whitney) identity with ties") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // discrete scores force ties; the two formulations must agree anyway
+    val df = (0 until 400).map { i =>
+      ((i * 7 % 10) / 10.0, if ((i * 13 % 17) < 6 != (i % 10 < 3)) 1.0 else 0.0)
+    }.toDF("score", "label")
+    val trap = new BinaryModelMetrics(df).areaUnderROC()
+    val rows = df.as[(Double, Double)].collect()
+    val byScore = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0.0
+    var rp = 0.0
+    byScore.foreach { case (_, g) =>
+      val midrank = cum + (g.length + 1) / 2.0
+      rp += g.count(_._2 == 1.0) * midrank
+      cum += g.length
+    }
+    val np = rows.count(_._2 == 1.0).toDouble
+    val nn = rows.length - np
+    val ranksum = (rp - np * (np + 1.0) / 2.0) / (np * nn)
+    assert(math.abs(trap - ranksum) < 1e-12, s"trap=$trap ranksum=$ranksum")
+  }
 }
