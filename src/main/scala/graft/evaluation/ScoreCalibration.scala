@@ -37,8 +37,14 @@ class ScoreCalibration(numBins: Int = 10) {
     */
   def reliability(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val s = col(scoreCol).cast("double")
-    val bin = least(floor(s * numBins).cast("int"), lit(numBins - 1))
-    df.select(bin.as("bin"),
+    // clamp BOTH edges (HistogramSketch.bin discipline): a score slightly
+    // below 0 or a NULL score would otherwise mint a phantom negative/NULL
+    // bin row and silently skew ECE; out-of-contract inputs land in the
+    // edge bins instead, and NULL scores are dropped up front
+    val bin = greatest(lit(0),
+      least(floor(s * numBins).cast("int"), lit(numBins - 1)))
+    df.where(s.isNotNull)
+      .select(bin.as("bin"),
         s.as("__s"),
         when(col(labelCol).cast("double") === 1.0, 1.0).otherwise(0.0).as("__y"))
       .groupBy(col("bin"))

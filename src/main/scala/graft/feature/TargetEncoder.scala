@@ -62,14 +62,18 @@ class TargetEncoder(smoothing: Double = 20.0) {
     * cold-start rule.
     */
   def transform(df: DataFrame, stats: DataFrame, keyCol: String): DataFrame = {
-    val s = stats.select(col(keyCol).as("__te_k"), col("cnt"), col("enc"))
+    // every stats-side helper rides under a __te_ prefix so an input frame
+    // that already has a `cnt`/`enc`/`prior` column can't collide with (or
+    // be silently dropped by) the join plumbing
+    val s = stats.select(col(keyCol).as("__te_k"),
+      col("cnt").as("__te_cnt"), col("enc").as("__te_enc"))
     // prior is constant across stats rows; reduce it to one broadcast scalar
     val priorDf = stats.agg(max(col("prior")).as("__te_prior"))
     df.crossJoin(broadcast(priorDf))
       .join(s, col(keyCol) <=> col("__te_k"), "left")
-      .withColumn(s"${keyCol}_enc", coalesce(col("enc"), col("__te_prior")))
-      .withColumn(s"${keyCol}_cnt", coalesce(col("cnt"), lit(0L)))
-      .drop("__te_k", "cnt", "enc", "__te_prior")
+      .withColumn(s"${keyCol}_enc", coalesce(col("__te_enc"), col("__te_prior")))
+      .withColumn(s"${keyCol}_cnt", coalesce(col("__te_cnt"), lit(0L)))
+      .drop("__te_k", "__te_cnt", "__te_enc", "__te_prior")
   }
 
   /** Leave-one-out encode of the TRAINING frame itself: each row's label is
@@ -79,15 +83,16 @@ class TargetEncoder(smoothing: Double = 20.0) {
     */
   def transformLoo(df: DataFrame, keyCol: String, labelCol: String): DataFrame = {
     val s = encodings(df, keyCol, labelCol)
-      .select(col(keyCol).as("__te_k"), col("cnt"), col("sum_y"), col("prior"))
+      .select(col(keyCol).as("__te_k"), col("cnt").as("__te_cnt"),
+        col("sum_y").as("__te_sum_y"), col("prior").as("__te_prior"))
     val y = col(labelCol).cast("double")
-    val denom = col("cnt") - lit(1) + lit(smoothing)
+    val denom = col("__te_cnt") - lit(1) + lit(smoothing)
     df.join(s, col(keyCol) <=> col("__te_k"))
       .withColumn(s"${keyCol}_enc",
         when(denom > 0,
-          (col("sum_y") - y + lit(smoothing) * col("prior")) / denom)
-          .otherwise(col("prior")))
-      .withColumn(s"${keyCol}_cnt", col("cnt"))
-      .drop("__te_k", "cnt", "sum_y", "prior")
+          (col("__te_sum_y") - y + lit(smoothing) * col("__te_prior")) / denom)
+          .otherwise(col("__te_prior")))
+      .withColumn(s"${keyCol}_cnt", col("__te_cnt"))
+      .drop("__te_k", "__te_cnt", "__te_sum_y", "__te_prior")
   }
 }

@@ -41,7 +41,15 @@ object TriangleCount {
     * dedup+degree-join subtree per consumer (measured 1.7× slower at
     * sf0.1). Same trade as [[graft.dedup.DedupClusters]]: pay one
     * materialization of the (already-deduped, fixed-width) edge frame,
-    * truncate the lineage for every consumer.
+    * truncate the lineage for every consumer. The checkpoint is LAZY
+    * (`localCheckpoint(eager = false)`): constructing the frame stays
+    * free of Spark jobs (library-operator courtesy — callers may only
+    * want the plan), materialization happens with the first action.
+    * Fault-tolerance caveat either way: localCheckpoint blocks live on
+    * executor storage with lineage truncated, so losing an executor
+    * after materialization makes downstream actions unrecoverable —
+    * pass `materialize = false` on preemptible clusters and pay the
+    * recompute.
     */
   def perNode(edges: DataFrame, materialize: Boolean = true): DataFrame = {
     val e = edges.select(
@@ -58,7 +66,7 @@ object TriangleCount {
         when(xFirst, col("x")).otherwise(col("y")).as("src"),
         when(xFirst, col("y")).otherwise(col("x")).as("dst"),
         when(xFirst, col("dy")).otherwise(col("dx")).as("dd"))
-    val dir = if (materialize) dir0.localCheckpoint(true) else dir0
+    val dir = if (materialize) dir0.localCheckpoint(false) else dir0
     val wedges = dir.as("a")
       .join(dir.as("b"),
         col("a.src") === col("b.src") &&

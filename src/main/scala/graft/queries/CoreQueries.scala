@@ -547,8 +547,15 @@ object CoreQueries {
         |    count(*) AS c
         |  FROM ob CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2
         |), prod AS (
-        |  SELECT ba.j, CAST(sum(ba.c * bb.c) AS BIGINT) AS ip
-        |  FROM ba JOIN bb ON ba.j = bb.j AND ba.b = bb.b GROUP BY 1
+        |  -- every row j appears even when the two sketches co-occupy NO
+        |  -- bucket in that row (true inner product 0): an inner join would
+        |  -- silently drop such rows and min(ip) would overestimate, while
+        |  -- the Spark cmsJoinSize correctly reports 0 on disjoint keys
+        |  SELECT tj.j, CAST(coalesce(sum(ba.c * bb.c), 0) AS BIGINT) AS ip
+        |  FROM range(0, 4) tj(j)
+        |  LEFT JOIN ba ON ba.j = tj.j
+        |  LEFT JOIN bb ON bb.j = ba.j AND bb.b = ba.b
+        |  GROUP BY 1
         |), ex AS (
         |  SELECT count(*) AS exact_n
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -42,11 +42,18 @@ class Scd2Merge(
       tsCol: String): DataFrame = {
     val closed = dim.where(col(toCol).isNotNull)
       .select(col(keyCol), col(payloadCol), col(fromCol), col(toCol))
+    // `__side` breaks (key, time) ties between the open dim row and an
+    // update carrying the SAME timestamp as its valid_from: the dim row
+    // sorts first, so the update deterministically supersedes it (or is
+    // suppressed as a duplicate) instead of lag/lead ordering the two
+    // nondeterministically. Duplicate same-time UPDATES remain the
+    // caller's contract (both would get __side = 1).
     val open = dim.where(col(toCol).isNull)
-      .select(col(keyCol), col(payloadCol), col(fromCol).as("__t"))
+      .select(col(keyCol), col(payloadCol), col(fromCol).as("__t"),
+        lit(0).as("__side"))
     val ups = updates.select(col(keyCol), col(payloadCol),
-      col(tsCol).cast("long").as("__t"))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+      col(tsCol).cast("long").as("__t"), lit(1).as("__side"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__side"))
     val chain = open.unionByName(ups)
       .withColumn("__prev", lag(col(payloadCol), 1).over(w))
       // keep version starts: the first row per key, and every payload change

@@ -47,4 +47,16 @@ class ScoreCalibrationSpec extends SparkTestBase {
     val e = cal.ece(cal.reliability(perfect, "score", "label")).as[Double].head()
     assert(e === 0.0)
   }
+
+  test("out-of-contract scores clamp to edge bins; NULL scores are dropped") {
+    val dirty = Seq(
+      (Some(-0.01), 0.0),   // below domain -> bin 0, not bin -1
+      (Some(1.37), 1.0),    // above domain -> last bin
+      (None, 1.0),          // NULL score -> dropped, no NULL bin row
+      (Some(0.1), 0.0))
+      .toDF("score", "label")
+    val m = cal.reliability(dirty, "score", "label").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m === Map(0 -> 2L, 4 -> 1L))
+  }
 }

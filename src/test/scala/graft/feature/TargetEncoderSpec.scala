@@ -70,4 +70,25 @@ class TargetEncoderSpec extends SparkTestBase {
       .where($"id" === 6L).select($"k_enc").as[Double].head()
     assert(out === prior)
   }
+
+  test("input columns named cnt/enc/prior/sum_y survive both transforms") {
+    val te = new TargetEncoder(2.0)
+    val stats = te.encodings(df, "k", "y")
+    // scoring frame that already carries every former helper name
+    val clash = Seq((10L, Some("a"), 7L, 0.3, 0.4, 9.9))
+      .toDF("id", "k", "cnt", "enc", "prior", "sum_y")
+    val scored = te.transform(clash, stats, "k")
+    assert(Seq("cnt", "enc", "prior", "sum_y").forall(scored.columns.contains))
+    val r = scored.select($"cnt", $"enc", $"prior", $"sum_y", $"k_enc", $"k_cnt")
+      .head()
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ===
+      ((7L, 0.3, 0.4, 9.9)))                        // caller's columns intact
+    assert(r.getDouble(4) === (2.0 + 2.0 * prior) / 5.0)
+    assert(r.getLong(5) === 3L)
+    val looClash = df.withColumn("cnt", lit(42L)).withColumn("prior", lit(0.9))
+    val loo = te.transformLoo(looClash, "k", "y")
+      .where($"id" === 1L).select($"cnt", $"prior", $"k_enc").head()
+    assert((loo.getLong(0), loo.getDouble(1)) === ((42L, 0.9)))
+    assert(loo.getDouble(2) === (1.0 + 2.0 * prior) / 4.0)
+  }
 }

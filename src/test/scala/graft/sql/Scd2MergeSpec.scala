@@ -49,4 +49,24 @@ class Scd2MergeSpec extends SparkTestBase {
       .as[(Long, String, Long, Option[Long])].collect().toSet
     assert(twice === out)
   }
+
+  test("update at the open row's exact valid_from deterministically supersedes") {
+    // k2's open row starts at t=5; an update at the SAME t=5 with a new
+    // payload must sort AFTER the dim row (side tiebreak), closing it as a
+    // zero-length version — not nondeterministically before it
+    val sameT = Seq((2L, "q", 5L)).toDF("k", "segment", "ts")
+    val res = new Scd2Merge("k").apply(dim, sameT, "segment", "ts")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(res.filter(_._1 == 2L) === Set(
+      (2L, "w", 0L, Some(5L)),
+      (2L, "x", 5L, Some(5L)),    // superseded immediately: [5, 5)
+      (2L, "q", 5L, None)))
+    // and a same-time DUPLICATE payload is suppressed, leaving the open row
+    val dup = Seq((2L, "x", 5L)).toDF("k", "segment", "ts")
+    val res2 = new Scd2Merge("k").apply(dim, dup, "segment", "ts")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(res2.filter(_._1 == 2L) === Set(
+      (2L, "w", 0L, Some(5L)),
+      (2L, "x", 5L, None)))
+  }
 }
