@@ -1,13 +1,80 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+import java.lang.management.ManagementFactory
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main — driver runs per-round at sf0.1 and records the ONE JSON
   * line this prints. A warmup pass runs every query untimed first so the
   * timed pass measures query execution, not session/JIT/parquet-footer
   * warmup (round-1's first query absorbed ~8s of warmup). Failures are
   * reported in an `errors` field instead of masquerading as wall time.
+  *
+  * Telemetry: round-8's driver artifact recorded one query at 16× its
+  * reproducible cost and the artifact could not say why (GC? spill? an AQE
+  * plan flip?). Every timed query now also records, into `bench_out.json`:
+  * both raw pass times (min-of-2 hides which pass blew up), JVM GC ms and
+  * peak heap-pool usage across the timed window, shuffle read/write bytes
+  * and memory+disk spill summed from `SparkListenerTaskEnd` task metrics,
+  * and an id-normalized hash of the final (post-AQE) physical plan — enough
+  * to tell a GC/contention outlier from a plan flip from real spill without
+  * a rerun. The PRINTED line stays within the driver's log-tail window:
+  * same shape as before plus two scalar totals (`gc_s`, `spill_mb`).
   */
 object Bench {
+
+  /** Task-metric accumulator: local[n] runs everything in-JVM, so listener
+    * deltas between two snapshots attribute cleanly to the query that ran
+    * between them (the bus is drained by the post-query settle sleep).
+    */
+  private final class MetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spill = new AtomicLong
+    val taskTimeMs = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        taskTimeMs.addAndGet(m.executorRunTime)
+      }
+    }
+    def snapshot: Array[Long] = Array(
+      shuffleRead.get, shuffleWrite.get, spill.get, taskTimeMs.get)
+  }
+
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def heapPools = {
+    import scala.jdk.CollectionConverters._
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+  }
+
+  /** Fingerprint of the executed (final, post-AQE) physical plan with the
+    * run-varying ids stripped — equal hashes across runs mean "same plan",
+    * so a cross-run time divergence with equal hashes is environmental
+    * (GC, contention, spill), not a plan flip.
+    */
+  private[graft] def planHash(plan: String): String = {
+    val normalized = plan
+      .replaceAll("#\\d+[L]?", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("\\[id=#?\\d+\\]", "[id=]")
+      .replaceAll("cachedrdd_\\d+", "cachedrdd_")
+      .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(normalized.getBytes("UTF-8"))
+    d.take(4).map(b => f"$b%02x").mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,6 +85,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
 
     // optional comma-separated query-name filter for focused profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -30,6 +99,9 @@ object Bench {
     }
 
     var errors = List.empty[(String, String)]
+    // per-query: (t1, t2, gcMs, peakHeapMB, shufReadMB, shufWriteMB,
+    // spillMB, taskTimeMs, planHash) — reported time stays min(t1, t2)
+    var tele = Map.empty[String, (Double, Double, Long, Long, Long, Long, Long, Long, String)]
     // a failing query lands in `errors` and contributes NO time (neither a
     // per-query entry nor `total`) — failures never masquerade as wall time.
     // Each query is timed twice and the MIN reported: round-4's driver run
@@ -41,18 +113,33 @@ object Bench {
         // run inflated later queries (r6 recorded 5.62s for a query that
         // measures 1.34s isolated — both timed passes, so min-of-2 didn't
         // help). Collect OUTSIDE the timed window so every query starts
-        // from a settled heap, like its isolated run does.
+        // from a settled heap, like its isolated run does. The settle also
+        // drains the (async) listener bus, so the task-metric snapshots
+        // bracket exactly this query's tasks.
         // SPARK_GRAFT_NO_SETTLE=1 skips the collection for A/B-ing the
         // harness itself.
         if (!sys.env.contains("SPARK_GRAFT_NO_SETTLE")) {
           System.gc()
           Thread.sleep(50)
         }
+        heapPools.foreach(_.resetPeakUsage())
+        val gc0 = gcMs
+        val m0 = listener.snapshot
+        var lastPlan = ""
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val df = fn(spark, sfDir)
+          df.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          lastPlan = df.queryExecution.executedPlan.toString
+          dt
         }
+        Thread.sleep(30) // listener bus drain before the closing snapshot
+        val m1 = listener.snapshot
+        val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+        tele += name -> (times(0), times(1), gcMs - gc0, peakMb,
+          (m1(0) - m0(0)) >> 20, (m1(1) - m0(1)) >> 20, (m1(2) - m0(2)) >> 20,
+          m1(3) - m0(3), planHash(lastPlan))
         Some(name -> times.min)
       } catch {
         case e: Throwable =>
@@ -86,6 +173,13 @@ object Bench {
     def num2(v: Double): String = f"$v%.2f"
     val qJson = results.map { case (k, v) => jstr(short(k)) + ":" + num2(v) }.mkString("{", ",", "}")
     val qJsonFull = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    val teleJson = results.map { case (k, _) =>
+      val t = tele(k)
+      jstr(k) + ":" + (s"""{"t1":${num(t._1)},"t2":${num(t._2)},""" +
+        s""""gc_ms":${t._3},"peak_mb":${t._4},"shuf_r_mb":${t._5},""" +
+        s""""shuf_w_mb":${t._6},"spill_mb":${t._7},"task_ms":${t._8},""" +
+        s""""plan":${jstr(t._9)}}""")
+    }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     // r7's 12-error run pushed the printed line past the driver's log-tail
     // window and the clipped head failed to parse — so the one round where
@@ -97,10 +191,16 @@ object Bench {
       } ++ (if (errors.size > 5) Seq(jstr("more") + ":" + jstr((errors.size - 5).toString)) else Nil))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalGc = results.map(r => tele(r._1)._3).sum / 1e3
+    val totalSpill = results.map(r => tele(r._1)._7).sum
+    // two scalar telemetry totals ride on the printed line (~30 chars):
+    // nonzero gc_s or spill_mb on an outlier round says "environmental /
+    // memory pressure" at a glance; per-query attribution is in
+    // bench_out.json on disk
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qJson,"errors":$eJsonShort,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qJson,"errors":$eJsonShort,"gc_s":${num(totalGc)},"spill_mb":$totalSpill,"sf":${jstr(sfDir)}}"""
     val lineFull =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qJsonFull,"errors":$eJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qJsonFull,"errors":$eJson,"gc_s":${num(totalGc)},"spill_mb":$totalSpill,"telemetry":$teleJson,"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), lineFull + "\n")
     println(line)
     spark.stop()
