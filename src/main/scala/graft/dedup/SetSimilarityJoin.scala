@@ -63,6 +63,21 @@ class SetSimilarityJoin(
 
   /** (id, ts, sz): each set re-sorted in the global (df asc, tok asc)
     * order — a total order, so every engine derives the identical prefix.
+    *
+    * Deliberately NOT pinned (no persist/localCheckpoint), measured, not
+    * guessed (round 9 A/B, q120 @ sf0.1, local[32], focused):
+    *   - unpinned (this code): 5.6 s, task CPU ≈ wall × 32 (fully parallel)
+    *   - `persist()`:          7.4 s, 2.4× the task CPU, ~10× the shuffle
+    *   - `localCheckpoint`:   29.5 s — the stats-less `LogicalRDD` demotes
+    *     every downstream broadcast join to a sort-merge join on the
+    *     skewed `tok` key, collapsing effective parallelism to ~4.6/32
+    *     cores
+    * The static plan instantiates this subtree once per consumer, but the
+    * per-copy cost is small, runtime exchange reuse dedupes the identical
+    * inner exchanges, and keeping the subtree as a plain logical plan is
+    * what lets AQE keep the verify/prefix joins BROADCAST — worth far more
+    * than compute-once. Bench telemetry (task_ms, plan hash) now makes any
+    * full-run deviation from this plan attributable from the artifact.
     */
   private def sorted(sets: DataFrame): DataFrame = {
     val toks = graft.sql.functions.spread(
