@@ -101,32 +101,39 @@ object MetricsQueries {
     // per-subgroup AUC (fairness slicing): the ranking metric recomputed
     // inside each order-priority slice via the exact rank-sum identity
     // AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with midranks from per-score
-    // counts + PrefixSum — exact half-integer arithmetic, one bucketed
-    // prefix pass per (known, enumerable) slice, never a low-cardinality
-    // window partition
+    // counts + PrefixSum.exclusiveBy — ONE scan of orders, one grouped
+    // bucketed prefix pass across ALL slices at once (round 8 looped the
+    // 5 slices on the driver, each with its own scan; round 9's grouped
+    // prefix sum is the generalization users should copy), exact
+    // half-integer arithmetic, never a low-cardinality window partition
     "q161_grouped_auc" -> ((s, dir) => {
-      val groups = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
-        "4-NOT SPECIFIED", "5-LOW")
       val base = Tables.orders(s, dir).select(
         col("o_orderpriority").as("g"),
         (((col("o_orderkey") * 2654435761L) % 1000) / 1000.0).as("score"),
         when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"))
-      groups.map { g =>
-        val byV = base.where(col("g") === g).groupBy(col("score"))
-          .agg(sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("cp"),
-            count(lit(1)).as("cnt"))
-        val ranked = graft.sql.PrefixSum.exclusive(byV, "score", "cnt", "cb")
-          .withColumn("midrank",
-            col("cb").cast("double") + (col("cnt") + 1).cast("double") / 2.0)
-        ranked.agg(sum(col("cp")).cast("double").as("np"),
-            (sum(col("cnt")) - sum(col("cp"))).cast("double").as("nn"),
-            sum(col("cp").cast("double") * col("midrank")).as("rp"))
-          .select(lit(g).as("g"),
-            round((col("rp") - col("np") * (col("np") + 1.0) / 2.0) /
-              (col("np") * col("nn")), 9).as("auc"),
-            col("np").cast("long").as("n_pos"),
-            col("nn").cast("long").as("n_neg"))
-      }.reduce(_ unionByName _)
+      // persist the TINY per-(group, score) aggregate (≤ groups × score
+      // buckets rows): exclusiveBy's three-phase dataflow references its
+      // input from differently-pruned branches, which defeats exchange
+      // reuse — pinning the aggregate means orders is scanned ONCE and
+      // the diamond fans out over ~5k cached rows (PlanAuditSpec pins the
+      // single-scan shape)
+      val byV = base.groupBy(col("g"), col("score"))
+        .agg(sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("cp"),
+          count(lit(1)).as("cnt"))
+        .persist()
+      val ranked = graft.sql.PrefixSum
+        .exclusiveBy(byV, Seq("g"), "score", "cnt", "cb")
+        .withColumn("midrank",
+          col("cb").cast("double") + (col("cnt") + 1).cast("double") / 2.0)
+      ranked.groupBy(col("g"))
+        .agg(sum(col("cp")).cast("double").as("np"),
+          (sum(col("cnt")) - sum(col("cp"))).cast("double").as("nn"),
+          sum(col("cp").cast("double") * col("midrank")).as("rp"))
+        .select(col("g"),
+          round((col("rp") - col("np") * (col("np") + 1.0) / 2.0) /
+            (col("np") * col("nn")), 9).as("auc"),
+          col("np").cast("long").as("n_pos"),
+          col("nn").cast("long").as("n_neg"))
     }),
 
     // reliability diagram + ECE: the calibration companion to the ranking

@@ -121,6 +121,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(lowCardWindows(good.queryExecution.executedPlan.toString).isEmpty)
   }
 
+  test("q161 per-group cumulative reads orders ONCE (grouped prefix sum)") {
+    // round 8 looped the 5 priority slices on the driver — 5 unioned
+    // plans, each rescanning orders (5 scans no reuse could merge: the
+    // per-slice filters differ). PrefixSum.exclusiveBy expresses all
+    // groups in one plan whose diamond references are IDENTICAL subtrees,
+    // so runtime exchange reuse collapses them: the FINAL (post-execution
+    // AQE) plan must read orders through one live scan, every other
+    // reference a ReusedExchange. Checked after count() because reuse is
+    // applied during adaptive execution, not in the initial plan.
+    val df = SparkEntry.queries("q161_grouped_auc")(spark, dir)
+    // collect() (5-row result) executes df's OWN plan — count() would wrap
+    // it in a new aggregate and leave this one un-finalized
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // every InMemoryTableScan REPRINTS the cached child plan, so the scan
+    // line appears many times — but all copies of the one materialized
+    // scan are byte-identical (same expr ids). Independent uncached scans
+    // print column-pruning-specialized schemas with fresh expr ids, so
+    // "one distinct scan signature" is exactly "orders read once".
+    val scanSigs = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("orders.parquet"))
+      .map(l => l.substring(l.indexOf("FileScan")))
+      .toSet
+    assert(scanSigs.size === 1,
+      s"q161 should scan orders exactly once (one cached materialization), " +
+        s"found ${scanSigs.size} distinct scans:\n${scanSigs.mkString("\n")}")
+  }
+
   test("flagship entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
