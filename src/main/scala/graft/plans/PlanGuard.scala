@@ -1,17 +1,31 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Opt-in plan-time guard against the engine's documented scale-killer:
-  * a window with an EMPTY partition spec, which Catalyst plans as a
-  * single-task global sort — correct on a laptop, a silent serialization
-  * point on 100 TB. Twice in this engine's history (q96 round 5, q56/q58
-  * round 6) that class shipped while tests were green, caught only by a
-  * later plan audit; this rule moves the audit INTO the optimizer, where
-  * a production pipeline fails at planning time instead of stalling a
-  * cluster at 3am.
+/** Opt-in plan-time guard against the engine's documented scale-killers:
+  *
+  *  1. a window with an EMPTY partition spec, which Catalyst plans as a
+  *     single-task global sort — correct on a laptop, a silent
+  *     serialization point on 100 TB;
+  *  2. a window partitioned ONLY by declared low-cardinality columns —
+  *     one task per group sorts the dominant group's entire slice, the
+  *     q56/q58/q96 class that shipped twice while tests were green and
+  *     was each time caught only by an offline plan audit.
+  *
+  * Check (1) is structural and needs no configuration. Check (2) needs to
+  * know which columns are low-cardinality — declared per session as a
+  * comma-separated column-name list in `spark.graft.planGuard.lowCardCols`
+  * (empty default = check off). A blocklist rather than a high-card
+  * allowlist, deliberately: derived bucket columns (GroupedNtile /
+  * PrefixSum `__bkt`, salt keys) are exactly the fix for this class and
+  * must keep passing without being enumerated, and an allowlist would
+  * fail every undeclared-but-fine key (user_id, doc_id, ...). A window
+  * passes as soon as ANY partition expression is not a bare reference to
+  * a declared low-card column — a real key alongside the group, or any
+  * derived expression, defuses it.
   *
   * This is the engine's demonstration of the `injectOptimizerRule`
   * extension tier (the build plan's option (c) for whole-plan concerns
@@ -28,6 +42,8 @@ case class PlanGuard(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (session.conf.get(PlanGuard.Key, "false").toBoolean) {
+      val lowCard = session.conf.get(PlanGuard.LowCardKey, "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
       plan.foreach {
         case w: Window if w.partitionSpec.isEmpty =>
           throw new IllegalStateException(
@@ -38,6 +54,19 @@ case class PlanGuard(session: SparkSession) extends Rule[LogicalPlan] {
               "graft.sql.GroupedNtile / PrefixSum for the two-phase " +
               s"pattern), or SET ${PlanGuard.Key}=false for deliberate " +
               "small-data use.")
+        case w: Window if lowCard.nonEmpty && w.partitionSpec.forall {
+              case a: AttributeReference => lowCard.contains(a.name)
+              case _ => false
+            } =>
+          throw new IllegalStateException(
+            "graft plan guard: window partitioned only by declared " +
+              "low-cardinality columns (" +
+              w.partitionSpec.collect { case a: AttributeReference => a.name }
+                .mkString(", ") +
+              ") sorts each group in ONE task at scale. Add a real key or " +
+              "a derived bucket to the partition spec (GroupedNtile / " +
+              s"PrefixSum.exclusiveBy), amend ${PlanGuard.LowCardKey}, or " +
+              s"SET ${PlanGuard.Key}=false for deliberate small-data use.")
         case _ =>
       }
     }
@@ -47,4 +76,5 @@ case class PlanGuard(session: SparkSession) extends Rule[LogicalPlan] {
 
 object PlanGuard {
   val Key = "spark.graft.planGuard"
+  val LowCardKey = "spark.graft.planGuard.lowCardCols"
 }

@@ -115,6 +115,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
       spark.conf.set(graft.plans.PlanGuard.Key, "false")
       assert(global().collect().length === 3)
+
+      // --- low-cardinality partition check (conf-declared blocklist) ---
+      def lowCard() = df.withColumn("r",
+        row_number().over(Window.partitionBy($"k").orderBy($"v")))
+      def bucketed() = df.withColumn("b", $"v" % 4)
+        .withColumn("r",
+          row_number().over(Window.partitionBy($"k", $"b").orderBy($"v")))
+      spark.conf.set(graft.plans.PlanGuard.Key, "true")
+      // without a declared list the keyed window still passes
+      assert(lowCard().collect().length === 3)
+      spark.conf.set(graft.plans.PlanGuard.LowCardKey, "k, lang")
+      val e2 = intercept[Exception] { lowCard().collect() }
+      assert(e2.getMessage.contains("low-cardinality"), e2.getMessage)
+      // a derived bucket column alongside the low-card key defuses it —
+      // the GroupedNtile/PrefixSum shape must never need enumerating
+      assert(bucketed().collect().length === 3)
+      spark.conf.unset(graft.plans.PlanGuard.LowCardKey)
+      spark.conf.set(graft.plans.PlanGuard.Key, "false")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
