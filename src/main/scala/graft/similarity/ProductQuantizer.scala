@@ -78,6 +78,36 @@ class ProductQuantizer(
       .agg(array((0 until subDim).map(i => avg(col("slice")(i))): _*).as("centroid"))
   }
 
+  /** Production-knob codebooks: per-subspace [[KMeans]] with `iters`
+    * Lloyd refinements (and optionally farthest-point seeding) instead of
+    * [[fit]]'s deterministic-but-coarse 1-step training — the documented
+    * path to real recall at 256 codes/subspace (Jégou et al. §V train to
+    * convergence; PqRecallSpec measures what the knobs buy on the test
+    * corpus). Same output contract as [[fit]] ((sub, code, centroid),
+    * codes dense 0..k-1), so encode/adcSearch consume it unchanged, and
+    * still deterministic (KMeans seeds and ties are id-ordered) — just
+    * not 1-pass-replayable in SQL, which is why the oracle-gated queries
+    * keep [[fit]].
+    *
+    * Cost: m separate fits, each `iters + 1` passes over its subspace
+    * slice (`farthest` seeding adds k-1 top-1 passes per subspace) — an
+    * OFFLINE training cost; encode/search cost is unchanged. Subspace
+    * training is driver-sequenced but each fit is fully distributed, and
+    * m is a small constant (8-16).
+    */
+  def fitKMeans(
+      vectors: DataFrame,
+      iters: Int,
+      farthest: Boolean = false): DataFrame = {
+    val s = slices(vectors)
+    (0 until numSubspaces).map { j =>
+      val km = new KMeans(codebookSize, iters, subDim, idCol, "slice")
+      val sub = s.where(col("sub") === j)
+      val cents = if (farthest) km.fitFarthest(sub) else km.fit(sub)
+      cents.select(lit(j).as("sub"), col("cid").as("code"), col("centroid"))
+    }.reduce(_ unionByName _)
+  }
+
   /** (idCol, sub, code): nearest codebook entry per (vector, subspace);
     * ties to the lowest code.
     */

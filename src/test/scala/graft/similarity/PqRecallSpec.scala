@@ -63,6 +63,44 @@ class PqRecallSpec extends SparkTestBase {
     assert(r16 >= r8 - 0.02, "finer codes should not lose recall")
   }
 
+  private def adcRecallWith(pq: ProductQuantizer, cb: org.apache.spark.sql.DataFrame): Double = {
+    val got = pq.adcSearch(queries, pq.encode(vecs, cb), cb, 10)
+      .select($"query_id".cast("long"), $"vec_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    recall(got)
+  }
+
+  test("production knobs measured: 256 codes/subspace and multi-step Lloyd buy recall") {
+    // the knobs the scaladoc documents, with recall rows instead of
+    // claims (SURVEY §8 table). Baseline m=8/k=16/1-step: 0.262.
+    val pq8 = new ProductQuantizer(numSubspaces = 8, codebookSize = 16, dim = 64)
+    val base = adcRecall(8)
+    // (a) multi-step Lloyd at the same code budget (2 refinements)
+    val cbLloyd = pq8.fitKMeans(vecs, iters = 2).localCheckpoint()
+    val rLloyd = adcRecallWith(pq8, cbLloyd)
+    // (b) farthest-point seeding + Lloyd at the same budget
+    val cbFar = pq8.fitKMeans(vecs, iters = 2, farthest = true).localCheckpoint()
+    val rFar = adcRecallWith(pq8, cbFar)
+    // (c) the production code budget: 256 codes/subspace, 2-step Lloyd
+    val pq256 = new ProductQuantizer(numSubspaces = 8, codebookSize = 256, dim = 64)
+    val cb256 = pq256.fitKMeans(vecs, iters = 2).localCheckpoint()
+    val r256 = adcRecallWith(pq256, cb256)
+    info(f"PQ ADC recall@10 m=8: 1-step/16 -> $base%.3f, " +
+      f"2-step/16 -> $rLloyd%.3f, 2-step-farthest/16 -> $rFar%.3f, " +
+      f"2-step/256 -> $r256%.3f")
+    // monotonicity of the knob ladder, floors under measured values
+    assert(rLloyd >= base - 0.02,
+      f"multi-step Lloyd lost recall: $rLloyd%.3f < $base%.3f")
+    assert(r256 >= rLloyd + 0.10,
+      f"256 codes should buy large recall over 16: $r256%.3f vs $rLloyd%.3f")
+    // measured 0.488 — the near-uniform synthetic corpus caps what any
+    // codebook can model (same caveat as the baseline rows above); floor
+    // under measured
+    assert(r256 >= 0.40, f"256-code recall $r256%.3f under floor")
+    assert(rFar >= 0.18, f"farthest-seeded recall $rFar%.3f under floor")
+  }
+
   test("ADC shortlist + exact re-rank recovers most of the exact top-k") {
     // the production PQ deployment: ADC is the cheap SHORTLIST stage
     // (here 50 = 5k candidates scored from codes), exact cosine re-ranks
