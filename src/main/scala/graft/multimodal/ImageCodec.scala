@@ -28,6 +28,14 @@ object ImageCodec {
     bytes.length >= PngSignature.length &&
       PngSignature.indices.forall(i => bytes(i) == PngSignature(i))
 
+  /** JPEG/JFIF magic (FF D8 FF). Like the PNG check this only gates which
+    * decode path is TRIED — signature-bearing garbage still falls back to
+    * the stub kernel when `decodeStats` returns None.
+    */
+  def hasJpegSignature(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte
+
   /** Encode an RGB image from a pixel function `(x, y) => 0xRRGGBB`. */
   def encodePng(width: Int, height: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, "image dimensions must be positive")
@@ -40,6 +48,40 @@ object ImageCodec {
     }
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode an RGB image as JPEG at an explicit quality — the LOSSY
+    * counterpart of [[encodePng]]: a decode does NOT return the source
+    * pixels, so JPEG-derived stats are pinned by committed goldens
+    * (q162, the q14/q27 pattern) instead of an arithmetic SQL replay.
+    * Quality is set explicitly so the bytes don't depend on the writer's
+    * default.
+    */
+  def encodeJpeg(width: Int, height: Int, quality: Float)(
+      rgb: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "image dimensions must be positive")
+    require(quality > 0f && quality <= 1f, s"quality ($quality) must be in (0, 1]")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
     bos.toByteArray
   }
 

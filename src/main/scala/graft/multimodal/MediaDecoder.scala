@@ -91,8 +91,11 @@ object MediaDecoder extends DefaultParamsReadable[MediaDecoder] {
     * compressed audio — no codecs offline), keeping the deterministic fake
     * with the same batch signature.
     *
-    *  - PNG signature → `javax.imageio` ([[ImageCodec.decodeStats]]):
-    *    `[w, h, meanR/256, meanG/256, meanB/256]`
+    *  - PNG or JPEG signature → `javax.imageio`
+    *    ([[ImageCodec.decodeStats]]):
+    *    `[w, h, meanR/256, meanG/256, meanB/256]` (PNG stats are
+    *    arithmetic-replayable — lossless; JPEG stats are pinned by the
+    *    q162 committed golden — lossy)
     *  - RIFF/WAVE signature → `javax.sound.sampled`
     *    ([[AudioCodec.decodeStats]]):
     *    `[channels, sampleRate, frames, meanAbs/32768, peak/32768]`
@@ -106,7 +109,9 @@ object MediaDecoder extends DefaultParamsReadable[MediaDecoder] {
   def decodeBatch(payloads: Iterator[Array[Byte]], dim: Int): Iterator[Array[Double]] =
     payloads.map { bytes =>
       val image =
-        if (ImageCodec.hasPngSignature(bytes)) ImageCodec.decodeStats(bytes) else None
+        if (ImageCodec.hasPngSignature(bytes) || ImageCodec.hasJpegSignature(bytes))
+          ImageCodec.decodeStats(bytes)
+        else None
       val audio =
         if (image.isEmpty && AudioCodec.hasRiffWaveSignature(bytes))
           AudioCodec.decodeStats(bytes)

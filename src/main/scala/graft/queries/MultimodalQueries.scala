@@ -132,6 +132,47 @@ object MultimodalQueries {
         col("f")(2).cast("long").as("frames"),
         round(col("f")(3) * 32768, 6).as("mean_abs"),
         (col("f")(4) * 32768).cast("long").as("peak"))
+    }),
+
+    // REAL JPEG decode end-to-end: per doc, synthesize a 16×16 RGB JPEG
+    // (quality 0.9, explicit) whose source pixels are modular arithmetic
+    // in doc_id, push it through the actual javax.imageio encode→decode in
+    // MediaDecoder, and emit pixel-derived stats. JPEG is LOSSY, so unlike
+    // q103 the decoded means are not arithmetic-replayable — the oracle is
+    // a COMMITTED GOLDEN fingerprinted per SF by documents row count
+    // (the q14/q27 pattern, regenerated via graft.tools.MakeGoldens);
+    // decode stability itself is pinned by JpegCodecSpec's committed
+    // fixture. Width/height come from the DECODED image — a stub fallback
+    // would emit [0,1) chunk means there and fail loudly.
+    "q162_jpeg_decode" -> ((s, dir) => {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val withJpg = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val jpg = ImageCodec.encodeJpeg(16, 16, 0.9f) { (x, y) =>
+              val rr = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val gg = ((id * 17 + x * 11 + y * 3) % 256).toInt
+              val bb = ((id * 23 + x * 5 + y * 19) % 256).toInt
+              (rr << 16) | (gg << 8) | bb
+            }
+            Row(id, jpg)
+          }
+        }(RowEncoder.encoderFor(schema))
+      val decoded = new MediaDecoder()
+        .setInputCol("payload").setOutputCol("f")
+        .setFeatureDim(5).setBatchSize(64)
+        .transform(withJpg)
+      decoded.select(
+        col("doc_id"),
+        col("f")(0).cast("long").as("width"),
+        col("f")(1).cast("long").as("height"),
+        round(col("f")(2) * 256, 6).as("mean_r"),
+        round(col("f")(3) * 256, 6).as("mean_g"),
+        round(col("f")(4) * 256, 6).as("mean_b"))
     })
   )
 
@@ -224,6 +265,21 @@ object MultimodalQueries {
         |FROM documents d
         |CROSS JOIN range(0, 2) c(i) CROSS JOIN range(0, 128) f(i)
         |WHERE f.i < 64 + d.doc_id % 64
-        |GROUP BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // committed golden (see the q162 query comment): JPEG is lossy, so
+    // the decoded means can't be replayed arithmetically like q103 —
+    // rows are selected by the documents-count fingerprint; the guard row
+    // makes a missing fingerprint (new SF without regenerated goldens)
+    // read as an explicit marker mismatch instead of a silent empty result
+    "q162_jpeg_decode" ->
+      s"""WITH g AS (
+        |  SELECT * FROM read_parquet('${Goldens.path("q162_jpeg")}/*.parquet')
+        |), n AS (SELECT count(*) AS nd FROM documents)
+        |SELECT doc_id, width, height, mean_r, mean_g, mean_b
+        |FROM g, n WHERE g.n_documents = n.nd
+        |UNION ALL
+        |SELECT -1, -1, -1, -1, -1, -1
+        |WHERE NOT EXISTS (SELECT 1 FROM g, n WHERE g.n_documents = n.nd)""".stripMargin
   )
 }

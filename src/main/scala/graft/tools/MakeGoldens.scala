@@ -53,7 +53,22 @@ object MakeGoldens {
     q27.coalesce(1).write.mode("overwrite")
       .parquet(graft.queries.Goldens.path("q27_lr"))
 
-    println("goldens written to src/test/resources/golden/{q14_s2,q27_lr}")
+    // q162: JPEG decode stats — lossy, so not arithmetic-replayable like
+    // the PNG/WAV queries; the decode itself is pinned by JpegCodecSpec's
+    // committed fixture, this golden freezes the per-doc stats per SF
+    // sf0.001 and sf0.01 share the SAME 500-row documents table (verified:
+    // identical doc_id sets), so the count fingerprint collides — the
+    // results are row-identical too, and dropDuplicates collapses the
+    // colliding fingerprint to one copy instead of doubling the oracle rows
+    val q162 = sfDirs.map { dir =>
+      val nDoc = spark.read.parquet(s"$dir/documents.parquet").count()
+      SparkEntry.queries("q162_jpeg_decode")(spark, dir)
+        .withColumn("n_documents", lit(nDoc))
+    }.reduce(_ unionByName _).dropDuplicates()
+    q162.coalesce(1).write.mode("overwrite")
+      .parquet(graft.queries.Goldens.path("q162_jpeg"))
+
+    println("goldens written to src/test/resources/golden/{q14_s2,q27_lr,q162_jpeg}")
     spark.stop()
   }
 }
