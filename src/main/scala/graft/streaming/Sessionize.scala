@@ -125,4 +125,34 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
         sessionFn(gapSeconds))
   }
+
+  /** Closed-session aggregates via Spark's built-in `session_window` —
+    * the codegen-friendly declarative alternative to the typed-state path
+    * above: one native SessionWindow aggregation (merging session state
+    * inside the aggregation operator, no user-code state object), same
+    * semantics on batch frames and watermarked streams. Output matches
+    * [[streamingSessions]] row-for-row (SessionParitySpec pins it):
+    * `session_end` is the LAST EVENT time — Spark's `session_window.end`
+    * is `last + gap`, so the gap is subtracted back.
+    *
+    * The typed [[sessionFn]] stays the reference for session logic that
+    * aggregation can't express (per-event session indices mid-stream,
+    * custom eviction); for plain closed-session stats prefer this: it
+    * whole-stage-codegens and needs no Encoder round-trip per event.
+    */
+  def sessionAgg(
+      events: DataFrame,
+      gapSeconds: Long = 14400L,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+      .select(col(userCol),
+        col("sw.start").as("session_start"),
+        (col("sw.end") - expr(s"INTERVAL $gapSeconds SECOND"))
+          .as("session_end"),
+        col("n_events"), col("total_value"))
 }
