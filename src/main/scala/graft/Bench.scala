@@ -197,10 +197,13 @@ object Bench {
     // nonzero gc_s or spill_mb on an outlier round says "environmental /
     // memory pressure" at a glance; per-query attribution is in
     // bench_out.json on disk
+    val head = s""""metric":"total","value":${num(total)},"unit":"sec""""
+    val tele2 = s""""gc_s":${num(totalGc)},"spill_mb":$totalSpill"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qJson,"errors":$eJsonShort,"gc_s":${num(totalGc)},"spill_mb":$totalSpill,"sf":${jstr(sfDir)}}"""
+      s"""{$head,"queries":$qJson,"errors":$eJsonShort,$tele2,"sf":${jstr(sfDir)}}"""
     val lineFull =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qJsonFull,"errors":$eJson,"gc_s":${num(totalGc)},"spill_mb":$totalSpill,"telemetry":$teleJson,"sf":${jstr(sfDir)}}"""
+      s"""{$head,"queries":$qJsonFull,"errors":$eJson,$tele2,""" +
+        s""""telemetry":$teleJson,"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), lineFull + "\n")
     println(line)
     spark.stop()
