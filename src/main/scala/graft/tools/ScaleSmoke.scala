@@ -180,6 +180,15 @@ object ScaleSmoke {
           d.select(col("doc_id"), col("lang"), length(col("text")).as("len")),
           3, "lang", "len", Seq(col("doc_id")), "bucket").count()
       },
+      // per-group cumulative over a low-card group: one grouped bucketed
+      // window + a tiny per-group triangle join — time must track rows,
+      // never the dominant group's size (the pattern the banned
+      // low-card-partition window would serialize)
+      "grouped_prefix" -> { d: DataFrame =>
+        graft.sql.PrefixSum.exclusiveBy(
+          d.select(col("doc_id"), col("lang"), length(col("text")).as("len")),
+          Seq("lang"), "doc_id", "len", "cum_len").count()
+      },
       // corpus token stream ×n: the packing is prefix-sum arithmetic, so
       // time must track documents (one (count, offset) pair each), with
       // the span explode exactly output-sized

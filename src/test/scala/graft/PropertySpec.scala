@@ -271,4 +271,28 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("grouped prefix sum equals the per-group sequential scan on random data") {
+    // random (group, order, value) with orders unique WITHIN each group
+    // (the documented contract); groups drawn small so multi-row groups
+    // and singletons both occur
+    val rows: Gen[List[(Int, Long, Long)]] =
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 3), Gen.choose(-100L, 100L), Gen.choose(0L, 9L)))
+        .map(_.groupBy(r => (r._1, r._2)).map { case ((g, o), vs) => (g, o, vs.head._3) }.toList)
+    forAll(Gen.zip(rows, Gen.choose(1, 7)), trials = 8) { case (rs, buckets) =>
+      whenever(rs.nonEmpty) {
+        val df = rs.toDF("g", "o", "v")
+        val got = graft.sql.PrefixSum
+          .exclusiveBy(df, Seq("g"), "o", "v", "prefix", buckets)
+          .select($"g", $"o", $"prefix").as[(Int, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val want = rs.groupBy(_._1).flatMap { case (g, grs) =>
+          val sorted = grs.sortBy(_._2)
+          sorted.map(r => (g, r._2))
+            .zip(sorted.map(_._3).scanLeft(0L)(_ + _).dropRight(1))
+        }
+        assert(got === want, s"buckets=$buckets rs=$rs")
+      }
+    }
+  }
 }
