@@ -17,6 +17,13 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates and deletes a temp file, serializing parallel codec tasks on
+  // filesystem contention (measured: 5k-image decode stuck near 2 cores
+  // on a 32-thread executor). In-memory cache restores task-parallel
+  // decode; payloads here are bounded (images decoded in batches).
+  ImageIO.setUseCache(false)
+
   /** The full 8-byte PNG signature (not just the 4-byte magic): payloads
     * that merely open with the short magic — e.g. q54's synthetic headers —
     * must NOT be routed to a real decode.

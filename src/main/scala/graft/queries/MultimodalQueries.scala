@@ -68,8 +68,9 @@ object MultimodalQueries {
       val schema = StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
         StructField("payload", BinaryType, nullable = false)))
-      val withPng = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long"))
+      val withPng = graft.sql.functions.spread(
+        Tables.documents(s, dir).select(col("doc_id").cast("long")),
+        col("doc_id"))
         .mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
@@ -109,8 +110,9 @@ object MultimodalQueries {
       val schema = StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
         StructField("payload", BinaryType, nullable = false)))
-      val withWav = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long"))
+      val withWav = graft.sql.functions.spread(
+        Tables.documents(s, dir).select(col("doc_id").cast("long")),
+        col("doc_id"))
         .mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
@@ -148,8 +150,9 @@ object MultimodalQueries {
       val schema = StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
         StructField("payload", BinaryType, nullable = false)))
-      val withJpg = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long"))
+      val withJpg = graft.sql.functions.spread(
+        Tables.documents(s, dir).select(col("doc_id").cast("long")),
+        col("doc_id"))
         .mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)

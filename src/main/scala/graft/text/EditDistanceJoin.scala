@@ -46,16 +46,35 @@ class EditDistanceJoin(k: Int = 1, maxLen: Int = 64) {
     * and a < b (distance 0 is impossible on the distinct set).
     */
   def pairs(df: Dataset[_], strCol: String): DataFrame = {
-    val strs = df.select(col(strCol).cast("string").as("s"))
-      .where(col("s").isNotNull && length(col("s")) <= maxLen)
-      .distinct()
+    // spread: the distinct set is BYTE-small (15k names ≈ 500 KB) but the
+    // work built on it is CPU-dense (len-deletion explode + xxhash per
+    // variant, levenshtein per candidate), so AQE's byte-based partition
+    // coalescing serializes it onto a couple of tasks — measured 3× wall
+    // on q88 at sf0.1. The explicit-count repartition pins kernel
+    // parallelism (AQE never coalesces a numbered repartition); on a real
+    // cluster a big distinct set arrives already wide and spread no-ops.
+    val strs = graft.sql.functions.spread(
+      df.select(col(strCol).cast("string").as("s"))
+        .where(col("s").isNotNull && length(col("s")) <= maxLen)
+        .distinct(), col("s"))
     if (k == 2) return pairsK2(strs)
+
+    // the same CPU-density argument as spread, for the REDUCER stages:
+    // the join and verify stages carry a few MB but micro-benchmark-dense
+    // per-row work (hash probes, levenshtein), and AQE's byte-based
+    // coalescing runs them near-serial (measured 3× wall on q88 @ sf0.1
+    // with coalescing on vs off). A NUMBERED repartition on exactly the
+    // downstream key is never coalesced AND satisfies the join/distinct
+    // distribution requirement, so it replaces (not adds to) the exchange
+    // the plan needed anyway.
+    val target = strs.sparkSession.sparkContext.defaultParallelism
 
     // substitution pairs: same deletion position, same deletion hash
     val delPos = strs.select(col("s"),
       posexplode(transform(sequence(lit(1), length(col("s"))), i =>
         xxhash64(delAt(col("s"), i)))))
       .toDF("s", "p", "h")
+      .repartition(target, col("p"), col("h"))
     val subs = delPos.as("a")
       .join(delPos.as("b"),
         col("a.p") === col("b.p") && col("a.h") === col("b.h") &&
@@ -68,13 +87,15 @@ class EditDistanceJoin(k: Int = 1, maxLen: Int = 64) {
     val delSet = strs.select(col("s"),
       explode(array_distinct(transform(sequence(lit(1), length(col("s"))), i =>
         xxhash64(delAt(col("s"), i))))).as("h"))
+      .repartition(target, col("h"))
     val idH = strs.select(col("s").as("t"), xxhash64(col("s")).as("h"))
     val indel = delSet.join(idH, "h")
       .select(least(col("s"), col("t")).as("a"),
         greatest(col("s"), col("t")).as("b"))
 
     // distinct collapses hash-collision dups; levenshtein ejects collisions
-    subs.unionByName(indel).distinct()
+    subs.unionByName(indel)
+      .repartition(target, col("a"), col("b")).distinct()
       .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
       .where(col("dist") === 1)
   }
@@ -83,14 +104,19 @@ class EditDistanceJoin(k: Int = 1, maxLen: Int = 64) {
     * equi-join, distinct, exact verify.
     */
   private def pairsK2(strs: DataFrame): DataFrame = {
+    // numbered repartitions on the join/distinct keys — same CPU-dense
+    // reducer-stage pinning as the k = 1 path
+    val target = strs.sparkSession.sparkContext.defaultParallelism
     val v1 = d1(col("s"))
     val v2 = flatten(transform(v1, v => d1(v)))
     val neigh = strs.select(col("s"),
       explode(array_distinct(transform(
         concat(array(col("s")), v1, v2), v => xxhash64(v)))).as("h"))
+      .repartition(target, col("h"))
     neigh.as("a")
       .join(neigh.as("b"), col("a.h") === col("b.h") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("a"), col("b.s").as("b")).distinct()
+      .select(col("a.s").as("a"), col("b.s").as("b"))
+      .repartition(target, col("a"), col("b")).distinct()
       .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
       .where(col("dist").between(1, k))
   }
