@@ -189,10 +189,14 @@ object CurationQueries {
     // the canonical copy → token-budget shards. Upgrades q50's hash split
     // to model-driven selection — every stage stays oracle-replayable
     "q104_classifier_curation" -> ((s, dir) => {
+      // spread: the filter + hashed-gram margin are CPU-dense row-local
+      // work; a single-split local file would run them serially (no-op on
+      // a many-split production scan, where the filter stays at the scan)
       val filtered = new QualityFilter().setTextCol("text")
         .setMinTokens(40).setMaxTokens(100000)
         .setMaxPunctRatio(0.2).setMinQuality(0.5)
-        .transform(Tables.documents(s, dir))
+        .transform(graft.sql.functions.spread(
+          Tables.documents(s, dir), col("doc_id")))
       // row-local margin (Σ over grams of w(bucket), exact long sum) —
       // same value as the features() groupBy/sum, but the corpus is
       // scanned ONCE and scored in place: no gram explode, no shuffle,
