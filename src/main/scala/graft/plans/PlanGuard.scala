@@ -42,8 +42,15 @@ case class PlanGuard(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (session.conf.get(PlanGuard.Key, "false").toBoolean) {
+      // case-insensitive, matching Spark's default column resolution: a
+      // declared `o_orderpriority` must arm against `O_ORDERPRIORITY` —
+      // a silently-disarmed guard is the failure mode this rule exists
+      // to prevent. (An ALIAS of a low-card column still passes: a
+      // name-based blocklist cannot see through projection renames —
+      // PlanAuditSpec's offline audit covers the engine's own aliases.)
       val lowCard = session.conf.get(PlanGuard.LowCardKey, "")
-        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+        .split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty).toSet
       plan.foreach {
         case w: Window if w.partitionSpec.isEmpty =>
           throw new IllegalStateException(
@@ -55,7 +62,8 @@ case class PlanGuard(session: SparkSession) extends Rule[LogicalPlan] {
               s"pattern), or SET ${PlanGuard.Key}=false for deliberate " +
               "small-data use.")
         case w: Window if lowCard.nonEmpty && w.partitionSpec.forall {
-              case a: AttributeReference => lowCard.contains(a.name)
+              case a: AttributeReference =>
+                lowCard.contains(a.name.toLowerCase(java.util.Locale.ROOT))
               case _ => false
             } =>
           throw new IllegalStateException(

@@ -73,13 +73,26 @@ class OpqRotation(
       col(idCol)).localCheckpoint()
     var r = eye
     var cb: DataFrame = null
+    var prevRotated: DataFrame = null
+    var prevCb: DataFrame = null
     for (_ <- 0 until iters) {
       val rotated = rotate(base, r).localCheckpoint()
       cb = (if (lloydSteps <= 0) pq.fit(rotated)
             else pq.fitKMeans(rotated, lloydSteps)).localCheckpoint()
       val recon = reconstruct(rotated, cb)
       r = procrustes(crossProductMatrix(base, recon))
+      // the previous iteration's corpus-sized rotated checkpoint and its
+      // superseded codebook are fully consumed once M is on the driver —
+      // release their blocks NOW instead of waiting for nondeterministic
+      // GC-driven cleanup, so live storage is bounded at base + one
+      // iteration's frames regardless of `iters`. The final cb is never
+      // unpersisted (it ships in the Model).
+      if (prevRotated != null) prevRotated.unpersist(blocking = false)
+      if (prevCb != null) prevCb.unpersist(blocking = false)
+      prevRotated = rotated
+      prevCb = cb
     }
+    if (prevRotated != null) prevRotated.unpersist(blocking = false)
     Model(r, cb)
   }
 

@@ -24,11 +24,7 @@ object HeapSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def gcMs: Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-    }
+    def gcMs: Long = graft.JvmStats.gcMs
     val maxMb = Runtime.getRuntime.maxMemory >> 20
     println(s"HEAPSMOKE HEAP max_mb=$maxMb cpus=$cpus sf=$sfDir")
     var failed = false

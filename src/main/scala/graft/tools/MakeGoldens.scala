@@ -5,20 +5,25 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkEntry
 
-/** Regenerates the committed golden fixtures that back the two queries
-  * whose semantics are not SQL-expressible (q14 S2 tokens, q27 LR
-  * training). Each golden row carries a scale-factor FINGERPRINT column
-  * (the source table's row count), so one committed file serves every SF:
-  * the DuckDB oracle selects the rows whose fingerprint equals
-  * `(SELECT count(*) FROM <table>)` on the fixture under test.
+/** Regenerates the committed golden fixtures that back the three queries
+  * whose semantics are not SQL-replayable: q14 S2 tokens and q27 LR
+  * training (not SQL-expressible) and q162 JPEG decode (lossy codec —
+  * arithmetic replay impossible). Each golden row carries a scale-factor
+  * FINGERPRINT column (the source table's row count), so one committed
+  * file serves every SF: the DuckDB oracle selects the rows whose
+  * fingerprint equals `(SELECT count(*) FROM <table>)` on the fixture
+  * under test.
   *
   * The operators themselves are pinned independently of these files —
   * S2 by published city/face tokens + round-trip property specs, the LR
-  * by R/glmnet coefficient goldens — so the fixtures freeze an already-
-  * verified implementation against regressions rather than defining it.
+  * by R/glmnet coefficient goldens, the JPEG coder by JpegCodecSpec's
+  * committed byte-determinism fixture — so the fixtures freeze an
+  * already-verified implementation against regressions rather than
+  * defining it.
   *
   * Usage: `sbt "runMain graft.tools.MakeGoldens"` (writes
-  * `src/test/resources/golden/{q14_s2,q27_lr}`), then commit.
+  * `src/test/resources/golden/{q14_s2,q27_lr,q162_jpeg}`), then review
+  * and commit ALL THREE directories.
   */
 object MakeGoldens {
 

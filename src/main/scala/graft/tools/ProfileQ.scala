@@ -24,10 +24,12 @@ object ProfileQ {
       .config("spark.ui.enabled", "false")
     // semicolon-separated extra confs for A/B plan experiments, e.g.
     // SPARK_GRAFT_CONF="spark.sql.adaptive.coalescePartitions.enabled=false"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry needs key=value, got: '$kv'")
+        builder.config(kv.take(i), kv.drop(i + 1))
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -35,6 +37,9 @@ object ProfileQ {
     println(s"=== $name plan ===")
     fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
+      // cache-honesty (same rule as Bench): a persist()ing query must pay
+      // its materialization every rep, not serve rep 2+ from rep 1's cache
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"=== $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")

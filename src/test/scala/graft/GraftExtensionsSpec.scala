@@ -128,6 +128,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.conf.set(graft.plans.PlanGuard.LowCardKey, "k, lang")
       val e2 = intercept[Exception] { lowCard().collect() }
       assert(e2.getMessage.contains("low-cardinality"), e2.getMessage)
+      // case-insensitive like Spark's column resolution: a declared "K"
+      // must still arm against column k — a silently-disarmed guard is
+      // the failure mode the rule exists for
+      spark.conf.set(graft.plans.PlanGuard.LowCardKey, "K, LANG")
+      val e3 = intercept[Exception] { lowCard().collect() }
+      assert(e3.getMessage.contains("low-cardinality"), e3.getMessage)
       // a derived bucket column alongside the low-card key defuses it —
       // the GroupedNtile/PrefixSum shape must never need enumerating
       assert(bucketed().collect().length === 3)
