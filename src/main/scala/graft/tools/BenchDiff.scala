@@ -1,0 +1,96 @@
+package graft.tools
+
+import scala.util.matching.Regex
+
+/** Round-over-round bench comparison with plan-hash attribution — the
+  * consumer side of Bench's telemetry: given two `bench_out.json` files,
+  * prints per-query time ratios and classifies every regression as a
+  * PLAN FLIP (hash changed — a real plan difference to investigate) or
+  * ENVIRONMENTAL (hash equal — GC/contention/host drift, with the GC and
+  * spill deltas shown). Replaces the round-8 workflow where an outlier
+  * could only be explained by a manual judge re-run.
+  *
+  * Usage: `sbt "runMain graft.tools.BenchDiff old.json new.json [minRatio]"`
+  * — lists queries whose new/old time ratio exceeds `minRatio` (default
+  * 1.5) plus the biggest improvements. No Spark session; plain JVM.
+  */
+object BenchDiff {
+
+  // bench_out.json is machine-written with a fixed shape; targeted regex
+  // extraction avoids a JSON dependency (none is available offline)
+  private val qTime: Regex = """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+
+  /** Index just past `"key" :` when the key's value is an object — space
+    * tolerant, so hand- or python-rewritten files diff too.
+    */
+  private def objStart(json: String, key: String, from: Int = 0): Int = {
+    val m = ("\"" + Regex.quote(key) + "\"\\s*:\\s*\\{").r
+      .findFirstMatchIn(json.substring(from))
+    m.map(x => from + x.end - 1).getOrElse(-1)
+  }
+
+  private def teleField(json: String, q: String, field: String): Option[String] = {
+    val t = objStart(json, "telemetry")
+    val i = if (t < 0) -1 else objStart(json, q, t)
+    if (i < 0) return None
+    val obj = json.substring(i, math.min(json.length, i + 500))
+    ("\"" + Regex.quote(field) + "\"\\s*:\\s*(\"?[0-9a-zA-Z.]+\"?)").r
+      .findFirstMatchIn(obj).map(_.group(1).replace("\"", ""))
+  }
+
+  private def section(json: String, name: String): String = {
+    val start = objStart(json, name)
+    if (start < 0) return "{}"
+    var depth = 0
+    var j = start
+    while (j < json.length) {
+      json.charAt(j) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) return json.substring(start, j + 1)
+        case _ =>
+      }
+      j += 1
+    }
+    "{}"
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchDiff <old bench_out.json> <new bench_out.json> [minRatio]")
+    val oldJson = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))))
+    val newJson = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))))
+    val minRatio = if (args.length > 2) args(2).toDouble else 1.5
+
+    def times(json: String): Map[String, Double] =
+      qTime.findAllMatchIn(section(json, "queries"))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+    val told = times(oldJson)
+    val tnew = times(newJson)
+    val shared = told.keySet & tnew.keySet
+    val sumOld = shared.toSeq.map(told).sum
+    val sumNew = shared.toSeq.map(tnew).sum
+    println(f"BENCHDIFF shared=${shared.size} old=${sumOld}%.1fs new=${sumNew}%.1fs ratio=${sumNew / sumOld}%.2f")
+    println(f"BENCHDIFF only-old=${(told.keySet -- tnew.keySet).toSeq.sorted.mkString(",")} only-new=${(tnew.keySet -- told.keySet).toSeq.sorted.mkString(",")}")
+
+    val rows = shared.toSeq
+      .map(q => (q, told(q), tnew(q), tnew(q) / math.max(told(q), 1e-9)))
+    val regressions = rows.filter(_._4 >= minRatio).sortBy(-_._4)
+    regressions.foreach { case (q, o, n, r) =>
+      val pOld = teleField(oldJson, q, "plan")
+      val pNew = teleField(newJson, q, "plan")
+      val kind = (pOld, pNew) match {
+        case (Some(a), Some(b)) if a != b => "PLAN-FLIP"
+        case (Some(a), Some(b)) if a == b => "ENVIRONMENTAL(same plan)"
+        case _ => "NO-HASH"
+      }
+      val gc = for (a <- teleField(oldJson, q, "gc_ms"); b <- teleField(newJson, q, "gc_ms"))
+        yield s"gc ${a}ms->${b}ms"
+      val spill = for (b <- teleField(newJson, q, "spill_disk_mb")) yield s"spill ${b}MB"
+      println(f"BENCHDIFF REGRESSION $q%-30s ${o}%6.2fs -> ${n}%6.2fs (${r}%4.1fx) $kind ${gc.getOrElse("")} ${spill.getOrElse("")}")
+    }
+    if (regressions.isEmpty) println(s"BENCHDIFF no regressions >= ${minRatio}x")
+    rows.filter(_._4 <= 1.0 / minRatio).sortBy(_._4).take(10).foreach { case (q, o, n, r) =>
+      println(f"BENCHDIFF improved   $q%-30s ${o}%6.2fs -> ${n}%6.2fs (${r}%4.2fx)")
+    }
+  }
+}
