@@ -29,7 +29,7 @@ object BenchDiff {
     m.map(x => from + x.end - 1).getOrElse(-1)
   }
 
-  private def teleField(json: String, q: String, field: String): Option[String] = {
+  private[tools] def teleField(json: String, q: String, field: String): Option[String] = {
     val t = objStart(json, "telemetry")
     val i = if (t < 0) -1 else objStart(json, q, t)
     if (i < 0) return None
@@ -38,7 +38,7 @@ object BenchDiff {
       .findFirstMatchIn(obj).map(_.group(1).replace("\"", ""))
   }
 
-  private def section(json: String, name: String): String = {
+  private[tools] def section(json: String, name: String): String = {
     val start = objStart(json, name)
     if (start < 0) return "{}"
     var depth = 0

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins BenchDiff's dependency-free JSON extraction against both the
+  * machine-written (no-space) and pretty-printed (spaced) shapes, and the
+  * nested-object traversal that round-8's flat indexOf approach got wrong.
+  */
+class BenchDiffSpec extends AnyFunSuite {
+
+  private val compact =
+    """{"metric":"total","value":1.0,"unit":"sec",""" +
+      """"queries":{"q01_a":0.50,"q02_b":1.25},""" +
+      """"errors":{},"gc_s":0.1,"spill_mb":0,""" +
+      """"telemetry":{"q01_a":{"t1":0.5,"t2":0.6,"gc_ms":12,"plan":"aabbccdd"},""" +
+      """"q02_b":{"t1":1.3,"t2":1.25,"gc_ms":7,"plan":"11223344"}},"sf":"x"}"""
+
+  private val spaced = compact
+    .replace("\":", "\" : ").replace(",\"", ", \"")
+
+  test("section extracts the queries object, compact and spaced") {
+    for (j <- Seq(compact, spaced)) {
+      val s = BenchDiff.section(j, "queries")
+      assert(s.contains("q01_a") && s.contains("q02_b"))
+      assert(!s.contains("telemetry"), "must stop at the queries object")
+    }
+  }
+
+  test("teleField reads nested per-query fields, compact and spaced") {
+    for (j <- Seq(compact, spaced)) {
+      assert(BenchDiff.teleField(j, "q01_a", "plan") === Some("aabbccdd"))
+      assert(BenchDiff.teleField(j, "q02_b", "gc_ms") === Some("7"))
+      assert(BenchDiff.teleField(j, "q03_missing", "plan") === None)
+      assert(BenchDiff.teleField(j, "q01_a", "nope") === None)
+    }
+  }
+
+  test("missing sections degrade to empty, not exceptions") {
+    assert(BenchDiff.section("""{"a":1}""", "queries") === "{}")
+    assert(BenchDiff.teleField("""{"a":1}""", "q01", "plan") === None)
+  }
+}
