@@ -70,7 +70,9 @@ object BenchDiff {
     val sumOld = shared.toSeq.map(told).sum
     val sumNew = shared.toSeq.map(tnew).sum
     println(f"BENCHDIFF shared=${shared.size} old=${sumOld}%.1fs new=${sumNew}%.1fs ratio=${sumNew / sumOld}%.2f")
-    println(f"BENCHDIFF only-old=${(told.keySet -- tnew.keySet).toSeq.sorted.mkString(",")} only-new=${(tnew.keySet -- told.keySet).toSeq.sorted.mkString(",")}")
+    val onlyOld = (told.keySet -- tnew.keySet).toSeq.sorted.mkString(",")
+    val onlyNew = (tnew.keySet -- told.keySet).toSeq.sorted.mkString(",")
+    println(s"BENCHDIFF only-old=$onlyOld only-new=$onlyNew")
 
     val rows = shared.toSeq
       .map(q => (q, told(q), tnew(q), tnew(q) / math.max(told(q), 1e-9)))
@@ -86,7 +88,8 @@ object BenchDiff {
       val gc = for (a <- teleField(oldJson, q, "gc_ms"); b <- teleField(newJson, q, "gc_ms"))
         yield s"gc ${a}ms->${b}ms"
       val spill = for (b <- teleField(newJson, q, "spill_disk_mb")) yield s"spill ${b}MB"
-      println(f"BENCHDIFF REGRESSION $q%-30s ${o}%6.2fs -> ${n}%6.2fs (${r}%4.1fx) $kind ${gc.getOrElse("")} ${spill.getOrElse("")}")
+      println(f"BENCHDIFF REGRESSION $q%-30s ${o}%6.2fs -> ${n}%6.2fs " +
+        f"(${r}%4.1fx) $kind ${gc.getOrElse("")} ${spill.getOrElse("")}")
     }
     if (regressions.isEmpty) println(s"BENCHDIFF no regressions >= ${minRatio}x")
     rows.filter(_._4 <= 1.0 / minRatio).sortBy(_._4).take(10).foreach { case (q, o, n, r) =>
