@@ -48,6 +48,24 @@ object CurationQueries {
       DedupClusters.components(docs, pairs, "doc_id")
     }),
 
+    // LEAKAGE-SAFE train/valid split: the split coin is thrown on the
+    // near-dup CLUSTER id, not the document id, so every member of a
+    // near-duplicate cluster lands on the same side — the standard cure
+    // for eval contamination via train/valid near-dups, which a per-doc
+    // hash split (q38) cannot give. Composition: q39's components + one
+    // row-local md5 coin on the cluster label; no new wide operation.
+    "q163_leakage_safe_split" -> ((s, dir) => {
+      val docs = seeded(s, dir)
+      val pairs = new MinHashDeduplicator()
+        .setIdCol("doc_id").setTextCol("text")
+        .setShingleSize(8).setNumHashes(12).setNumBands(4).setThreshold(0.5)
+        .transform(docs)
+      val comps = DedupClusters.components(docs, pairs, "doc_id")
+      comps.select(col("doc_id"), col("cluster"),
+        when(graft.sql.functions.uniform32("split", col("cluster")) % 100 < 90,
+          "train").otherwise("valid").as("split"))
+    }),
+
     // the SAME component semantics as q39 via the O(log n) algorithm:
     // alternating large-star/small-star contraction (Kiveris et al. 2014)
     // instead of O(diameter) min-label propagation. Identical oracle —
@@ -331,6 +349,17 @@ object CurationQueries {
         |FROM documents
         |WHERE ('0x' || substr(md5('val:' || doc_id), 1, 8))::BIGINT % 100 < 30""".stripMargin,
     "q39_dedup_clusters" -> ccOracleSql,
+    // q39's components + the md5 cluster coin (identical float-free
+    // integer arithmetic both engines); same shingle-bound guard row
+    "q163_leakage_safe_split" ->
+      (ccClustersCte +
+        """
+          |SELECT doc_id, cluster,
+          |  CASE WHEN ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+          |    THEN 'train' ELSE 'valid' END AS split
+          |FROM comps
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+          |SELECT -1, -1, '-1' WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
     // shared closure + the same size/savings rollup (keep = min doc_id)
     "q153_dedup_report" ->
       (ccClustersCte +

@@ -124,4 +124,19 @@ class CurationSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(clusters.values.toSet === Set(1L)) // one chain, one component
   }
+
+  test("leakage-safe split: no near-dup cluster straddles train/valid") {
+    val out = graft.SparkEntry
+      .queries("q163_leakage_safe_split")(spark, "/root/testdata/sf0.001")
+    // the property the query exists for: one split value per cluster
+    val straddlers = out.groupBy($"cluster")
+      .agg(countDistinct($"split").as("sides"))
+      .where($"sides" > 1).count()
+    assert(straddlers === 0L)
+    // both sides populated and roughly 90/10 at the coin's granularity
+    val sides = out.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(sides.keySet === Set("train", "valid"))
+    assert(sides("train") > sides("valid"))
+  }
 }
