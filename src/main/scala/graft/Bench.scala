@@ -60,6 +60,22 @@ object Bench {
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
   }
 
+  /** Block until the async SparkListener bus has delivered every queued
+    * event (bounded at 2 s), so the closing metrics snapshot sees all task
+    * ends from this query and none leak into the next query's window.
+    * `SparkContext.listenerBus` is `private[spark]`; reflection keeps this
+    * bench-only need out of the spark-internal bridge file.
+    */
+  private def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val m = sc.getClass.getMethod("listenerBus")
+      val bus = m.invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(2000L))
+      ()
+    } catch { case _: Exception => Thread.sleep(30) } // fallback: old drain
+
   /** Fingerprint of the executed (final, post-AQE) physical plan with the
     * run-varying ids stripped — equal hashes across runs mean "same plan",
     * so a cross-run time divergence with equal hashes is environmental
@@ -146,7 +162,13 @@ object Bench {
           lastPlan = df.queryExecution.executedPlan.toString
           dt
         }
-        Thread.sleep(30) // listener bus drain before the closing snapshot
+        // Drain the async listener bus before the closing snapshot so late
+        // task-end events can't bleed into the next query's window. Note the
+        // m0→m1 window spans BOTH timed passes: shuf/spill/task_ms counters
+        // are ~2x a single pass by construction. listenerBus is
+        // private[spark], so reach it reflectively (bench-only code, once
+        // per query — not a hot path) instead of widening GraftBridge.
+        drainListenerBus(spark)
         val m1 = listener.snapshot
         val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
         tele += name -> (times(0), times(1), gcMs - gc0, peakMb,

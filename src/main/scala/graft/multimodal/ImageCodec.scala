@@ -22,7 +22,12 @@ object ImageCodec {
   // filesystem contention (measured: 5k-image decode stuck near 2 cores
   // on a 32-thread executor). In-memory cache restores task-parallel
   // decode; payloads here are bounded (images decoded in batches).
-  ImageIO.setUseCache(false)
+  // Called at each entry point (idempotent, cheap boolean set) rather than
+  // as a class-load side effect, so the behavior doesn't depend on which
+  // class in the JVM touches ImageIO first — the JVM-global mutation is
+  // still global, but it now takes effect exactly when this codec runs.
+  private def ensureMemoryCache(): Unit =
+    if (ImageIO.getUseCache) ImageIO.setUseCache(false)
 
   /** The full 8-byte PNG signature (not just the 4-byte magic): payloads
     * that merely open with the short magic — e.g. q54's synthetic headers —
@@ -45,6 +50,7 @@ object ImageCodec {
 
   /** Encode an RGB image from a pixel function `(x, y) => 0xRRGGBB`. */
   def encodePng(width: Int, height: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    ensureMemoryCache()
     require(width > 0 && height > 0, "image dimensions must be positive")
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -67,6 +73,7 @@ object ImageCodec {
     */
   def encodeJpeg(width: Int, height: Int, quality: Float)(
       rgb: (Int, Int) => Int): Array[Byte] = {
+    ensureMemoryCache()
     require(width > 0 && height > 0, "image dimensions must be positive")
     require(quality > 0f && quality <= 1f, s"quality ($quality) must be in (0, 1]")
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
@@ -102,7 +109,8 @@ object ImageCodec {
   /** Decode via `javax.imageio`; None when the payload is not an image the
     * JDK can read (wrong container, truncated, or signature-only garbage).
     */
-  def decodeStats(bytes: Array[Byte]): Option[ImageStats] =
+  def decodeStats(bytes: Array[Byte]): Option[ImageStats] = {
+    ensureMemoryCache()
     try {
       Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
         var (sr, sg, sb) = (0L, 0L, 0L)
@@ -119,4 +127,5 @@ object ImageCodec {
         ImageStats(img.getWidth, img.getHeight, sr, sg, sb)
       }
     } catch { case _: Exception => None }
+  }
 }

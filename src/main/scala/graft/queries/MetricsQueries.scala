@@ -116,7 +116,11 @@ object MetricsQueries {
       // input from differently-pruned branches, which defeats exchange
       // reuse — pinning the aggregate means orders is scanned ONCE and
       // the diamond fans out over ~5k cached rows (PlanAuditSpec pins the
-      // single-scan shape)
+      // single-scan shape). NOTE: there is no matching unpersist — the
+      // returned DataFrame still references the cached frame, so releasing
+      // it here would defeat the pin. Bench clearCache()s between passes;
+      // any other long-lived session reusing this query repeatedly should
+      // clear the (tiny, ≤ groups × buckets rows) entry itself.
       val byV = base.groupBy(col("g"), col("score"))
         .agg(sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("cp"),
           count(lit(1)).as("cnt"))

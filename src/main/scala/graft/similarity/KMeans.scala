@@ -157,3 +157,26 @@ class KMeans(
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("size"), sum(col("d2")).as("inertia"))
 }
+
+/** Centroid persistence — trained cluster structure is an offline
+  * artifact: fit once, then [[KMeans.assign]] new batches or hand the
+  * loaded frame to [[IvfCosineIndex.buildWith]] across jobs without
+  * re-running Lloyd.
+  *
+  * Layout: `$path/centroids` — a single parquet file (k rows, tiny by
+  * design) with columns `(cid long, centroid array<double>)`; the same
+  * subdirectory name [[IvfIndex.save]] uses, so a saved k-means fit is
+  * directly a valid coarse-quantizer half of an IVF index layout.
+  * Doubles round-trip parquet bit-exactly, so assignments from loaded
+  * centroids are hash-identical to the in-session fit
+  * (ArtifactPersistenceSpec pins this).
+  */
+object KMeans {
+
+  def saveCentroids(centroids: DataFrame, path: String): Unit =
+    centroids.select(col("cid"), col("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+}

@@ -93,6 +93,9 @@ class OpqRotation(
       prevCb = cb
     }
     if (prevRotated != null) prevRotated.unpersist(blocking = false)
+    // the corpus-sized base checkpoint is fully consumed too — release it
+    // rather than leaving its blocks on executor storage until GC
+    base.unpersist(blocking = false)
     Model(r, cb)
   }
 
@@ -152,6 +155,37 @@ class OpqRotation(
 }
 
 object OpqRotation {
-  /** Learned rotation + the codebooks trained in the rotated space. */
-  final case class Model(rotation: Array[Array[Double]], codebook: DataFrame)
+  /** Learned rotation + the codebooks trained in the rotated space.
+    *
+    * [[Model.save]] persists both halves of the OPQ artifact: the d×d
+    * rotation at `$path/rotation` (d rows `(i int, row array<double>)`,
+    * one parquet file) and the PQ codebook at `$path/codebook` (the
+    * [[ProductQuantizer.saveCodebook]] layout, so the codebook half is
+    * independently loadable by plain-PQ serving code). Doubles
+    * round-trip parquet bit-exactly; [[load]] rebuilds the matrix in row
+    * order, giving rotate/encode/search results hash-identical to the
+    * in-session fit (ArtifactPersistenceSpec pins this).
+    */
+  final case class Model(rotation: Array[Array[Double]], codebook: DataFrame) {
+
+    def save(path: String): Unit = {
+      val spark = codebook.sparkSession
+      import spark.implicits._
+      rotation.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+        .toDF("i", "row")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+      ProductQuantizer.saveCodebook(codebook, path)
+    }
+  }
+
+  /** Reopen a [[Model.save]]d model. The rotation is d rows — a bounded
+    * driver collect by construction (the same artifact the fit already
+    * held as a driver-side matrix).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(s"$path/rotation")
+      .orderBy(col("i")).collect()
+    val rotation = rows.map(_.getSeq[Double](1).toArray)
+    Model(rotation, ProductQuantizer.loadCodebook(spark, path))
+  }
 }

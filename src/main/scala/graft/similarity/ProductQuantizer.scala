@@ -185,3 +185,43 @@ class ProductQuantizer(
       .where(col("rank") <= k)
   }
 }
+
+/** Codebook persistence — the [[IvfIndex]] discipline for PQ's trained
+  * artifact: a production ANN stack trains codebooks offline ONCE and
+  * serves every encode/search job from the saved artifact, never
+  * re-fitting at query time.
+  *
+  * Layout: `$path/codebook` — a single parquet file (m×k rows, tiny by
+  * design) with columns `(sub int, code long, centroid array<double>)`.
+  * Doubles round-trip parquet bit-exactly, so encode/ADC results from a
+  * loaded codebook are hash-identical to the in-session fit
+  * (ArtifactPersistenceSpec pins this). The quantizer's constructor
+  * params are recoverable from the artifact itself (m = distinct `sub`,
+  * k = distinct `code`, dim = m × centroid length) — no side metadata
+  * file to drift out of sync.
+  */
+object ProductQuantizer {
+
+  def saveCodebook(codebook: DataFrame, path: String): Unit =
+    codebook.select(col("sub"), col("code"), col("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codebook")
+
+  /** A quantizer whose (m, k, dim) match a saved codebook — one tiny
+    * aggregate over the m×k artifact, so serving code needs no
+    * out-of-band record of the training-time constructor params.
+    */
+  def forCodebook(
+      codebook: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): ProductQuantizer = {
+    val r = codebook.agg(
+      countDistinct(col("sub")).as("m"),
+      countDistinct(col("code")).as("k"),
+      max(size(col("centroid"))).as("subDim")).head()
+    new ProductQuantizer(r.getLong(0).toInt, r.getLong(1).toInt,
+      (r.getLong(0) * r.getInt(2)).toInt, idCol, vecCol)
+  }
+}
