@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dedup.DedupClusters
-import graft.similarity.{CosineTopK, EmbeddingNormalizer, EmbeddingQuantizer, IvfCosineIndex, KMeans, ProductQuantizer, RandomHyperplaneLSH, RandomProjection}
+import graft.similarity.{CosineTopK, EmbeddingNormalizer, EmbeddingQuantizer, IvfCosineIndex, IvfIndex, KMeans, ProductQuantizer, RandomHyperplaneLSH, RandomProjection}
 
 /** Similarity-search queries over the embeddings table.
   *
@@ -152,6 +152,35 @@ object SimilarityQueries {
       // the codebook is m×k rows consumed by BOTH encode and the ADC
       // tables — materialize once (the IvfIndex.build centroid discipline)
       val cb = pq.fit(e).localCheckpoint()
+      val codes = pq.encode(e, cb)
+      val queries = e.where(col("vec_id") < 5)
+      val cands = ivf.probes(queries, idx)
+        .join(idx.lists.select(col("vec_id"), col("cid")), "cid")
+        .select(col("query_id"), col("vec_id"))
+      pq.adcSearchIn(queries, cands, codes, cb, k = 5)
+        .select(col("query_id"), col("vec_id"), col("adc"), col("rank"))
+    }),
+
+    // IVF-PQ served ENTIRELY from persisted artifacts: train + save the
+    // inverted-file index and the PQ codebook, then reopen both and run
+    // the same probe/ADC composition as q116 touching only the loaded
+    // frames — the production split (offline train, online serve) as an
+    // oracle-gated contract: parquet round-trips doubles bit-exactly, so
+    // the loaded-path search must hash-match q116's direct-path replay
+    "q164_ivfpq_artifact_search" -> ((s, dir) => {
+      val e = vectors(s, dir)
+      val ivf = new IvfCosineIndex(numCentroids = 16, nprobe = 4, dim = Some(64))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q164_artifacts"
+      // offline half: fit and persist (overwrite keeps reruns idempotent)
+      ivf.build(e).save(s"$root/ivf")
+      ProductQuantizer.saveCodebook(
+        new ProductQuantizer(numSubspaces = 8, codebookSize = 16, dim = 64).fit(e),
+        s"$root/pq")
+      // online half: every frame below derives from the loaded artifacts
+      // (+ the corpus scan for codes/queries — encode is serving-side work)
+      val idx = IvfIndex.load(s, s"$root/ivf")
+      val cb = ProductQuantizer.loadCodebook(s, s"$root/pq")
+      val pq = ProductQuantizer.forCodebook(cb)
       val codes = pq.encode(e, cb)
       val queries = e.where(col("vec_id") < 5)
       val cands = ivf.probes(queries, idx)
@@ -507,105 +536,14 @@ object SimilarityQueries {
     // replays the full IVF-PQ composition: the q35 quantizer (probes,
     // inverted lists) + the q115 PQ codebook (codes, per-query distance
     // tables), ADC = round(sum of 8 table lookups, 6) ranked (adc, id)
-    "q116_ivfpq_search" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |iseeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-        |ia0 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT a.vec_id, s.cid,
-        |      row_number() OVER (PARTITION BY a.vec_id
-        |        ORDER BY list_cosine_similarity(a.v, s.cv) DESC, s.cid) AS rn
-        |    FROM e a CROSS JOIN iseeds s)
-        |  WHERE rn = 1
-        |), icomps AS (
-        |  SELECT ia0.cid, CAST(i AS INT) - 1 AS pos, v[CAST(i AS INT)] AS x
-        |  FROM e JOIN ia0 USING (vec_id) CROSS JOIN range(1, 65) t(i)
-        |  WHERE i <= len(v)
-        |), icents AS (
-        |  SELECT cid, list(m ORDER BY pos) AS cv
-        |  FROM (SELECT cid, pos, avg(x) AS m FROM icomps GROUP BY 1, 2)
-        |  GROUP BY cid
-        |), ia1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT a.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY a.vec_id
-        |        ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) AS rn
-        |    FROM e a CROSS JOIN icents c)
-        |  WHERE rn = 1
-        |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-        |iprobes AS (
-        |  SELECT query_id, cid FROM (
-        |    SELECT q.query_id, c.cid,
-        |      row_number() OVER (PARTITION BY q.query_id
-        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
-        |    FROM q CROSS JOIN icents c)
-        |  WHERE rn <= 4
-        |), cand AS (
-        |  SELECT p.query_id, ia1.vec_id FROM iprobes p JOIN ia1 ON ia1.cid = p.cid
-        |), s AS (
-        |  SELECT vec_id, CAST(j AS INT) AS sub, list_slice(v, j*8 + 1, j*8 + 8) AS sl
-        |  FROM e CROSS JOIN range(0, 8) t(j)
-        |), pids AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16),
-        |pseedids AS (
-        |  SELECT x.vec_id, CAST(count(y.vec_id) AS BIGINT) AS code
-        |  FROM pids x LEFT JOIN pids y ON y.vec_id < x.vec_id GROUP BY 1
-        |), pseeds AS (
-        |  SELECT s.sub, pseedids.code, s.sl AS cv FROM s JOIN pseedids USING (vec_id)
-        |), pd0 AS (
-        |  SELECT s.vec_id, s.sub, pseeds.code,
-        |    list_reduce(list_transform(range(1, 9),
-        |      i -> (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])
-        |         * (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])),
-        |      (a, b) -> a + b) AS d2
-        |  FROM s JOIN pseeds ON s.sub = pseeds.sub
-        |), pa0 AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT vec_id, sub, code,
-        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
-        |    FROM pd0) WHERE rn = 1
-        |), pcents AS (
-        |  SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
-        |    SELECT s.sub, pa0.code, CAST(i AS INT) - 1 AS pos, avg(s.sl[CAST(i AS INT)]) AS m
-        |    FROM s JOIN pa0 ON s.vec_id = pa0.vec_id AND s.sub = pa0.sub
-        |    CROSS JOIN range(1, 9) t(i)
-        |    GROUP BY 1, 2, 3)
-        |  GROUP BY 1, 2
-        |), pd1 AS (
-        |  SELECT s.vec_id, s.sub, pcents.code,
-        |    list_reduce(list_transform(range(1, 9),
-        |      i -> (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])
-        |         * (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])),
-        |      (a, b) -> a + b) AS d2
-        |  FROM s JOIN pcents ON s.sub = pcents.sub
-        |), pcodes AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT vec_id, sub, code,
-        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
-        |    FROM pd1) WHERE rn = 1
-        |), ptable AS (
-        |  SELECT s.vec_id AS query_id, s.sub, pcents.code,
-        |    list_reduce(list_transform(range(1, 9),
-        |      i -> (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])
-        |         * (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])),
-        |      (a, b) -> a + b) AS dpart
-        |  FROM s JOIN pcents ON s.sub = pcents.sub
-        |  WHERE s.vec_id < 5
-        |), adc AS (
-        |  SELECT c.query_id, c.vec_id, round(sum(t.dpart), 6) AS adc
-        |  FROM cand c
-        |  JOIN pcodes pc ON pc.vec_id = c.vec_id
-        |  JOIN ptable t ON t.query_id = c.query_id AND t.sub = pc.sub AND t.code = pc.code
-        |  WHERE c.vec_id != c.query_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT query_id, vec_id, adc, CAST(rnk AS INT) AS rank FROM (
-        |  SELECT query_id, vec_id, adc,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rnk
-        |  FROM adc)
-        |WHERE rnk <= 5
-        |UNION ALL -- guard: loud mismatch unless every vector is exactly 64-dim
-        |SELECT -1, -1, -1.0, -1 WHERE (SELECT max(len(v)) FROM e) != 64
-        |   OR (SELECT min(len(v)) FROM e) != 64""".stripMargin,
+    "q116_ivfpq_search" -> q116Sql,
+
+    // q164 serves the SAME composition from saved-then-loaded artifacts;
+    // persistence is exact (parquet doubles), so its oracle IS q116's SQL —
+    // the contract that save/load is an identity on the search result
+    "q164_ivfpq_artifact_search" -> q116Sql,
+
+
 
     // replays PQ fit + encode: per-subspace seeds = the 16 lowest ids'
     // slices (code = id rank via triangle count), one Lloyd step, argmin
@@ -776,6 +714,110 @@ object SimilarityQueries {
         |  SELECT id_a, id_b, list_cosine_similarity(x.v, y.v) AS cosine
         |  FROM cand JOIN allv x ON x.vec_id = id_a JOIN allv y ON y.vec_id = id_b
         |)""".stripMargin
+
+  /** Shared by q116 (direct IVF-PQ) and q164 (same search served from
+    * saved-then-loaded artifacts — persistence is exact, so one SQL replay
+    * gates both).
+    */
+  private lazy val q116Sql =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |iseeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |ia0 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT a.vec_id, s.cid,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.v, s.cv) DESC, s.cid) AS rn
+        |    FROM e a CROSS JOIN iseeds s)
+        |  WHERE rn = 1
+        |), icomps AS (
+        |  SELECT ia0.cid, CAST(i AS INT) - 1 AS pos, v[CAST(i AS INT)] AS x
+        |  FROM e JOIN ia0 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        |  WHERE i <= len(v)
+        |), icents AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv
+        |  FROM (SELECT cid, pos, avg(x) AS m FROM icomps GROUP BY 1, 2)
+        |  GROUP BY cid
+        |), ia1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT a.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) AS rn
+        |    FROM e a CROSS JOIN icents c)
+        |  WHERE rn = 1
+        |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |iprobes AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT q.query_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN icents c)
+        |  WHERE rn <= 4
+        |), cand AS (
+        |  SELECT p.query_id, ia1.vec_id FROM iprobes p JOIN ia1 ON ia1.cid = p.cid
+        |), s AS (
+        |  SELECT vec_id, CAST(j AS INT) AS sub, list_slice(v, j*8 + 1, j*8 + 8) AS sl
+        |  FROM e CROSS JOIN range(0, 8) t(j)
+        |), pids AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16),
+        |pseedids AS (
+        |  SELECT x.vec_id, CAST(count(y.vec_id) AS BIGINT) AS code
+        |  FROM pids x LEFT JOIN pids y ON y.vec_id < x.vec_id GROUP BY 1
+        |), pseeds AS (
+        |  SELECT s.sub, pseedids.code, s.sl AS cv FROM s JOIN pseedids USING (vec_id)
+        |), pd0 AS (
+        |  SELECT s.vec_id, s.sub, pseeds.code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |         * (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM s JOIN pseeds ON s.sub = pseeds.sub
+        |), pa0 AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        |    FROM pd0) WHERE rn = 1
+        |), pcents AS (
+        |  SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT s.sub, pa0.code, CAST(i AS INT) - 1 AS pos, avg(s.sl[CAST(i AS INT)]) AS m
+        |    FROM s JOIN pa0 ON s.vec_id = pa0.vec_id AND s.sub = pa0.sub
+        |    CROSS JOIN range(1, 9) t(i)
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2
+        |), pd1 AS (
+        |  SELECT s.vec_id, s.sub, pcents.code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |         * (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM s JOIN pcents ON s.sub = pcents.sub
+        |), pcodes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        |    FROM pd1) WHERE rn = 1
+        |), ptable AS (
+        |  SELECT s.vec_id AS query_id, s.sub, pcents.code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])
+        |         * (s.sl[CAST(i AS INT)] - cv[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS dpart
+        |  FROM s JOIN pcents ON s.sub = pcents.sub
+        |  WHERE s.vec_id < 5
+        |), adc AS (
+        |  SELECT c.query_id, c.vec_id, round(sum(t.dpart), 6) AS adc
+        |  FROM cand c
+        |  JOIN pcodes pc ON pc.vec_id = c.vec_id
+        |  JOIN ptable t ON t.query_id = c.query_id AND t.sub = pc.sub AND t.code = pc.code
+        |  WHERE c.vec_id != c.query_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, vec_id, adc, CAST(rnk AS INT) AS rank FROM (
+        |  SELECT query_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rnk
+        |  FROM adc)
+        |WHERE rnk <= 5
+        |UNION ALL -- guard: loud mismatch unless every vector is exactly 64-dim
+        |SELECT -1, -1, -1.0, -1 WHERE (SELECT max(len(v)) FROM e) != 64
+        |   OR (SELECT min(len(v)) FROM e) != 64""".stripMargin
 
   private lazy val q35Sql =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -221,6 +221,9 @@ object ProductQuantizer {
       countDistinct(col("sub")).as("m"),
       countDistinct(col("code")).as("k"),
       max(size(col("centroid"))).as("subDim")).head()
+    // loud estimator-contract failure (the KMeans/LR discipline): serving
+    // from an empty codebook artifact must never silently "succeed"
+    require(r.getLong(0) > 0, "cannot derive quantizer params from an empty codebook")
     new ProductQuantizer(r.getLong(0).toInt, r.getLong(1).toInt,
       (r.getLong(0) * r.getInt(2)).toInt, idCol, vecCol)
   }
