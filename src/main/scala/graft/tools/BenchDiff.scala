@@ -54,15 +54,45 @@ object BenchDiff {
     "{}"
   }
 
+  /** Accept either a Bench-written `bench_out.json` or a driver-written
+    * `BENCH_r{N}.json` (whose bench line lives ESCAPED inside a `"tail"`
+    * string field): when the escaped form is detected, unescape it so the
+    * same regex extraction sees `"queries":{...}` either way. Driver
+    * artifacts carry no telemetry → those rows report NO-HASH.
+    */
+  private[tools] def normalize(json: String): String =
+    if (json.contains("\"tail\"")) json.replace("\\\"", "\"") else json
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: BenchDiff <old bench_out.json> <new bench_out.json> [minRatio]")
-    val oldJson = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))))
-    val newJson = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))))
+    val oldJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0)))))
+    val newJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1)))))
     val minRatio = if (args.length > 2) args(2).toDouble else 1.5
 
-    def times(json: String): Map[String, Double] =
-      qTime.findAllMatchIn(section(json, "queries"))
+    def times(json: String): Map[String, Double] = {
+      var sec = section(json, "queries")
+      if (sec == "{}") {
+        // driver tails are log-window CLIPPED at the head: the r9 artifact
+        // starts mid-line ('":{"q01":...'), losing the "queries" key
+        // itself. Fall back to brace-matching the first {"qNN": object.
+        """\{\s*"q\d""".r.findFirstMatchIn(json).foreach { m =>
+          var depth = 0
+          var j = m.start
+          var end = -1
+          while (j < json.length && end < 0) {
+            json.charAt(j) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) end = j + 1
+              case _ =>
+            }
+            j += 1
+          }
+          if (end > 0) sec = json.substring(m.start, end)
+        }
+      }
+      qTime.findAllMatchIn(sec)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
 
     val told = times(oldJson)
     val tnew = times(newJson)
