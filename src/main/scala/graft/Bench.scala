@@ -98,7 +98,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default partitions = cores; SPARK_GRAFT_SHUFFLE_PARTITIONS
+      // overrides for the cluster-divergence sensitivity pass (on a real
+      // cluster partitions >> cores — an operator silently assuming
+      // partitions ≈ cores only surfaces under that split)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

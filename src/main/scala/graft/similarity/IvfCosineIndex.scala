@@ -195,6 +195,19 @@ case class IvfIndex(centroids: DataFrame, lists: DataFrame) {
   def save(path: String): Unit = {
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     lists.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    // a zero-row frame + partitionBy writes no schema-bearing files (only
+    // _SUCCESS), leaving a layout load cannot infer a schema from; fall
+    // back to a schema-only unpartitioned write so even a (degenerate)
+    // empty index round-trips with an actionable downstream error instead
+    // of UNABLE_TO_INFER_SCHEMA. Hadoop FS API, not java.io — the path is
+    // remote in production.
+    val listsPath = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsPath.getFileSystem(
+      lists.sparkSession.sparkContext.hadoopConfiguration)
+    val hasPartitions = fs.exists(listsPath) &&
+      fs.listStatus(listsPath).exists(_.getPath.getName.startsWith("cid="))
+    if (!hasPartitions)
+      lists.limit(0).write.mode("overwrite").parquet(s"$path/lists")
   }
 }
 

@@ -91,6 +91,18 @@ class ArtifactPersistenceSpec extends SparkTestBase {
     assert(rows(ivf.search(queries, idx, k = 3)) === rows(ivf.search(queries, direct, k = 3)))
   }
 
+  test("empty IVF index save leaves a loadable (schema-bearing) layout") {
+    val ivf = new IvfCosineIndex(numCentroids = 4, nprobe = 2, dim = Some(dim))
+    val idx = ivf.build(corpus.limit(0))
+    val path = tmp("ivf-empty")
+    idx.save(path)
+    // load must not die with UNABLE_TO_INFER_SCHEMA: the degenerate write
+    // falls back to a schema-only unpartitioned file
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.lists.columns.contains("cid"))
+    assert(loaded.lists.count() === 0L)
+  }
+
   test("OPQ model round-trips: rotation matrix exact, rotated encode identical") {
     val opq = new OpqRotation(numSubspaces = 2, codebookSize = 8, dim = dim,
       iters = 2, lloydSteps = 1)
