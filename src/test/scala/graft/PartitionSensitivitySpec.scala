@@ -1,0 +1,43 @@
+package graft
+
+/** Partition-count independence as a CORRECTNESS property: on a real
+  * cluster `spark.sql.shuffle.partitions` diverges from core count by
+  * orders of magnitude, so no query result may depend on how many
+  * reducers the shuffle happened to use. The DuckDB oracle already
+  * implies this (a single-threaded replay must hash-match), but only at
+  * the partition count the driver ran; this spec pins it explicitly by
+  * re-running a representative query per operator family in a sibling
+  * session configured with a prime partition count (97 — not a multiple
+  * of cores, not a power of two) and asserting row-set equality with the
+  * default-session result. Complements the round-10 full-bench
+  * sensitivity pass (256 partitions, perf side — SURVEY round-10 notes).
+  */
+class PartitionSensitivitySpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** One query per shuffle-shaped family: aggregation, two-phase prefix
+    * sum, grouped ntile ranks, windowed top-k, IVF-cell semantic dedup,
+    * PQ fit+encode, grouped AUC midranks, LSH near-dup pairs.
+    */
+  private val representatives = Seq(
+    "q01_agg_pricing", "q48_token_pack", "q96_ccnet_buckets",
+    "q56_group_topk", "q108_semantic_dedup", "q115_pq_encode",
+    "q161_grouped_auc", "q22_ann_lsh")
+
+  representatives.foreach { name =>
+    test(s"$name: identical result at 97 shuffle partitions") {
+      val fn = SparkEntry.queries(name)
+      val base = fn(spark, dir).collect().map(_.toString).sorted
+
+      val alt = spark.newSession()
+      alt.conf.set("spark.sql.shuffle.partitions", "97")
+      val rerun = fn(alt, dir).collect().map(_.toString).sorted
+
+      assert(rerun.length === base.length,
+        s"$name row count changed with partition count")
+      assert(rerun.toSeq === base.toSeq,
+        s"$name rows changed with partition count")
+    }
+  }
+}
