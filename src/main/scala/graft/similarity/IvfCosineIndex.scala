@@ -194,7 +194,13 @@ case class IvfIndex(centroids: DataFrame, lists: DataFrame) {
 
   def save(path: String): Unit = {
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    lists.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    // cluster the write on cid first: without it every task holds rows of
+    // every cid and partitionBy fans each task out into every directory
+    // (tasks × cids small files — and as many open writers per task);
+    // repartitioned, each task writes whole cid directories, giving the
+    // one-file-per-inverted-list layout a probe actually wants to scan
+    lists.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
     // a zero-row frame + partitionBy writes no schema-bearing files (only
     // _SUCCESS), leaving a layout load cannot infer a schema from; fall
     // back to a schema-only unpartitioned write so even a (degenerate)
