@@ -192,6 +192,12 @@ class IvfCosineIndex(
   */
 case class IvfIndex(centroids: DataFrame, lists: DataFrame) {
 
+  /** NOTE: an index whose `lists` lazily READ a saved layout (e.g. the
+    * result of `append` on a loaded index) cannot save over that same
+    * path — the write would overwrite its own source (Spark rejects it).
+    * Save maintenance cycles to versioned directories (`.../v2`), which
+    * is the production pattern regardless: atomic cutover + rollback.
+    */
   def save(path: String): Unit = {
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // cluster the write on cid first: without it every task holds rows of

@@ -26,9 +26,13 @@ class HeapConstrainedSpec extends AnyFunSuite {
 
   private val queries = Seq(
     "q120_setsim_join", "q88_edit_join", "q145_record_linkage",
-    "q126_triangles", "q116_ivfpq_search")
+    "q126_triangles", "q116_ivfpq_search",
+    // round-10 addition: the artifact-serving path (train + parquet write
+    // + reopen + search) joined the bench top tier — its writer buffers
+    // and load-side scans must degrade like the pure-compute queries
+    "q164_ivfpq_artifact_search")
 
-  test("top-5 expensive queries complete under a 1.5g heap cap") {
+  test("top-6 expensive queries complete under a 1.5g heap cap") {
     val sfDir = "/root/testdata/sf0.01"
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     val javaBin = s"${sys.props("java.home")}/bin/java"

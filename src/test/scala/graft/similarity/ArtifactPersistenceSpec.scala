@@ -91,6 +91,31 @@ class ArtifactPersistenceSpec extends SparkTestBase {
     assert(rows(ivf.search(queries, idx, k = 3)) === rows(ivf.search(queries, direct, k = 3)))
   }
 
+  test("IVF index maintenance cycle: load -> append new batch -> re-save -> search") {
+    val ivf = new IvfCosineIndex(numCentroids = 4, nprobe = 2, dim = Some(dim))
+    val old = corpus.where(col("vec_id") < 150)
+    val batch = corpus.where(col("vec_id") >= 150)
+    val path = tmp("ivf-cycle")
+
+    // nightly cycle: reopen yesterday's index, append today's batch with
+    // one broadcast-centroid pass (no rescan of the indexed corpus), save
+    // to the NEXT version directory — the appended frame lazily reads
+    // yesterday's layout, so saving over it in place would overwrite the
+    // write's own source (Spark rejects it); versioned paths are the
+    // production pattern anyway (atomic cutover, rollback)
+    ivf.build(old).save(s"$path/v1")
+    val appended = ivf.append(IvfIndex.load(spark, s"$path/v1"), batch)
+    appended.save(s"$path/v2")
+
+    // the re-saved layout must serve searches identical to the in-session
+    // appended index
+    val reopened = IvfIndex.load(spark, s"$path/v2")
+    val queries = corpus.where(col("vec_id") < 3)
+    assert(rows(ivf.search(queries, reopened, k = 3))
+      === rows(ivf.search(queries, appended, k = 3)))
+    assert(reopened.lists.count() === 200L)
+  }
+
   test("empty IVF index save leaves a loadable (schema-bearing) layout") {
     val ivf = new IvfCosineIndex(numCentroids = 4, nprobe = 2, dim = Some(dim))
     val idx = ivf.build(corpus.limit(0))
