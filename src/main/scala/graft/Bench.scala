@@ -150,7 +150,12 @@ object Bench {
         val gc0 = gcMs
         val m0 = listener.snapshot
         var lastPlan = ""
-        val times = (1 to 2).map { _ =>
+        // min-of-2 for the gate; SPARK_GRAFT_PASSES raises it for focused
+        // attribution runs where pass-to-pass variance on this host
+        // (documented q120/q116 cases) needs tighter bounding
+        val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+        require(passes >= 2, s"SPARK_GRAFT_PASSES ($passes) must be >= 2 (min-of-rest needs a rest)")
+        val times = (1 to passes).map { _ =>
           // cache-honesty: a query that persist()s an intermediate
           // (q161's tiny pre-aggregate) would otherwise have later
           // invocations served from the first's CacheManager entry
@@ -176,7 +181,9 @@ object Bench {
         drainListenerBus(spark)
         val m1 = listener.snapshot
         val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
-        tele += name -> (times(0), times(1), gcMs - gc0, peakMb,
+        // t1 = first (warm-up-bearing) pass, t2 = best of the rest — keeps
+        // the telemetry shape fixed when SPARK_GRAFT_PASSES > 2
+        tele += name -> (times(0), times.drop(1).min, gcMs - gc0, peakMb,
           (m1(0) - m0(0)) >> 20, (m1(1) - m0(1)) >> 20, (m1(2) - m0(2)) >> 20,
           (m1(3) - m0(3)) >> 20, m1(4) - m0(4), planHash(lastPlan))
         Some(name -> times.min)
