@@ -141,6 +141,18 @@ class IvfCosineIndex(
       index.lists.unionByName(e.join(assign(e, index.centroids), idCol)))
   }
 
+  /** Inverted-list rows (id, cv, cid) of `vectors` under EXISTING
+    * centroids — one broadcast-centroid pass, no training. The unit of
+    * incremental index growth: [[append]] unions these into a held index,
+    * [[graft.streaming.IvfStreamMaintainer]] writes them straight into a
+    * saved layout per micro-batch.
+    */
+  def listRows(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val c = cents.select(col("cid"), dvec(col("centroid")).as("centroid"))
+    val e = corpus(vectors)
+    e.join(assign(e, c), idCol)
+  }
+
   /** (query_id, qv, cid): each query's `nprobe` nearest cells — the probe
     * set every IVF-family search starts from (shared by [[search]] and
     * IVF-PQ compositions).

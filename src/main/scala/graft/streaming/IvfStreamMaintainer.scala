@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.similarity.{IvfCosineIndex, IvfIndex}
+
+/** Continuous ANN index maintenance: every streaming micro-batch of new
+  * embeddings is assigned against the SAVED coarse centroids (one
+  * broadcast pass — no retraining, no rescan of anything already indexed)
+  * and written straight into the on-disk inverted-file layout. The batch
+  * path's nightly `load → append → save-next-version` cycle
+  * (ArtifactPersistenceSpec) rewrites the lists; this operator is the
+  * streaming-cadence alternative that does O(micro-batch) work per
+  * trigger against a single growing layout.
+  *
+  * Layout: `$path/centroids` as in [[IvfIndex.save]];
+  * `$path/lists/batch=N/cid=K/` — list rows partitioned by the micro-batch
+  * id FIRST, then cluster. The batch level is what buys EXACTLY-ONCE
+  * effect on top of foreachBatch's at-least-once replays: each write uses
+  * dynamic partition overwrite, so a replayed batch id overwrites exactly
+  * its own `batch=N` partitions instead of appending duplicate rows
+  * (duplicate list entries would surface as duplicate candidates in
+  * search results — corrupt top-k, not just wasted space). Probe joins
+  * still prune on `cid` (it stays a partition column); [[load]] drops the
+  * batch column before handing back a plain [[IvfIndex]].
+  *
+  * Scale: per trigger, work = one broadcast-centroid pass over the batch
+  * plus a `cid`-clustered write of batch-sized output. Files accrue one
+  * per (batch, touched cid); compaction cadence is the caller's policy —
+  * rewrite `lists/` through [[IvfIndex.save]] into a fresh path when file
+  * counts matter, exactly like any streaming-ingest parquet table.
+  * Centroids drift as the corpus grows; re-training cadence is likewise
+  * the caller's (the standard IVF operational trade, same note as
+  * [[IvfCosineIndex.assignNew]]).
+  */
+class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
+
+  /** Initialize the maintained layout from a base corpus: train + save
+    * centroids, write the base inverted lists as `batch=0`. (A plain
+    * [[IvfIndex.save]] layout is NOT a valid starting point — its lists
+    * lack the batch partition level, and mixed-depth partition dirs fail
+    * discovery; the maintainer owns its layout end-to-end.)
+    */
+  def bootstrap(corpus: DataFrame): Unit = {
+    val idx = ivf.build(corpus)
+    idx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    writeBatch(idx.lists, batchId = 0L)
+  }
+
+  /** One micro-batch: assign against the saved centroids and write the
+    * new list rows into `batch=<batchId>`. Idempotent per batch id.
+    */
+  def appendBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    writeBatch(ivf.listRows(batch, cents), batchId)
+  }
+
+  /** Start the maintenance stream: each trigger appends its micro-batch.
+    * Streaming batch ids restart from the checkpoint on recovery, so a
+    * replayed trigger rewrites its own partition — the exactly-once leg.
+    * Batch ids are offset by 1 so `batch=0` stays the bootstrap's.
+    */
+  def start(stream: DataFrame, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) => appendBatch(b, id + 1L) }
+      .start()
+
+  /** Reopen the maintained layout as a plain [[IvfIndex]] (batch column
+    * dropped; `cid` re-cast to long as in [[IvfIndex.load]]).
+    */
+  def load(spark: SparkSession): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/lists")
+        .withColumn("cid", col("cid").cast("long"))
+        .drop("batch"))
+
+  private def writeBatch(listRows: DataFrame, batchId: Long): Unit =
+    listRows
+      .withColumn("batch", lit(batchId))
+      .repartition(col("cid"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cid")
+      .parquet(s"$path/lists")
+}
