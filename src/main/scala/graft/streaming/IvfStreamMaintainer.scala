@@ -70,6 +70,23 @@ class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
       .foreachBatch { (b: DataFrame, id: Long) => appendBatch(b, id + 1L) }
       .start()
 
+  /** Compact the accrued per-batch files into a fresh maintained layout
+    * at `newPath` (everything re-written as its `batch=0`): one read of
+    * the lists, one `cid`-clustered write — run at whatever cadence file
+    * counts demand, then point the maintainer (and its restarted stream)
+    * at the new path. A NEW path, not in place: the write would otherwise
+    * overwrite its own source (the [[IvfIndex.save]] versioning note),
+    * and cutover stays atomic.
+    */
+  def compactTo(spark: SparkSession, newPath: String): IvfStreamMaintainer = {
+    val idx = load(spark)
+    idx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$newPath/centroids")
+    val next = new IvfStreamMaintainer(ivf, newPath)
+    next.writeBatch(idx.lists, batchId = 0L)
+    next
+  }
+
   /** Reopen the maintained layout as a plain [[IvfIndex]] (batch column
     * dropped; `cid` re-cast to long as in [[IvfIndex.load]]).
     */

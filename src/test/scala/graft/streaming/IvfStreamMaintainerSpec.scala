@@ -60,6 +60,23 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("compaction rewrites the accrued batches into one, search-identical") {
+    val path = Files.createTempDirectory("graft-ivf-compact").toString
+    val m = new IvfStreamMaintainer(ivf, path)
+    m.bootstrap((0L until 100L).map(vec).toDF())
+    m.appendBatch((100L until 140L).map(vec).toDF(), batchId = 1L)
+    m.appendBatch((140L until 180L).map(vec).toDF(), batchId = 2L)
+
+    val m2 = m.compactTo(spark,
+      Files.createTempDirectory("graft-ivf-compact2").toString)
+    val before = m.load(spark)
+    val after = m2.load(spark)
+    assert(after.lists.count() === 180L)
+    val queries = (0L until 3L).map(vec).toDF()
+    assert(ivf.search(queries, after, k = 3).collect().map(_.toString).sorted.toSeq
+      === ivf.search(queries, before, k = 3).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("a replayed batch id overwrites its own partition — no duplicate list rows") {
     val path = Files.createTempDirectory("graft-ivf-replay").toString
     val m = new IvfStreamMaintainer(ivf, path)
