@@ -111,6 +111,14 @@ object Bench {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
 
+    // min-of-2 for the gate; SPARK_GRAFT_PASSES raises it for focused
+    // attribution runs where pass-to-pass variance on this host
+    // (documented q120/q116 cases) needs tighter bounding. Parsed and
+    // validated HERE, before the minutes-long warmup — inside the query
+    // loop a bad value would surface as 164 swallowed per-query errors
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    require(passes >= 2, s"SPARK_GRAFT_PASSES ($passes) must be >= 2 (min-of-rest needs a rest)")
+
     // optional comma-separated query-name filter for focused profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -150,11 +158,6 @@ object Bench {
         val gc0 = gcMs
         val m0 = listener.snapshot
         var lastPlan = ""
-        // min-of-2 for the gate; SPARK_GRAFT_PASSES raises it for focused
-        // attribution runs where pass-to-pass variance on this host
-        // (documented q120/q116 cases) needs tighter bounding
-        val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
-        require(passes >= 2, s"SPARK_GRAFT_PASSES ($passes) must be >= 2 (min-of-rest needs a rest)")
         val times = (1 to passes).map { _ =>
           // cache-honesty: a query that persist()s an intermediate
           // (q161's tiny pre-aggregate) would otherwise have later

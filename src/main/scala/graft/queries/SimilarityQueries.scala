@@ -170,7 +170,11 @@ object SimilarityQueries {
     "q164_ivfpq_artifact_search" -> ((s, dir) => {
       val e = vectors(s, dir)
       val ivf = new IvfCosineIndex(numCentroids = 16, nprobe = 4, dim = Some(64))
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q164_artifacts"
+      // per-process path: concurrent q164 runs (a bench overlapping a test
+      // JVM, paired sensitivity benches) must not clobber each other's
+      // artifacts mid-scan; within one process, overwrite keeps reruns
+      // idempotent
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q164_artifacts_${ProcessHandle.current().pid()}"
       // offline half: fit and persist (overwrite keeps reruns idempotent)
       ivf.build(e).save(s"$root/ivf")
       ProductQuantizer.saveCodebook(

@@ -106,8 +106,7 @@ class IvfCosineIndex(
     */
   def build(candidates: DataFrame): IvfIndex = {
     val cents = centroids(candidates).localCheckpoint()
-    val e = corpus(candidates)
-    IvfIndex(cents, e.join(assign(e, cents), idCol))
+    IvfIndex(cents, listRows(candidates, cents))
   }
 
   /** Index build against EXTERNALLY-trained centroids (cid, centroid) —
@@ -120,8 +119,7 @@ class IvfCosineIndex(
   def buildWith(candidates: DataFrame, cents: DataFrame): IvfIndex = {
     val c = cents.select(col("cid"), dvec(col("centroid")).as("centroid"))
       .localCheckpoint()
-    val e = corpus(candidates)
-    IvfIndex(c, e.join(assign(e, c), idCol))
+    IvfIndex(c, listRows(candidates, c))
   }
 
   /** Assignment (id, cid) of NEW vectors to a prebuilt index's centroids —
@@ -132,14 +130,16 @@ class IvfCosineIndex(
     * the standard IVF operational trade.)
     */
   def assignNew(index: IvfIndex, vectors: DataFrame): DataFrame =
-    assign(corpus(vectors), index.centroids)
+    assign(corpus(vectors),
+      index.centroids.select(col("cid"), dvec(col("centroid")).as("centroid")))
 
-  /** The index with `vectors`' inverted-list rows appended. */
-  def append(index: IvfIndex, vectors: DataFrame): IvfIndex = {
-    val e = corpus(vectors)
+  /** The index with `vectors`' inverted-list rows appended. (Through
+    * [[listRows]], so external centroids get the same array<double>
+    * normalization every other assignment path applies.)
+    */
+  def append(index: IvfIndex, vectors: DataFrame): IvfIndex =
     IvfIndex(index.centroids,
-      index.lists.unionByName(e.join(assign(e, index.centroids), idCol)))
-  }
+      index.lists.unionByName(listRows(vectors, index.centroids)))
 
   /** Inverted-list rows (id, cv, cid) of `vectors` under EXISTING
     * centroids — one broadcast-centroid pass, no training. The unit of

@@ -45,19 +45,33 @@ class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
     */
   def bootstrap(corpus: DataFrame): Unit = {
     val idx = ivf.build(corpus)
+    // estimator contract (the KMeans/forCodebook discipline): empty
+    // centroids would make every future appendBatch assign against
+    // nothing and silently index zero vectors forever
+    require(!idx.centroids.isEmpty,
+      "cannot bootstrap a maintained IVF index on an empty corpus")
     idx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids")
     writeBatch(idx.lists, batchId = 0L)
   }
 
+  // the centroids are immutable for this maintainer's lifetime (only
+  // compactTo — a NEW path and maintainer — ever re-writes them), so read
+  // the tiny frame once and materialize it instead of paying a parquet
+  // read + schema inference on every trigger of a long-running stream
+  @volatile private var centsCache: DataFrame = _
+
+  private def centroids(spark: SparkSession): DataFrame = {
+    if (centsCache == null)
+      centsCache = spark.read.parquet(s"$path/centroids").localCheckpoint()
+    centsCache
+  }
+
   /** One micro-batch: assign against the saved centroids and write the
     * new list rows into `batch=<batchId>`. Idempotent per batch id.
     */
-  def appendBatch(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-    writeBatch(ivf.listRows(batch, cents), batchId)
-  }
+  def appendBatch(batch: DataFrame, batchId: Long): Unit =
+    writeBatch(ivf.listRows(batch, centroids(batch.sparkSession)), batchId)
 
   /** Start the maintenance stream: each trigger appends its micro-batch.
     * Streaming batch ids restart from the checkpoint on recovery, so a
@@ -97,12 +111,31 @@ class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
         .withColumn("cid", col("cid").cast("long"))
         .drop("batch"))
 
-  private def writeBatch(listRows: DataFrame, batchId: Long): Unit =
-    listRows
-      .withColumn("batch", lit(batchId))
+  private def writeBatch(listRows: DataFrame, batchId: Long): Unit = {
+    val withBatch = listRows.withColumn("batch", lit(batchId))
+    withBatch
       .repartition(col("cid"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "cid")
       .parquet(s"$path/lists")
+    // zero rows + partitionBy writes no schema-bearing files — the same
+    // degenerate-layout bug class IvfIndex.save guards against; without
+    // this a bootstrap over an empty corpus (or an all-empty stream)
+    // leaves load() dying with UNABLE_TO_INFER_SCHEMA
+    val listsPath = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsPath.getFileSystem(
+      listRows.sparkSession.sparkContext.hadoopConfiguration)
+    val hasPartitions = fs.exists(listsPath) &&
+      fs.listStatus(listsPath).exists(_.getPath.getName.startsWith("batch="))
+    if (!hasPartitions)
+      withBatch.limit(0).write.mode("overwrite").parquet(s"$path/lists")
+    else
+      // inverse transition: a real batch arriving AFTER an empty bootstrap
+      // must clear the schema-only fallback file — root-level part files
+      // mixed with partition directories break partition discovery
+      fs.listStatus(listsPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach(f => fs.delete(f.getPath, false))
+  }
 }

@@ -28,16 +28,28 @@ class PartitionSensitivitySpec extends SparkTestBase {
   representatives.foreach { name =>
     test(s"$name: identical result at 97 shuffle partitions") {
       val fn = SparkEntry.queries(name)
-      val base = fn(spark, dir).collect().map(_.toString).sorted
+      try {
+        val base = fn(spark, dir).collect().map(_.toString).sorted
 
-      val alt = spark.newSession()
-      alt.conf.set("spark.sql.shuffle.partitions", "97")
-      val rerun = fn(alt, dir).collect().map(_.toString).sorted
+        // newSession() SHARES the CacheManager, and cached plans
+        // canonicalize equal across sessions — without clearing, q161's
+        // call-site persist() would serve the 97-partition rerun from the
+        // base run's 4-partition cache, voiding the property under test
+        spark.catalog.clearCache()
 
-      assert(rerun.length === base.length,
-        s"$name row count changed with partition count")
-      assert(rerun.toSeq === base.toSeq,
-        s"$name rows changed with partition count")
+        val alt = spark.newSession()
+        alt.conf.set("spark.sql.shuffle.partitions", "97")
+        val rerun = fn(alt, dir).collect().map(_.toString).sorted
+
+        assert(rerun.length === base.length,
+          s"$name row count changed with partition count")
+        assert(rerun.toSeq === base.toSeq,
+          s"$name rows changed with partition count")
+      } finally
+        // don't leak this spec's cache entries (q161's persist has no
+        // matching unpersist by design) into later suites sharing the
+        // singleton session
+        spark.catalog.clearCache()
     }
   }
 }

@@ -77,6 +77,19 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
       === ivf.search(queries, before, k = 3).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("bootstrap on an empty corpus fails loudly; empty micro-batches are no-ops") {
+    val path = Files.createTempDirectory("graft-ivf-guard").toString
+    val m = new IvfStreamMaintainer(ivf, path)
+    val e = intercept[IllegalArgumentException] {
+      m.bootstrap((0L until 100L).map(vec).toDF().limit(0))
+    }
+    assert(e.getMessage.contains("empty corpus"))
+
+    m.bootstrap((0L until 100L).map(vec).toDF())
+    m.appendBatch((0L until 100L).map(vec).toDF().limit(0), batchId = 1L)
+    assert(m.load(spark).lists.count() === 100L)
+  }
+
   test("a replayed batch id overwrites its own partition — no duplicate list rows") {
     val path = Files.createTempDirectory("graft-ivf-replay").toString
     val m = new IvfStreamMaintainer(ivf, path)
