@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, LinkageField, LinkageScorer, PhraseMatcher, RepetitionStats, SequencePacker, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
+import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, LinkageField, LinkageScorer, PhraseMatcher, RepetitionStats, SequencePacker, SpanCorruption, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -376,6 +376,17 @@ object TextQueries {
             (col("n2") * col("c1") * col("c2"))), 6).as("pmi"))
     }),
 
+    // T5 span corruption: deterministic md5-coin masks per (salt, doc,
+    // pos), contiguous masked runs collapse to numbered sentinels in the
+    // input and reappear behind them (plus a terminal sentinel) in the
+    // target — the denoising-pretraining pair as ONE row-local fold per
+    // document, zero exchanges
+    "q165_span_corruption" -> ((s, dir) =>
+      SpanCorruption.corrupt(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        ratePercent = 15, salt = "span")
+        .select(col("doc_id"), col("corrupted_input"), col("target"))),
+
     // coverage-bounded vocabulary (GatherEncoder's strict-< coverage scan
     // applied to tokens): smallest (count desc, term asc) prefix covering
     // 95% of token mass — no global window, no driver vocabulary
@@ -523,6 +534,49 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // window-based replay of the row-local fold: same md5 coin (q38's
+    // integer idiom), lag() finds span starts, a running count numbers
+    // them, string_agg in position order rebuilds both strings; the LEFT
+    // JOIN restores zero-token documents ('' / bare terminal sentinel)
+    "q165_span_corruption" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS tl
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, CAST(i AS INT) - 1 AS p, tl[CAST(i AS INT)] AS tok
+        |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(tl) + 1)) AS i) t
+        |), flag AS (
+        |  SELECT doc_id, p, tok,
+        |    (('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':'
+        |       || CAST(p AS VARCHAR)), 1, 8))::BIGINT % 100 < 15) AS m
+        |  FROM pos
+        |), marked AS (
+        |  SELECT doc_id, p, tok, m,
+        |    (m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY p), false)) AS st
+        |  FROM flag
+        |), sp AS (
+        |  SELECT doc_id, p, tok, m, st,
+        |    CAST(sum(CASE WHEN st THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS INT) - 1 AS sid
+        |  FROM marked
+        |), agg AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN NOT m THEN tok
+        |                    WHEN st THEN '<extra_id_' || sid || '>' END,
+        |               ' ' ORDER BY p) AS inp,
+        |    string_agg(CASE WHEN st THEN '<extra_id_' || sid || '> ' || tok
+        |                    WHEN m THEN tok END,
+        |               ' ' ORDER BY p) AS tgt,
+        |    CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS INT) AS nsp
+        |  FROM sp GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(a.inp, '') AS corrupted_input,
+        |  CASE WHEN coalesce(a.tgt, '') = ''
+        |    THEN '<extra_id_' || coalesce(a.nsp, 0) || '>'
+        |    ELSE a.tgt || ' <extra_id_' || a.nsp || '>' END AS target
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q23_text_stats" ->
       (normSql +
         s"""
