@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, LinkageField, LinkageScorer, PhraseMatcher, RepetitionStats, SequencePacker, SpanCorruption, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
+import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDiversity, EditDistanceJoin, FimTransform, LinkageField, LinkageScorer, PhraseMatcher, RepetitionStats, SequencePacker, SpanCorruption, TextFunctions, TextRedactor, TokenPacker, UnigramLM, VocabBuilder}
 
 /** Text-analysis queries over the documents table, each mirrored by a
   * DuckDB oracle computing the identical formula.
@@ -387,6 +387,15 @@ object TextQueries {
         ratePercent = 15, salt = "span")
         .select(col("doc_id"), col("corrupted_input"), col("target"))),
 
+    // fill-in-the-middle rearrangement (PSM): two md5-coin cut points per
+    // selected doc, slice + one concat_ws — row-local, zero exchanges;
+    // rate 50 exercises both the transformed and pass-through branches
+    "q166_fim" -> ((s, dir) =>
+      FimTransform.transform(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        ratePercent = 50, salt = "fim")
+        .select(col("doc_id"), col("fim_text"), col("fim_applied"))),
+
     // coverage-bounded vocabulary (GatherEncoder's strict-< coverage scan
     // applied to tokens): smallest (count desc, term asc) prefix covering
     // 95% of token mass — no global window, no driver vocabulary
@@ -534,6 +543,33 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same md5 coins (selection + two boundary draws), list_slice + list
+    // concatenation + array_to_string — byte-identical PSM strings
+    "q166_fim" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS tl
+        |  FROM documents
+        |), coins AS (
+        |  SELECT doc_id, tl,
+        |    ('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR) || ':sel'), 1, 8))::BIGINT % 100 < 50 AS applied,
+        |    ('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR) || ':a'), 1, 8))::BIGINT % (len(tl) + 1) AS ca,
+        |    ('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR) || ':b'), 1, 8))::BIGINT % (len(tl) + 1) AS cb
+        |  FROM toks
+        |), cuts AS (
+        |  SELECT doc_id, tl, applied,
+        |    CAST(least(ca, cb) AS INT) AS c1, CAST(greatest(ca, cb) AS INT) AS c2
+        |  FROM coins
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN applied THEN array_to_string(
+        |    ['<fim_prefix>'] || list_slice(tl, 1, c1)
+        |      || ['<fim_suffix>'] || list_slice(tl, c2 + 1, len(tl))
+        |      || ['<fim_middle>'] || list_slice(tl, c1 + 1, c2), ' ')
+        |  ELSE array_to_string(tl, ' ') END AS fim_text,
+        |  applied AS fim_applied
+        |FROM cuts""".stripMargin,
+
     // window-based replay of the row-local fold: same md5 coin (q38's
     // integer idiom), lag() finds span starts, a running count numbers
     // them, string_agg in position order rebuilds both strings; the LEFT
