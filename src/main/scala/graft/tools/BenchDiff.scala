@@ -94,8 +94,17 @@ object BenchDiff {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
 
-    val told = times(oldJson)
-    val tnew = times(newJson)
+    // driver artifacts carry the printed SHORT keys (q108), bench_out.json
+    // full names (q108_semantic_dedup); diff on the qNN prefix (unique by
+    // Bench's own require) and keep each file's own name for telemetry
+    // lookups and display
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val fullOld = times(oldJson)
+    val fullNew = times(newJson)
+    val nameOld = fullOld.keySet.map(k => short(k) -> k).toMap
+    val nameNew = fullNew.keySet.map(k => short(k) -> k).toMap
+    val told = fullOld.map { case (k, v) => short(k) -> v }
+    val tnew = fullNew.map { case (k, v) => short(k) -> v }
     val shared = told.keySet & tnew.keySet
     val sumOld = shared.toSeq.map(told).sum
     val sumNew = shared.toSeq.map(tnew).sum
@@ -105,17 +114,18 @@ object BenchDiff {
     println(s"BENCHDIFF only-old=$onlyOld only-new=$onlyNew")
 
     val rows = shared.toSeq
-      .map(q => (q, told(q), tnew(q), tnew(q) / math.max(told(q), 1e-9)))
+      .map(q => (nameNew.getOrElse(q, q), told(q), tnew(q), tnew(q) / math.max(told(q), 1e-9)))
     val regressions = rows.filter(_._4 >= minRatio).sortBy(-_._4)
     regressions.foreach { case (q, o, n, r) =>
-      val pOld = teleField(oldJson, q, "plan")
+      val pOld = teleField(oldJson, nameOld.getOrElse(short(q), q), "plan")
       val pNew = teleField(newJson, q, "plan")
       val kind = (pOld, pNew) match {
         case (Some(a), Some(b)) if a != b => "PLAN-FLIP"
         case (Some(a), Some(b)) if a == b => "ENVIRONMENTAL(same plan)"
         case _ => "NO-HASH"
       }
-      val gc = for (a <- teleField(oldJson, q, "gc_ms"); b <- teleField(newJson, q, "gc_ms"))
+      val gc = for (a <- teleField(oldJson, nameOld.getOrElse(short(q), q), "gc_ms");
+                    b <- teleField(newJson, q, "gc_ms"))
         yield s"gc ${a}ms->${b}ms"
       val spill = for (b <- teleField(newJson, q, "spill_disk_mb")) yield s"spill ${b}MB"
       println(f"BENCHDIFF REGRESSION $q%-30s ${o}%6.2fs -> ${n}%6.2fs " +
