@@ -39,15 +39,17 @@ object FimTransform {
       salt: String = "fim"): DataFrame = {
     require(ratePercent >= 0 && ratePercent <= 100,
       s"ratePercent ($ratePercent) must be in 0..100")
-    def coin(role: String): String =
-      s"CAST(conv(substring(md5(concat('$salt', ':', CAST($idCol AS STRING), " +
-        s"':', '$role')), 1, 8), 16, 10) AS BIGINT)"
+    // the engine's md5-membership coin, defined once in graft.sql.functions
+    // (these three draws are top-level columns, not lambda-bound, so the
+    // Column API applies — no interpolated SQL to keep in sync)
+    def coin(role: String) = graft.sql.functions.uniform32(salt,
+      concat(col(idCol).cast("string"), lit(":"), lit(role)))
     df
       .withColumn("__fim_toks",
         expr(s"filter(split($textCol, '\\\\s+'), t -> t != '')"))
-      .withColumn("fim_applied", expr(s"${coin("sel")} % 100 < $ratePercent"))
-      .withColumn("__fim_a", expr(s"${coin("a")} % (size(__fim_toks) + 1)"))
-      .withColumn("__fim_b", expr(s"${coin("b")} % (size(__fim_toks) + 1)"))
+      .withColumn("fim_applied", coin("sel") % 100 < ratePercent)
+      .withColumn("__fim_a", coin("a") % (size(col("__fim_toks")) + 1))
+      .withColumn("__fim_b", coin("b") % (size(col("__fim_toks")) + 1))
       .withColumn("__fim_c1", least(col("__fim_a"), col("__fim_b")).cast("int"))
       .withColumn("__fim_c2", greatest(col("__fim_a"), col("__fim_b")).cast("int"))
       .withColumn("fim_text", expr(

@@ -43,10 +43,14 @@ object SpanCorruption {
     require(ratePercent >= 0 && ratePercent <= 100,
       s"ratePercent ($ratePercent) must be in 0..100")
     // masked(i): the engine-portable integer coin (DuckDB replay:
-    // ('0x' || substr(md5(...), 1, 8))::BIGINT % 100 < rate)
-    def msk(i: String): String =
+    // ('0x' || substr(md5(...), 1, 8))::BIGINT % 100 < rate). Evaluated
+    // ONCE per token into __sc_mask — Spark does no common-subexpression
+    // elimination inside HOF lambdas, so referencing the md5 directly from
+    // the fold's five branch conditions would hash every token ~5x.
+    val mskAt =
       s"CAST(conv(substring(md5(concat('$salt', ':', CAST($idCol AS STRING), ':', " +
-        s"CAST($i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < $ratePercent"
+        s"CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < $ratePercent"
+    def msk(i: String): String = s"element_at(__sc_mask, $i + 1)"
     // sequence(0, -1) DESCENDS ([0, -1]) rather than yielding an empty
     // range, so the zero-token case needs its own branch
     val fold =
@@ -79,9 +83,13 @@ object SpanCorruption {
     df
       .withColumn("__sc_toks",
         expr(s"filter(split($textCol, '\\\\s+'), t -> t != '')"))
+      // sequence(0, -1) descends, so guard the zero-token case here too
+      .withColumn("__sc_mask", expr(
+        s"""CASE WHEN size(__sc_toks) = 0 THEN array()
+           |ELSE transform(sequence(0, size(__sc_toks) - 1), i -> $mskAt) END""".stripMargin))
       .withColumn("__sc_pair", expr(fold))
       .withColumn("corrupted_input", col("__sc_pair.corrupted_input"))
       .withColumn("target", col("__sc_pair.target"))
-      .drop("__sc_toks", "__sc_pair")
+      .drop("__sc_toks", "__sc_mask", "__sc_pair")
   }
 }

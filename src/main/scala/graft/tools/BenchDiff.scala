@@ -109,8 +109,10 @@ object BenchDiff {
     val sumOld = shared.toSeq.map(told).sum
     val sumNew = shared.toSeq.map(tnew).sum
     println(f"BENCHDIFF shared=${shared.size} old=${sumOld}%.1fs new=${sumNew}%.1fs ratio=${sumNew / sumOld}%.2f")
-    val onlyOld = (told.keySet -- tnew.keySet).toSeq.sorted.mkString(",")
-    val onlyNew = (tnew.keySet -- told.keySet).toSeq.sorted.mkString(",")
+    val onlyOld = (told.keySet -- tnew.keySet).toSeq.sorted
+      .map(k => nameOld.getOrElse(k, k)).mkString(",")
+    val onlyNew = (tnew.keySet -- told.keySet).toSeq.sorted
+      .map(k => nameNew.getOrElse(k, k)).mkString(",")
     println(s"BENCHDIFF only-old=$onlyOld only-new=$onlyNew")
 
     val rows = shared.toSeq

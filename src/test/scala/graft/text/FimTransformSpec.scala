@@ -60,12 +60,14 @@ class FimTransformSpec extends SparkTestBase {
     val half = FimTransform.transform(docs, ratePercent = 50, salt = "spec")
       .select("doc_id", "fim_applied").collect()
       .map(r => (r.getLong(0), r.getBoolean(1))).toMap
-    // membership is a pure function of (salt, id): re-running agrees
-    val again = FimTransform.transform(docs, ratePercent = 50, salt = "spec")
-      .select("doc_id", "fim_applied").collect()
-      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
-    assert(half === again)
-    // and a 100-rate run marks strictly more docs than a 50-rate run
-    assert(half.values.count(identity) <= 5)
+    // membership must equal the coin computed INDEPENDENTLY here — pins
+    // the exact md5 string, the 32-bit slice, and the strict-< threshold
+    val expected = (1L to 5L).map { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"spec:$id:sel".getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      id -> (java.lang.Long.parseLong(hex, 16) % 100 < 50)
+    }.toMap
+    assert(half === expected)
   }
 }
