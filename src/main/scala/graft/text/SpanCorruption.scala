@@ -43,39 +43,43 @@ object SpanCorruption {
     require(ratePercent >= 0 && ratePercent <= 100,
       s"ratePercent ($ratePercent) must be in 0..100")
     // masked(i): the engine-portable integer coin (DuckDB replay:
-    // ('0x' || substr(md5(...), 1, 8))::BIGINT % 100 < rate). Evaluated
-    // ONCE per token into __sc_mask — Spark does no common-subexpression
-    // elimination inside HOF lambdas, so referencing the md5 directly from
-    // the fold's five branch conditions would hash every token ~5x.
+    // ('0x' || substr(md5(...), 1, 8))::BIGINT % 100 < rate).
     val mskAt =
       s"CAST(conv(substring(md5(concat('$salt', ':', CAST($idCol AS STRING), ':', " +
         s"CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < $ratePercent"
-    def msk(i: String): String = s"element_at(__sc_mask, $i + 1)"
+    // The coin must be hashed exactly ONCE per token. Two shapes fail:
+    // inlining mskAt into the fold's five branch conditions hashes every
+    // token ~5x (no common-subexpression elimination inside HOF lambdas),
+    // and precomputing a mask COLUMN then reading it via element_at is
+    // O(n^2) md5s — CollapseProject inlines the whole transform(...) array
+    // expression into every element_at reference, so each access rebuilds
+    // the full mask (ScaleSmoke measured 110 s/5k docs for that shape).
+    // The fix: zip the mask into the fold's INPUT — one (token, masked)
+    // struct array built once per row, O(n) hashes total.
     // sequence(0, -1) DESCENDS ([0, -1]) rather than yielding an empty
-    // range, so the zero-token case needs its own branch
+    // range, so the zero-token case needs its own branch.
     val fold =
       s"""CASE WHEN size(__sc_toks) = 0
          |  THEN named_struct('corrupted_input', '', 'target', '<extra_id_0>')
          |ELSE aggregate(
-         |  sequence(0, size(__sc_toks) - 1),
+         |  zip_with(__sc_toks,
+         |    transform(sequence(0, size(__sc_toks) - 1), i -> $mskAt),
+         |    (t, m) -> named_struct('tok', t, 'm', m)),
          |  named_struct('inp', CAST('' AS STRING), 'tgt', CAST('' AS STRING),
          |               'k', 0, 'prev', false),
-         |  (acc, i) -> named_struct(
+         |  (acc, x) -> named_struct(
          |    'inp', CASE
-         |      WHEN NOT (${msk("i")})
-         |        THEN concat(acc.inp, ' ', element_at(__sc_toks, i + 1))
+         |      WHEN NOT x.m THEN concat(acc.inp, ' ', x.tok)
          |      WHEN NOT acc.prev
          |        THEN concat(acc.inp, ' <extra_id_', CAST(acc.k AS STRING), '>')
          |      ELSE acc.inp END,
          |    'tgt', CASE
-         |      WHEN (${msk("i")}) AND NOT acc.prev
-         |        THEN concat(acc.tgt, ' <extra_id_', CAST(acc.k AS STRING), '> ',
-         |                    element_at(__sc_toks, i + 1))
-         |      WHEN (${msk("i")})
-         |        THEN concat(acc.tgt, ' ', element_at(__sc_toks, i + 1))
+         |      WHEN x.m AND NOT acc.prev
+         |        THEN concat(acc.tgt, ' <extra_id_', CAST(acc.k AS STRING), '> ', x.tok)
+         |      WHEN x.m THEN concat(acc.tgt, ' ', x.tok)
          |      ELSE acc.tgt END,
-         |    'k', acc.k + CASE WHEN (${msk("i")}) AND NOT acc.prev THEN 1 ELSE 0 END,
-         |    'prev', (${msk("i")})),
+         |    'k', acc.k + CASE WHEN x.m AND NOT acc.prev THEN 1 ELSE 0 END,
+         |    'prev', x.m),
          |  acc -> named_struct(
          |    'corrupted_input', ltrim(acc.inp),
          |    'target', ltrim(concat(acc.tgt, ' <extra_id_', CAST(acc.k AS STRING), '>'))))
@@ -83,13 +87,9 @@ object SpanCorruption {
     df
       .withColumn("__sc_toks",
         expr(s"filter(split($textCol, '\\\\s+'), t -> t != '')"))
-      // sequence(0, -1) descends, so guard the zero-token case here too
-      .withColumn("__sc_mask", expr(
-        s"""CASE WHEN size(__sc_toks) = 0 THEN array()
-           |ELSE transform(sequence(0, size(__sc_toks) - 1), i -> $mskAt) END""".stripMargin))
       .withColumn("__sc_pair", expr(fold))
       .withColumn("corrupted_input", col("__sc_pair.corrupted_input"))
       .withColumn("target", col("__sc_pair.target"))
-      .drop("__sc_toks", "__sc_mask", "__sc_pair")
+      .drop("__sc_toks", "__sc_pair")
   }
 }

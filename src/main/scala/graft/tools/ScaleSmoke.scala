@@ -69,6 +69,16 @@ object ScaleSmoke {
       "quality_filter" -> { d: DataFrame =>
         new graft.text.QualityFilter().transform(d).count()
       },
+      // round-10 denoising-pair ops: both row-local folds/slices — growth
+      // must be exactly linear in rows with zero exchanges
+      "span_corruption" -> { d: DataFrame =>
+        graft.text.SpanCorruption.corrupt(d)
+          .where(length(col("target")) > 12).count()
+      },
+      "fim" -> { d: DataFrame =>
+        graft.text.FimTransform.transform(d)
+          .where(col("fim_applied")).count()
+      },
       // LM-ratio scoring + coin: two wordcount models + one scoring pass
       "dsir_select" -> { d: DataFrame =>
         new graft.sampling.ImportanceSampler(rate = 0.5)
