@@ -19,6 +19,23 @@ object SimilarityQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Register a JVM shutdown hook deleting `root` recursively — once per
+    * distinct path (q164's per-pid artifact tree is path-constant within a
+    * process, so reruns don't stack hooks).
+    */
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[queries] def cleanupOnExit(root: String): Unit =
+    if (cleanupRegistered.add(root)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }))
+    }
+
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
 
@@ -175,6 +192,10 @@ object SimilarityQueries {
       // artifacts mid-scan; within one process, overwrite keeps reruns
       // idempotent
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_q164_artifacts_${ProcessHandle.current().pid()}"
+      // every bench/test JVM would otherwise leave its per-pid artifact
+      // tree behind indefinitely on long-lived hosts — sweep it when the
+      // JVM exits (registered once per process; the path is pid-constant)
+      SimilarityQueries.cleanupOnExit(root)
       // offline half: fit and persist (overwrite keeps reruns idempotent)
       ivf.build(e).save(s"$root/ivf")
       ProductQuantizer.saveCodebook(
@@ -191,6 +212,33 @@ object SimilarityQueries {
         .join(idx.lists.select(col("vec_id"), col("cid")), "cid")
         .select(col("query_id"), col("vec_id"))
       pq.adcSearchIn(queries, cands, codes, cb, k = 5)
+        .select(col("query_id"), col("vec_id"), col("adc"), col("rank"))
+    }),
+
+    // OPQ application served from a COMMITTED trained artifact (the
+    // carried round-9 ask): the rotation (SVD-trained — not SQL-
+    // expressible) + the codebook trained in the rotated space live as a
+    // fixture under src/test/resources/golden/q167_opq (regenerated via
+    // MakeGoldens). The query loads both, rotates corpus + queries with
+    // the broadcast-literal matvec, encodes against the loaded codebook,
+    // and runs full ADC top-5. The oracle read_parquet's the SAME fixture
+    // and independently replays rotate → encode → ADC — a real derivation
+    // (only the offline training is frozen), exactly q164's offline/online
+    // split with OPQ in the loop.
+    "q167_opq_adc_search" -> ((s, dir) => {
+      val e = vectors(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val model = graft.similarity.OpqRotation.load(s, Goldens.path("q167_opq"))
+      val opq = new graft.similarity.OpqRotation(
+        numSubspaces = 8, codebookSize = 16, dim = 64)
+      // codebook is m×k rows consumed by encode AND the ADC tables —
+      // materialize once (the q116 discipline)
+      val cb = model.codebook.localCheckpoint()
+      val rotated = opq.rotate(e, model.rotation)
+      val pq = graft.similarity.ProductQuantizer.forCodebook(cb)
+      val codes = pq.encode(rotated, cb)
+      val queries = rotated.where(col("vec_id") < 5)
+      pq.adcSearch(queries, codes, cb, k = 5)
         .select(col("query_id"), col("vec_id"), col("adc"), col("rank"))
     }),
 
@@ -546,6 +594,59 @@ object SimilarityQueries {
     // persistence is exact (parquet doubles), so its oracle IS q116's SQL —
     // the contract that save/load is an identity on the search result
     "q164_ivfpq_artifact_search" -> q116Sql,
+
+    // independent replay of the OPQ application path from the SAME
+    // committed fixture the query loads: rotated component i =
+    // sequential fold over R[i][k]·v[k] (list_reduce == the operator's
+    // aggregate(zip_with) — identical op order, bit-exact rotated
+    // vectors), then the q115/q116 encode + ADC idiom against the
+    // fixture codebook. Only the SVD training of R is frozen; everything
+    // the query computes at serving time is re-derived here.
+    "q167_opq_adc_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |rot AS (SELECT i, "row" AS rw
+        |        FROM read_parquet('${Goldens.path("q167_opq")}/rotation/*.parquet')),
+        |cb AS (SELECT sub, code, centroid
+        |       FROM read_parquet('${Goldens.path("q167_opq")}/codebook/*.parquet')),
+        |rv AS (
+        |  SELECT e.vec_id, rot.i,
+        |    list_reduce(list_transform(range(1, 65),
+        |      k -> rw[CAST(k AS INT)] * e.v[CAST(k AS INT)]),
+        |      (a, b) -> a + b) AS x
+        |  FROM e CROSS JOIN rot
+        |), r AS (SELECT vec_id, list(x ORDER BY i) AS v FROM rv GROUP BY 1),
+        |s AS (
+        |  SELECT vec_id, CAST(j AS INT) AS sub, list_slice(v, j*8 + 1, j*8 + 8) AS sl
+        |  FROM r CROSS JOIN range(0, 8) t(j)
+        |), d AS (
+        |  SELECT s.vec_id, s.sub, cb.code,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (s.sl[CAST(i AS INT)] - centroid[CAST(i AS INT)])
+        |         * (s.sl[CAST(i AS INT)] - centroid[CAST(i AS INT)])),
+        |      (a, b) -> a + b) AS d2
+        |  FROM s JOIN cb ON s.sub = cb.sub
+        |), codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        |    FROM d) WHERE rn = 1
+        |), ptable AS (
+        |  SELECT vec_id AS query_id, sub, code, d2 AS dpart FROM d WHERE vec_id < 5
+        |), adc AS (
+        |  SELECT t.query_id, c.vec_id, round(sum(t.dpart), 6) AS adc
+        |  FROM codes c
+        |  JOIN ptable t ON t.sub = c.sub AND t.code = c.code
+        |  WHERE c.vec_id != t.query_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, vec_id, adc, CAST(rnk AS INT) AS rank FROM (
+        |  SELECT query_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rnk
+        |  FROM adc)
+        |WHERE rnk <= 5
+        |UNION ALL -- guard: loud mismatch unless every vector is exactly 64-dim
+        |SELECT -1, -1, -1.0, -1 WHERE (SELECT max(len(v)) FROM e) != 64
+        |   OR (SELECT min(len(v)) FROM e) != 64""".stripMargin,
 
 
 

@@ -56,14 +56,92 @@ object BenchDiff {
 
   /** Accept either a Bench-written `bench_out.json` or a driver-written
     * `BENCH_r{N}.json` (whose bench line lives ESCAPED inside a `"tail"`
-    * string field): when the escaped form is detected, unescape it so the
-    * same regex extraction sees `"queries":{...}` either way. Driver
-    * artifacts carry no telemetry → those rows report NO-HASH.
+    * string field): when the escaped bench line is detected (`\"queries\"`
+    * — not merely the word "tail", which could appear in any legitimate
+    * bench_out.json), extract ONLY the tail field's string value and
+    * unescape that, so unrelated escaped quotes elsewhere in the artifact
+    * are never corrupted. Driver artifacts carry no telemetry → those rows
+    * report NO-HASH.
     */
-  private[tools] def normalize(json: String): String =
-    if (json.contains("\"tail\"")) json.replace("\\\"", "\"") else json
+  private[tools] def normalize(json: String): String = {
+    // Bench's own bench_out.json always starts with {"metric" — never
+    // treated as a driver artifact even if a query/error string happens to
+    // contain the word "tail" (the pre-r11 whole-file unescape corrupted
+    // exactly that case)
+    if (json.startsWith("{\"metric\"")) return json
+    val m = """"tail"\s*:\s*"""".r.findFirstMatchIn(json)
+    m match {
+      case None => json // escaped bench line but no tail key: leave as-is
+      case Some(mm) =>
+        // scan the JSON string value to its closing unescaped quote
+        var j = mm.end
+        val sb = new StringBuilder
+        while (j < json.length && json.charAt(j) != '"') {
+          if (json.charAt(j) == '\\' && j + 1 < json.length) {
+            json.charAt(j + 1) match {
+              case '"' => sb.append('"')
+              case '\\' => sb.append('\\')
+              case 'n' => sb.append('\n')
+              case 't' => sb.append('\t')
+              case c => sb.append('\\').append(c)
+            }
+            j += 2
+          } else {
+            sb.append(json.charAt(j))
+            j += 1
+          }
+        }
+        sb.toString
+    }
+  }
+
+  /** `--plans old new`: the full per-query plan-hash history between two
+    * telemetry-bearing snapshots (committed BENCHOUT_r{N}.json), one line
+    * per query — makes "plan flip vs host drift" a one-liner for every
+    * future round instead of a per-regression forensic exercise. FLIP rows
+    * print both times so a flip with a flat time (AQE re-decision, benign)
+    * reads differently from a flip with a jump.
+    */
+  private def plansMode(oldPath: String, newPath: String): Unit = {
+    val oldJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(oldPath))))
+    val newJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(newPath))))
+    def short(k: String): String = k.takeWhile(_ != '_')
+    def timesOf(json: String): Map[String, Double] =
+      qTime.findAllMatchIn(section(json, "queries"))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val tOld = timesOf(oldJson)
+    val tNew = timesOf(newJson)
+    val nameOld = tOld.keySet.map(k => short(k) -> k).toMap
+    val nameNew = tNew.keySet.map(k => short(k) -> k).toMap
+    var flips, same, nohash = 0
+    (nameOld.keySet & nameNew.keySet).toSeq.sortBy(q =>
+      (q.length, q)) // q01..q99 then q100.. in numeric order
+      .foreach { q =>
+        val (ko, kn) = (nameOld(q), nameNew(q))
+        (teleField(oldJson, ko, "plan"), teleField(newJson, kn, "plan")) match {
+          case (Some(a), Some(b)) if a == b =>
+            same += 1
+            println(f"PLANS $q%-6s $a -> $b SAME")
+          case (Some(a), Some(b)) =>
+            flips += 1
+            println(f"PLANS $q%-6s $a -> $b FLIP ${tOld(ko)}%6.2fs -> ${tNew(kn)}%6.2fs")
+          case _ =>
+            nohash += 1
+            println(f"PLANS $q%-6s NO-HASH")
+        }
+      }
+    (nameNew.keySet -- nameOld.keySet).toSeq.sorted.foreach { q =>
+      println(f"PLANS $q%-6s NEW ${teleField(newJson, nameNew(q), "plan").getOrElse("?")}")
+    }
+    println(s"PLANS summary: $same same, $flips flips, $nohash no-hash")
+  }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--plans")) {
+      require(args.length >= 3, "usage: BenchDiff --plans <old bench_out.json> <new bench_out.json>")
+      plansMode(args(1), args(2))
+      return
+    }
     require(args.length >= 2, "usage: BenchDiff <old bench_out.json> <new bench_out.json> [minRatio]")
     val oldJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0)))))
     val newJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1)))))
@@ -90,8 +168,19 @@ object BenchDiff {
           if (end > 0) sec = json.substring(m.start, end)
         }
       }
-      qTime.findAllMatchIn(sec)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (sec != "{}")
+        qTime.findAllMatchIn(sec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      else {
+        // last resort for tails clipped MID-ENTRY (BENCH_r10 starts
+        // '4":1.43,...' — no opening brace survives): scan every
+        // "qNN":time pair up to the closing '}' of the queries map; the
+        // clipped first entry is simply missing (reported in only-*).
+        val stop = json.indexOf("},\"errors\"")
+        val scanned = if (stop > 0) json.substring(0, stop) else json
+        """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(scanned)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }
 
     // driver artifacts carry the printed SHORT keys (q108), bench_out.json

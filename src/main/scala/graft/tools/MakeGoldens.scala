@@ -21,13 +21,24 @@ import graft.SparkEntry
   * already-verified implementation against regressions rather than
   * defining it.
   *
+  * Also writes the q167 OPQ artifact FIXTURE (rotation + codebook trained
+  * once on sf0.001) — unlike the goldens above it is an INPUT the query
+  * loads and the oracle independently replays with `read_parquet`, so the
+  * oracle-side computation (rotate → encode → ADC) stays a real
+  * independent derivation; only the SVD-trained rotation itself (not
+  * SQL-expressible) is frozen.
+  *
   * Usage: `sbt "runMain graft.tools.MakeGoldens"` (writes
-  * `src/test/resources/golden/{q14_s2,q27_lr,q162_jpeg}`), then review
-  * and commit ALL THREE directories.
+  * `src/test/resources/golden/{q14_s2,q27_lr,q162_jpeg,q167_opq}`), then
+  * review and commit the directories. Pass golden names as args to
+  * regenerate a subset (e.g. `runMain graft.tools.MakeGoldens q167` —
+  * avoids binary churn on untouched goldens).
   */
 object MakeGoldens {
 
   def main(args: Array[String]): Unit = {
+    val which: Set[String] =
+      if (args.isEmpty) Set("q14", "q27", "q162", "q167") else args.toSet
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -39,6 +50,7 @@ object MakeGoldens {
     val testdata = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"$testdata/$s")
 
+    if (which("q14")) {
     val q14 = sfDirs.map { dir =>
       val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
       SparkEntry.queries("q14_s2_cell")(spark, dir)
@@ -49,7 +61,9 @@ object MakeGoldens {
     // live — and neither hardcodes the checkout location
     q14.coalesce(1).write.mode("overwrite")
       .parquet(graft.queries.Goldens.path("q14_s2"))
+    }
 
+    if (which("q27")) {
     val q27 = sfDirs.map { dir =>
       val nOrd = spark.read.parquet(s"$dir/orders.parquet").count()
       SparkEntry.queries("q27_local_lr")(spark, dir)
@@ -57,6 +71,7 @@ object MakeGoldens {
     }.reduce(_ unionByName _)
     q27.coalesce(1).write.mode("overwrite")
       .parquet(graft.queries.Goldens.path("q27_lr"))
+    }
 
     // q162: JPEG decode stats — lossy, so not arithmetic-replayable like
     // the PNG/WAV queries; the decode itself is pinned by JpegCodecSpec's
@@ -65,6 +80,7 @@ object MakeGoldens {
     // identical doc_id sets), so the count fingerprint collides — the
     // results are row-identical too, and dropDuplicates collapses the
     // colliding fingerprint to one copy instead of doubling the oracle rows
+    if (which("q162")) {
     val q162 = sfDirs.map { dir =>
       val nDoc = spark.read.parquet(s"$dir/documents.parquet").count()
       SparkEntry.queries("q162_jpeg_decode")(spark, dir)
@@ -72,8 +88,23 @@ object MakeGoldens {
     }.reduce(_ unionByName _).dropDuplicates()
     q162.coalesce(1).write.mode("overwrite")
       .parquet(graft.queries.Goldens.path("q162_jpeg"))
+    }
 
-    println("goldens written to src/test/resources/golden/{q14_s2,q27_lr,q162_jpeg}")
+    // q167: OPQ artifact fixture — rotation (SVD-trained, not
+    // SQL-expressible) + the PQ codebook trained in the rotated space,
+    // fit ONCE on the sf0.001 corpus. The fixture is an INPUT at every SF
+    // (the query loads it; the oracle read_parquet's it), so no per-SF
+    // fingerprint is needed — unlike q14/q27/q162 this is not an expected-
+    // output golden.
+    if (which("q167")) {
+      val e = spark.read.parquet(s"$testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val opq = new graft.similarity.OpqRotation(
+        numSubspaces = 8, codebookSize = 16, dim = 64, iters = 2)
+      opq.fit(e).save(graft.queries.Goldens.path("q167_opq"))
+    }
+
+    println(s"goldens written to src/test/resources/golden for: ${which.toSeq.sorted.mkString(",")}")
     spark.stop()
   }
 }

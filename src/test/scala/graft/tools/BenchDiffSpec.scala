@@ -39,4 +39,21 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(BenchDiff.section("""{"a":1}""", "queries") === "{}")
     assert(BenchDiff.teleField("""{"a":1}""", "q01", "plan") === None)
   }
+
+  test("normalize leaves bench_out.json alone even if it contains 'tail'") {
+    // pre-r11 the whole-file unescape fired on the SUBSTRING "tail" and
+    // corrupted legitimately escaped quotes elsewhere in the artifact
+    val benchOut = """{"metric":"total","value":1.0,"unit":"sec",""" +
+      """"queries":{"q01_tail_stats":0.50},""" +
+      """"errors":{"q02_x":"detail: \"tail\" of log"},"sf":"x"}"""
+    assert(BenchDiff.normalize(benchOut) === benchOut)
+  }
+
+  test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
+    val driver = """{"n":10,"rc":0,"note":"outer \"escaped\" stays",""" +
+      """"tail":"{\"metric\":\"total\",\"queries\":{\"q01\":0.5,\"q02\":1.2}}",""" +
+      """"parsed":null}"""
+    val n = BenchDiff.normalize(driver)
+    assert(n === """{"metric":"total","queries":{"q01":0.5,"q02":1.2}}""")
+  }
 }
