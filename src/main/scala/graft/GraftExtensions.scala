@@ -17,7 +17,48 @@ import graft.sql.expressions.{CosineSimilarity, HyperplaneSignature, KMinValues,
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Int literal argument of an injected function (sketch sizes/precisions
+    * parameterize the EXPRESSION SHAPE — array_repeat lengths, hash seeds —
+    * so they must be plan-time constants, not runtime columns).
+    */
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, name: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
+
+  /** Build a composed expression from an SQL template with `__argN`
+    * placeholders substituted by the function's children. A Column
+    * round-trip (GraftBridge) does NOT work here: Spark 4 Columns wrap
+    * ColumnNodes, and a ColumnNodeExpression containing unresolved pieces
+    * survives analysis as an unevaluable VOID-typed wrapper. Parsing the
+    * template yields the same plain UnresolvedFunction trees SQL text
+    * would, which the analyzer resolves normally; the parity specs pin
+    * bit-identical results against the graft.sql.functions Scala path.
+    */
+  private def parsedExpr(sql: String, args: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+      .transformUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if u.nameParts.length == 1 && u.name.startsWith("__arg") =>
+          args(u.name.stripPrefix("__arg").toInt)
+        // inside a HOF lambda body the parser emits lambda variables, not
+        // attributes — a template placeholder under transform/aggregate
+        // arrives as this node instead
+        case v: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+            if v.nameParts.length == 1 && v.nameParts.head.startsWith("__arg") =>
+          args(v.nameParts.head.stripPrefix("__arg").toInt)
+      }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    registerSketchFunctions(ext)
+    registerSessionStats(ext)
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_signature"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_signature"),
@@ -103,5 +144,173 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // at optimization when a window would plan as a single-task global
     // sort — the injectOptimizerRule tier for whole-plan concerns
     ext.injectOptimizerRule(graft.plans.PlanGuard)
+  }
+
+  /** The mergeable-sketch family for SQL-only users: constructors
+    * (`hll_sketch`, `cms_sketch` — custom TypedImperativeAggregates;
+    * `minhash_signature` is already registered above as the MinHash
+    * constructor) and the register merges (`hll_merge` element-wise max,
+    * `cms_merge` element-wise sum, `minhash_merge` element-wise min) plus
+    * the estimate readers (`hll_estimate`, `cms_estimate`). Merge results
+    * are bit-identical to sketching the union directly, so a SQL pipeline
+    * can sketch fine scopes once and roll up any coarser grouping without
+    * rescanning — the same contract the Scala surface (graft.sql.functions)
+    * carries, because these ARE the same expressions.
+    */
+  private def registerSketchFunctions(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[graft.sql.expressions.HllSketch].getName, "hll_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "hll_sketch(value, p INT)")
+        graft.sql.expressions.HllSketch(children.head, intLit(children(1), "p"))
+          .toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hll_merge"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "hll_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "hll_merge(regs ARRAY<INT>, p INT)")
+        val m = 1 << intLit(children(1), "p")
+        // element-wise max over the group's register arrays — the same
+        // shape as graft.sql.functions.hllMerge (spec-pinned identical)
+        parsedExpr(
+          s"aggregate(collect_list(__arg0), array_repeat(0, $m), " +
+            "(acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))",
+          children.take(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "hll_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "hll_estimate(regs ARRAY<INT>, p INT)")
+        val p = intLit(children(1), "p")
+        val m = 1 << p
+        val alpha = m match {
+          case 16 => 0.673
+          case 32 => 0.697
+          case 64 => 0.709
+          case _ => 0.7213 / (1.0 + 1.079 / m)
+        }
+        // bias-corrected harmonic mean + the small-range linear-counting
+        // branch — graft.sql.functions.hllEstimate's formula verbatim
+        // (double literals go through CAST-from-string: Double.toString
+        // round-trips exactly and avoids SQL's decimal-literal default)
+        val am2 = s"CAST('${alpha * m.toDouble * m.toDouble}' AS DOUBLE)"
+        val harm = "aggregate(__arg0, CAST(0.0 AS DOUBLE), " +
+          "(acc, r) -> acc + power(CAST(2.0 AS DOUBLE), -CAST(r AS DOUBLE)))"
+        val zeros = "size(filter(__arg0, r -> r = 0))"
+        parsedExpr(
+          s"CASE WHEN ($am2 / $harm) <= CAST('${2.5 * m}' AS DOUBLE) AND $zeros > 0 " +
+            s"THEN CAST('${m.toDouble}' AS DOUBLE) * ln(CAST('${m.toDouble}' AS DOUBLE) / CAST($zeros AS DOUBLE)) " +
+            s"ELSE $am2 / $harm END",
+          children.take(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[graft.sql.expressions.CountMinSketch].getName, "cms_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "cms_sketch(value, depth INT, width INT)")
+        graft.sql.expressions.CountMinSketch(children.head,
+          intLit(children(1), "depth"), intLit(children(2), "width"))
+          .toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "cms_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "cms_merge(sketch ARRAY<LONG>, depth INT, width INT)")
+        val n = intLit(children(1), "depth") * intLit(children(2), "width")
+        // element-wise sum (CMS is linear) — functions.cmsMerge's shape
+        parsedExpr(
+          s"aggregate(collect_list(__arg0), array_repeat(0L, $n), " +
+            "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))",
+          children.take(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "cms_estimate(sketch ARRAY<LONG>, key, depth INT, width INT)")
+        val d = intLit(children(2), "depth")
+        val w = intLit(children(3), "width")
+        // min over the key's depth buckets; bucket = md5-prefix mod width,
+        // the same replayable scheme as functions.cmsEstimate
+        parsedExpr(
+          s"array_min(transform(sequence(0, ${d - 1}), j -> element_at(__arg0, " +
+            s"CAST(j * $w AS INT) + CAST(pmod(CAST(conv(substring(" +
+            s"md5(concat(CAST(j AS STRING), ':', __arg1)), 1, 14), 16, 10) AS BIGINT), $w) AS INT) + 1)))",
+          children.take(2))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_merge"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "minhash_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_merge(sig ARRAY<LONG>, numHashes INT)")
+        val n = intLit(children(1), "numHashes")
+        // element-wise min == signing the union — functions.minhashMerge
+        parsedExpr(
+          s"aggregate(collect_list(__arg0), array_repeat(${Long.MaxValue}L, $n), " +
+            "(acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))",
+          children.take(1))
+      }))
+  }
+
+  /** `session_stats('<table>', <gapSeconds> [, '<userCol>', '<tsCol>',
+    * '<valueCol>'])` — [[graft.streaming.Sessionize.sessionAgg]] as a SQL
+    * table function: closed-session aggregates via the native
+    * `session_window` aggregation, `session_end` = last event time
+    * (`sw.end - gap`, the Sessionize convention). The builder parses the
+    * same query shape sessionAgg declares, so the two front-ends share
+    * semantics by construction; the table name resolves against the
+    * session catalog during analysis (views and tables both work):
+    *
+    * {{{ SELECT * FROM session_stats('events_view', 3600) }}}
+    */
+  private def registerSessionStats(ext: SparkSessionExtensions): Unit = {
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    def checkIdent(s: String, what: String): String = {
+      require(s.matches(ident), s"$what must be a plain identifier, got '$s'")
+      s
+    }
+    ext.injectTableFunction((
+      new FunctionIdentifier("session_stats"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "session_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 5,
+          "session_stats(table STRING, gapSeconds BIGINT [, userCol, tsCol, valueCol])")
+        // dotted names (db.table) allowed for the relation, plain
+        // identifiers for columns; everything backtick-quoted below
+        val table = strLit(children.head, "table")
+        require(table.split('.').forall(_.matches(ident)),
+          s"table must be a (dotted) identifier, got '$table'")
+        val gap = children(1) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"gapSeconds must be an integer literal, got $other")
+        }
+        require(gap > 0, s"gapSeconds ($gap) must be positive")
+        val Seq(u, t, v) =
+          if (children.size == 5)
+            children.slice(2, 5).zip(Seq("userCol", "tsCol", "valueCol"))
+              .map { case (c, n) => checkIdent(strLit(c, n), n) }
+          else Seq("user_id", "ts", "value")
+        val rel = table.split('.').map(p => s"`$p`").mkString(".")
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(
+          s"""SELECT `$u`, sw.start AS session_start,
+             |  sw.end - INTERVAL $gap SECOND AS session_end,
+             |  n_events, total_value
+             |FROM (SELECT `$u`, session_window(`$t`, '$gap seconds') AS sw,
+             |        count(1) AS n_events, sum(`$v`) AS total_value
+             |      FROM $rel GROUP BY 1, 2)""".stripMargin)
+      }))
   }
 }

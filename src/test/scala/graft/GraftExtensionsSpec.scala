@@ -82,6 +82,120 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch constructors/merges/estimates and session_stats are reachable from SQL text") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-sketch-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      import graft.sql.{functions => gf}
+      import org.apache.spark.sql.functions._
+
+      // fine scopes: (source, lang, token) — sketch per (source, lang),
+      // merge up to source level, compare against the Scala Column path
+      val toks = Seq.tabulate(300)(i =>
+        (s"src${i % 2}", s"lang${i % 3}", s"tok${i % 40}"))
+        .toDF("source", "lang", "tok")
+      toks.createOrReplaceTempView("sk_toks")
+
+      // --- HLL: sketch + merge + estimate, SQL text vs Scala path ---
+      val hllSql = spark.sql(
+        """SELECT source, hll_merge(regs, 4) AS m,
+          |       round(hll_estimate(hll_merge(regs, 4), 4), 6) AS est
+          |FROM (SELECT source, lang, hll_sketch(tok, 4) AS regs
+          |      FROM sk_toks GROUP BY 1, 2)
+          |GROUP BY source""".stripMargin)
+        .as[(String, Seq[Int], Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val hllScala = toks.groupBy($"source", $"lang")
+        .agg(gf.hllSketch($"tok", 4).as("regs"))
+        .groupBy($"source")
+        .agg(gf.hllMerge($"regs", 4).as("m"))
+        .select($"source", $"m", round(gf.hllEstimate($"m", 4), 6).as("est"))
+        .as[(String, Seq[Int], Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(hllSql === hllScala && hllSql.size === 2)
+
+      // --- CMS: sketch + merge + point estimate ---
+      val cmsSql = spark.sql(
+        """SELECT source,
+          |  cms_estimate(cms_merge(sk, 3, 16), 'tok7', 3, 16) AS est7
+          |FROM (SELECT source, lang, cms_sketch(tok, 3, 16) AS sk
+          |      FROM sk_toks GROUP BY 1, 2)
+          |GROUP BY source""".stripMargin)
+        .as[(String, Long)].collect().toMap
+      val cmsScala = toks.groupBy($"source", $"lang")
+        .agg(gf.countMinSketch($"tok", 3, 16).as("sk"))
+        .groupBy($"source")
+        .agg(gf.cmsMerge($"sk", 3, 16).as("m"))
+        .select($"source", gf.cmsEstimate($"m", lit("tok7"), 3, 16).as("est7"))
+        .as[(String, Long)].collect().toMap
+      assert(cmsSql === cmsScala && cmsSql.size === 2)
+      // CMS estimates upper-bound the true count (tok7 appears in both
+      // sources; true per-source count of tok7 is 300/40/2 rounded)
+      assert(cmsSql.values.forall(_ >= 3L))
+
+      // --- MinHash: signature (already-registered constructor) + merge ---
+      // merged per-source signature == signing the union (min is
+      // associative), the same identity the Scala spec pins
+      val mhSql = spark.sql(
+        """SELECT source, minhash_merge(sig, 8) AS msig
+          |FROM (SELECT source, lang,
+          |        minhash_signature(collect_set(tok), 8) AS sig
+          |      FROM sk_toks GROUP BY 1, 2)
+          |GROUP BY source""".stripMargin)
+        .as[(String, Seq[Long])].collect().toMap
+      val mhDirect = spark.sql(
+        """SELECT source, minhash_signature(collect_set(tok), 8) AS sig
+          |FROM sk_toks GROUP BY source""".stripMargin)
+        .as[(String, Seq[Long])].collect().toMap
+      assert(mhSql === mhDirect && mhSql.size === 2)
+
+      // --- session_stats TVF vs Sessionize.sessionAgg ---
+      val ev = Seq(
+        ("u1", "2024-01-01 00:00:00", 1.0),
+        ("u1", "2024-01-01 00:30:00", 2.0),
+        ("u1", "2024-01-01 03:00:00", 4.0), // > 1h gap: new session
+        ("u2", "2024-01-01 01:00:00", 8.0))
+        .toDF("user_id", "tss", "value")
+        .select($"user_id", $"tss".cast("timestamp").as("ts"), $"value")
+      ev.createOrReplaceTempView("sess_ev")
+      val viaTvf = spark.sql("SELECT * FROM session_stats('sess_ev', 3600)")
+      val viaScala = graft.streaming.Sessionize.sessionAgg(ev, gapSeconds = 3600)
+      assert(viaTvf.columns.toSeq === viaScala.columns.toSeq)
+      assert(viaTvf.collect().map(_.toString).sorted.toSeq ===
+        viaScala.collect().map(_.toString).sorted.toSeq)
+      assert(viaTvf.count() === 3) // u1 twice, u2 once
+
+      // explicit column-name variant
+      val viaTvf5 = spark.sql(
+        "SELECT * FROM session_stats('sess_ev', 3600, 'user_id', 'ts', 'value')")
+      assert(viaTvf5.collect().map(_.toString).sorted.toSeq ===
+        viaScala.collect().map(_.toString).sorted.toSeq)
+
+      // loud rejection of non-identifier args (injection guard)
+      val bad = intercept[Exception] {
+        spark.sql("SELECT * FROM session_stats('sess_ev; DROP', 3600)").collect()
+      }
+      assert(bad.getMessage.contains("identifier"), bad.getMessage)
+    } finally {
+      spark.catalog.dropTempView("sk_toks")
+      spark.catalog.dropTempView("sess_ev")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+      prior.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("PlanGuard rejects single-task global windows at planning time, opt-in") {
     val prior = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
