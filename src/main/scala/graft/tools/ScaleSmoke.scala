@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Not part of the driver bench — run manually:
   *   SPARK_GRAFT_SCALE=20 sbt "runMain graft.tools.ScaleSmoke"
+  *
+  * The top cost families additionally get a 100×-replica focused run each
+  * round (the 20×→cluster extrapolation is weakest exactly there):
+  *   SPARK_GRAFT_SCALE=100 SPARK_DRIVER_MEM=48g \
+  *   SPARK_GRAFT_SMOKE_ONLY=setsim_join,triangles,substring_dedup,cc_star,ivfpq_search \
+  *   sbt "runMain graft.tools.ScaleSmoke"
+  * Results are recorded in SURVEY §8.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -238,6 +245,26 @@ object ScaleSmoke {
       "kmeans_2it" -> { d: DataFrame =>
         val km = new graft.similarity.KMeans(k = 16, iters = 2, dim = 64)
         km.summary(d, km.fit(d)).count()
+      },
+      // the production IVF-PQ serving shape at scale: cells ∝ corpus
+      // (constant cell population → constant probed-candidate count per
+      // query), fixed m×k codebook, FIXED query batch — index build +
+      // encode are one assignment pass each (linear), search cost tracks
+      // probed candidates (constant per query), so total must grow
+      // ~linearly in rows
+      "ivfpq_search" -> { d: DataFrame =>
+        val cells = 16 * math.max(1, (d.count() / 5000L).toInt)
+        val ivf = new graft.similarity.IvfCosineIndex(
+          numCentroids = cells, nprobe = 4, dim = Some(64))
+        val idx = ivf.build(d)
+        val pq = new graft.similarity.ProductQuantizer(8, 16, 64)
+        val cb = pq.fit(d).localCheckpoint()
+        val codes = pq.encode(d, cb)
+        val queries = d.where(col("vec_id") < 100)
+        val cands = ivf.probes(queries, idx)
+          .join(idx.lists.select(col("vec_id"), col("cid")), "cid")
+          .select(col("query_id"), col("vec_id"))
+        pq.adcSearchIn(queries, cands, codes, cb, k = 5).count()
       },
       // FIXED query batch against the growing corpus: brute-force scan is
       // linear in candidates; the vote tail is two partial aggregations

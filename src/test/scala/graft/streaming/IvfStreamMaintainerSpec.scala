@@ -90,6 +90,103 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
     assert(m.load(spark).lists.count() === 100L)
   }
 
+  test("all-empty stream prefix: schema fallback written, then cleared by the first real batch") {
+    // the operational shape: centroids provisioned from a prior training
+    // job, the stream starts before any backfill lands — the first
+    // triggers carry zero rows and must leave a LOADABLE (empty) layout;
+    // the first real batch must clear the schema-only fallback file
+    val path = Files.createTempDirectory("graft-ivf-emptypre").toString
+    ivf.build((0L until 100L).map(vec).toDF()).centroids
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val m = new IvfStreamMaintainer(ivf, path)
+
+    val empty = (0L until 100L).map(vec).toDF().limit(0)
+    m.appendBatch(empty, batchId = 1L)
+    // loadable mid-prefix: zero rows, schema intact
+    assert(m.load(spark).lists.count() === 0L)
+    m.appendBatch(empty, batchId = 2L)
+    assert(m.load(spark).lists.count() === 0L)
+
+    m.appendBatch((100L until 140L).map(vec).toDF(), batchId = 3L)
+    val loaded = m.load(spark)
+    assert(loaded.lists.count() === 40L)
+    assert(loaded.lists.select("vec_id").distinct().count() === 40L)
+    // the root-level fallback file is gone (mixed depths break discovery)
+    val rootFiles = new java.io.File(s"$path/lists").listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(rootFiles.isEmpty)
+    // and search over the recovered layout works
+    val got = ivf.search((100L until 103L).map(vec).toDF(), loaded, k = 2)
+    assert(got.count() > 0)
+  }
+
+  test("compaction cadence: file counts shrink to one-per-cell; search latency recovers") {
+    // the measured recommendation behind the class doc: after N triggers
+    // the layout holds ~N files per touched cell; compaction rewrites to
+    // one per cell. Numbers are printed for SURVEY §8.
+    val path = Files.createTempDirectory("graft-ivf-cadence").toString
+    val m = new IvfStreamMaintainer(ivf, path)
+    m.bootstrap((0L until 200L).map(vec).toDF())
+    val triggers = 20
+    (1 to triggers).foreach { b =>
+      m.appendBatch((200L + b * 20L until 220L + b * 20L).map(vec).toDF(), b.toLong)
+    }
+
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$p/lists"))
+    }
+    def searchSec(mm: IvfStreamMaintainer): Double = {
+      val qs = (0L until 10L).map(vec).toDF()
+      val t0 = System.nanoTime()
+      ivf.search(qs, mm.load(spark), k = 3).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val filesBefore = parquetFiles(path)
+    val latBefore = searchSec(m)
+    val path2 = Files.createTempDirectory("graft-ivf-cadence2").toString
+    val m2 = m.compactTo(spark, path2)
+    val filesAfter = parquetFiles(path2)
+    val latAfter = searchSec(m2)
+    println(f"[cadence] triggers=$triggers files: $filesBefore -> $filesAfter, " +
+      f"search: ${latBefore}%.2fs -> ${latAfter}%.2fs")
+
+    // accrual is ~one file per (batch, touched cid); compaction must land
+    // at <= one per cell and strictly shrink the layout
+    assert(filesAfter <= 4) // numCentroids
+    assert(filesBefore > filesAfter * 3,
+      s"expected heavy accrual before compaction ($filesBefore vs $filesAfter)")
+    // same rows, same search results
+    assert(m2.load(spark).lists.count() === m.load(spark).lists.count())
+  }
+
+  test("cellDrift: stable streams read < 0.1, a shifted corpus trips the retrain signal") {
+    val path = Files.createTempDirectory("graft-ivf-drift").toString
+    val m = new IvfStreamMaintainer(ivf, path)
+    m.bootstrap((0L until 200L).map(vec).toDF())
+    // no appends yet: defined as zero drift
+    assert(m.cellDrift(spark) === 0.0)
+
+    // same generator → same cell mix: stable
+    m.appendBatch((200L until 300L).map(vec).toDF(), 1L)
+    val stable = m.cellDrift(spark)
+    assert(stable < 0.1, s"stable stream read PSI $stable")
+
+    // shifted stream: every new vector from ONE stratum of the generator
+    // (i % 4 == 2 — the (i % 4) term places it in one centroid's region),
+    // collapsing occupancy onto few cells
+    val shifted = (300L until 700L).map(i => vec(i * 4 + 2))
+    val m2 = new IvfStreamMaintainer(ivf,
+      Files.createTempDirectory("graft-ivf-drift2").toString)
+    m2.bootstrap((0L until 200L).map(vec).toDF())
+    m2.appendBatch(shifted.toDF(), 1L)
+    val drifted = m2.cellDrift(spark)
+    assert(drifted > 0.25, s"shifted stream read PSI $drifted — retrain signal must trip")
+  }
+
   test("a replayed batch id overwrites its own partition — no duplicate list rows") {
     val path = Files.createTempDirectory("graft-ivf-replay").toString
     val m = new IvfStreamMaintainer(ivf, path)
