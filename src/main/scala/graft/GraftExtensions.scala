@@ -261,6 +261,105 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "(acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))",
           children.take(1))
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "kmv_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "kmv_estimate(kmv ARRAY<LONG>, k INT)")
+        val k = intLit(children(1), "k")
+        // functions.kmvEstimate: exact below k, else (k-1)·2^56 / h_k
+        parsedExpr(
+          s"CASE WHEN size(__arg0) < $k THEN CAST(size(__arg0) AS DOUBLE) " +
+            s"ELSE CAST('${(k - 1).toDouble * 72057594037927936.0}' AS DOUBLE) / element_at(__arg0, $k) END",
+          children.take(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("cms_join_size"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "cms_join_size"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "cms_join_size(a ARRAY<LONG>, b ARRAY<LONG>, depth INT, width INT)")
+        val d = intLit(children(2), "depth")
+        val w = intLit(children(3), "width")
+        // min over rows of the row-wise inner product — functions.cmsJoinSize
+        parsedExpr(
+          s"array_min(transform(sequence(0, ${d - 1}), j -> " +
+            s"aggregate(zip_with(slice(__arg0, j * $w + 1, $w), slice(__arg1, j * $w + 1, $w), " +
+            "(x, y) -> x * y), 0L, (acc, v) -> acc + v)))",
+          children.take(2))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter"),
+      new ExpressionInfo(classOf[graft.sql.expressions.BloomFilterAgg].getName, "bloom_filter"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "bloom_filter(value STRING, numBits INT, numHashes INT)")
+        graft.sql.expressions.BloomFilterAgg(children.head,
+          intLit(children(1), "numBits"), intLit(children(2), "numHashes"))
+          .toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.sql.expressions.BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "bloom_might_contain(words ARRAY<LONG>, key STRING, numHashes INT)")
+        graft.sql.expressions.BloomMightContain(children.head, children(1),
+          intLit(children(2), "numHashes"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("bottom_k_sample"),
+      new ExpressionInfo(classOf[graft.sql.expressions.BottomKSample].getName, "bottom_k_sample"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "bottom_k_sample(value STRING, k INT)")
+        graft.sql.expressions.BottomKSample(children.head, intLit(children(1), "k"))
+          .toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("bottom_k_merge"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "bottom_k_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "bottom_k_merge(samples ARRAY<STRING>, k INT)")
+        val k = intLit(children(1), "k")
+        // union + re-rank by the recomputable 56-bit md5 order, keep k —
+        // functions.bottomKMerge's shape
+        parsedExpr(
+          "slice(transform(array_sort(transform(array_distinct(flatten(collect_list(__arg0))), " +
+            "v -> named_struct('h', CAST(conv(substring(md5(v), 1, 14), 16, 10) AS BIGINT), 'v', v))), " +
+            s"e -> e.v), 1, $k)",
+          children.take(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("weighted_bottom_k"),
+      new ExpressionInfo(classOf[graft.sql.expressions.WeightedBottomK].getName, "weighted_bottom_k"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "weighted_bottom_k(value STRING, weight DOUBLE, k INT)")
+        graft.sql.expressions.WeightedBottomK(children.head, children(1),
+          intLit(children(2), "k")).toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("weighted_bottom_k_merge"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "weighted_bottom_k_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "weighted_bottom_k_merge(samples ARRAY<STRUCT<v,w>>, k INT)")
+        val k = intLit(children(1), "k")
+        // union + re-key by the Efraimidis–Spirakis formula (recomputable
+        // from (v, w)), keep k — functions.weightedBottomKMerge's shape
+        parsedExpr(
+          "slice(transform(array_sort(transform(array_distinct(flatten(collect_list(__arg0))), " +
+            "e -> named_struct('k', -ln(CAST(CAST(conv(substring(md5(e.v), 1, 14), 16, 10) AS BIGINT) + 1 AS DOUBLE) " +
+            "/ CAST('7.2057594037927936E16' AS DOUBLE)) / e.w, 'v', e.v, 'w', e.w))), " +
+            s"e -> named_struct('v', e.v, 'w', e.w)), 1, $k)",
+          children.take(1))
+      }))
   }
 
   /** `session_stats('<table>', <gapSeconds> [, '<userCol>', '<tsCol>',

@@ -159,6 +159,63 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .as[(String, Seq[Long])].collect().toMap
       assert(mhSql === mhDirect && mhSql.size === 2)
 
+      // --- KMV estimate reader + CMS join-size, SQL vs Scala ---
+      val kmvSql = spark.sql(
+        "SELECT g, round(kmv_estimate(kmin_values(tok, 8), 8), 6) AS est " +
+          "FROM (SELECT 'g' AS g, tok FROM sk_toks) GROUP BY g")
+        .as[(String, Double)].collect().head._2
+      val kmvScala = toks.select(lit("g").as("g"), $"tok").groupBy($"g")
+        .agg(round(gf.kmvEstimate(gf.kMinValues($"tok", 8), 8), 6).as("est"))
+        .as[(String, Double)].collect().head._2
+      assert(kmvSql === kmvScala)
+
+      val jsSql = spark.sql(
+        """SELECT cms_join_size(a.sk, b.sk, 3, 16) AS js FROM
+          |  (SELECT cms_sketch(tok, 3, 16) AS sk FROM sk_toks WHERE source = 'src0') a,
+          |  (SELECT cms_sketch(tok, 3, 16) AS sk FROM sk_toks WHERE source = 'src1') b""".stripMargin)
+        .as[Long].collect().head
+      val skA = toks.where($"source" === "src0").agg(gf.countMinSketch($"tok", 3, 16).as("sk"))
+      val skB = toks.where($"source" === "src1").agg(gf.countMinSketch($"tok", 3, 16).as("sk"))
+      val jsScala = skA.crossJoin(skB.select($"sk".as("skb")))
+        .select(gf.cmsJoinSize($"sk", $"skb", 3, 16).as("js"))
+        .as[Long].collect().head
+      assert(jsSql === jsScala && jsSql > 0L)
+
+      // --- Bloom constructor + probe, SQL vs Scala ---
+      val bloomSql = spark.sql(
+        """SELECT bloom_might_contain(w, 'tok7', 4) AS hit,
+          |       bloom_might_contain(w, 'definitely-absent', 4) AS miss
+          |FROM (SELECT bloom_filter(tok, 256, 4) AS w FROM sk_toks)""".stripMargin)
+        .as[(Boolean, Boolean)].collect().head
+      val bloomScala = toks.agg(gf.bloomFilter($"tok", 256, 4).as("w"))
+        .select(gf.bloomMightContain($"w", lit("tok7"), 4).as("hit"),
+          gf.bloomMightContain($"w", lit("definitely-absent"), 4).as("miss"))
+        .as[(Boolean, Boolean)].collect().head
+      assert(bloomSql === bloomScala && bloomSql._1)
+
+      // --- bottom-k sample + merge: merged == sampling the union ---
+      val bkSql = spark.sql(
+        """SELECT bottom_k_merge(s, 5) AS m
+          |FROM (SELECT source, bottom_k_sample(tok, 5) AS s
+          |      FROM sk_toks GROUP BY source)""".stripMargin)
+        .as[Seq[String]].collect().head
+      val bkUnion = spark.sql("SELECT bottom_k_sample(tok, 5) AS s FROM sk_toks")
+        .as[Seq[String]].collect().head
+      assert(bkSql === bkUnion && bkSql.length === 5)
+
+      // --- weighted bottom-k + merge over disjoint scopes ---
+      val wbkSql = spark.sql(
+        """SELECT weighted_bottom_k_merge(s, 4) AS m
+          |FROM (SELECT source, weighted_bottom_k(tok, CAST(length(tok) AS DOUBLE), 4) AS s
+          |      FROM (SELECT DISTINCT source, tok FROM sk_toks) GROUP BY source)""".stripMargin)
+        .collect().head.toString
+      val wbkScala = toks.dropDuplicates("source", "tok")
+        .groupBy($"source")
+        .agg(gf.weightedBottomK($"tok", length($"tok").cast("double"), 4).as("s"))
+        .agg(gf.weightedBottomKMerge($"s", 4).as("m"))
+        .collect().head.toString
+      assert(wbkSql === wbkScala)
+
       // --- session_stats TVF vs Sessionize.sessionAgg ---
       val ev = Seq(
         ("u1", "2024-01-01 00:00:00", 1.0),
