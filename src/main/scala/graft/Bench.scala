@@ -97,6 +97,13 @@ object Bench {
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("\\[id=#?\\d+\\]", "[id=]")
       .replaceAll("cachedrdd_\\d+", "cachedrdd_")
+      // HOF lambda variables carry a SESSION-GLOBAL counter in the NAME
+      // (`lambda x_15#55` — the #55 is stripped above, the _15 is not):
+      // any suite-composition change shifts the counter for every later
+      // query and flipped 44 hashes in the r10→r11 diff with zero real
+      // plan changes. Strip the counter suffix (after the #-strip, the
+      // pattern is `<name>_<digits>#`).
+      .replaceAll("_\\d+#", "_#")
       .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(normalized.getBytes("UTF-8"))

@@ -49,6 +49,19 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(BenchDiff.normalize(benchOut) === benchOut)
   }
 
+  test("planHash is invariant to expr ids AND session-global lambda counters") {
+    // the r11 lesson: `lambda x_15#55`'s _15 comes from a session-global
+    // counter — two identical plans analyzed at different points of a
+    // suite MUST hash equal, or every suite-composition change reads as a
+    // mass plan flip
+    val a = "Project [size(filter(split(text#1), lambdafunction((length(lambda x_1#11) > 0), lambda x_1#11, false)))]"
+    val b = "Project [size(filter(split(text#45), lambdafunction((length(lambda x_15#55) > 0), lambda x_15#55, false)))]"
+    assert(graft.Bench.planHash(a) === graft.Bench.planHash(b))
+    // genuinely different plans still differ
+    val c = a.replace("Project", "Filter")
+    assert(graft.Bench.planHash(a) !== graft.Bench.planHash(c))
+  }
+
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
     val driver = """{"n":10,"rc":0,"note":"outer \"escaped\" stays",""" +
       """"tail":"{\"metric\":\"total\",\"queries\":{\"q01\":0.5,\"q02\":1.2}}",""" +
