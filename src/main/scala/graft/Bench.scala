@@ -104,6 +104,11 @@ object Bench {
       // plan changes. Strip the counter suffix (after the #-strip, the
       // pattern is `<name>_<digits>#`).
       .replaceAll("_\\d+#", "_#")
+      // typed-path closures print JVM object identity (`MediaDecoder
+      // $$Lambda$2721/0x00007f...@1616f27b`) — the @hash varies per
+      // INSTANCE and the Lambda id/address per JVM; strip all three
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-f]{6,16}\\b", "@")
       .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(normalized.getBytes("UTF-8"))

@@ -60,6 +60,11 @@ class BenchDiffSpec extends AnyFunSuite {
     // genuinely different plans still differ
     val c = a.replace("Project", "Filter")
     assert(graft.Bench.planHash(a) !== graft.Bench.planHash(c))
+    // typed-path closures print JVM object identity — per-instance @hash,
+    // per-JVM Lambda id/address (the q54 flip class)
+    val d = "MapPartitions graft.multimodal.MediaDecoder$$Lambda$2721/0x00007faf80d99690@1616f27b, obj#15"
+    val e = "MapPartitions graft.multimodal.MediaDecoder$$Lambda$3104/0x00007fb081d99691@5afd267e, obj#58"
+    assert(graft.Bench.planHash(d) === graft.Bench.planHash(e))
   }
 
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
