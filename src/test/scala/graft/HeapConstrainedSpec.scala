@@ -30,9 +30,13 @@ class HeapConstrainedSpec extends AnyFunSuite {
     // round-10 addition: the artifact-serving path (train + parquet write
     // + reopen + search) joined the bench top tier — its writer buffers
     // and load-side scans must degrade like the pure-compute queries
-    "q164_ivfpq_artifact_search")
+    "q164_ivfpq_artifact_search",
+    // round-11 addition: the OPQ serving path (fixture load + broadcast
+    // matvec rotate + encode + full ADC) — the rotation literal and the
+    // per-query distance tables are the broadcast-side memory to bound
+    "q167_opq_adc_search")
 
-  test("top-6 expensive queries complete under a 1.5g heap cap") {
+  test("top expensive queries complete under a 1.5g heap cap") {
     val sfDir = "/root/testdata/sf0.01"
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     val javaBin = s"${sys.props("java.home")}/bin/java"
