@@ -23,7 +23,11 @@ class PartitionSensitivitySpec extends SparkTestBase {
   private val representatives = Seq(
     "q01_agg_pricing", "q48_token_pack", "q96_ccnet_buckets",
     "q56_group_topk", "q108_semantic_dedup", "q115_pq_encode",
-    "q161_grouped_auc", "q22_ann_lsh")
+    "q161_grouped_auc", "q22_ann_lsh",
+    // round 11: artifact-serving ADC — the m-row sum per (query, vec)
+    // pair aggregates in shuffle order; the 1e-6 snap must keep ranks
+    // partition-count-independent
+    "q167_opq_adc_search")
 
   representatives.foreach { name =>
     test(s"$name: identical result at 97 shuffle partitions") {
