@@ -101,14 +101,16 @@ object Bench {
       // (`lambda x_15#55` — the #55 is stripped above, the _15 is not):
       // any suite-composition change shifts the counter for every later
       // query and flipped 44 hashes in the r10→r11 diff with zero real
-      // plan changes. Strip the counter suffix (after the #-strip, the
-      // pattern is `<name>_<digits>#`).
-      .replaceAll("_\\d+#", "_#")
+      // plan changes. Strip the counter ONLY behind the `lambda ` keyword
+      // (every use site prints it) so genuine attribute names ending in
+      // _<digits> keep distinguishing plans.
+      .replaceAll("lambda ([A-Za-z0-9]+)_\\d+#", "lambda $1_#")
       // typed-path closures print JVM object identity (`MediaDecoder
       // $$Lambda$2721/0x00007f...@1616f27b`) — the @hash varies per
-      // INSTANCE and the Lambda id/address per JVM; strip all three
-      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
-      .replaceAll("@[0-9a-f]{6,16}\\b", "@")
+      // INSTANCE and the Lambda id/address per JVM; strip both, anchored
+      // to the Lambda token so hex-ish text elsewhere (e.g. a LIKE
+      // pattern literal) never merges distinct plans
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+(@[0-9a-f]+)?", "\\$\\$Lambda")
       .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(normalized.getBytes("UTF-8"))
@@ -293,18 +295,21 @@ object Bench {
         s""""telemetry":$teleJson,"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), lineFull + "\n")
     // last-resort degrade instead of a silent driver-side clip: if query
-    // growth ever pushes past the window again, drop the "q" key prefix
-    // (saves 1 byte/query) and flag it — still valid JSON, still full
-    // coverage. Loud on stderr either way so the next builder sees it.
+    // growth ever pushes past the window again, drop per-query precision
+    // to whole seconds (saves ~2 bytes/query) and collapse the error map
+    // to a count — keys stay "qNN" so BenchDiff's alignment still works
+    // (a bare-number key variant would read as zero shared queries), and
+    // `total` keeps millisecond precision. Loud on stderr so the next
+    // builder rethinks the encoding instead of inheriting the floor.
     val printedLine =
       if (line.length <= 1900) line
       else {
-        val qJsonBare = results.map { case (k, v) =>
-          jstr(short(k).stripPrefix("q")) + ":" + num2(v)
+        val qJsonCoarse = results.map { case (k, v) =>
+          jstr(short(k)) + ":" + f"$v%.0f"
         }.mkString("{", ",", "}")
         System.err.println(s"[bench] printed line ${line.length}B > 1900B window; " +
-          "degrading to bare-number query keys — time to rethink the printed encoding")
-        s"""{$head,"qkeys":"bare","queries":$qJsonBare,"errors":$eJsonShort,$tele2,"sf":${jstr(sfShort)}}"""
+          "degrading per-query times to whole seconds — time to rethink the printed encoding")
+        s"""{$head,"qprec":"sec","queries":$qJsonCoarse,"errors":{"n":${errors.size}},$tele2,"sf":${jstr(sfShort)}}"""
       }
     println(printedLine)
     spark.stop()

@@ -22,7 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * so they must be plan-time constants, not runtime columns).
     */
   private def intLit(e: Expression, name: String): Int = e match {
-    case Literal(v: Int, _) => v
+    case Literal(v: Int, _) =>
+      // positivity is a CORRECTNESS gate, not pedantry: sketch sizes feed
+      // sequence(0, n-1) templates, and sequence(0, -1) DESCENDS in Spark
+      // (yields [0, -1]) — a zero depth/width would silently read the
+      // sketch array from the END via negative element_at indexes
+      require(v > 0, s"$name ($v) must be positive")
+      v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
   }
@@ -65,11 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2,
           "hyperplane_signature(vector ARRAY<DOUBLE>, numPlanes INT)")
-        val numPlanes = children(1) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"numPlanes must be an integer literal, got $other")
-        }
+        val numPlanes = intLit(children(1), "numPlanes")
         HyperplaneSignature(children.head, numPlanes)
       }))
 
@@ -87,11 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2,
           "shingles(text STRING | tokens ARRAY<STRING>, k INT)")
-        val k = children(1) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"k must be an integer literal, got $other")
-        }
+        val k = intLit(children(1), "k")
         Shingles(children.head, k)
       }))
 
@@ -100,11 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KMinValues].getName, "kmin_values"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "kmin_values(value STRING, k INT)")
-        val k = children(1) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"k must be an integer literal, got $other")
-        }
+        val k = intLit(children(1), "k")
         KMinValues(children.head, k).toAggregateExpression()
       }))
 
@@ -132,11 +126,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2,
           "minhash_signature(shingles ARRAY<STRING>, numHashes INT)")
-        val numHashes = children(1) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"numHashes must be an integer literal, got $other")
-        }
+        val numHashes = intLit(children(1), "numHashes")
         MinHashSignature(children.head, numHashes)
       }))
 

@@ -129,8 +129,18 @@ class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
   def cellDrift(spark: SparkSession): Double = {
     val lists = spark.read.parquet(s"$path/lists")
       .withColumn("cid", col("cid").cast("long"))
-    val base = lists.where(col("batch") === 0L).select(col("cid"))
-    val since = lists.where(col("batch") > 0L).select(col("cid"))
+    // baseline = the EARLIEST batch era present, not literally batch=0: a
+    // maintainer provisioned without bootstrap (centroids written, data
+    // arriving only via appendBatch ids >= 1 — the all-empty-prefix spec's
+    // operational shape) has no batch=0 rows, and an empty baseline would
+    // smooth to a uniform distribution and read any legitimately skewed
+    // occupancy as PSI >= 0.25 forever
+    // partition discovery may type `batch` as int; normalize before agg
+    val minBatch = lists.agg(min(col("batch").cast("long"))).head()
+    if (minBatch.isNullAt(0)) return 0.0 // no real partitions yet
+    val b0 = minBatch.getLong(0)
+    val base = lists.where(col("batch") === b0).select(col("cid"))
+    val since = lists.where(col("batch") > b0).select(col("cid"))
     if (since.isEmpty) 0.0
     else new graft.feature.DriftMonitor().categorical(base, since, "cid")
       .agg(sum(col("psi_term"))).head().getDouble(0)

@@ -206,7 +206,11 @@ object BenchDiff {
 
     val rows = shared.toSeq
       .map(q => (nameNew.getOrElse(q, q), told(q), tnew(q), tnew(q) / math.max(told(q), 1e-9)))
-    val regressions = rows.filter(_._4 >= minRatio).sortBy(-_._4)
+    // absolute-delta floor: driver artifacts carry DECISECOND times since
+    // r11, so a true 0.149s -> 0.151s pair prints 0.1 -> 0.2 — a 2.0x
+    // "ratio" that is pure quantization. A regression must also move by
+    // more than one decisecond step to be reportable.
+    val regressions = rows.filter(r => r._4 >= minRatio && r._3 - r._2 > 0.11).sortBy(-_._4)
     regressions.foreach { case (q, o, n, r) =>
       val pOld = teleField(oldJson, nameOld.getOrElse(short(q), q), "plan")
       val pNew = teleField(newJson, q, "plan")

@@ -37,8 +37,14 @@ import graft.SparkEntry
 object MakeGoldens {
 
   def main(args: Array[String]): Unit = {
-    val which: Set[String] =
-      if (args.isEmpty) Set("q14", "q27", "q162", "q167") else args.toSet
+    val known = Set("q14", "q27", "q162", "q167")
+    val which: Set[String] = if (args.isEmpty) known else args.toSet
+    // an unknown name (typo, or the golden DIRECTORY name like q167_opq)
+    // would otherwise write nothing and still print success — a user
+    // would commit believing the fixture was refreshed
+    val unknown = which -- known
+    require(unknown.isEmpty,
+      s"unknown golden name(s) ${unknown.mkString(",")}; valid: ${known.toSeq.sorted.mkString(",")}")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
