@@ -154,15 +154,10 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
   }
 
   /** Candidate pairs (idA < idB) sharing at least one band signature. */
-  def candidatePairs(dataset: Dataset[_]): DataFrame = {
-    val bands = bandSignatures(dataset)
-    val a = bands.select(col($(idCol)).as("id_a"), col("band"), col("bandSig"))
-    val b = bands.select(col($(idCol)).as("id_b"), col("band"), col("bandSig"))
-    a.join(b, Seq("band", "bandSig"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+  def candidatePairs(dataset: Dataset[_]): DataFrame =
+    graft.sql.PairJoins.bucketedSelfPairs(
+      bandSignatures(dataset), $(idCol), Seq("band", "bandSig"))
       .distinct()
-  }
 
   /** Verified near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold).
     * Verification is row-local set math over the candidates' shingle-set

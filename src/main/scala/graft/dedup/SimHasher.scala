@@ -83,10 +83,8 @@ class SimHasher(override val uid: String) extends Transformer
     */
   def nearDupPairs(signed: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 3, s"banding only guarantees completeness for maxDist <= 3, got $maxDist")
-    val bs = bands(signed)
-    val a = bs.select(col($(idCol)).as("id_a"), col("band"), col("chunk"), col("sig").as("sig_a"))
-    val b = bs.select(col($(idCol)).as("id_b"), col("band"), col("chunk"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "chunk")).where(col("id_a") < col("id_b"))
+    graft.sql.PairJoins.bucketedSelfPairs(
+      bands(signed), $(idCol), Seq("band", "chunk"), payload = Seq("sig"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
       .where(col("hamming") <= maxDist)
@@ -96,13 +94,10 @@ class SimHasher(override val uid: String) extends Transformer
   /** Pairs of ids whose signatures agree on at least one of the four 16-bit
     * bands — a superset of all pairs with Hamming distance ≤ 3.
     */
-  def candidatePairs(signed: DataFrame): DataFrame = {
-    val bs = bands(signed)
-    val a = bs.select(col($(idCol)).as("id_a"), col("band"), col("chunk"))
-    val b = bs.select(col($(idCol)).as("id_b"), col("band"), col("chunk"))
-    a.join(b, Seq("band", "chunk")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-  }
+  def candidatePairs(signed: DataFrame): DataFrame =
+    graft.sql.PairJoins.bucketedSelfPairs(
+      bands(signed), $(idCol), Seq("band", "chunk"))
+      .distinct()
 
   override def transformSchema(schema: StructType): StructType = {
     require(schema.fieldNames.contains($(idCol)), s"id column ${$(idCol)} not found")

@@ -3,8 +3,24 @@ package graft.dedup
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Shared text canonicalization for the dedup family: lowercase, strip
-  * everything but `[a-z0-9 ]`, collapse whitespace runs, trim.
+/** Shared text canonicalization for the dedup family: lowercase, map
+  * ASCII whitespace (newline/tab/CR/VT/FF) to space, strip everything
+  * but `[a-z0-9 ]`, collapse whitespace runs, trim.
+  *
+  * The whitespace map MUST precede the `[^a-z0-9 ]` strip: stripping
+  * first DELETES newlines, fusing the adjacent words — `"Hello\nWorld"`
+  * would normalize to `"helloworld"` (one token) and dedupe against
+  * `"HelloWorld"` instead of `"Hello World"`, corrupting every tokens()
+  * consumer on real multi-line text. Oracles replay the same chain with
+  * RE2's `[[:space:]]` (the same ASCII set as Java's `\s`).
+  *
+  * Known limitation, shared by BOTH engines so parity holds: Unicode
+  * whitespace (NBSP U+00A0 — common in HTML-derived corpora — U+2028,
+  * ideographic space U+3000) is NOT in `\s`/`[[:space:]]` and still
+  * falls to the strip, fusing its neighbors. Widening means changing
+  * Spark and every oracle replica to a bit-identical Unicode class in
+  * lockstep; until a corpus needs it, ASCII keeps the chain simple and
+  * replayable.
   *
   * Pure built-in expressions so the whole chain stays inside whole-stage
   * codegen and is replayable as ANSI SQL by the correctness oracle.
@@ -12,7 +28,8 @@ import org.apache.spark.sql.functions._
 object TextNormalizer {
 
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    trim(regexp_replace(regexp_replace(
+      regexp_replace(lower(text), "\\s", " "), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Whitespace tokens of the normalized text. Zero-length tokens are
     * filtered: blank/whitespace-only text normalizes to "" and `split`

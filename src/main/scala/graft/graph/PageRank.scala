@@ -21,9 +21,18 @@ import org.apache.spark.sql.functions._
   * relative signal). Symmetrized graphs have no danglings.
   *
   * Scale: ranks and degrees are (node, double) frames shuffled on the
-  * node key; the edge list is the only large input and is scanned once
-  * per iteration. Iterations are few and fixed, so lineage stays shallow
-  * (no checkpoint needed). Hot (high-in-degree) nodes cost one combined
+  * node key; the edge list is the only large input and its identical
+  * exchange subtree is reused across iterations within the final action.
+  * Lineage is bounded, not per-round-flattened: the (node, rank) frame
+  * localCheckpoints every 8th iteration only. Per-round checkpointing
+  * (the DedupClusters/StarContraction discipline) measured 2.5× SLOWER
+  * here (1.3 s → 3.3 s focused) — those operators REWRITE their edge
+  * frame each round so materialization is inherent, while PageRank's
+  * inputs are loop-invariant and lazy evaluation already reuses their
+  * exchanges; the only thing that grows with iterations is plan depth,
+  * which the every-8 checkpoint caps at ~32 nested derivations even at
+  * the allowed 50 iterations (typical 5-10 iteration runs never
+  * checkpoint at all). Hot (high-in-degree) nodes cost one combined
   * partial sum per upstream partition — map-side aggregation bounds the
   * reduce fan-in, the same wordcount discipline as everything else here.
   */
@@ -47,7 +56,7 @@ class PageRank(
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
 
     var rank = nodes.crossJoin(n).select(col("node"), (lit(1.0) / col("__n")).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = rank
         .join(outdeg, rank("node") === outdeg("src"))
         .join(e, "src")
@@ -58,6 +67,9 @@ class PageRank(
         .select(col("node"),
           ((lit(1.0) - damping) / col("__n")
             + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+      // cap plan depth at long horizons without taxing the typical short
+      // run (see class doc: per-round checkpointing measured 2.5x slower)
+      if (i % 8 == 0 && i < iterations) rank = rank.localCheckpoint()
     }
     rank
   }

@@ -243,7 +243,8 @@ object CurationQueries {
   private val minhashPairsSql =
     """, norm AS (
       |  SELECT doc_id,
-      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |    trim(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM base
       |), sh AS (
       |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
@@ -319,7 +320,8 @@ object CurationQueries {
     "q37_quality_filter" ->
       """WITH norm AS (
         |  SELECT doc_id, text, n_chars,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, text, n_chars, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -382,7 +384,8 @@ object CurationQueries {
         """, tk AS (
           |  SELECT doc_id, text,
           |    list_filter(string_split(
-          |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+          |      trim(regexp_replace(regexp_replace(regexp_replace(
+          |        lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
           |      ' '), t -> t <> '') AS tl
           |  FROM base
           |), q AS (
@@ -417,7 +420,8 @@ object CurationQueries {
     "q50_curation_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, text,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, text, norm, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -497,7 +501,8 @@ object CurationQueries {
     "q59_tfidf" ->
       """WITH norm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -534,7 +539,8 @@ object CurationQueries {
     "q99_dsir" ->
       """WITH norm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM norm
@@ -565,7 +571,8 @@ object CurationQueries {
     "q104_classifier_curation" ->
       """WITH norm AS (
         |  SELECT doc_id, text,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, text, norm, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm

@@ -49,7 +49,8 @@ object DedupQueries {
       |  FROM documents WHERE doc_id % 7 = 0
       |), norm AS (
       |  SELECT doc_id,
-      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |    trim(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM base
       |)""".stripMargin
 
@@ -232,7 +233,8 @@ object DedupQueries {
   private val simhashSql: String =
     """WITH norm AS (
       |  SELECT doc_id,
-      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |    trim(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents
       |)""".stripMargin +
       simhashChain + "\nSELECT doc_id, simhash FROM sigs"
@@ -250,7 +252,8 @@ object DedupQueries {
     "q128_source_resemblance" ->
       """WITH norm AS (
         |  SELECT source,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), sh AS (
         |  SELECT DISTINCT source, substring(norm, CAST(i AS INT), 8) AS shingle
@@ -443,7 +446,10 @@ object DedupQueries {
           |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
           |    array_to_string(list_slice(tl, CAST(i*16+1 AS INT), CAST(i*16+16 AS INT)), ' ') AS segment
           |  FROM toks CROSS JOIN range(0, 16) t(i)
-          |  WHERE i <= (len(tl) - 1) // 16
+          |  -- len(tl) > 0 guard is load-bearing: DuckDB // TRUNCATES toward
+          |  -- zero, so (0-1)//16 = 0 and a blank doc would emit one phantom
+          |  -- '' segment; the operator emits ZERO segments for blank docs
+          |  WHERE len(tl) > 0 AND i <= (len(tl) - 1) // 16
           |), rn AS (
           |  SELECT doc_id, seg_idx, segment,
           |    row_number() OVER (PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn
@@ -489,8 +495,8 @@ object DedupQueries {
       (seededSql +
         """
           |, known AS (
-          |  SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(
-          |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+          |  SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(regexp_replace(
+          |    lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
           |  FROM documents WHERE doc_id % 3 = 0
           |), inc AS (
           |  SELECT doc_id, sha256(norm) AS fingerprint FROM norm

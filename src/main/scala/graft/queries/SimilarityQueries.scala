@@ -678,13 +678,16 @@ object SimilarityQueries {
         |    SELECT vec_id, sub, code,
         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
         |    FROM d0) WHERE rn = 1
-        |), cents AS (
+        |), mcents AS (
         |  SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
         |    SELECT s.sub, a0.code, CAST(i AS INT) - 1 AS pos, avg(s.sl[CAST(i AS INT)]) AS m
         |    FROM s JOIN a0 ON s.vec_id = a0.vec_id AND s.sub = a0.sub
         |    CROSS JOIN range(1, 9) t(i)
         |    GROUP BY 1, 2, 3)
         |  GROUP BY 1, 2
+        |), cents AS ( -- empty-cluster guard: a code with no members keeps its seed slice
+        |  SELECT seeds.sub, seeds.code, coalesce(mcents.cv, seeds.cv) AS cv
+        |  FROM seeds LEFT JOIN mcents ON seeds.sub = mcents.sub AND seeds.code = mcents.code
         |), d1 AS (
         |  SELECT s.vec_id, s.sub, cents.code,
         |    list_reduce(list_transform(range(1, 9),
@@ -707,7 +710,8 @@ object SimilarityQueries {
     "q114_ivf_append" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |e0 AS (SELECT * FROM e WHERE vec_id < 400),
-        |seeds0 AS (SELECT vec_id AS cid, v AS cv FROM e0 ORDER BY vec_id LIMIT 16),
+        |seeds0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT 16)),
         |b0 AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT a.vec_id, s.cid,
@@ -741,7 +745,8 @@ object SimilarityQueries {
     // the 1e-6 grid, mirroring the operator.
     "q108_semantic_dedup" ->
       ("WITH " + lshPairsSql + """,
-        |seeds2 AS (SELECT vec_id AS cid, v AS cv FROM allv ORDER BY vec_id LIMIT 16),
+        |seeds2 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, v FROM allv ORDER BY vec_id LIMIT 16)),
         |sa0 AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT a.vec_id, s.cid,
@@ -826,7 +831,8 @@ object SimilarityQueries {
     */
   private lazy val q116Sql =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |iseeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |iseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
         |ia0 AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT a.vec_id, s.cid,
@@ -880,13 +886,16 @@ object SimilarityQueries {
         |    SELECT vec_id, sub, code,
         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
         |    FROM pd0) WHERE rn = 1
-        |), pcents AS (
+        |), pmcents AS (
         |  SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
         |    SELECT s.sub, pa0.code, CAST(i AS INT) - 1 AS pos, avg(s.sl[CAST(i AS INT)]) AS m
         |    FROM s JOIN pa0 ON s.vec_id = pa0.vec_id AND s.sub = pa0.sub
         |    CROSS JOIN range(1, 9) t(i)
         |    GROUP BY 1, 2, 3)
         |  GROUP BY 1, 2
+        |), pcents AS ( -- empty-cluster guard: a code with no members keeps its seed slice
+        |  SELECT pseeds.sub, pseeds.code, coalesce(pmcents.cv, pseeds.cv) AS cv
+        |  FROM pseeds LEFT JOIN pmcents ON pseeds.sub = pmcents.sub AND pseeds.code = pmcents.code
         |), pd1 AS (
         |  SELECT s.vec_id, s.sub, pcents.code,
         |    list_reduce(list_transform(range(1, 9),
@@ -926,7 +935,8 @@ object SimilarityQueries {
 
   private lazy val q35Sql =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
         |a0 AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT e.vec_id, s.cid,

@@ -17,7 +17,8 @@ object TextQueries {
   private val normSql =
     """WITH norm AS (
       |  SELECT doc_id, text,
-      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |    trim(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents
       |), toks AS (
       |  SELECT doc_id, text, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -821,7 +822,8 @@ object TextQueries {
     "q80_hll" ->
       """WITH nrm AS (
         |  SELECT source,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
@@ -943,7 +945,8 @@ object TextQueries {
     "q143_blocklist" ->
       """WITH nrm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl
@@ -974,7 +977,8 @@ object TextQueries {
     "q138_sequence_pack" ->
       """WITH nrm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), cnt AS (
         |  SELECT doc_id,
@@ -1057,7 +1061,8 @@ object TextQueries {
     "q122_sketch_rollup" ->
       """WITH nrm AS (
         |  SELECT source,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
@@ -1088,7 +1093,8 @@ object TextQueries {
         |FROM st""".stripMargin,
     "q81_pmi" ->
       """WITH nrm AS (
-        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM nrm
@@ -1174,7 +1180,8 @@ object TextQueries {
     "q67_distinct_sketch" ->
       """WITH nrm AS (
         |  SELECT source,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
@@ -1210,7 +1217,8 @@ object TextQueries {
     "q86_entropy" ->
       """WITH nrm AS (
         |  SELECT source,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS term FROM nrm

@@ -48,14 +48,25 @@ class EmbeddingQuantizer(override val uid: String) extends Transformer
     // the Transformer method shadows functions.transform — qualify the HOF
     val mapArr = org.apache.spark.sql.functions.transform(_: Column, _: Column => Column)
     val v = col($(inputCol)).cast("array<double>")
-    val n = norm(v)
-    val u = mapArr(v, x => x / n)
-    val amax = array_max(mapArr(u, x => abs(x)))
-    val scale = when(n > 0, lit(127.0) / amax)
-    val q = when(n > 0, mapArr(u, x => round(x * scale).cast("int")))
-      .otherwise(mapArr(v, _ => lit(0)))
-    dataset.withColumn($(scaleCol), scale)
-      .withColumn($(outputCol), q)
+    // materialize the norm and scale as their own projections and reference
+    // them as ATTRIBUTES inside the lambdas: lambda-bearing expressions are
+    // not CSE'd, so inlining `scale` (which embeds amax -> u -> norm) into
+    // the per-element round() re-evaluates the O(dim) norm and O(dim^2)
+    // amax PER ELEMENT — O(dim^3) per row. Staged, each is computed once
+    // per row and the whole pass is O(dim) (multiply-used non-cheap
+    // projections survive CollapseProject; same shape as
+    // EmbeddingNormalizer.transform). The temp name is uid-qualified so a
+    // caller's own column can't be silently overwritten then dropped.
+    val nName = s"__norm_$uid"
+    val n = col(nName)
+    dataset
+      .withColumn(nName, norm(v))
+      .withColumn($(scaleCol),
+        when(n > 0, lit(127.0) / array_max(mapArr(v, x => abs(x / n)))))
+      .withColumn($(outputCol),
+        when(n > 0, mapArr(v, x => round(x / n * col($(scaleCol))).cast("int")))
+          .otherwise(mapArr(v, _ => lit(0))))
+      .drop(nName)
   }
 
   override def transformSchema(schema: StructType): StructType =

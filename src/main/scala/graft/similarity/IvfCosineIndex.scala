@@ -59,14 +59,22 @@ class IvfCosineIndex(
       .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
       .select(col(idCol), col("cid"))
 
-  /** Learned centroids (cid, centroid): lowest-id seeds + one Lloyd step. */
+  /** Learned centroids (cid, centroid): lowest-id seeds + one Lloyd step.
+    * A cell that wins no members drops out of the Lloyd means — harmless
+    * for IVF (its inverted list would be empty; probes just go to real
+    * cells), unlike PQ where dense codes are a layout contract.
+    */
   def centroids(candidates: DataFrame): DataFrame = {
     val e = corpus(candidates)
     // seeds picked by RANK (order-by + limit → TakeOrderedAndProject), not a
     // value predicate, so sparse/offset id spaces still yield exactly
-    // numCentroids seeds; cid = the seed's own id (any distinct key works)
-    val seeds = e.orderBy(col(idCol)).limit(numCentroids)
-      .select(col(idCol).cast("long").as("cid"), col("cv").as("centroid"))
+    // numCentroids seeds; cid = the seed's dense 0-based rank in id order
+    // (NOT the id cast to long — string ids like UUIDs cast to NULL, and
+    // NULL never equi-joins, which would make every search silently return
+    // zero rows). Rank order equals id order, so "lowest cid" tie-breaks
+    // pick the same seed id keys would.
+    val seeds = Seeding.kLowestIdRanks(e, idCol, numCentroids, "cid")
+      .select(col("cid"), col("cv").as("centroid"))
     val members = e.join(assign(e, seeds), idCol)
     dim match {
       // known dimensionality: one partial-aggregated groupBy of d scalar

@@ -90,16 +90,9 @@ class KMeans(
     * seed's dense 0-based rank in id order via the tiny triangle
     * self-join (k rows) — no global window node.
     */
-  def seeds(vectors: DataFrame): DataFrame = {
-    val e = corpus(vectors)
-    val ids = e.select(col(idCol)).orderBy(col(idCol)).limit(k)
-    val ranked = ids.as("x")
-      .join(ids.select(col(idCol).as("__y")).as("y"), col("__y") < col(idCol), "left")
-      .groupBy(col(idCol))
-      .agg(count(col("__y")).cast("long").as("cid"))
-    e.join(broadcast(ranked), idCol)
+  def seeds(vectors: DataFrame): DataFrame =
+    Seeding.kLowestIdRanks(corpus(vectors), idCol, k, "cid")
       .select(col("cid"), col("cv").as("centroid"))
-  }
 
   /** (id, cid, d2): nearest centroid per vector under squared L2; ties to
     * the lowest cid. `min_by` over (d2, cid) partial-aggregates map-side —

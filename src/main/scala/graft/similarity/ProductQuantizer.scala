@@ -63,19 +63,27 @@ class ProductQuantizer(
     */
   def fit(vectors: DataFrame): DataFrame = {
     val s = slices(vectors)
-    // code = rank of the seed id among the k lowest ids, via a tiny
-    // triangle self-join (k rows) — no global window node anywhere
-    val ids = vectors.select(col(idCol)).orderBy(col(idCol)).limit(codebookSize)
-    val seedIds = ids.as("x")
-      .join(ids.select(col(idCol).as("__y")).as("y"), col("__y") < col(idCol), "left")
-      .groupBy(col(idCol))
-      .agg(count(col("__y")).cast("long").as("code"))
+    // code = rank of the seed id among the k lowest ids (shared Seeding
+    // idiom — no global window node anywhere); only the id column rides
+    // the TakeOrdered, the slices join back from `s` by id
+    val seedIds = Seeding.kLowestIdRanks(
+      vectors.select(col(idCol)), idCol, codebookSize, "code")
     val seeds = s.join(broadcast(seedIds), idCol)
       .select(col("sub"), col("code"), col("slice").as("centroid"))
     val assigned = assign(s, seeds)
-    s.join(assigned, Seq(idCol, "sub"))
+    val means = s.join(assigned, Seq(idCol, "sub"))
       .groupBy(col("sub"), col("code"))
-      .agg(array((0 until subDim).map(i => avg(col("slice")(i))): _*).as("centroid"))
+      .agg(array((0 until subDim).map(i => avg(col("slice")(i))): _*).as("mean"))
+    // empty-cluster guard: a seed whose slice ties with a lower-code
+    // identical slice wins no members (argmin ties to the lowest code)
+    // and would vanish from the groupBy, breaking the documented
+    // "codes are dense 0..k-1 in every subspace" contract that
+    // forCodebook's countDistinct(code) relies on. Keep the seed's own
+    // slice as the centroid for such clusters — the same rule
+    // KMeans.refine applies.
+    seeds.join(means, Seq("sub", "code"), "left")
+      .select(col("sub"), col("code"),
+        coalesce(col("mean"), col("centroid")).as("centroid"))
   }
 
   /** Production-knob codebooks: per-subspace [[KMeans]] with `iters`

@@ -64,13 +64,10 @@ class RandomHyperplaneLSH(
         expr(s"substring(sig, band * $rowsPerBand + 1, $rowsPerBand)").as("bandSig"))
 
   /** Distinct candidate pairs (id_a < id_b) sharing at least one band. */
-  def candidatePairs(vectors: DataFrame): DataFrame = {
-    val bands = bandSignatures(vectors)
-    val a = bands.select(col(idCol).as("id_a"), col("band"), col("bandSig"))
-    val b = bands.select(col(idCol).as("id_b"), col("band"), col("bandSig"))
-    a.join(b, Seq("band", "bandSig")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-  }
+  def candidatePairs(vectors: DataFrame): DataFrame =
+    graft.sql.PairJoins.bucketedSelfPairs(
+      bandSignatures(vectors), idCol, Seq("band", "bandSig"))
+      .distinct()
 
   /** Near-duplicate pairs with exact cosine ≥ threshold, candidates from
     * band buckets only.

@@ -29,7 +29,9 @@ class PhraseMatcher(
   /** Normalized phrase table rows: (phrase norm, token count). Phrases
     * normalizing to zero tokens are rejected loudly. */
   private val normed: Seq[(String, Int)] = phrases.map { p =>
-    val toks = p.toLowerCase.replaceAll("[^a-z0-9 ]", "").trim
+    // whitespace map BEFORE the strip, mirroring TextNormalizer.normalize:
+    // a "free\nmoney" phrase must become "free money", not "freemoney"
+    val toks = p.toLowerCase.replaceAll("\\s", " ").replaceAll("[^a-z0-9 ]", "").trim
       .split(" +").filter(_.nonEmpty).toSeq
     require(toks.nonEmpty, s"phrase '$p' normalizes to no tokens")
     (toks.mkString(" "), toks.size)

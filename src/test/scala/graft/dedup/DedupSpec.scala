@@ -74,9 +74,32 @@ class DedupSpec extends SparkTestBase {
     assert(ek(0) === Seq("ab") && ek(1) === Seq(""))
   }
 
+  // mirrors TextNormalizer.normalize as Spark SQL text: whitespace map
+  // ('\\s' in SQL-literal escaping -> regex \s) BEFORE the punct strip
   private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), " +
+      "'\\\\s', ' '), '[^a-z0-9 ]', ''), ' +', ' '))"
   private val toksSql = s"split($normSql, ' ')"
+
+  test("normalize maps newlines/tabs to spaces BEFORE stripping punct") {
+    // stripping first would DELETE the newline and fuse the words:
+    // "Hello\nWorld" -> "helloworld", deduping against "HelloWorld"
+    // instead of "Hello World"
+    val edge = Seq(
+      (1L, "Hello\nWorld"), (2L, "Hello\tWorld"), (3L, "Hello\r\n  World!"),
+      (4L, "HelloWorld"), (5L, "Hello World")).toDF("doc_id", "text")
+    val out = edge.select($"doc_id", TextNormalizer.normalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "hello world")
+    assert(out(2L) === "hello world")
+    assert(out(3L) === "hello world")
+    assert(out(4L) === "helloworld") // no whitespace — genuinely fused
+    assert(out(5L) === "hello world")
+    // and the SQL-text replica (the oracle shape) agrees on every row
+    val sqlOut = edge.selectExpr("doc_id", s"$normSql AS n")
+      .as[(Long, String)].collect().toMap
+    assert(sqlOut === out)
+  }
 
   test("simhash: identical docs agree, near dups are close, unrelated far") {
     def hamming(a: String, b: String): Int =

@@ -53,6 +53,26 @@ class SegmentDedupSpec extends SparkTestBase {
     assert(out(2L) === ((1L, 0L)))
   }
 
+  test("blank and punctuation-only docs contribute zero segments") {
+    // tokens("") = [] so lastSeg = -1, and sequence(0, -1) DESCENDS in
+    // Spark ([0, -1]) — before the guard this fabricated two phantom
+    // segments (seg_idx 0 and -1) per blank doc. The oracle's range
+    // semantics (i in 0..lastSeg, empty when lastSeg < 0) emit none.
+    val docs = Seq(
+      (1L, words(0, 16)),
+      (2L, "   "),      // whitespace-only
+      (3L, "!!! ... ??!"), // normalizes to ""
+      (4L, words(20, 24))
+    ).toDF("doc_id", "text")
+    val dedup = new SegmentDeduplicator(blockTokens = 16)
+    val segs = dedup.segments(docs)
+    assert(segs.where(col("doc_id").isin(2L, 3L)).count() === 0L)
+    assert(segs.where(col("seg_idx") < 0).count() === 0L)
+    val out = dedup.transform(docs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(out === Set(1L, 4L)) // blank docs absent, real docs intact
+  }
+
   test("window key is the md5 fingerprint, not raw text (scale shape)") {
     val docs = Seq((1L, words(0, 16))).toDF("doc_id", "text")
     val plan = new SegmentDeduplicator().transform(docs)

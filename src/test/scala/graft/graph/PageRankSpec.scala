@@ -56,6 +56,15 @@ class PageRankSpec extends SparkTestBase {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
   }
 
+  test("long horizon crosses the every-8 checkpoint and still matches ref") {
+    // 17 iterations -> two localCheckpoint boundaries (i=8, i=16); the
+    // checkpoint must be value-transparent and the plan must not blow up
+    val got = new PageRank(iterations = 17).run(cyclic.toDF("src", "dst"))
+      .as[(Long, Double)].collect().toMap
+    val want = ref(cyclic, 17, 0.85)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"node $k") }
+  }
+
   test("result is partitioning-invariant at the 1e-9 grid") {
     val df = cyclic.toDF("src", "dst")
     val a = new PageRank(3).run(df)

@@ -27,6 +27,26 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(cb.select("code").as[Long].collect().toSet === Set(0L, 1L))
   }
 
+  test("empty-cluster guard: duplicate seed vectors keep codes dense 0..k-1") {
+    // ids 1 and 2 are EXACT duplicates -> in every subspace both seed
+    // slices are identical, every member ties to the LOWER code, and
+    // code 1 wins zero members. Without the coalesce-to-seed guard the
+    // (sub, code=1) rows vanish from fit's groupBy, silently shrinking
+    // forCodebook's countDistinct-derived k.
+    val dup = Seq(
+      (1L, Array(0.0, 0.0, 9.0, 9.0)),
+      (2L, Array(0.0, 0.0, 9.0, 9.0)), // exact dup of seed 1
+      (3L, Array(5.0, 5.0, 5.0, 5.0)),
+      (4L, Array(1.0, 1.0, 8.0, 8.0))).toDF("vec_id", "embedding")
+    val cb = pq.fit(dup)
+    assert(cb.count() === 4, "one centroid per (sub, code) even with empty clusters")
+    assert(cb.select("code").as[Long].collect().toSet === Set(0L, 1L))
+    // the starved code keeps its seed slice (ids 1/2's identical slice)
+    val kept = cb.where($"sub" === 0 && $"code" === 1)
+      .select($"centroid").as[Seq[Double]].head()
+    assert(kept === Seq(0.0, 0.0))
+  }
+
   test("encode groups cluster members onto the same code, one row per (vec, sub)") {
     val codes = pq.encode(vecs, pq.fit(vecs))
       .as[(Long, Int, Long)].collect()

@@ -111,7 +111,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(idx.count() === 5)
     assert(idx.select("vec_id").distinct().count() === 5)
     val cids = idx.select("cid").as[Long].collect().toSet
-    assert(cids.subsetOf(Set(1L, 2L, 3L, 4L))) // seed ids are vec_id < 3 + refined
+    assert(cids.subsetOf(Set(0L, 1L, 2L))) // cid = dense 0-based seed rank
+  }
+
+  test("IVF index works with NON-NUMERIC string ids (cid is rank, not cast)") {
+    // regression: cid used to be idCol.cast("long") — UUID-ish string ids
+    // cast to NULL, NULL never equi-joins, and search silently returned
+    // zero rows for every query
+    val sVecs = vecs.selectExpr("concat('doc-', vec_id) AS vec_id", "embedding")
+    val ivf = new IvfCosineIndex(numCentroids = 2, nprobe = 2)
+    val idx = ivf.build(sVecs)
+    assert(idx.centroids.where($"cid".isNull).count() === 0L)
+    val hits = ivf.search(sVecs.limit(1), idx, k = 3)
+    assert(hits.count() > 0L, "string-id index must return search hits")
   }
 
   test("IVF incremental append: new batch assigned without re-training, search sees it") {
