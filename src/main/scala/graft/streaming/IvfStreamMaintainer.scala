@@ -35,9 +35,9 @@ import graft.similarity.{IvfCosineIndex, IvfIndex}
   * files-per-cell low single digits), run as an offline job against the
   * live path with an atomic pointer cutover. Centroid RETRAIN cadence is
   * signal-driven, not time-driven: [[cellDrift]] reads the PSI of the
-  * cell-occupancy mix (appended batches vs the batch=0 era) — < 0.1
-  * keep streaming, ≥ 0.25 retrain + cutover (spec-pinned on a planted
-  * corpus shift).
+  * cell-occupancy mix (appended batches vs the earliest era present —
+  * the bootstrap era when one exists) — < 0.1 keep streaming, ≥ 0.25
+  * retrain + cutover (spec-pinned on a planted corpus shift).
   */
 class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
 
@@ -116,33 +116,40 @@ class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
         .drop("batch"))
 
   /** Centroid-retrain signal: PSI drift of the CELL-OCCUPANCY distribution
-    * between the bootstrap/compaction era (`batch=0`) and everything
-    * appended since. Frozen centroids index a drifting corpus into
-    * increasingly unbalanced cells — the occupancy shares ARE the symptom
-    * (hot cells → fat probe candidate lists, cold cells → wasted probes) —
-    * so the standard PSI reading applies directly: < 0.1 keep streaming,
+    * between the EARLIEST batch era present (the bootstrap era when
+    * [[bootstrap]] ran; otherwise the first appended micro-batch — a
+    * maintainer provisioned without bootstrap has no `batch=0` rows, and
+    * an empty baseline would smooth to uniform and read any legitimately
+    * skewed occupancy as PSI ≥ 0.25 forever) and everything appended
+    * since. Frozen centroids index a drifting corpus into increasingly
+    * unbalanced cells — the occupancy shares ARE the symptom (hot cells →
+    * fat probe candidate lists, cold cells → wasted probes) — so the
+    * standard PSI reading applies directly: < 0.1 keep streaming,
     * 0.1–0.25 watch, ≥ 0.25 retrain (fit fresh centroids on a corpus
     * sample, then [[compactTo]]-style cutover to a new maintainer).
-    * Cost: one scan of the lists reduced map-side to ≤2·numCentroids
-    * count rows; nothing else moves.
+    * Returns 0.0 (no signal) before any data lands — including before the
+    * lists directory exists at all. Cost: one min/max-batch agg plus the
+    * PSI pass, both reduced map-side to ≤2·numCentroids rows.
     */
   def cellDrift(spark: SparkSession): Double = {
+    // a monitor can poll before the first trigger ever writes the layout;
+    // spark.read.parquet on a missing path throws, so probe first
+    val listsPath = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = listsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(listsPath)) return 0.0
     val lists = spark.read.parquet(s"$path/lists")
       .withColumn("cid", col("cid").cast("long"))
-    // baseline = the EARLIEST batch era present, not literally batch=0: a
-    // maintainer provisioned without bootstrap (centroids written, data
-    // arriving only via appendBatch ids >= 1 — the all-empty-prefix spec's
-    // operational shape) has no batch=0 rows, and an empty baseline would
-    // smooth to a uniform distribution and read any legitimately skewed
-    // occupancy as PSI >= 0.25 forever
-    // partition discovery may type `batch` as int; normalize before agg
-    val minBatch = lists.agg(min(col("batch").cast("long"))).head()
-    if (minBatch.isNullAt(0)) return 0.0 // no real partitions yet
-    val b0 = minBatch.getLong(0)
+    // one combined agg replaces a min-scan plus a since.isEmpty scan:
+    // `since` is empty iff max == min. Partition discovery may type
+    // `batch` as int; normalize before the agg.
+    val eras = lists.agg(
+      min(col("batch").cast("long")), max(col("batch").cast("long"))).head()
+    if (eras.isNullAt(0)) return 0.0 // schema-fallback file only, no rows
+    val b0 = eras.getLong(0)
+    if (eras.getLong(1) == b0) return 0.0 // nothing appended since baseline
     val base = lists.where(col("batch") === b0).select(col("cid"))
     val since = lists.where(col("batch") > b0).select(col("cid"))
-    if (since.isEmpty) 0.0
-    else new graft.feature.DriftMonitor().categorical(base, since, "cid")
+    new graft.feature.DriftMonitor().categorical(base, since, "cid")
       .agg(sum(col("psi_term"))).head().getDouble(0)
   }
 

@@ -26,16 +26,23 @@ class PhraseMatcher(
     textCol: String = "text") {
   require(phrases.nonEmpty, "empty phrase list")
 
-  /** Normalized phrase table rows: (phrase norm, token count). Phrases
-    * normalizing to zero tokens are rejected loudly. */
+  /** Normalized phrase table rows: (phrase norm, token count), DISTINCT
+    * after normalization — two input spellings collapsing to one norm
+    * ("free money" / "Free\nMoney!") must join as ONE row, or every hit
+    * count is multiplied by the duplicate factor. Phrases normalizing to
+    * zero tokens are rejected loudly. */
   private val normed: Seq[(String, Int)] = phrases.map { p =>
     // whitespace map BEFORE the strip, mirroring TextNormalizer.normalize:
-    // a "free\nmoney" phrase must become "free money", not "freemoney"
-    val toks = p.toLowerCase.replaceAll("\\s", " ").replaceAll("[^a-z0-9 ]", "").trim
+    // a "free\nmoney" phrase must become "free money", not "freemoney".
+    // Locale.ROOT: Spark's lower() is locale-independent, and a tr-TR
+    // default locale would lowercase "WIN" to "wın" (dotless ı) — which
+    // the [a-z] strip then mangles, so the phrase never matches
+    val toks = p.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s", " ").replaceAll("[^a-z0-9 ]", "").trim
       .split(" +").filter(_.nonEmpty).toSeq
     require(toks.nonEmpty, s"phrase '$p' normalizes to no tokens")
     (toks.mkString(" "), toks.size)
-  }
+  }.distinct
 
   private val lengths: Seq[Int] = normed.map(_._2).distinct.sorted
 

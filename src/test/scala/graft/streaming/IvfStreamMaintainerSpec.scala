@@ -166,6 +166,9 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
   test("cellDrift: stable streams read < 0.1, a shifted corpus trips the retrain signal") {
     val path = Files.createTempDirectory("graft-ivf-drift").toString
     val m = new IvfStreamMaintainer(ivf, path)
+    // polling BEFORE any layout exists (provisioned maintainer, stream
+    // not started): no-signal 0.0, not a PATH_NOT_FOUND crash
+    assert(m.cellDrift(spark) === 0.0)
     m.bootstrap((0L until 200L).map(vec).toDF())
     // no appends yet: defined as zero drift
     assert(m.cellDrift(spark) === 0.0)
