@@ -35,14 +35,20 @@ class KnnClassifier(
     * labeled corpus can be classified against itself (leave-one-out).
     */
   def predict(queries: DataFrame, labeled: DataFrame): DataFrame = {
-    val voteKey = struct(col("votes"), (-col(labelCol)).as("__nl"))
+    // argmax votes, ties to the SMALLEST label, as min_by over
+    // (-votes, label): negating the COUNT (always numeric) instead of the
+    // label keeps the tie-break working for ANY orderable label type — a
+    // string taxonomy label under `-label` casts to double, which is NULL
+    // under non-ANSI defaults (arbitrary per-run tie winners) and a
+    // runtime cast error under ANSI
+    val voteKey = struct((-col("votes")).as("__nv"), col(labelCol))
     new CosineTopK(k, idCol, vecCol).search(queries, labeled)
       .join(labeled.select(col(idCol), col(labelCol)), idCol)
       .groupBy(col("query_id"), col(labelCol))
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("query_id"))
       .agg(
-        max_by(col(labelCol), voteKey).as("predicted"),
-        max(voteKey).getField("votes").as("votes"))
+        min_by(col(labelCol), voteKey).as("predicted"),
+        max(col("votes")).as("votes"))
   }
 }

@@ -76,6 +76,13 @@ class OptimalBinning(override val uid: String)
         val qs = dataset.toDF().na.drop(Seq($(inputCol)))
           .select(col($(inputCol)).cast(DoubleType).as($(inputCol)))
           .stat.approxQuantile($(inputCol), percentiles, $(relativeError))
+        // approxQuantile on an empty/all-null column returns an EMPTY
+        // array — without this guard the failure surfaces as an opaque
+        // 'parameter splits given invalid value' from the model's param
+        // validator instead of naming the column and the real cause
+        // (mirrors the exact path's n > 0 require)
+        require(qs.nonEmpty,
+          s"cannot fit quantile splits: input column '${$(inputCol)}' has no non-null values")
         qs.distinct.sorted
       case "exact" =>
         // exact linear-interpolated quantiles (same formula as Spark's

@@ -37,8 +37,16 @@ class DriftMonitor(numBuckets: Int = 10) {
     val keys = groupCols :+ bucketCol
     val b = before.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_before"))
     val a = after.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_after"))
-    val joined = b.join(a, keys, "full_outer")
-      .select(keys.map(col) ++ Seq(
+    // NULL-SAFE key match (<=>), not a USING join: a NULL category present
+    // in both snapshots must be ONE matched row, not a spurious
+    // (p, 0) + (0, q) vanished/appeared pair that inflates PSI past the
+    // broken threshold on identical distributions (and double-counts the
+    // bucket count nb used for smoothing)
+    def bk(k: String) = col(s"__b.`$k`")
+    def ak(k: String) = col(s"__a.`$k`")
+    val cond = keys.map(k => bk(k) <=> ak(k)).reduce(_ && _)
+    val joined = b.as("__b").join(a.as("__a"), cond, "full_outer")
+      .select(keys.map(k => coalesce(bk(k), ak(k)).as(k)) ++ Seq(
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after")): _*)
     val totAgg = joined.groupBy(groupCols.map(col): _*).agg(
@@ -75,13 +83,23 @@ class DriftMonitor(numBuckets: Int = 10) {
   /** Per-bucket drift terms over `numBuckets` equal-width buckets of a
     * numeric column, bounds fixed by the BEFORE snapshot (values outside
     * clamp into the edge buckets).
+    *
+    * NULL values are EXCLUDED from both snapshots — a missing value has
+    * no position on the value axis, and the unguarded arithmetic would
+    * silently bucket every NULL as a max-range observation (floor(NULL)
+    * is NULL, least skips it, greatest returns numBuckets-1), reading a
+    * NULL-rate change as top-bucket drift. Monitor the missing-rate
+    * separately: `categorical(before, after, isnull-flag)`. If the BEFORE
+    * snapshot has no non-null values there is no reference frame: zero
+    * term rows (PSI 0.0, no signal — the cellDrift convention).
     */
   def numeric(before: DataFrame, after: DataFrame, valCol: String): DataFrame = {
     val stats = broadcast(before.agg(
       min(col(valCol)).cast("double").as("__mn"),
       max(col(valCol)).cast("double").as("__mx")))
     def bucketed(df: DataFrame): DataFrame =
-      df.select(col(valCol)).crossJoin(stats)
+      df.select(col(valCol)).where(col(valCol).isNotNull).crossJoin(stats)
+        .where(col("__mn").isNotNull) // empty baseline -> no reference frame
         .select(when(col("__mx") === col("__mn"), lit(0L))
           .otherwise(greatest(lit(0L), least(lit(numBuckets - 1L),
             floor((col(valCol) - col("__mn")) / (col("__mx") - col("__mn")) * numBuckets)

@@ -416,6 +416,17 @@ object GatherEncoderModel extends MLReadable[GatherEncoderModel] {
         .orderBy("idx").select("kjson").collect()
         .map(r => AnyJson.decode(parse(r.getString(0))))
       val model = new GatherEncoderModel(uid, keys)
+      // restore the persisted DEFAULTS before the explicit params: fit's
+      // copyValues propagates the ESTIMATOR's defaults (allOther=false)
+      // into the model's defaultParamMap, overriding the model class's
+      // own setDefault(allOther=true). Skipping this restore made
+      // save/load silently flip allOther back to true — the loaded model
+      // emitted vectors one slot WIDER than the in-session model it was
+      // saved from (dimension mismatch for any downstream consumer).
+      fields("defaultParamMap").asInstanceOf[JObject].obj.foreach { case (name, j) =>
+        val p = model.getParam(name).asInstanceOf[org.apache.spark.ml.param.Param[Any]]
+        model.setDefault(p, p.jsonDecode(compact(render(j))))
+      }
       fields("paramMap").asInstanceOf[JObject].obj.foreach { case (name, j) =>
         val p = model.getParam(name).asInstanceOf[org.apache.spark.ml.param.Param[Any]]
         model.set(p, p.jsonDecode(compact(render(j))))

@@ -41,19 +41,31 @@ import org.apache.spark.sql.functions._
 class TargetEncoder(smoothing: Double = 20.0) {
   require(smoothing >= 0.0, s"smoothing ($smoothing) must be >= 0")
 
-  /** Per-key statistics: `cnt`, `sum_y`, and the smoothed `enc`. One row
-    * per distinct key (including NULL). The `prior` column is repeated on
-    * every row so the frame is self-contained for persistence.
+  /** Per-key statistics: `cnt` (ROW frequency — the count encoding),
+    * `n_y` (rows with an OBSERVED label), `sum_y`, and the smoothed
+    * `enc`. One row per distinct key (including NULL keys). The `prior`
+    * column is repeated on every row so the frame is self-contained for
+    * persistence.
+    *
+    * The mean uses `n_y`, not `cnt`: `sum(label)` skips NULL labels while
+    * `count(*)` doesn't, so dividing by `cnt` silently treated every
+    * missing label as 0 — a key with half its labels missing encoded to
+    * HALF its true mean (and inconsistently with `prior`, whose avg() is
+    * null-excluding).
     */
   def encodings(df: DataFrame, keyCol: String, labelCol: String): DataFrame = {
-    val prior = df.agg(avg(col(labelCol).cast("double")).as("prior"))
+    val y = col(labelCol).cast("double")
+    val prior = df.agg(avg(y).as("prior"))
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("cnt"),
-        sum(col(labelCol).cast("double")).as("sum_y"))
+        count(y).as("n_y"),
+        coalesce(sum(y), lit(0.0)).as("sum_y"))
       .crossJoin(broadcast(prior))
       .withColumn("enc",
-        (col("sum_y") + lit(smoothing) * col("prior")) /
-          (col("cnt") + lit(smoothing)))
+        when(col("n_y") + lit(smoothing) > 0,
+          (col("sum_y") + lit(smoothing) * col("prior")) /
+            (col("n_y") + lit(smoothing)))
+          .otherwise(col("prior")))
   }
 
   /** Input plus `<keyCol>_enc` (smoothed mean encoding) and `<keyCol>_cnt`
@@ -79,20 +91,25 @@ class TargetEncoder(smoothing: Double = 20.0) {
   /** Leave-one-out encode of the TRAINING frame itself: each row's label is
     * excluded from its own key's statistics. A key seen exactly once (its
     * only evidence is the row itself) has an empty leave-one-out sample and
-    * encodes to the prior — the m=0 limit is well-defined too.
+    * encodes to the prior — the m=0 limit is well-defined too. A row whose
+    * OWN label is NULL contributed nothing to the stats, so nothing is
+    * removed for it (it gets the full-key encoding, not a NULL).
     */
   def transformLoo(df: DataFrame, keyCol: String, labelCol: String): DataFrame = {
     val s = encodings(df, keyCol, labelCol)
       .select(col(keyCol).as("__te_k"), col("cnt").as("__te_cnt"),
-        col("sum_y").as("__te_sum_y"), col("prior").as("__te_prior"))
+        col("n_y").as("__te_ny"), col("sum_y").as("__te_sum_y"),
+        col("prior").as("__te_prior"))
     val y = col(labelCol).cast("double")
-    val denom = col("__te_cnt") - lit(1) + lit(smoothing)
+    val own = when(y.isNotNull, lit(1L)).otherwise(lit(0L))
+    val denom = col("__te_ny") - own + lit(smoothing)
     df.join(s, col(keyCol) <=> col("__te_k"))
       .withColumn(s"${keyCol}_enc",
         when(denom > 0,
-          (col("__te_sum_y") - y + lit(smoothing) * col("__te_prior")) / denom)
+          (col("__te_sum_y") - coalesce(y, lit(0.0))
+            + lit(smoothing) * col("__te_prior")) / denom)
           .otherwise(col("__te_prior")))
       .withColumn(s"${keyCol}_cnt", col("__te_cnt"))
-      .drop("__te_k", "__te_cnt", "__te_sum_y", "__te_prior")
+      .drop("__te_k", "__te_cnt", "__te_ny", "__te_sum_y", "__te_prior")
   }
 }

@@ -62,5 +62,12 @@ class Winsorizer(
 }
 
 object Winsorizer {
-  def clamp(v: Column, lo: Column, hi: Column): Column = least(greatest(v, lo), hi)
+  /** NULL-preserving clamp: Spark's greatest/least SKIP nulls, so the bare
+    * `least(greatest(v, lo), hi)` turns a NULL observation into `lo` (and
+    * NaN into `hi`) — fabricated data flowing into downstream training as
+    * a real value. Missing stays missing. (DuckDB's least/greatest skip
+    * nulls the same way, so the oracle carries the same explicit guard.)
+    */
+  def clamp(v: Column, lo: Column, hi: Column): Column =
+    when(v.isNull, lit(null)).otherwise(least(greatest(v, lo), hi))
 }

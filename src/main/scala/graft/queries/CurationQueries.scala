@@ -467,13 +467,15 @@ object CurationQueries {
         |), t(lang, tgt) AS (
         |  VALUES ('en', 200), ('de', 50), ('fr', 50), ('es', 30), ('zh', 20)
         |), rates AS (
+        |  -- full 2^32 coin resolution, mirroring MixtureSampler (a mod-1e4
+        |  -- bucket floors any rate < 1e-4 to zero, dropping whole groups)
         |  SELECT counts.lang,
-        |    CAST(floor(least(1.0, tgt * 1.0 / c) * 10000) AS BIGINT) AS thr
+        |    CAST(floor(least(1.0, tgt * 1.0 / c) * 4294967296.0) AS BIGINT) AS thr
         |  FROM counts JOIN t ON counts.lang = t.lang
         |)
         |SELECT doc_id, d.lang AS lang
         |FROM documents d JOIN rates ON d.lang = rates.lang
-        |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT % 10000 < thr""".stripMargin,
+        |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT < thr""".stripMargin,
     // replays the α=0.5 targets: sqrt is correctly rounded on both
     // engines, and the normalizer is a SEQUENTIAL in-lang-order fold
     // (list_reduce == the operator's sorted-array left-fold), so Z is
@@ -487,13 +489,13 @@ object CurationQueries {
         |  FROM counts
         |), thr AS (
         |  SELECT lang,
-        |    CAST(floor(least(1.0, 250.0 * sqrt(CAST(c AS DOUBLE)) / z / c) * 10000)
+        |    CAST(floor(least(1.0, 250.0 * sqrt(CAST(c AS DOUBLE)) / z / c) * 4294967296.0)
         |      AS BIGINT) AS thr
         |  FROM counts, z
         |)
         |SELECT doc_id, d.lang AS lang
         |FROM documents d JOIN thr ON d.lang = thr.lang
-        |WHERE ('0x' || substr(md5('temp:' || doc_id), 1, 8))::BIGINT % 10000 < thr""".stripMargin,
+        |WHERE ('0x' || substr(md5('temp:' || doc_id), 1, 8))::BIGINT < thr""".stripMargin,
     "q58_stratified" ->
       """SELECT doc_id, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
@@ -533,7 +535,9 @@ object CurationQueries {
         |  SELECT doc_id, n_chars,
         |    (('0x' || substr(md5('wsample:' || doc_id), 1, 14))::BIGINT
         |      / 72057594037927936.0) / n_chars AS pri
-        |  FROM documents)
+        |  -- weight > 0 mirror of WeightedSampler (w <= 0 rows are excluded,
+        |  -- not guaranteed-selected via NULL/negative priorities)
+        |  FROM documents WHERE n_chars > 0)
         |ORDER BY pri, doc_id
         |LIMIT 100""".stripMargin,
     "q99_dsir" ->

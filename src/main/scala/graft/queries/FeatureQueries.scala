@@ -252,11 +252,18 @@ object FeatureQueries {
         |  FROM lineitem
         |), p AS (SELECT avg(y) AS prior FROM lab),
         |s AS (
-        |  SELECT l_partkey, count(*) AS cnt, sum(y) AS sum_y FROM lab GROUP BY 1
+        |  -- n_y (observed labels) for the mean, cnt for the count encoding:
+        |  -- sum(y) skips NULL labels, so dividing by count(*) would treat
+        |  -- missing labels as 0s (mirrors TargetEncoder.encodings)
+        |  SELECT l_partkey, count(*) AS cnt, count(y) AS n_y,
+        |    coalesce(sum(y), 0.0) AS sum_y
+        |  FROM lab GROUP BY 1
         |)
         |SELECT l_orderkey, l_linenumber, cnt,
-        |  round(CASE WHEN CAST(cnt - 1 AS DOUBLE) + 20.0 > 0
-        |    THEN (sum_y - y + 20.0 * prior) / (CAST(cnt - 1 AS DOUBLE) + 20.0)
+        |  round(CASE WHEN CAST(n_y - (CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) + 20.0 > 0
+        |    THEN (sum_y - coalesce(y, 0.0) + 20.0 * prior)
+        |      / (CAST(n_y - (CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) + 20.0)
         |    ELSE prior END, 9) AS enc
         |FROM lab JOIN s USING (l_partkey), p""".stripMargin,
     // replays bounds-from-before bucketing and the half-count-smoothed
@@ -381,7 +388,10 @@ object FeatureQueries {
         |SELECT event_type, count(*) AS n,
         |  round(max(lo), 6) AS lo, round(max(hi), 6) AS hi,
         |  round(avg(value), 6) AS mean_raw,
-        |  round(avg(least(greatest(value, lo), hi)), 6) AS mean_wins
+        |  -- NULL-preserving clamp, mirroring Winsorizer.clamp (least/
+        |  -- greatest in BOTH engines skip nulls, fabricating lo otherwise)
+        |  round(avg(CASE WHEN value IS NULL THEN NULL
+        |    ELSE least(greatest(value, lo), hi) END), 6) AS mean_wins
         |FROM events JOIN b USING (event_type)
         |GROUP BY event_type""".stripMargin,
     "q24_optimal_binning" ->

@@ -124,7 +124,14 @@ class DownsamplingModel(override val uid: String)
     case None =>
       dataset.select(col("*"), lit(1.0).as($(outputCol)))
     case Some(fraction) =>
-      val primary = dataset.filter(col($(labelCol)) === $(primaryClass))
+      // NULL labels are NOT the secondary class: both `=== primary` and
+      // `=!= primary` are null-false, so the naive split silently DROPPED
+      // null-label rows here while the no-op branch (fraction unset) kept
+      // them — row membership flip-flopping with the learned class ratio.
+      // Keep them with weight 1.0, like the primary side: only rows
+      // provably of the secondary class are sampled.
+      val primary = dataset
+        .filter(col($(labelCol)) === $(primaryClass) || col($(labelCol)).isNull)
         .select(col("*"), lit(1.0).as($(outputCol)))
       val secondaryRows = dataset.filter(col($(labelCol)) =!= $(primaryClass))
       val sampled =

@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   * Beyond-reference operator (LLM-pipeline extension from the build brief).
   *
   * Per group g: rate_g = min(1, target_g / count_g); a row is kept iff
-  * `md5(salt:id) mod 10000 < floor(rate_g * 10000)`. Membership depends
-  * only on (salt, id, group rates), so the sample is stable across runs,
-  * partitionings and engines (the SQL oracle replays it exactly) — unlike
-  * `df.stat.sampleBy`, whose membership is seed- and partitioning-
-  * dependent. Groups without a target are dropped.
+  * `uniform32(salt, id) < floor(rate_g * 2^32)` — the coin is the FULL
+  * 32-bit hash, not a mod-10⁴ bucket: the coarse bucket floor()ed any
+  * rate below 1/10⁴ to a threshold of ZERO, silently dropping an entire
+  * group whose positive target was small relative to its count (a 2·10⁸-
+  * row crawl group with target 10⁴ has rate 5·10⁻⁵ → kept 0 rows). At
+  * 2⁻³² resolution a group zeroes out only past ~4·10⁹ rows per target
+  * row, and every group's undershoot is bounded by 2⁻³² of its size.
+  * Membership depends only on (salt, id, group rates), so the sample is
+  * stable across runs, partitionings and engines (the SQL oracle replays
+  * it exactly) — unlike `df.stat.sampleBy`, whose membership is seed-
+  * and partitioning-dependent. Groups without a target are dropped.
   *
   * Scale: one groupBy for the (small) per-group counts, broadcast back,
   * then a streamed filter over the corpus — no shuffle of the big side.
@@ -29,9 +35,8 @@ class MixtureSampler(
   require(targets.nonEmpty, "need at least one group target")
   require(targets.values.forall(_ >= 0), "targets must be nonnegative")
 
-  /** The 0..9999 bucket this row's id hashes into. */
-  def bucket: Column =
-    graft.sql.functions.uniform32(salt, col(idCol)) % 10000
+  /** The full-resolution 32-bit coin for this row's id, in [0, 2³²). */
+  def coin: Column = graft.sql.functions.uniform32(salt, col(idCol))
 
   def transform(dataset: Dataset[_]): DataFrame = {
     val session = dataset.sparkSession
@@ -40,10 +45,10 @@ class MixtureSampler(
     val thresholds = dataset.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
       .join(targetRows, groupCol)
       .select(col(groupCol),
-        floor(least(lit(1.0), col("__target") / col("__cnt")) * 10000)
+        floor(least(lit(1.0), col("__target") / col("__cnt")) * MixtureSampler.CoinRange)
           .cast("long").as("__thr"))
     dataset.join(broadcast(thresholds), groupCol)
-      .where(bucket < col("__thr"))
+      .where(coin < col("__thr"))
       .drop("__thr")
   }
 }
@@ -80,7 +85,7 @@ class TemperatureMixture(
   private def powA(c: Column): Column =
     if (alpha == 0.5) sqrt(c) else pow(c, alpha)
 
-  /** Per-group (group, __cnt, __thr): thr = floor(min(1, total·n^α/Z/n)·10⁴). */
+  /** Per-group (group, __cnt, __thr): thr = floor(min(1, total·n^α/Z/n)·2³²). */
   def thresholds(dataset: Dataset[_]): DataFrame = {
     val counts = dataset.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
     val z = counts.agg(
@@ -92,13 +97,18 @@ class TemperatureMixture(
       .select(col(groupCol), col("__cnt"),
         floor(least(lit(1.0),
           lit(totalTarget.toDouble) * powA(col("__cnt").cast("double")) / col("__z") / col("__cnt"))
-          * 10000).cast("long").as("__thr"))
+          * MixtureSampler.CoinRange).cast("long").as("__thr"))
   }
 
   def transform(dataset: Dataset[_]): DataFrame =
     dataset.join(broadcast(thresholds(dataset).drop("__cnt")), groupCol)
-      .where(graft.sql.functions.uniform32(salt, col(idCol)) % 10000 < col("__thr"))
+      .where(graft.sql.functions.uniform32(salt, col(idCol)) < col("__thr"))
       .drop("__thr")
+}
+
+object MixtureSampler {
+  /** Acceptance-coin range: uniform32 is uniform on [0, 2³²). */
+  private[sampling] val CoinRange: Double = 4294967296.0
 }
 
 /** Exact-count stratified sampling: keep EXACTLY min(n, |group|) rows per
@@ -158,8 +168,15 @@ class WeightedSampler(
 
   def priority: Column = uniform / col(weightCol)
 
+  /** Rows with weight ≤ 0 (or NULL) are EXCLUDED before ranking: their
+    * intended inclusion probability is zero, but the raw arithmetic would
+    * GUARANTEE their selection instead — u/0 is NULL in Spark and
+    * ascending sort puts NULLs first, and a negative weight sorts before
+    * every positive priority.
+    */
   def transform(dataset: Dataset[_]): DataFrame =
-    dataset.withColumn("__pri", priority)
+    dataset.where(col(weightCol) > 0)
+      .withColumn("__pri", priority)
       .orderBy(col("__pri"), col(idCol))
       .limit(k)
       .drop("__pri")

@@ -55,6 +55,33 @@ class CurationSpec extends SparkTestBase {
     assert(dropped.toSeq === Seq("zh"))
   }
 
+  test("mixture sampler: a tiny positive rate keeps SOME rows, never zero by quantization") {
+    import graft.sampling.MixtureSampler
+    // rate = 5 / 60000 ≈ 8.3e-5 < 1e-4: the old mod-1e4 coin floored the
+    // threshold to 0 and silently dropped the ENTIRE group despite a
+    // positive target; the 2^32 coin keeps ~target rows
+    val docs = (1L to 60000L).map((_, "web")).toDF("doc_id", "lang")
+    val kept = new MixtureSampler(Map("web" -> 5L)).transform(docs).count()
+    assert(kept > 0L, "a positive target must never quantize to zero kept rows")
+    assert(kept < 60L, s"rate 8.3e-5 of 60k rows should keep a handful, got $kept")
+  }
+
+  test("weighted sampler: zero/negative/null weights are excluded, not guaranteed-picked") {
+    import graft.sampling.WeightedSampler
+    // u/0 is NULL (sorts FIRST ascending) and negative weights sort before
+    // every positive priority — the raw arithmetic GUARANTEED selection of
+    // exactly the rows whose inclusion probability should be zero
+    val rows = ((1L to 50L).map(i => (i, Some(1.0))) ++
+      (51L to 60L).map(i => (i, Some(0.0))) ++
+      (61L to 70L).map(i => (i, Some(-5.0))) ++
+      (71L to 80L).map(i => (i, Option.empty[Double])))
+      .toDF("doc_id", "w")
+    val picked = new WeightedSampler(k = 20, weightCol = "w")
+      .transform(rows).select($"doc_id").as[Long].collect().toSet
+    assert(picked.size === 20)
+    assert(picked.forall(_ <= 50L), s"non-positive-weight rows selected: ${picked.filter(_ > 50L)}")
+  }
+
   test("stratified sampler keeps exactly min(n, group size) per group") {
     import graft.sampling.StratifiedSampler
     val docs = ((1L to 20L).map((_, "en")) ++ (21L to 23L).map((_, "zh")))

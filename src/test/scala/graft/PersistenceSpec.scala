@@ -43,6 +43,31 @@ class PersistenceSpec extends SparkTestBase {
     assert(render(loaded) === render(g))
   }
 
+  test("fitted GatherEncoderModel keeps the ESTIMATOR's allOther default through save/load") {
+    // regression: fit's copyValues propagates the estimator default
+    // (allOther=false) into the model's defaultParamMap, but the model
+    // CLASS defaults allOther=true — a reader that restores only explicit
+    // params silently flipped it back, and the loaded model emitted
+    // vectors one slot WIDER than the model it was saved from
+    val df = Seq(
+      (1L, Seq(("a", 1.0), ("b", 2.0))),
+      (2L, Seq(("a", 3.0))))
+      .toDF("id", "raw")
+      .select(col("id"), expr("transform(raw, x -> struct(x._1 AS k, x._2 AS v))").as("kv"))
+    val fitted = new GatherEncoder().setInputCol("kv").setOutputCol("f")
+      .setKeyCol("k").setValueCol("v") // allOther left at the estimator default
+      .fit(df)
+    val path = tmp("gemDefaults")
+    fitted.write.overwrite().save(path)
+    val loaded = GatherEncoderModel.load(path)
+    assert(loaded.getOrDefault(loaded.allOther) === fitted.getOrDefault(fitted.allOther))
+    val sizeOf = (m: GatherEncoderModel) =>
+      m.transform(df).select("f").head()
+        .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    assert(sizeOf(loaded) === sizeOf(fitted),
+      "loaded model must emit the same vector width as the model it was saved from")
+  }
+
   test("GatherEncoderModel round-trips mixed-type keys with exact runtime types") {
     val model = new GatherEncoderModel(Array[Any]("siteA", 42L, 7, 3.5))
       .setInputCol("sites").setOutputCol("features")

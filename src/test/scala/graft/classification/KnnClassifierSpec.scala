@@ -37,6 +37,27 @@ class KnnClassifierSpec extends SparkTestBase {
     assert(got.toSeq === Seq((200L, 3, 1L)))
   }
 
+  test("STRING labels: majority vote and smallest-label tie-break, no numeric cast") {
+    // the old tie-break negated the label (-label), which casts a string
+    // taxonomy to double -> NULL under non-ANSI (arbitrary tie winners)
+    // or a cast error under ANSI
+    val sLabeled = Seq(
+      (1L, v(0, 0.01), "sports"), (2L, v(0, 0.02), "sports"),
+      (11L, v(1, 0.01), "news"))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, v(0, 0.0))).toDF("vec_id", "embedding")
+    val got = new KnnClassifier(k = 3).predict(queries, sLabeled)
+      .as[(Long, String, Long)].collect()
+    assert(got.toSeq === Seq((100L, "sports", 2L)))
+    // 1-1 vote tie: lexicographically smallest label wins, deterministic
+    val mid = Seq((200L, Array(1.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val two = Seq((1L, v(0, 0.01), "sports"), (11L, v(1, 0.01), "news"))
+      .toDF("vec_id", "embedding", "label")
+    val tie = new KnnClassifier(k = 2).predict(mid, two)
+      .as[(Long, String, Long)].collect()
+    assert(tie.toSeq === Seq((200L, "news", 1L)))
+  }
+
   test("leave-one-out: a labeled corpus classifies against itself, self excluded") {
     val got = new KnnClassifier(k = 2).predict(labeled, labeled)
       .as[(Long, Int, Long)].collect().map(r => r._1 -> r._2).toMap

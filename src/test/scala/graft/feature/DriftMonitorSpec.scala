@@ -16,6 +16,31 @@ class DriftMonitorSpec extends SparkTestBase {
     assert(math.abs(psi) < 1e-12)
   }
 
+  test("categorical: NULL categories match null-safely — identical snapshots stay ~0") {
+    // a USING join would split the NULL category into a vanished row plus
+    // an appeared row, reading identical distributions as broken drift
+    val withNull = (1 to 100)
+      .map(i => (i.toLong, if (i <= 30) None else Some(if (i <= 80) "en" else "de")))
+      .toDF("id", "lang")
+    val terms = new DriftMonitor().categorical(withNull, withNull, "lang")
+    assert(terms.count() === 3) // en, de, NULL — one matched row each
+    val psi = terms.agg(sum($"psi_term")).as[Double].head()
+    assert(math.abs(psi) < 1e-12, s"identical snapshots with NULLs read PSI $psi")
+  }
+
+  test("numeric: NULL values are excluded, not bucketed as max-range drift") {
+    val b = (1 to 100).map(i => (i.toLong, Some(i.toDouble))).toDF("id", "x")
+    // same value distribution, but 30% of rows are NULL
+    val a = (1 to 100).map(i => (i.toLong, if (i % 3 == 0) None else Some(i.toDouble)))
+      .toDF("id", "x")
+    val psi = new DriftMonitor().numeric(b, a, "x")
+      .agg(sum($"psi_term")).as[Double].head()
+    assert(psi < 0.05, s"a NULL-rate change must not read as top-bucket drift (PSI $psi)")
+    // all-null BEFORE: no reference frame -> zero term rows, not a crash
+    val empty = Seq((1L, Option.empty[Double])).toDF("id", "x")
+    assert(new DriftMonitor().numeric(empty, a, "x").count() === 0)
+  }
+
   test("categorical: a shifted mix yields positive PSI, one term per category") {
     val after = (1 to 100).map(i => (i.toLong, if (i <= 50) "en" else "de", i.toDouble))
       .toDF("id", "lang", "x")

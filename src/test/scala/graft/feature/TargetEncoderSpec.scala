@@ -53,6 +53,26 @@ class TargetEncoderSpec extends SparkTestBase {
     assert(scored(12L)._2 === 1L)                   // NULL key joined null-safe
   }
 
+  test("NULL labels are excluded from the mean, not counted as implicit 0s") {
+    // key d: 2 observed 1.0s + 2 NULL labels. Dividing by count(*) would
+    // bias enc(d) toward 0.5·mean; n_y keeps the true mean 1.0 (m=0).
+    // prior = avg over OBSERVED labels only (null-excluding), same rule.
+    val withNulls = Seq(
+      (1L, "d", Some(1.0)), (2L, "d", Some(1.0)),
+      (3L, "d", Option.empty[Double]), (4L, "d", Option.empty[Double]),
+      (5L, "e", Some(0.0)))
+      .toDF("id", "k", "y")
+    val e = new TargetEncoder(0.0).encodings(withNulls, "k", "y")
+      .select($"k", $"cnt", $"n_y", $"enc")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(e("d") === ((4L, 2L, 1.0))) // cnt = frequency, mean over observed only
+    // LOO: a null-label row removes NOTHING and gets the full-key encoding
+    val loo = new TargetEncoder(0.0).transformLoo(withNulls, "k", "y")
+      .select($"id", $"k_enc").as[(Long, Double)].collect().toMap
+    assert(loo(3L) === 1.0)
+    assert(loo(1L) === 1.0) // (2 - 1) / (2 - 1)
+  }
+
   test("leave-one-out removes each row's own label; singletons get the prior") {
     val out = new TargetEncoder(2.0).transformLoo(df, "k", "y")
       .select($"id", $"k_enc").as[(Long, Double)].collect().toMap

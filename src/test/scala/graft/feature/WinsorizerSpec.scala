@@ -22,6 +22,18 @@ class WinsorizerSpec extends SparkTestBase {
     assert(out.contains(("b", -50.0, 10.0)) && out.contains(("b", 13.0, 12.0)))
   }
 
+  test("NULL values stay NULL — never fabricated to a bound") {
+    // greatest/least skip nulls, so the unguarded clamp turned a missing
+    // observation into the learned lo — fabricated data in training
+    val withNulls = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("a", Some(100.0))).toDF("g", "v")
+    val out = new Winsorizer(0.25, 0.75).transform(withNulls, "g", "v")
+    assert(out.count() === 5) // row-preserving
+    assert(out.where($"v".isNull && $"v_wins".isNotNull).count() === 0,
+      "a NULL input must not be clamped into a real value")
+    assert(out.where($"v".isNull).count() === 1)
+  }
+
   test("interior values and row count are preserved") {
     val out = new Winsorizer(0.05, 0.95).transform(df, "g", "v")
     assert(out.count() === df.count())

@@ -37,6 +37,25 @@ class DownsamplingSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("NULL-label rows survive BOTH branches with weight 1.0") {
+    // === primary and =!= primary are both null-false, so the sampling
+    // branch used to silently drop null-label rows while the no-op branch
+    // kept them — membership flip-flopping with the learned class ratio
+    val withNulls = (data(100, 9000).as[(String, Double)].collect().toSeq
+      .map { case (id, l) => (id, Option(l)) } ++
+      (1 to 50).map(i => (s"u$i", Option.empty[Double])))
+      .toDF("cookie_id", "label")
+    // sampling branch (ratio 90 > cap 29)
+    val sampled = new Downsampling().setLabelCol("label").setOutputCol("w")
+      .setMaxClassRatio(29.0).fit(withNulls).transform(withNulls)
+    assert(sampled.filter($"label".isNull).count() === 50)
+    assert(sampled.filter($"label".isNull && $"w" === 1.0).count() === 50)
+    // no-op branch (cap high enough)
+    val noop = new Downsampling().setLabelCol("label").setOutputCol("w")
+      .setMaxClassRatio(1000.0).fit(withNulls).transform(withNulls)
+    assert(noop.filter($"label".isNull).count() === 50)
+  }
+
   test("deterministic mode: stable membership, partitioning-independent") {
     val df = data(100, 9000)
     val model = new Downsampling().setLabelCol("label").setOutputCol("w")

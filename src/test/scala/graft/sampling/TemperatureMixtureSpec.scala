@@ -20,7 +20,8 @@ class TemperatureMixtureSpec extends SparkTestBase {
     // natural share of en is 80%; sqrt-tempered share is
     // sqrt(800)/(sqrt(800)+sqrt(100)+sqrt(100)) ≈ 58.6% → en's keep-rate
     // (500*0.586/800 ≈ 0.366) sits well under its natural-target rate 0.5
-    assert(thr("en") < 5000)
+    // (thresholds are on the 2^32 coin scale)
+    assert(thr("en") < (0.5 * MixtureSampler.CoinRange).toLong)
     // the two equal-size tail groups get identical, boosted rates
     assert(thr("de") === thr("fr"))
     assert(thr("de") > thr("en"))
@@ -32,7 +33,7 @@ class TemperatureMixtureSpec extends SparkTestBase {
       .select($"lang", $"__thr").as[(String, Long)].collect().toMap
     // target_g/n_g = total/N for every group when alpha=1
     assert(thr.values.toSet.size === 1)
-    assert(thr("en") === 5000)
+    assert(thr("en") === (0.5 * MixtureSampler.CoinRange).toLong)
   }
 
   test("tiny groups hit the rate cap and keep everything") {
