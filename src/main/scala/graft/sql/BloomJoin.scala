@@ -25,6 +25,28 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
+  /** The Bloom coin hashes `cast(key AS STRING)`, which is equality-
+    * consistent ONLY when both keys share one non-floating type: the
+    * exact join coerces mixed types equal (INT 1 = DECIMAL 1.00) and
+    * treats -0.0 = 0.0, while their strings differ — a divergent coin
+    * would prune TRUE matches (semiJoin) or retain them (antiJoin),
+    * breaking the "only ever changes cost, never semantics" contract.
+    * So the hazardous inputs are rejected loudly up front.
+    */
+  private def requireHashableKeys(
+      probe: DataFrame, probeKey: Column,
+      build: DataFrame, buildKey: Column): Unit = {
+    val pt = probe.select(probeKey).schema.head.dataType
+    val bt = build.select(buildKey).schema.head.dataType
+    require(pt == bt,
+      s"BloomJoin keys must share one type (probe $pt vs build $bt) — " +
+        "the join would coerce them, the string-hashed Bloom coin would not")
+    require(pt != org.apache.spark.sql.types.DoubleType &&
+      pt != org.apache.spark.sql.types.FloatType,
+      s"BloomJoin keys of type $pt are not supported: -0.0/0.0 (and NaN) " +
+        "compare equal in joins but hash differently as strings")
+  }
+
   /** `probe ⋉ build` on `probeKey = buildKey`, Bloom-pruned.
     *
     * @param numBits   filter size in bits (≳ 10× expected build keys for
@@ -38,6 +60,7 @@ object BloomJoin {
       buildKey: Column,
       numBits: Int = 1 << 20,
       numHashes: Int = 5): DataFrame = {
+    requireHashableKeys(probe, probeKey, build, buildKey)
     val keyStr = buildKey.cast("string")
     val words = build
       .agg(functions.bloomFilter(keyStr, numBits, numHashes).as("bf"))
@@ -63,6 +86,7 @@ object BloomJoin {
       buildKey: Column,
       numBits: Int = 1 << 20,
       numHashes: Int = 5): DataFrame = {
+    requireHashableKeys(probe, probeKey, build, buildKey)
     val keyStr = buildKey.cast("string")
     val words = build
       .agg(functions.bloomFilter(keyStr, numBits, numHashes).as("bf"))

@@ -37,11 +37,22 @@ object GroupedNtile {
       rankName: String): DataFrame = {
     val g = col(groupCol)
     // loud precondition: a null group key or null bucket (null order value)
-    // would silently vanish in the equi-joins below — fail the job instead
-    val withB = df.withColumn("__bkt",
-      when(g.isNull || bucket.isNull,
-        raise_error(lit("GroupedNtile: null group key or order value")))
-        .otherwise(bucket))
+    // would silently vanish in the equi-joins below — fail the job instead.
+    // The group guard must live INSIDE the join key itself (the column is
+    // REPLACED with the guarded expression): a guard on a side column gets
+    // bypassed when Catalyst pushes the join's inferred IsNotNull(group)
+    // filter below the guard projection, dropping the row before the
+    // raise_error ever evaluates. Keyed on the guarded expression, that
+    // same inferred filter EVALUATES the guard and raises.
+    val withB = df
+      .withColumn("__bkt",
+        when(bucket.isNull && g.isNotNull,
+          raise_error(lit("GroupedNtile: null group key or order value")))
+          .otherwise(bucket))
+      .withColumn(groupCol,
+        when(g.isNull,
+          raise_error(lit("GroupedNtile: null group key or order value")))
+          .otherwise(g))
 
     val wIn = Window.partitionBy(g, col("__bkt")).orderBy(orderCols: _*)
     val part = withB.withColumn("__rin", row_number().over(wIn).cast("long"))
@@ -86,12 +97,20 @@ object GroupedNtile {
     require(numBuckets > 0, s"numBuckets ($numBuckets) must be positive")
     val g = col(groupCol)
     val o = col(orderCol)
+    // NULL-SAFE stats join: a USING join drops null-group rows HERE,
+    // before rank()'s loud guard can ever see them — the exact silent
+    // loss the contract promises to fail on. Null-group rows must reach
+    // rank(), whose g.isNull guard raises. Likewise the bucket must stay
+    // NULL for a null order value (least() skips nulls and would turn it
+    // into a valid last bucket, bypassing the bucket.isNull guard).
     val stats = df.groupBy(g).agg(min(o).as("__omin"), max(o).as("__omax"))
-    val withStats = df.join(broadcast(stats), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__st_g")
+    val withStats = df.join(broadcast(stats), g <=> col("__st_g")).drop("__st_g")
     val span = col("__omax") - col("__omin")
     val frac =
       if (descending) (col("__omax") - o) / span else (o - col("__omin")) / span
-    val bucket = when(col("__omax") === col("__omin"), lit(0L))
+    val bucket = when(o.isNull, lit(null).cast("long"))
+      .when(col("__omax") === col("__omin"), lit(0L))
       .otherwise(least(lit(numBuckets - 1L), floor(frac * numBuckets)).cast("long"))
     val ord = (if (descending) o.desc else o.asc) +: tieCols
     rank(withStats, groupCol, ord, bucket, rankName).drop("__omin", "__omax")
@@ -116,11 +135,15 @@ object GroupedNtile {
     val g = col(groupCol)
     val o = col(orderCol)
 
+    // null-safe join + null-propagating bucket: see rankByValue — rank()'s
+    // loud guards only fire on rows that actually REACH it
     val stats = df.groupBy(g).agg(
       min(o).as("__omin"), max(o).as("__omax"), count(lit(1)).as("__n"))
-    val withStats = df.join(broadcast(stats), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__st_g")
+    val withStats = df.join(broadcast(stats), g <=> col("__st_g")).drop("__st_g")
     val bucket =
-      when(col("__omax") === col("__omin"), lit(0L))
+      when(o.isNull, lit(null).cast("long"))
+        .when(col("__omax") === col("__omin"), lit(0L))
         .otherwise(least(lit(numBuckets - 1L),
           floor((o - col("__omin")) / (col("__omax") - col("__omin")) * numBuckets))
           .cast("long"))

@@ -38,7 +38,14 @@ object PrefixSum {
 
     val withB = df.crossJoin(broadcast(stats))
       .withColumn("__bkt",
-        when(col("__omax") === col("__omin"), lit(0L))
+        // loud guard: floor(NULL) is NULL but least() SKIPS nulls, so a
+        // NULL order value would silently land in the TOP bucket and
+        // corrupt every last-bucket prefix — fail the job instead (the
+        // GroupedNtile discipline; a running total has no defined
+        // position for a missing order value)
+        when(o.isNull,
+          raise_error(lit(s"PrefixSum: null order value in '$orderCol'")))
+          .when(col("__omax") === col("__omin"), lit(0L))
           .otherwise(least(lit(numBuckets - 1L),
             floor((o - col("__omin")) / (col("__omax") - col("__omin")) * numBuckets))
             .cast("long")))
@@ -120,7 +127,11 @@ object PrefixSum {
     val withB = df.join(stats, sMatch)
       .drop(groupCols.map(c => s"__s_$c"): _*)
       .withColumn("__bkt",
-        when(col("__omax") === col("__omin"), lit(0L))
+        // same loud null-order guard as [[exclusive]] (least() skips
+        // nulls → silent top-bucket corruption otherwise)
+        when(o.isNull,
+          raise_error(lit(s"PrefixSum: null order value in '$orderCol'")))
+          .when(col("__omax") === col("__omin"), lit(0L))
           .otherwise(least(lit(numBuckets - 1L),
             floor((o - col("__omin")) / (col("__omax") - col("__omin")) * numBuckets))
             .cast("long")))

@@ -33,6 +33,13 @@ object SkewJoin {
       factor: Int): DataFrame = {
     require(factor > 0, s"salt factor ($factor) must be positive")
     require(keys.nonEmpty, "need at least one join key")
+    // loud, not silent: withColumn REPLACES an existing __salt, so a
+    // caller column of that name would vanish from the output and never
+    // participate in the join
+    Seq("big" -> big, "small" -> small).foreach { case (name, df) =>
+      require(!df.columns.contains("__salt"),
+        s"$name side already has a '__salt' column — rename it before salted()")
+    }
     val b = big.withColumn("__salt", pmod(xxhash64(col(saltFrom)), lit(factor)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor - 1L))))

@@ -51,21 +51,20 @@ case class KMinValues(
 
   override def createAggregationBuffer(): mutable.TreeSet[Long] = mutable.TreeSet.empty[Long]
 
+  /** Bounded insert shared by update and merge (one definition of the
+    * eviction rule — the [[BottomKSample]] discipline). */
+  private def add(buf: mutable.TreeSet[Long], h: Long): Unit =
+    if (buf.size < k) buf += h
+    else if (h < buf.last && !buf.contains(h)) { buf += h; buf -= buf.last }
+
   override def update(buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = KMinValues.hash56(v.toString)
-      if (buf.size < k) buf += h
-      else if (h < buf.last && !buf.contains(h)) { buf += h; buf -= buf.last }
-    }
+    if (v != null) add(buf, KMinValues.hash56(v.toString))
     buf
   }
 
   override def merge(buf: mutable.TreeSet[Long], other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
-    other.foreach { h =>
-      if (buf.size < k) buf += h
-      else if (h < buf.last && !buf.contains(h)) { buf += h; buf -= buf.last }
-    }
+    other.foreach(add(buf, _))
     buf
   }
 

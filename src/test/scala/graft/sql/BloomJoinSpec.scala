@@ -11,6 +11,21 @@ class BloomJoinSpec extends SparkTestBase {
   private lazy val probe = (0L until 1000L).map(i => (i, s"p$i")).toDF("k", "payload")
   private lazy val build = (0L until 1000L by 7).map(Tuple1(_)).toDF("bk")
 
+  test("mismatched and floating key types are rejected loudly (coin-coercion hazard)") {
+    // the join would coerce INT = DECIMAL (and -0.0 = 0.0) equal, but the
+    // string-hashed Bloom coin would not — a divergent coin silently
+    // prunes TRUE matches, breaking the never-changes-semantics contract
+    val dProbe = Seq((0.0, "x"), (-0.0, "y")).toDF("k", "payload")
+    val dBuild = Seq(Tuple1(0.0)).toDF("bk")
+    intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(dProbe, $"k", dBuild, $"bk")
+    }
+    val decBuild = build.select($"bk".cast("decimal(10,2)").as("bk"))
+    intercept[IllegalArgumentException] {
+      BloomJoin.antiJoin(probe, $"k", decBuild, $"bk")
+    }
+  }
+
   test("antiJoin equals the exact left_anti result") {
     val got = BloomJoin.antiJoin(probe, col("k"), build, col("bk"), numBits = 1 << 14)
       .select("k").as[Long].collect().toSet

@@ -78,6 +78,27 @@ class GroupedNtileSpec extends SparkTestBase {
     }
   }
 
+  test("null group keys and null order values fail LOUDLY (contract), never vanish") {
+    // the USING stats join used to drop null-group rows BEFORE rank()'s
+    // guard could fire, and least() turned a null order value into a
+    // valid last bucket — both silent where the doc promises an error
+    val nullGroup = Seq((Some("a"), 1.0, 1L), (Option.empty[String], 2.0, 2L))
+      .toDF("g", "v", "id")
+    val e1 = intercept[Exception] {
+      GroupedNtile.rankByValue(nullGroup, "g", "v", descending = false,
+        Seq($"id"), "r").collect()
+    }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).getOrElse(""))
+      .contains("null group key or order value"))
+    val nullOrder = Seq(("a", Some(1.0), 1L), ("a", Option.empty[Double], 2L))
+      .toDF("g", "v", "id")
+    val e2 = intercept[Exception] {
+      GroupedNtile.ntile(nullOrder, 2, "g", "v", Seq($"id"), "t").collect()
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("null group key or order value"))
+  }
+
   test("every physical window partitions by the bucket, never the group alone") {
     // the whole point: no window may sort an entire group in one task
     val rows = (0L until 500L).map(i => ("g" + i % 3, i.toDouble, i))

@@ -39,6 +39,25 @@ class PrefixSumSpec extends SparkTestBase {
     }
   }
 
+  test("NULL order values fail LOUDLY, never land silently in the top bucket") {
+    // least() skips nulls, so an unguarded bucket expression turned a NULL
+    // order value into bucket numBuckets-1 — silently corrupting every
+    // last-bucket prefix. The contract is a runtime error instead.
+    val bad = Seq((Some(1.0), 10L), (Option.empty[Double], 20L), (Some(3.0), 5L))
+      .toDF("o", "v")
+    val e1 = intercept[Exception] {
+      PrefixSum.exclusive(bad, "o", "v", "p").collect()
+    }
+    assert(e1.getMessage.contains("null order value")
+      || Option(e1.getCause).exists(_.getMessage.contains("null order value")))
+    val badBy = bad.withColumn("g", lit("x"))
+    val e2 = intercept[Exception] {
+      PrefixSum.exclusiveBy(badBy, Seq("g"), "o", "v", "p").collect()
+    }
+    assert(e2.getMessage.contains("null order value")
+      || Option(e2.getCause).exists(_.getMessage.contains("null order value")))
+  }
+
   test("multi-column group keys") {
     val df = Seq(
       ("x", 1, 1.0, 2L), ("x", 1, 2.0, 3L),
