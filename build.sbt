@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract wants the ONE JSON line as the LAST line of
+// the run's output: sbt's default LoggedOutput prefixes forked stdout
+// with "[info] " and then prints "[success] Total time: ..." AFTER the
+// JSON, which has kept the driver's structured `parsed` field null for
+// three rounds. StdoutOutput passes the forked process's stdout through
+// raw (no prefix), and showSuccess drops the trailing success line, so
+// `sbt -batch "runMain graft.Bench"` ends with the bare JSON line.
+ThisBuild / showSuccess := false
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
