@@ -4,32 +4,46 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Shared text canonicalization for the dedup family: lowercase, map
-  * ASCII whitespace (newline/tab/CR/VT/FF) to space, strip everything
-  * but `[a-z0-9 ]`, collapse whitespace runs, trim.
+  * Unicode whitespace to space, strip everything but `[a-z0-9 ]`,
+  * collapse whitespace runs, trim.
   *
   * The whitespace map MUST precede the `[^a-z0-9 ]` strip: stripping
   * first DELETES newlines, fusing the adjacent words — `"Hello\nWorld"`
   * would normalize to `"helloworld"` (one token) and dedupe against
   * `"HelloWorld"` instead of `"Hello World"`, corrupting every tokens()
-  * consumer on real multi-line text. Oracles replay the same chain with
-  * RE2's `[[:space:]]` (the same ASCII set as Java's `\s`).
+  * consumer on real multi-line text.
   *
-  * Known limitation, shared by BOTH engines so parity holds: Unicode
-  * whitespace (NBSP U+00A0 — common in HTML-derived corpora — U+2028,
-  * ideographic space U+3000) is NOT in `\s`/`[[:space:]]` and still
-  * falls to the strip, fusing its neighbors. Widening means changing
-  * Spark and every oracle replica to a bit-identical Unicode class in
-  * lockstep; until a corpus needs it, ASCII keeps the chain simple and
-  * replayable.
+  * The whitespace class is the full Unicode `White_Space` set
+  * ([[UnicodeWhitespace]]), NOT Java's ASCII-only `\s`: HTML-derived
+  * corpora (CommonCrawl) are full of NBSP U+00A0, and an ASCII map sent
+  * NBSP to the strip, fusing its neighbors — two docs differing only by
+  * NBSP-vs-space got DIFFERENT dedup fingerprints. The class is written
+  * as explicit code points (no `\p{...}` property, no `(?U)` flag)
+  * because the oracle replays the chain in DuckDB's RE2, and property
+  * names/semantics differ across engines while explicit code points
+  * cannot; both engines are pinned by `TextNormalizerSpec` and every
+  * oracle interpolates this SAME constant.
   *
   * Pure built-in expressions so the whole chain stays inside whole-stage
   * codegen and is replayable as ANSI SQL by the correctness oracle.
   */
 object TextNormalizer {
 
+  /** Unicode `White_Space` as an explicit character class, valid and
+    * bit-identical in Java regex (Spark) and RE2 (DuckDB oracle):
+    * ASCII `\t\n\x0B\f\r` + space, NEL U+0085, NBSP U+00A0, Ogham
+    * U+1680, the U+2000-200A quad family, LS/PS U+2028/9, NNBSP
+    * U+202F, MMSP U+205F, ideographic space U+3000. Deliberately
+    * EXCLUDES ZWSP U+200B and U+180E (Cf format chars, not
+    * White_Space — they strip, as both engines agree).
+    */
+  val UnicodeWhitespace: String =
+    "[\\t\\n\\x0B\\f\\r \\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}" +
+      "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(
-      regexp_replace(lower(text), "\\s", " "), "[^a-z0-9 ]", ""), " +", " "))
+      regexp_replace(lower(text), UnicodeWhitespace, " "), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Whitespace tokens of the normalized text. Zero-length tokens are
     * filtered: blank/whitespace-only text normalizes to "" and `split`

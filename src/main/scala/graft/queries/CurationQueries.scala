@@ -14,6 +14,11 @@ import graft.text.{QualityFilter, TfIdf, TokenPacker}
   */
 object CurationQueries {
 
+  // the oracle's whitespace class IS the engine's, by construction —
+  // interpolated into every normalize-chain replica below so Spark and
+  // DuckDB can never drift (graft.dedup.TextNormalizer.UnicodeWhitespace)
+  private val WS = graft.dedup.TextNormalizer.UnicodeWhitespace
+
   type Q = (SparkSession, String) => DataFrame
 
   // one-scan seeded corpus shared with the dedup family
@@ -241,10 +246,10 @@ object CurationQueries {
 
   // shared fragments reproducing the q20 minhash pipeline for the oracle
   private val minhashPairsSql =
-    """, norm AS (
+    s""", norm AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(regexp_replace(
-      |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM base
       |), sh AS (
       |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
@@ -318,10 +323,10 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q37_quality_filter" ->
-      """WITH norm AS (
+      s"""WITH norm AS (
         |  SELECT doc_id, text, n_chars,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, text, n_chars, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -381,11 +386,11 @@ object CurationQueries {
     // BEFORE the argmax, so the comparison replays exactly)
     "q123_keep_best" ->
       (ccClustersCte +
-        """, tk AS (
+        s""", tk AS (
           |  SELECT doc_id, text,
           |    list_filter(string_split(
           |      trim(regexp_replace(regexp_replace(regexp_replace(
-          |        lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+          |        lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
           |      ' '), t -> t <> '') AS tl
           |  FROM base
           |), q AS (
@@ -418,10 +423,10 @@ object CurationQueries {
     // AND two independent algorithms agreeing on every cluster label
     "q121_cc_star" -> ccOracleSql,
     "q50_curation_pipeline" ->
-      """WITH norm AS (
+      s"""WITH norm AS (
         |  SELECT doc_id, text,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, text, norm, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -501,10 +506,10 @@ object CurationQueries {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY md5('strat:' || doc_id)) <= 5""".stripMargin,
     "q59_tfidf" ->
-      """WITH norm AS (
+      s"""WITH norm AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -541,10 +546,10 @@ object CurationQueries {
         |ORDER BY pri, doc_id
         |LIMIT 100""".stripMargin,
     "q99_dsir" ->
-      """WITH norm AS (
+      s"""WITH norm AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM norm
@@ -573,10 +578,10 @@ object CurationQueries {
     // margin + sigmoid coin; the coin threshold is written with the same
     // float op order as the Spark plan (4294967296.0 / (1.0 + exp(-m)))
     "q104_classifier_curation" ->
-      """WITH norm AS (
+      s"""WITH norm AS (
         |  SELECT doc_id, text,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, text, norm, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm

@@ -16,6 +16,11 @@ import graft.dedup.{ExactDeduplicator, MinHashDeduplicator, SimHasher}
   */
 object DedupQueries {
 
+  // the oracle's whitespace class IS the engine's, by construction —
+  // interpolated into every normalize-chain replica below so Spark and
+  // DuckDB can never drift (graft.dedup.TextNormalizer.UnicodeWhitespace)
+  private val WS = graft.dedup.TextNormalizer.UnicodeWhitespace
+
   type Q = (SparkSession, String) => DataFrame
 
   private[queries] def seeded(s: SparkSession, dir: String): DataFrame =
@@ -40,7 +45,7 @@ object DedupQueries {
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
 
   private val seededSql =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
@@ -50,7 +55,7 @@ object DedupQueries {
       |), norm AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(regexp_replace(
-      |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM base
       |)""".stripMargin
 
@@ -231,10 +236,10 @@ object DedupQueries {
   }
 
   private val simhashSql: String =
-    """WITH norm AS (
+    s"""WITH norm AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(regexp_replace(
-      |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents
       |)""".stripMargin +
       simhashChain + "\nSELECT doc_id, simhash FROM sigs"
@@ -250,10 +255,10 @@ object DedupQueries {
     // shingle union (the Spark side min-merges per-doc signatures — the
     // merge identity is what the hash checks), exact Jaccard exhaustively
     "q128_source_resemblance" ->
-      """WITH norm AS (
+      s"""WITH norm AS (
         |  SELECT source,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), sh AS (
         |  SELECT DISTINCT source, substring(norm, CAST(i AS INT), 8) AS shingle
@@ -493,10 +498,10 @@ object DedupQueries {
           |SELECT -1, -1, -1, -1, -1 WHERE (SELECT max(len(tl)) FROM toks) > 206""".stripMargin),
     "q92_incremental_dedup" ->
       (seededSql +
-        """
+        s"""
           |, known AS (
           |  SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(regexp_replace(
-          |    lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+          |    lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
           |  FROM documents WHERE doc_id % 3 = 0
           |), inc AS (
           |  SELECT doc_id, sha256(norm) AS fingerprint FROM norm

@@ -11,14 +11,19 @@ import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDivers
   */
 object TextQueries {
 
+  // the oracle's whitespace class IS the engine's, by construction —
+  // interpolated into every normalize-chain replica below so Spark and
+  // DuckDB can never drift (graft.dedup.TextNormalizer.UnicodeWhitespace)
+  private val WS = graft.dedup.TextNormalizer.UnicodeWhitespace
+
   type Q = (SparkSession, String) => DataFrame
 
   // shared oracle prelude: normalization + token list per document
   private val normSql =
-    """WITH norm AS (
+    s"""WITH norm AS (
       |  SELECT doc_id, text,
       |    trim(regexp_replace(regexp_replace(regexp_replace(
-      |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents
       |), toks AS (
       |  SELECT doc_id, text, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -820,10 +825,10 @@ object TextQueries {
           |FROM tok JOIN counts USING (tok) CROSS JOIN tot
           |GROUP BY doc_id""".stripMargin),
     "q80_hll" ->
-      """WITH nrm AS (
+      s"""WITH nrm AS (
         |  SELECT source,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
@@ -943,10 +948,10 @@ object TextQueries {
     },
     // k-gram streams per phrase length replayed with list indexing
     "q143_blocklist" ->
-      """WITH nrm AS (
+      s"""WITH nrm AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl
@@ -975,10 +980,10 @@ object TextQueries {
     // the same packing arithmetic over a plain ordered window (the oracle
     // is allowed the single-task luxury the Spark side is not)
     "q138_sequence_pack" ->
-      """WITH nrm AS (
+      s"""WITH nrm AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), cnt AS (
         |  SELECT doc_id,
@@ -1059,10 +1064,10 @@ object TextQueries {
         |FROM cum GROUP BY source""".stripMargin,
     // merging (source, lang) sub-sketches
     "q122_sketch_rollup" ->
-      """WITH nrm AS (
+      s"""WITH nrm AS (
         |  SELECT source,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
@@ -1092,9 +1097,9 @@ object TextQueries {
         |    ELSE 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 / harm END, 6) AS est_distinct
         |FROM st""".stripMargin,
     "q81_pmi" ->
-      """WITH nrm AS (
+      s"""WITH nrm AS (
         |  SELECT trim(regexp_replace(regexp_replace(regexp_replace(
-        |    lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM nrm
@@ -1178,10 +1183,10 @@ object TextQueries {
           |  FROM scored)
           |WHERE rnk <= 10""".stripMargin),
     "q67_distinct_sketch" ->
-      """WITH nrm AS (
+      s"""WITH nrm AS (
         |  SELECT source,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
@@ -1215,10 +1220,10 @@ object TextQueries {
           |)
           |SELECT term, c FROM ord WHERE excl < 0.95 * total""".stripMargin),
     "q86_entropy" ->
-      """WITH nrm AS (
+      s"""WITH nrm AS (
         |  SELECT source,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '[[:space:]]', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS term FROM nrm

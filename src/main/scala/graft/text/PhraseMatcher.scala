@@ -38,7 +38,8 @@ class PhraseMatcher(
     // default locale would lowercase "WIN" to "wın" (dotless ı) — which
     // the [a-z] strip then mangles, so the phrase never matches
     val toks = p.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("\\s", " ").replaceAll("[^a-z0-9 ]", "").trim
+      .replaceAll(TextNormalizer.UnicodeWhitespace, " ")
+      .replaceAll("[^a-z0-9 ]", "").trim
       .split(" +").filter(_.nonEmpty).toSeq
     require(toks.nonEmpty, s"phrase '$p' normalizes to no tokens")
     (toks.mkString(" "), toks.size)

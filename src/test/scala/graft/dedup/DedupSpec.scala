@@ -75,10 +75,12 @@ class DedupSpec extends SparkTestBase {
   }
 
   // mirrors TextNormalizer.normalize as Spark SQL text: whitespace map
-  // ('\\s' in SQL-literal escaping -> regex \s) BEFORE the punct strip
+  // BEFORE the punct strip. Spark SQL string literals process backslash
+  // escapes, so the regex class needs its backslashes doubled here.
+  private val wsSql = TextNormalizer.UnicodeWhitespace.replace("\\", "\\\\")
   private val normSql =
     "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), " +
-      "'\\\\s', ' '), '[^a-z0-9 ]', ''), ' +', ' '))"
+      s"'$wsSql', ' '), '[^a-z0-9 ]', ''), ' +', ' '))"
   private val toksSql = s"split($normSql, ' ')"
 
   test("normalize maps newlines/tabs to spaces BEFORE stripping punct") {
@@ -99,6 +101,34 @@ class DedupSpec extends SparkTestBase {
     val sqlOut = edge.selectExpr("doc_id", s"$normSql AS n")
       .as[(Long, String)].collect().toMap
     assert(sqlOut === out)
+  }
+
+  test("normalize treats Unicode whitespace as whitespace (NBSP et al.)") {
+    // HTML-derived corpora are full of NBSP; an ASCII-only \\s sent it
+    // to the [^a-z0-9 ] strip, FUSING the neighbors — "Hello\u00a0World"
+    // fingerprinted differently from "Hello World". The full White_Space
+    // set must behave exactly like a plain space; ZWSP U+200B is a Cf
+    // format char (NOT White_Space) and must still strip/fuse. Escape
+    // sequences, not literal chars: a literal U+2028 in source IS a line
+    // terminator to scalac.
+    val seps = Seq('\u00a0', '\u2009', '\u3000', '\u2028', '\u0085', '\u202f')
+    val rows = (Seq(1L -> "Hello World", 8L -> "Hello\u200bWorld") ++
+      seps.zipWithIndex.map { case (c, i) => (i + 2L) -> ("Hello" + c + "World") })
+      .toDF("doc_id", "text")
+    val out = rows.select($"doc_id", TextNormalizer.normalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    (1L to 7L).foreach(id => assert(out(id) === "hello world", s"doc $id"))
+    assert(out(8L) === "helloworld") // ZWSP fuses
+    // the SQL-text replica (the oracle shape) agrees on every row
+    val sqlOut = rows.selectExpr("doc_id", s"$normSql AS n")
+      .as[(Long, String)].collect().toMap
+    assert(sqlOut === out)
+    // and the dedup identity holds end-to-end: the NBSP doc collapses
+    // onto its space-separated original
+    val kept = new ExactDeduplicator().setIdCol("doc_id").setTextCol("text")
+      .transform(rows.filter($"doc_id" <= 2))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
   }
 
   test("simhash: identical docs agree, near dups are close, unrelated far") {
