@@ -490,6 +490,28 @@ object TextQueries {
         round(col("margin"), 6).as("margin"),
         round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6).as("prob"),
         (col("margin") > 0).as("kept"))
+    }),
+
+    // REAL-tokenizer shard packing: segment the corpus against the
+    // committed 64-merge BPE fixture (64 > segmentExprMerges, so this is
+    // the broadcast rank-priority encoder — the vocabulary-scale serving
+    // path), count actual subwords per doc, and budget TokenPacker on
+    // those counts instead of TextFunctions' regex estimate. q48
+    // (estimate packing) and q97 (BPE training) were both green but never
+    // met; production shard packing budgets on the real tokenizer.
+    "q168_bpe_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = s.read.parquet(Goldens.path("q168_bpe") + "/merges")
+      val counts = new BpeTrainer().segment(docs, merges)
+        .groupBy(col("doc_id"))
+        .agg(sum(size(col("subwords"))).as("bpe_tokens"))
+      val counted = docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+      new TokenPacker().setIdCol("doc_id").setTokensCol("bpe_tokens")
+        .setBudget(2048L).transform(counted)
+        .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("chunk"))
     })
   )
 
@@ -546,6 +568,63 @@ object TextQueries {
     val list = TextFunctions.stopwords.toMap.apply(lang)
       .map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(tl, t -> list_contains($list, t)))"
+  }
+
+  /** Unrolled k-stage segment-and-pack oracle against the COMMITTED
+    * q168_bpe merge fixture: apply the fixture's merges in rank order to
+    * the distinct-word table (the same double-space replace mechanism as
+    * [[bpeOracleSql]] — rank-order folding equals the engine's
+    * rank-priority encoder for a trained table, pinned by
+    * BpeTrainerSpec), sum subwords per doc over word INSTANCES, then
+    * replay TokenPacker's exclusive-prefix chunking. A missing rank
+    * (early-stopped training) replaces chr(1) — a no-op on both engines.
+    */
+  private def bpePackOracleSql(k: Int, budget: Long): String = {
+    val sb = new StringBuilder
+    sb.append(normSql)
+    sb.append(s"""
+      |, mt AS (
+      |  SELECT "rank", "left", "right"
+      |  FROM read_parquet('${Goldens.path("q168_bpe")}/merges/*.parquet')
+      |), tok AS (SELECT doc_id, unnest(tl) AS word FROM toks)
+      |, s0 AS (
+      |  SELECT DISTINCT word,
+      |    '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS syms
+      |  FROM tok WHERE length(word) > 0
+      |)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s"""
+        |, s$i AS (
+        |  SELECT word, replace(syms,
+        |    coalesce((SELECT ' ' || "left" || '  ' || "right" || ' ' FROM mt WHERE "rank" = $i), chr(1)),
+        |    coalesce((SELECT ' ' || "left" || "right" || ' ' FROM mt WHERE "rank" = $i), chr(1))) AS syms
+        |  FROM s${i - 1}
+        |)""".stripMargin)
+    }
+    sb.append(s"""
+      |, seg AS (
+      |  SELECT word,
+      |    CAST(len(list_filter(string_split(syms, '  '), x -> x <> '')) AS BIGINT) AS n_sub
+      |  FROM s$k
+      |), cnt AS (
+      |  SELECT d.doc_id, CAST(coalesce(sum(seg.n_sub), 0) AS BIGINT) AS n_tokens
+      |  FROM documents d
+      |  LEFT JOIN tok ON tok.doc_id = d.doc_id
+      |  LEFT JOIN seg ON seg.word = tok.word
+      |  GROUP BY d.doc_id
+      |), pref AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS prefix_tokens
+      |  FROM cnt
+      |)
+      |SELECT doc_id, n_tokens, prefix_tokens,
+      |  CAST(floor(prefix_tokens / $budget.0) AS BIGINT) AS chunk
+      |FROM pref
+      |UNION ALL -- guard: loud mismatch if the fixture outgrows the replayed ranks
+      |SELECT -1, -1, -1, -1 WHERE (SELECT max("rank") FROM mt) > $k""".stripMargin)
+    sb.toString
   }
 
   val oracles: Map[String, String] = Map(
@@ -1281,6 +1360,7 @@ object TextQueries {
           |  round(avg(avg_nll), 6) AS mean_nll
           |FROM lb GROUP BY 1, 2""".stripMargin),
     "q97_bpe" -> bpeOracleSql(10),
+    "q168_bpe_pack" -> bpePackOracleSql(64, 2048L),
     "q100_bigram_lm" ->
       (normSql +
         """

@@ -34,21 +34,34 @@ class TokenPacker(override val uid: String) extends Transformer
     "Target tokens per chunk", ParamValidators.gt(0))
   final val carryCols: StringArrayParam = new StringArrayParam(this, "carryCols",
     "Extra columns passed through to the output unchanged")
+  final val tokensCol: Param[String] = new Param[String](this, "tokensCol",
+    "Optional precomputed per-row token count column; empty means estimate " +
+      "from textCol. Production shard packing should budget on REAL " +
+      "tokenizer counts (e.g. BpeTrainer.segment subword counts), not the " +
+      "regex estimate — the estimate undercounts subword-heavy text and " +
+      "overstuffs chunks.")
 
   setDefault(idCol -> "doc_id", textCol -> "text", budget -> 4096L,
-    carryCols -> Array.empty[String])
+    carryCols -> Array.empty[String], tokensCol -> "")
 
   def setIdCol(value: String): this.type = set(idCol, value)
   def setTextCol(value: String): this.type = set(textCol, value)
   def setBudget(value: Long): this.type = set(budget, value)
   def setCarryCols(value: Array[String]): this.type = set(carryCols, value)
+  def setTokensCol(value: String): this.type = set(tokensCol, value)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
     val keep = col($(idCol)) +: $(carryCols).toSeq.map(col)
-    val counted = dataset.select(keep :+ col($(textCol)): _*)
-      .withColumn("n_tokens", TextFunctions.tokenCount(col($(textCol))).cast("long"))
-      .drop($(textCol))
+    val counted = (if ($(tokensCol).nonEmpty) {
+      val renamed = dataset.select(keep :+ col($(tokensCol)): _*)
+        .withColumn("n_tokens", col($(tokensCol)).cast("long"))
+      if ($(tokensCol) == "n_tokens") renamed else renamed.drop($(tokensCol))
+    } else {
+      dataset.select(keep :+ col($(textCol)): _*)
+        .withColumn("n_tokens", TextFunctions.tokenCount(col($(textCol))).cast("long"))
+        .drop($(textCol))
+    })
       // PrefixSum's two-phase scan references its input three times
       // (min/max stats, bucketing, per-bucket totals). The projection here
       // is a few longs per row — pin it (lazy localCheckpoint: first action
@@ -66,6 +79,12 @@ class TokenPacker(override val uid: String) extends Transformer
 
   override def transformSchema(schema: StructType): StructType = {
     require(schema.fieldNames.contains($(idCol)), s"id column ${$(idCol)} not found")
+    if ($(tokensCol).nonEmpty) {
+      require(schema.fieldNames.contains($(tokensCol)),
+        s"tokens column ${$(tokensCol)} not found")
+      require(schema($(tokensCol)).dataType.isInstanceOf[NumericType],
+        s"tokens column must be numeric, got ${schema($(tokensCol)).dataType}")
+    } else
     require(schema($(textCol)).dataType == StringType,
       s"text column must be string, got ${schema($(textCol)).dataType}")
     $(carryCols).foreach { c =>

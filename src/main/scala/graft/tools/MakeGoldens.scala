@@ -37,7 +37,7 @@ import graft.SparkEntry
 object MakeGoldens {
 
   def main(args: Array[String]): Unit = {
-    val known = Set("q14", "q27", "q162", "q167")
+    val known = Set("q14", "q27", "q162", "q167", "q168")
     val which: Set[String] = if (args.isEmpty) known else args.toSet
     // an unknown name (typo, or the golden DIRECTORY name like q167_opq)
     // would otherwise write nothing and still print success — a user
@@ -108,6 +108,20 @@ object MakeGoldens {
       val opq = new graft.similarity.OpqRotation(
         numSubspaces = 8, codebookSize = 16, dim = 64, iters = 2)
       opq.fit(e).save(graft.queries.Goldens.path("q167_opq"))
+    }
+
+    // q168: BPE merge-table fixture — the tokenizer a production packing
+    // job would budget against, trained ONCE (64 merges, sf0.001 corpus;
+    // 64 > BpeTrainer.segmentExprMerges so q168 exercises the broadcast
+    // rank-priority encoder, the vocabulary-scale serving path). Like
+    // q167 it is an INPUT at every SF: the query loads it and the oracle
+    // read_parquet's it, replaying segmentation independently — training
+    // itself is already oracle-verified by q97's unrolled-CTE replay.
+    if (which("q168")) {
+      val docs = spark.read.parquet(s"$testdata/sf0.001/documents.parquet")
+      new graft.text.BpeTrainer(numMerges = 64).fit(docs)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.queries.Goldens.path("q168_bpe") + "/merges")
     }
 
     println(s"goldens written to src/test/resources/golden for: ${which.toSeq.sorted.mkString(",")}")

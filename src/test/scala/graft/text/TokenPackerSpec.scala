@@ -62,4 +62,31 @@ class TokenPackerSpec extends SparkTestBase {
       .as[(Long, Double, String, Long)].collect().sortBy(_._1)
     assert(rows === Array((1L, 0.25, "en", 0L), (2L, -1.5, "de", 0L), (3L, 0.0, "en", 0L)))
   }
+
+  test("tokensCol packs on precomputed counts instead of the estimate") {
+    // real-tokenizer counts (e.g. BpeTrainer.segment subwords) differ from
+    // the regex estimate; the packer must budget on what it is given
+    val counted = Seq((1L, 6L), (2L, 5L), (3L, 7L), (4L, 1L))
+      .toDF("doc_id", "bpe_tokens")
+    val out = new TokenPacker().setTokensCol("bpe_tokens").setBudget(10L)
+      .transform(counted)
+      .select($"doc_id", $"n_tokens", $"prefix_tokens", $"chunk")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 6L, 0L, 0L), (2L, 5L, 6L, 0L), (3L, 7L, 11L, 1L), (4L, 1L, 18L, 1L)))
+    // no text column required on this path; a tokensCol named n_tokens
+    // must survive the internal rename
+    val already = Seq((1L, 2L), (2L, 3L)).toDF("doc_id", "n_tokens")
+    val out2 = new TokenPacker().setTokensCol("n_tokens").setBudget(4L)
+      .transform(already)
+      .select($"doc_id", $"n_tokens", $"prefix_tokens", $"chunk")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out2 === Array((1L, 2L, 0L, 0L), (2L, 3L, 2L, 0L)))
+    // a non-numeric tokensCol fails loudly at transformSchema
+    val bad = Seq((1L, "x")).toDF("doc_id", "bpe_tokens")
+    val e = intercept[IllegalArgumentException] {
+      new TokenPacker().setTokensCol("bpe_tokens").transform(bad)
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
 }
