@@ -21,6 +21,9 @@ run / fork := true
 ThisBuild / showSuccess := false
 Compile / run / outputStrategy := Some(StdoutOutput)
 Compile / runMain / outputStrategy := Some(StdoutOutput)
+// both keys are consumed at command time (runMain falls back to run's
+// settings), which sbt's static lintUnused pass can't see
+Global / excludeLintKeys ++= Set(showSuccess, Compile / runMain / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,8 +30,8 @@ import graft.sql.functions.cosineSimilarity
 class IvfCosineIndex(
     numCentroids: Int,
     nprobe: Int,
-    idCol: String = "vec_id",
-    vecCol: String = "embedding",
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
     dim: Option[Int] = None) {
   require(numCentroids > 0 && nprobe > 0 && nprobe <= numCentroids,
     s"need 0 < nprobe ($nprobe) <= numCentroids ($numCentroids)")

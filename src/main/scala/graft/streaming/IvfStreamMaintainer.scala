@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -30,16 +33,75 @@ import graft.similarity.{IvfCosineIndex, IvfIndex}
   * plus a `cid`-clustered write of batch-sized output. Files accrue one
   * per (batch, touched cid) — MEASURED (IvfStreamMaintainerSpec cadence
   * test): 20 triggers over a 4-cell index accrued 67 files and slowed
-  * search 0.48 s → compaction to 4 files recovered it to 0.29 s, so the
-  * recommendation is [[compactTo]] every O(numCentroids) triggers (keep
-  * files-per-cell low single digits), run as an offline job against the
-  * live path with an atomic pointer cutover. Centroid RETRAIN cadence is
-  * signal-driven, not time-driven: [[cellDrift]] reads the PSI of the
-  * cell-occupancy mix (appended batches vs the earliest era present —
-  * the bootstrap era when one exists) — < 0.1 keep streaming, ≥ 0.25
-  * retrain + cutover (spec-pinned on a planted corpus shift).
+  * search 0.48 s → compaction to 4 files recovered it to 0.29 s. The
+  * maintainer now ACTS on that number itself: with `maxFilesPerCell` set
+  * (opt-in; default 0 = off, preserving the external-compaction
+  * workflow), every append checks the era count — the files-per-cell
+  * proxy — and on crossing the watermark folds the accrued eras into the
+  * next `lists@<gen>` generation behind an atomic pointer-file cutover
+  * (baseline era and the replayable current batch keep their labels; see
+  * `compactInPlace`). A stream left running forever stays at
+  * ≤ `maxFilesPerCell` files per cell instead of hitting the small-files
+  * wall silently. Centroid RETRAIN cadence is signal-driven, not
+  * time-driven: [[cellDrift]] reads the PSI of the cell-occupancy mix
+  * (appended batches vs the earliest era present — the bootstrap era
+  * when one exists) — < 0.1 keep streaming, ≥ 0.25 call [[retrainTo]]
+  * (fresh coarse structure on the indexed corpus, optionally from an
+  * external multi-step-Lloyd [[graft.similarity.KMeans]] fit) and cut
+  * over with a fresh checkpoint (spec-pinned on a planted corpus shift).
   */
-class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
+class IvfStreamMaintainer(
+    ivf: IvfCosineIndex,
+    path: String,
+    maxFilesPerCell: Int = 0) {
+
+  // compaction leaves up to three eras (baseline, merged middle, the
+  // replayable current batch), so a watermark below 4 would re-compact
+  // on every subsequent trigger — full-index I/O per micro-batch
+  require(maxFilesPerCell == 0 || maxFilesPerCell >= 4,
+    s"maxFilesPerCell ($maxFilesPerCell) must be 0 (off) or >= 4 " +
+      "(compaction itself leaves up to 3 eras; a lower watermark thrashes)")
+
+  private def hfs(spark: SparkSession): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pointerFile = new Path(s"$path/LISTS.ptr")
+
+  /** Resolve the LIVE lists directory. Auto-compaction rewrites lists
+    * into `lists@<gen>` generations with a pointer-file cutover; a
+    * maintainer that never compacted (the default) stays on the
+    * primordial `lists`. Resolution is pointer-first with a
+    * highest-generation scan fallback, so a reader racing the (tiny)
+    * pointer rewrite window still lands on a real generation.
+    */
+  private[streaming] def resolveListsDir(spark: SparkSession): String = {
+    val fs = hfs(spark)
+    if (fs.exists(pointerFile)) {
+      val in = fs.open(pointerFile)
+      val name = try {
+        new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim
+      } finally in.close()
+      val dir = s"$path/$name"
+      if (fs.exists(new Path(dir))) return dir
+    }
+    val root = new Path(path)
+    val gens =
+      if (!fs.exists(root)) Array.empty[Int]
+      else fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("lists@")).map(_.stripPrefix("lists@").toInt)
+    if (gens.isEmpty) s"$path/lists" else s"$path/lists@${gens.max}"
+  }
+
+  // the writer's view of the live lists dir: resolved once, advanced
+  // in-memory on compaction (this maintainer is the sole writer; readers
+  // in other processes re-resolve per load())
+  @volatile private var listsDirCache: String = _
+
+  private def listsDir(spark: SparkSession): String = {
+    if (listsDirCache == null) listsDirCache = resolveListsDir(spark)
+    listsDirCache
+  }
 
   /** Initialize the maintained layout from a base corpus: train + save
     * centroids, write the base inverted lists as `batch=0`. (A plain
@@ -72,10 +134,80 @@ class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
   }
 
   /** One micro-batch: assign against the saved centroids and write the
-    * new list rows into `batch=<batchId>`. Idempotent per batch id.
+    * new list rows into `batch=<batchId>`. Idempotent per batch id. With
+    * `maxFilesPerCell` set, the era count (the measured files-per-cell
+    * proxy: each trigger lands ~one file per touched cell) is checked
+    * after the write and the accrued eras are compacted in place behind
+    * a pointer cutover once it crosses the watermark.
     */
-  def appendBatch(batch: DataFrame, batchId: Long): Unit =
+  def appendBatch(batch: DataFrame, batchId: Long): Unit = {
     writeBatch(ivf.listRows(batch, centroids(batch.sparkSession)), batchId)
+    if (maxFilesPerCell > 0) maybeCompact(batch.sparkSession, batchId)
+  }
+
+  /** Count of `batch=` eras in the live lists dir — each era contributes
+    * ~one parquet file per touched cell (the r11 cadence measurement:
+    * 20 triggers → 67 files over 4 cells), so the era count IS the
+    * files-per-cell estimate for hot cells, at the cost of one
+    * listStatus instead of a recursive file walk.
+    */
+  private[streaming] def eraCount(spark: SparkSession): Int = {
+    val dir = new Path(listsDir(spark))
+    val fs = hfs(spark)
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).count(_.getPath.getName.startsWith("batch="))
+  }
+
+  private def maybeCompact(spark: SparkSession, currentBatchId: Long): Unit =
+    if (eraCount(spark) >= maxFilesPerCell) compactInPlace(spark, currentBatchId)
+
+  /** Fold the accrued eras into the next `lists@<gen>` generation and cut
+    * the pointer over atomically. Three eras survive, deliberately:
+    *
+    *  - the BASELINE era (lowest batch id present) keeps its label, so
+    *    [[cellDrift]]'s PSI baseline is untouched by compaction;
+    *  - everything between baseline and the current batch merges into one
+    *    era labeled `currentBatchId - 1` — a committed id that can never
+    *    be replayed (foreachBatch only ever replays the LATEST batch);
+    *  - the current batch keeps its own era: if the engine failed before
+    *    committing it, the replay overwrites exactly its own partitions —
+    *    folding it into the merge would turn that replay into duplicates.
+    *
+    * The old generation is deleted after cutover; a search job holding a
+    * plan over it mid-query can fail and retry against the new pointer.
+    * Zero-interruption compaction remains [[compactTo]] (offline, new
+    * path, caller-controlled cutover).
+    */
+  private def compactInPlace(spark: SparkSession, currentBatchId: Long): Unit = {
+    val cur = listsDir(spark)
+    val fs = hfs(spark)
+    val lists = spark.read.parquet(cur)
+      .withColumn("batch", col("batch").cast("long"))
+    val b0 = lists.agg(min(col("batch"))).head().getLong(0)
+    val gen = cur.substring(cur.lastIndexOf('/') + 1) match {
+      case "lists" => 0
+      case g => g.stripPrefix("lists@").toInt
+    }
+    val next = s"$path/lists@${gen + 1}"
+    lists
+      .withColumn("batch",
+        when(col("batch") === b0, b0)
+          .when(col("batch") === currentBatchId, currentBatchId)
+          .otherwise(lit(currentBatchId - 1L)))
+      .repartition(col("batch"), col("cid"))
+      .write.mode("overwrite").partitionBy("batch", "cid").parquet(next)
+    // pointer cutover: tmp write + rename; the resolution fallback scans
+    // for the highest generation, so even the tiny delete→rename window
+    // cannot strand a reader on a missing dir
+    val tmp = new Path(s"$path/LISTS.ptr.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"lists@${gen + 1}".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(pointerFile, false)
+    fs.rename(tmp, pointerFile)
+    listsDirCache = next
+    fs.delete(new Path(cur), true)
+  }
 
   /** Start the maintenance stream: each trigger appends its micro-batch.
     * Streaming batch ids restart from the checkpoint on recovery, so a
@@ -100,7 +232,45 @@ class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
     val idx = load(spark)
     idx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$newPath/centroids")
-    val next = new IvfStreamMaintainer(ivf, newPath)
+    val next = new IvfStreamMaintainer(ivf, newPath, maxFilesPerCell)
+    next.writeBatch(idx.lists, batchId = 0L)
+    next
+  }
+
+  /** The already-indexed corpus, reconstructed from the maintained lists
+    * (`cv` is the stored cast vector) under `ivf`'s own column names — the
+    * input [[retrainTo]] refits coarse structure on.
+    */
+  private def indexedCorpus(spark: SparkSession): DataFrame =
+    load(spark).lists.select(col(ivf.idCol), col("cv").as(ivf.vecCol))
+
+  /** The [[cellDrift]] ≥ 0.25 action: refit coarse centroids on the
+    * already-indexed corpus (ivf.build — seed + Lloyd) and lay the result
+    * out as a fresh maintainer at `newPath` (its `batch=0` becomes the
+    * new drift baseline). Cutover is the caller's step: stop the stream,
+    * point it (and searches) at `newPath`, restart with a FRESH
+    * checkpoint — the new layout has no history for old batch ids, so a
+    * resumed checkpoint would replay into the wrong eras.
+    */
+  def retrainTo(spark: SparkSession, newPath: String): IvfStreamMaintainer = {
+    val next = new IvfStreamMaintainer(ivf, newPath, maxFilesPerCell)
+    next.bootstrap(indexedCorpus(spark))
+    next
+  }
+
+  /** [[retrainTo]] against EXTERNALLY-trained centroids (cid, centroid) —
+    * the [[graft.similarity.KMeans]] composition: real multi-step Lloyd
+    * (e.g. `new KMeans(k, iters).fitFarthest(corpus)`) trains the cells,
+    * [[IvfCosineIndex.buildWith]] lists the indexed corpus under them.
+    */
+  def retrainTo(
+      spark: SparkSession, newPath: String, cents: DataFrame): IvfStreamMaintainer = {
+    val idx = ivf.buildWith(indexedCorpus(spark), cents)
+    require(!idx.centroids.isEmpty,
+      "cannot retrain a maintained IVF index against empty centroids")
+    idx.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$newPath/centroids")
+    val next = new IvfStreamMaintainer(ivf, newPath, maxFilesPerCell)
     next.writeBatch(idx.lists, batchId = 0L)
     next
   }
@@ -111,7 +281,7 @@ class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
   def load(spark: SparkSession): IvfIndex =
     IvfIndex(
       spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/lists")
+      spark.read.parquet(resolveListsDir(spark))
         .withColumn("cid", col("cid").cast("long"))
         .drop("batch"))
 
@@ -134,10 +304,11 @@ class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
   def cellDrift(spark: SparkSession): Double = {
     // a monitor can poll before the first trigger ever writes the layout;
     // spark.read.parquet on a missing path throws, so probe first
-    val listsPath = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val dir = resolveListsDir(spark)
+    val listsPath = new org.apache.hadoop.fs.Path(dir)
     val fs = listsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(listsPath)) return 0.0
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read.parquet(dir)
       .withColumn("cid", col("cid").cast("long"))
     // one combined agg replaces a min-scan plus a since.isEmpty scan:
     // `since` is empty iff max == min. Partition discovery may type
@@ -161,26 +332,27 @@ class IvfStreamMaintainer(ivf: IvfCosineIndex, path: String) {
   @volatile private var layoutHasPartitions = false
 
   private def writeBatch(listRows: DataFrame, batchId: Long): Unit = {
+    val dir = listsDir(listRows.sparkSession)
     val withBatch = listRows.withColumn("batch", lit(batchId))
     withBatch
       .repartition(col("cid"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "cid")
-      .parquet(s"$path/lists")
+      .parquet(dir)
     // zero rows + partitionBy writes no schema-bearing files — the same
     // degenerate-layout bug class IvfIndex.save guards against; without
     // this a stream whose FIRST batches are all empty (centroids
     // provisioned, backfill not yet landed) leaves load() dying with
     // UNABLE_TO_INFER_SCHEMA
     if (!layoutHasPartitions) {
-      val listsPath = new org.apache.hadoop.fs.Path(s"$path/lists")
+      val listsPath = new org.apache.hadoop.fs.Path(dir)
       val fs = listsPath.getFileSystem(
         listRows.sparkSession.sparkContext.hadoopConfiguration)
       val hasPartitions = fs.exists(listsPath) &&
         fs.listStatus(listsPath).exists(_.getPath.getName.startsWith("batch="))
       if (!hasPartitions)
-        withBatch.limit(0).write.mode("overwrite").parquet(s"$path/lists")
+        withBatch.limit(0).write.mode("overwrite").parquet(dir)
       else {
         // inverse transition: a real batch arriving AFTER an empty prefix
         // must clear the schema-only fallback file — root-level part files

@@ -190,6 +190,89 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
     assert(drifted > 0.25, s"shifted stream read PSI $drifted — retrain signal must trip")
   }
 
+  test("auto-compaction holds the era watermark across a streamed run") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-ivf-autocompact").toString
+    val watermark = 5
+    val m = new IvfStreamMaintainer(ivf, path, maxFilesPerCell = watermark)
+    m.bootstrap((0L until 100L).map(vec).toDF())
+
+    val input = MemoryStream[Vec]
+    val query = m.start(input.toDF(),
+      Files.createTempDirectory("graft-ivf-autockpt").toString)
+    val triggers = 12
+    try {
+      (1 to triggers).foreach { b =>
+        input.addData((100L + b * 20L until 120L + b * 20L).map(vec): _*)
+        query.processAllAvailable()
+        // the invariant the watermark buys: era count (files-per-cell
+        // proxy) never exceeds the configured bound at any trigger
+        assert(m.eraCount(spark) <= watermark,
+          s"trigger $b: ${m.eraCount(spark)} eras > watermark $watermark")
+      }
+    } finally query.stop()
+
+    // compaction actually fired (12 triggers at watermark 5) and cut the
+    // pointer over to a lists@<gen> generation; the primordial dir is gone
+    assert(new java.io.File(s"$path/LISTS.ptr").exists())
+    assert(!new java.io.File(s"$path/lists").exists())
+    // no rows lost, none duplicated, search still serves
+    val loaded = m.load(spark)
+    val total = 100L + triggers * 20L
+    assert(loaded.lists.count() === total)
+    assert(loaded.lists.select("vec_id").distinct().count() === total)
+    assert(ivf.search((0L until 3L).map(vec).toDF(), loaded, k = 3).count() > 0)
+    // a FRESH maintainer (a reader process) resolves the live generation
+    val reader = new IvfStreamMaintainer(ivf, path)
+    assert(reader.load(spark).lists.count() === total)
+  }
+
+  test("a batch replayed ACROSS an auto-compaction overwrites its own era — no duplicates") {
+    val path = Files.createTempDirectory("graft-ivf-compactreplay").toString
+    val m = new IvfStreamMaintainer(ivf, path, maxFilesPerCell = 4)
+    m.bootstrap((0L until 100L).map(vec).toDF())
+    // eras: 0 (bootstrap) + 1,2,3 → era count 4 hits the watermark inside
+    // appendBatch(3); batch 3 keeps its own era through compaction
+    (1 to 3).foreach { b =>
+      m.appendBatch((100L + b * 20L until 120L + b * 20L).map(vec).toDF(), b.toLong)
+    }
+    // at-least-once replay of the LATEST batch, post-compaction: must
+    // land in its own (kept) era, not duplicate against the merged one
+    m.appendBatch((160L until 180L).map(vec).toDF(), 3L)
+    val loaded = m.load(spark)
+    assert(loaded.lists.count() === 160L)
+    assert(loaded.lists.select("vec_id").distinct().count() === 160L)
+  }
+
+  test("retrainTo on planted drift: fresh baseline, rows preserved, KMeans composition") {
+    val path = Files.createTempDirectory("graft-ivf-retrain").toString
+    val m = new IvfStreamMaintainer(ivf, path)
+    m.bootstrap((0L until 200L).map(vec).toDF())
+    val shifted = (300L until 700L).map(i => vec(i * 4 + 2))
+    m.appendBatch(shifted.toDF(), 1L)
+    assert(m.cellDrift(spark) > 0.25) // the retrain signal
+
+    // self-contained retrain: refit on the indexed corpus, fresh layout
+    val m2 = m.retrainTo(spark,
+      Files.createTempDirectory("graft-ivf-retrain2").toString)
+    assert(m2.cellDrift(spark) === 0.0) // everything is the new baseline
+    val l2 = m2.load(spark)
+    assert(l2.lists.count() === m.load(spark).lists.count())
+    assert(ivf.search((0L until 3L).map(vec).toDF(), l2, k = 3).count() > 0)
+
+    // the KMeans composition: external multi-step Lloyd trains the cells
+    val corpus = m.load(spark).lists
+      .select(col("vec_id"), col("cv").as("embedding"))
+    val cents = new graft.similarity.KMeans(k = 4, iters = 3, dim = dim)
+      .fitFarthest(corpus)
+    val m3 = m.retrainTo(spark,
+      Files.createTempDirectory("graft-ivf-retrain3").toString, cents)
+    val l3 = m3.load(spark)
+    assert(l3.centroids.count() === 4L)
+    assert(l3.lists.count() === m.load(spark).lists.count())
+    assert(m3.cellDrift(spark) === 0.0)
+  }
+
   test("a replayed batch id overwrites its own partition — no duplicate list rows") {
     val path = Files.createTempDirectory("graft-ivf-replay").toString
     val m = new IvfStreamMaintainer(ivf, path)
