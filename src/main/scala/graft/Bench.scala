@@ -54,6 +54,15 @@ object Bench {
 
   private def gcMs: Long = JvmStats.gcMs
 
+  /** JSON number rendering pinned to Locale.ROOT: the f-interpolator
+    * delegates to `String.format` under the JVM DEFAULT locale, so a
+    * comma-decimal default (tr-TR, de-DE) would render the one contract
+    * line — and bench_out.json — as invalid JSON. Spec-pinned under a
+    * flipped default locale (TrLocaleSpec).
+    */
+  private[graft] def jsonNum(v: Double, decimals: Int): String =
+    ("%." + decimals + "f").formatLocal(java.util.Locale.ROOT, v)
+
   private def heapPools = {
     import scala.jdk.CollectionConverters._
     ManagementFactory.getMemoryPoolMXBeans.asScala
@@ -231,12 +240,13 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+        case c if c < ' ' => "\\u%04x".formatLocal(java.util.Locale.ROOT, c.toInt)
+        case c => c.toString
       } + "\""
     // millisecond precision halves the line (raw doubles print ~18 chars);
     // round-3's full-precision line outgrew the driver's log-tail window
     // and dropped `total` + the first queries
-    def num(v: Double): String = f"$v%.3f"
+    def num(v: Double): String = jsonNum(v, 3)
     // round-4's full-name line (~3.5 KB) still outgrew the driver's
     // log-tail window and its head was clipped, so the driver parsed
     // nothing. The PRINTED line uses the short `qNN` key prefix
@@ -253,7 +263,7 @@ object Bench {
     // was clipped (BENCH_r10 parsed=null, lost q01-q03). One decimal keeps
     // 167 queries at ~1.83 KB; bench_out.json keeps ms precision + full
     // names for real round-over-round comparison.
-    def num2(v: Double): String = f"$v%.1f"
+    def num2(v: Double): String = jsonNum(v, 1)
     val qJson = results.map { case (k, v) => jstr(short(k)) + ":" + num2(v) }.mkString("{", ",", "}")
     val qJsonFull = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
     val teleJson = results.map { case (k, _) =>
@@ -305,7 +315,7 @@ object Bench {
       if (line.length <= 1900) line
       else {
         val qJsonCoarse = results.map { case (k, v) =>
-          jstr(short(k)) + ":" + f"$v%.0f"
+          jstr(short(k)) + ":" + jsonNum(v, 0)
         }.mkString("{", ",", "}")
         System.err.println(s"[bench] printed line ${line.length}B > 1900B window; " +
           "degrading per-query times to whole seconds — time to rethink the printed encoding")

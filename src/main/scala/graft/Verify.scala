@@ -36,7 +36,9 @@ object Verify {
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      // Locale.ROOT: a default locale with a non-ASCII numbering system
+      // (e.g. ar with nu-arab) would render %04x digits non-ASCII
+      case c if c < ' ' => "\\u%04x".formatLocal(java.util.Locale.ROOT, c.toInt)
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
