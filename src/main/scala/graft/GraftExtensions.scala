@@ -362,6 +362,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * session catalog during analysis (views and tables both work):
     *
     * {{{ SELECT * FROM session_stats('events_view', 3600) }}}
+    *
+    * Contract notes: `gapSeconds` is WHOLE seconds (an integer literal —
+    * sub-second gaps need the Scala `Sessionize` API, whose gap is a
+    * full interval string), and the 2-arg form assumes the column names
+    * `user_id`/`ts`/`value`; any other schema must use the 5-arg form.
     */
   private def registerSessionStats(ext: SparkSessionExtensions): Unit = {
     val ident = "[A-Za-z_][A-Za-z0-9_]*"
