@@ -14,10 +14,11 @@ import graft.text.{QualityFilter, TfIdf, TokenPacker}
   */
 object CurationQueries {
 
-  // the oracle's whitespace class IS the engine's, by construction —
-  // interpolated into every normalize-chain replica below so Spark and
-  // DuckDB can never drift (graft.dedup.TextNormalizer.UnicodeWhitespace)
-  private val WS = graft.dedup.TextNormalizer.UnicodeWhitespace
+  // the oracle's whitespace map IS the engine's, by construction —
+  // every normalize-chain replica below interpolates the one translate()
+  // fragment (graft.dedup.TextNormalizer.sqlTranslateArgs), so Spark and
+  // DuckDB whitespace sets can never drift
+  private val WSMAP = graft.dedup.TextNormalizer.sqlTranslateArgs
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -248,8 +249,8 @@ object CurationQueries {
   private val minhashPairsSql =
     s""", norm AS (
       |  SELECT doc_id,
-      |    trim(regexp_replace(regexp_replace(regexp_replace(
-      |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |    trim(regexp_replace(regexp_replace(translate(
+      |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM base
       |), sh AS (
       |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
@@ -325,8 +326,8 @@ object CurationQueries {
     "q37_quality_filter" ->
       s"""WITH norm AS (
         |  SELECT doc_id, text, n_chars,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, text, n_chars, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -389,8 +390,8 @@ object CurationQueries {
         s""", tk AS (
           |  SELECT doc_id, text,
           |    list_filter(string_split(
-          |      trim(regexp_replace(regexp_replace(regexp_replace(
-          |        lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+          |      trim(regexp_replace(regexp_replace(translate(
+          |        lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
           |      ' '), t -> t <> '') AS tl
           |  FROM base
           |), q AS (
@@ -425,8 +426,8 @@ object CurationQueries {
     "q50_curation_pipeline" ->
       s"""WITH norm AS (
         |  SELECT doc_id, text,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, text, norm, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -508,8 +509,8 @@ object CurationQueries {
     "q59_tfidf" ->
       s"""WITH norm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -548,8 +549,8 @@ object CurationQueries {
     "q99_dsir" ->
       s"""WITH norm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM norm
@@ -580,8 +581,8 @@ object CurationQueries {
     "q104_classifier_curation" ->
       s"""WITH norm AS (
         |  SELECT doc_id, text,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, text, norm, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm

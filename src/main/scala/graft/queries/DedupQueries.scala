@@ -16,10 +16,11 @@ import graft.dedup.{ExactDeduplicator, MinHashDeduplicator, SimHasher}
   */
 object DedupQueries {
 
-  // the oracle's whitespace class IS the engine's, by construction —
-  // interpolated into every normalize-chain replica below so Spark and
-  // DuckDB can never drift (graft.dedup.TextNormalizer.UnicodeWhitespace)
-  private val WS = graft.dedup.TextNormalizer.UnicodeWhitespace
+  // the oracle's whitespace map IS the engine's, by construction —
+  // every normalize-chain replica below interpolates the one translate()
+  // fragment (graft.dedup.TextNormalizer.sqlTranslateArgs), so Spark and
+  // DuckDB whitespace sets can never drift
+  private val WSMAP = graft.dedup.TextNormalizer.sqlTranslateArgs
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -54,8 +55,8 @@ object DedupQueries {
       |  FROM documents WHERE doc_id % 7 = 0
       |), norm AS (
       |  SELECT doc_id,
-      |    trim(regexp_replace(regexp_replace(regexp_replace(
-      |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |    trim(regexp_replace(regexp_replace(translate(
+      |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM base
       |)""".stripMargin
 
@@ -238,8 +239,8 @@ object DedupQueries {
   private val simhashSql: String =
     s"""WITH norm AS (
       |  SELECT doc_id,
-      |    trim(regexp_replace(regexp_replace(regexp_replace(
-      |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |    trim(regexp_replace(regexp_replace(translate(
+      |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents
       |)""".stripMargin +
       simhashChain + "\nSELECT doc_id, simhash FROM sigs"
@@ -257,8 +258,8 @@ object DedupQueries {
     "q128_source_resemblance" ->
       s"""WITH norm AS (
         |  SELECT source,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), sh AS (
         |  SELECT DISTINCT source, substring(norm, CAST(i AS INT), 8) AS shingle
@@ -500,8 +501,8 @@ object DedupQueries {
       (seededSql +
         s"""
           |, known AS (
-          |  SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(regexp_replace(
-          |    lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+          |  SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(translate(
+          |    lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
           |  FROM documents WHERE doc_id % 3 = 0
           |), inc AS (
           |  SELECT doc_id, sha256(norm) AS fingerprint FROM norm

@@ -11,10 +11,11 @@ import graft.text.{Bm25, BpeTrainer, Chunker, ContaminationChecker, CorpusDivers
   */
 object TextQueries {
 
-  // the oracle's whitespace class IS the engine's, by construction —
-  // interpolated into every normalize-chain replica below so Spark and
-  // DuckDB can never drift (graft.dedup.TextNormalizer.UnicodeWhitespace)
-  private val WS = graft.dedup.TextNormalizer.UnicodeWhitespace
+  // the oracle's whitespace map IS the engine's, by construction —
+  // every normalize-chain replica below interpolates the one translate()
+  // fragment (graft.dedup.TextNormalizer.sqlTranslateArgs), so Spark and
+  // DuckDB whitespace sets can never drift
+  private val WSMAP = graft.dedup.TextNormalizer.sqlTranslateArgs
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -22,8 +23,8 @@ object TextQueries {
   private val normSql =
     s"""WITH norm AS (
       |  SELECT doc_id, text,
-      |    trim(regexp_replace(regexp_replace(regexp_replace(
-      |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |    trim(regexp_replace(regexp_replace(translate(
+      |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents
       |), toks AS (
       |  SELECT doc_id, text, list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM norm
@@ -906,8 +907,8 @@ object TextQueries {
     "q80_hll" ->
       s"""WITH nrm AS (
         |  SELECT source,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
@@ -1029,8 +1030,8 @@ object TextQueries {
     "q143_blocklist" ->
       s"""WITH nrm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS tl
@@ -1061,8 +1062,8 @@ object TextQueries {
     "q138_sequence_pack" ->
       s"""WITH nrm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), cnt AS (
         |  SELECT doc_id,
@@ -1145,8 +1146,8 @@ object TextQueries {
     "q122_sketch_rollup" ->
       s"""WITH nrm AS (
         |  SELECT source,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
@@ -1177,8 +1178,8 @@ object TextQueries {
         |FROM st""".stripMargin,
     "q81_pmi" ->
       s"""WITH nrm AS (
-        |  SELECT trim(regexp_replace(regexp_replace(regexp_replace(
-        |    lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  SELECT trim(regexp_replace(regexp_replace(translate(
+        |    lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), toks AS (
         |  SELECT list_filter(string_split(norm, ' '), t -> t <> '') AS tl FROM nrm
@@ -1264,8 +1265,8 @@ object TextQueries {
     "q67_distinct_sketch" ->
       s"""WITH nrm AS (
         |  SELECT source,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS tok FROM nrm
@@ -1301,8 +1302,8 @@ object TextQueries {
     "q86_entropy" ->
       s"""WITH nrm AS (
         |  SELECT source,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(text), '$WS', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(translate(
+        |      lower(text), $WSMAP), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |  FROM documents
         |), tok AS (
         |  SELECT source, unnest(list_filter(string_split(norm, ' '), t -> t <> '')) AS term FROM nrm

@@ -153,19 +153,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle normalize-chain replica carries the engine's whitespace class") {
-    // TextNormalizer.normalize and its ~20 DuckDB replicas must widen in
+  test("every oracle normalize-chain replica carries the engine's whitespace map") {
+    // TextNormalizer.normalize and its ~20 DuckDB replicas must move in
     // LOCKSTEP: an oracle still on RE2's ASCII [[:space:]] (or \s) would
     // agree with the engine on the test corpus and silently diverge on
     // the first NBSP. Any oracle that replays the strip stage must embed
-    // the exact UnicodeWhitespace class — interpolated from the one
+    // the exact translate() fragment — interpolated from the one
     // constant, so this can only fail if someone hand-writes a new chain.
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql) if sql.contains("[^a-z0-9 ]', '', 'g'), ' +'") &&
-        !sql.contains(graft.dedup.TextNormalizer.UnicodeWhitespace) => name
+        !sql.contains(graft.dedup.TextNormalizer.sqlTranslateArgs) => name
     }
     assert(offenders.isEmpty,
-      s"oracles replaying normalize without the Unicode whitespace class: " +
+      s"oracles replaying normalize without the shared whitespace translate: " +
         offenders.toSeq.sorted.mkString(", "))
     val ascii = SparkEntry.oracleSql.collect {
       case (name, sql) if sql.contains("[[:space:]]") => name

@@ -75,12 +75,12 @@ class DedupSpec extends SparkTestBase {
   }
 
   // mirrors TextNormalizer.normalize as Spark SQL text: whitespace map
-  // BEFORE the punct strip. Spark SQL string literals process backslash
-  // escapes, so the regex class needs its backslashes doubled here.
-  private val wsSql = TextNormalizer.UnicodeWhitespace.replace("\\", "\\\\")
+  // (the Spark-flavored translate fragment — chr() is mod-256 in Spark,
+  // so the DuckDB oracles' chr-concat form would silently map the wrong
+  // chars here) BEFORE the punct strip
   private val normSql =
-    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), " +
-      s"'$wsSql', ' '), '[^a-z0-9 ]', ''), ' +', ' '))"
+    "trim(regexp_replace(regexp_replace(translate(lower(text), " +
+      s"${TextNormalizer.sparkSqlTranslateArgs}), '[^a-z0-9 ]', ''), ' +', ' '))"
   private val toksSql = s"split($normSql, ' ')"
 
   test("normalize maps newlines/tabs to spaces BEFORE stripping punct") {
@@ -119,6 +119,17 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     (1L to 7L).foreach(id => assert(out(id) === "hello world", s"doc $id"))
     assert(out(8L) === "helloworld") // ZWSP fuses
+    // the driver-side regex class (PhraseMatcher's path) and the
+    // translate codepoint set are the SAME whitespace definition
+    TextNormalizer.WhitespaceCodepoints.foreach { cp =>
+      assert(cp.toChar.toString.matches(TextNormalizer.UnicodeWhitespace),
+        f"U+$cp%04X in codepoints but not in the regex class")
+    }
+    Seq(0x200B, 0x180E, 'a'.toInt).foreach { cp =>
+      assert(!cp.toChar.toString.matches(TextNormalizer.UnicodeWhitespace),
+        f"U+$cp%04X must NOT be whitespace")
+      assert(!TextNormalizer.WhitespaceCodepoints.contains(cp))
+    }
     // the SQL-text replica (the oracle shape) agrees on every row
     val sqlOut = rows.selectExpr("doc_id", s"$normSql AS n")
       .as[(Long, String)].collect().toMap
