@@ -101,7 +101,13 @@ object Bench {
     * (GC, contention, spill), not a plan flip.
     */
   private[graft] def planHash(plan: String): String = {
-    val normalized = plan
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(normalizePlan(plan).getBytes("UTF-8"))
+    d.take(4).map(b => f"$b%02x").mkString
+  }
+
+  private[graft] def normalizePlan(plan: String): String =
+    plan
       .replaceAll("#\\d+[L]?", "#")
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("\\[id=#?\\d+\\]", "[id=]")
@@ -121,10 +127,12 @@ object Bench {
       // pattern literal) never merges distinct plans
       .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+(@[0-9a-f]+)?", "\\$\\$Lambda")
       .replaceAll("LocalTableScan \\[.*", "LocalTableScan")
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(normalized.getBytes("UTF-8"))
-    d.take(4).map(b => f"$b%02x").mkString
-  }
+      // FileScan locations under the system tmp dir are ephemeral by
+      // definition (q164 bakes the PID into its artifact dir, so the
+      // SAME commit hashed differently every run — r12 find); strip the
+      // path remainder, keep the `file:/tmp/` marker so a tmp-vs-real
+      // layout move still flips the hash
+      .replaceAll("file:/tmp/[^\\]\\s,]*", "file:/tmp/")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

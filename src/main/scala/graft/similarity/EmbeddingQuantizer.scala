@@ -55,9 +55,14 @@ class EmbeddingQuantizer(override val uid: String) extends Transformer
     // amax PER ELEMENT — O(dim^3) per row. Staged, each is computed once
     // per row and the whole pass is O(dim) (multiply-used non-cheap
     // projections survive CollapseProject; same shape as
-    // EmbeddingNormalizer.transform). The temp name is uid-qualified so a
-    // caller's own column can't be silently overwritten then dropped.
-    val nName = s"__norm_$uid"
+    // EmbeddingNormalizer.transform). The temp name is DETERMINISTIC
+    // (not uid-qualified: randomUID baked a per-instance token into the
+    // plan, so the same query hashed differently every run — r12
+    // plan-stability find) and collides loudly instead of silently
+    // overwriting a caller's column.
+    val nName = s"__norm_embedQuant_${$(inputCol)}"
+    require(!dataset.columns.contains(nName),
+      s"input already has a column named $nName (the quantizer's temp name)")
     val n = col(nName)
     dataset
       .withColumn(nName, norm(v))

@@ -65,6 +65,15 @@ class BenchDiffSpec extends AnyFunSuite {
     val d = "MapPartitions graft.multimodal.MediaDecoder$$Lambda$2721/0x00007faf80d99690@1616f27b, obj#15"
     val e = "MapPartitions graft.multimodal.MediaDecoder$$Lambda$3104/0x00007fb081d99691@5afd267e, obj#58"
     assert(graft.Bench.planHash(d) === graft.Bench.planHash(e))
+    // tmp-dir FileScan locations are ephemeral (q164 bakes the PID into
+    // its artifact dir — the r12 flip class); the path remainder is
+    // stripped but the file:/tmp/ marker survives, so a move to a real
+    // layout still flips
+    val f = "FileScan parquet [cid#] Location: InMemoryFileIndex(1 paths)[file:/tmp/graft_q164_artifacts_21777/ivf/centroids]"
+    val g = "FileScan parquet [cid#] Location: InMemoryFileIndex(1 paths)[file:/tmp/graft_q164_artifacts_22793/ivf/centroids]"
+    assert(graft.Bench.planHash(f) === graft.Bench.planHash(g))
+    val h = f.replace("file:/tmp/graft_q164_artifacts_21777/ivf/centroids", "file:/data/ivf/centroids")
+    assert(graft.Bench.planHash(f) !== graft.Bench.planHash(h))
   }
 
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
