@@ -102,6 +102,18 @@ object BenchDiff {
     * print both times so a flip with a flat time (AQE re-decision, benign)
     * reads differently from a flip with a jump.
     */
+  /** Queries whose FINAL PLAN genuinely varies with session history, not
+    * by any token the hash normalization could strip: q87's five exact
+    * distinct aggregates go through RewriteDistinctAggregates, whose
+    * attribute-set ordering keys on per-JVM `ExprId` hashes — the same
+    * semantic plan prints with its group keys / gid filters PERMUTED
+    * depending on how many expr ids earlier queries consumed. Verified
+    * r12: solo and focused-bench hashes are stable run-to-run; full-suite
+    * hashes differ every run. Flagged KNOWN-UNSTABLE so the one permanent
+    * false flip doesn't erode trust in the real flip signal.
+    */
+  private val knownUnstableHash = Set("q87_profile")
+
   private def plansMode(oldPath: String, newPath: String): Unit = {
     val oldJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(oldPath))))
     val newJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(newPath))))
@@ -122,6 +134,9 @@ object BenchDiff {
           case (Some(a), Some(b)) if a == b =>
             same += 1
             println(f"PLANS $q%-6s $a -> $b SAME")
+          case (Some(a), Some(b)) if knownUnstableHash(kn) =>
+            same += 1
+            println(f"PLANS $q%-6s $a -> $b KNOWN-UNSTABLE (distinct-agg rewrite ordering)")
           case (Some(a), Some(b)) =>
             flips += 1
             println(f"PLANS $q%-6s $a -> $b FLIP ${tOld(ko)}%6.2fs -> ${tNew(kn)}%6.2fs")
@@ -215,6 +230,8 @@ object BenchDiff {
       val pOld = teleField(oldJson, nameOld.getOrElse(short(q), q), "plan")
       val pNew = teleField(newJson, q, "plan")
       val kind = (pOld, pNew) match {
+        case (Some(a), Some(b)) if a != b && knownUnstableHash(q) =>
+          "KNOWN-UNSTABLE-HASH(treat as same plan)"
         case (Some(a), Some(b)) if a != b => "PLAN-FLIP"
         case (Some(a), Some(b)) if a == b => "ENVIRONMENTAL(same plan)"
         case _ => "NO-HASH"
