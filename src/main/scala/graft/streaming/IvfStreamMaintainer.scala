@@ -141,8 +141,42 @@ class IvfStreamMaintainer(
     * a pointer cutover once it crosses the watermark.
     */
   def appendBatch(batch: DataFrame, batchId: Long): Unit = {
+    guardAgainstFreshCheckpoint(batch.sparkSession, batchId)
     writeBatch(ivf.listRows(batch, centroids(batch.sparkSession)), batchId)
     if (maxFilesPerCell > 0) maybeCompact(batch.sparkSession, batchId)
+  }
+
+  // -1 = not yet probed; afterwards the highest era this process has
+  // seen (streaming ids are monotonic within a checkpoint, so one FS
+  // probe at startup suffices — no per-trigger listing)
+  @volatile private var maxSeenEra: Long = -1L
+
+  /** A stream restarted with a FRESH checkpoint restarts batch ids at 1,
+    * and dynamic partition overwrite would then silently REPLACE the
+    * historical `batch=1..N` eras one trigger at a time — data loss that
+    * surfaces only when search results thin out. A legitimate recovery
+    * replays the LATEST batch (id == current max) or continues past it,
+    * so an id strictly below the highest era on disk is always a wiring
+    * mistake: fail loudly and name the fix (new path, or resume the
+    * original checkpoint).
+    */
+  private def guardAgainstFreshCheckpoint(spark: SparkSession, batchId: Long): Unit = {
+    if (maxSeenEra < 0L) {
+      val dir = new Path(listsDir(spark))
+      val fs = hfs(spark)
+      maxSeenEra =
+        if (!fs.exists(dir)) 0L
+        else fs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong)
+          .foldLeft(0L)(math.max)
+    }
+    require(batchId >= maxSeenEra,
+      s"appendBatch(batchId=$batchId) is below the highest era already in the " +
+        s"layout (batch=$maxSeenEra): a stream restarted with a FRESH checkpoint " +
+        "would overwrite history one trigger at a time. Resume the original " +
+        "checkpoint, or start a new maintained path (compactTo/retrainTo).")
+    maxSeenEra = math.max(maxSeenEra, batchId)
   }
 
   /** Count of `batch=` eras in the live lists dir — each era contributes

@@ -273,6 +273,31 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
     assert(m3.cellDrift(spark) === 0.0)
   }
 
+  test("a fresh-checkpoint restart (batch ids below on-disk history) fails loudly") {
+    val path = Files.createTempDirectory("graft-ivf-freshckpt").toString
+    val m = new IvfStreamMaintainer(ivf, path)
+    m.bootstrap((0L until 100L).map(vec).toDF())
+    (1 to 5).foreach { b =>
+      m.appendBatch((100L + b * 10L until 110L + b * 10L).map(vec).toDF(), b.toLong)
+    }
+    // a NEW maintainer (process restart) resuming the original checkpoint
+    // replays the latest id (same content — the at-least-once contract)
+    // or continues past it — both fine
+    val resumed = new IvfStreamMaintainer(ivf, path)
+    resumed.appendBatch((150L until 160L).map(vec).toDF(), 5L) // replay of latest
+    resumed.appendBatch((170L until 180L).map(vec).toDF(), 6L)
+    // but a FRESH checkpoint restarts ids at 1 and would silently
+    // overwrite batch=1..N one trigger at a time — must fail loudly
+    val fresh = new IvfStreamMaintainer(ivf, path)
+    val e = intercept[IllegalArgumentException] {
+      fresh.appendBatch((180L until 190L).map(vec).toDF(), 1L)
+    }
+    assert(e.getMessage.contains("FRESH checkpoint"))
+    // nothing was lost by the refused write: bootstrap 100 + batches
+    // 1-5 (50, batch 5 replayed with identical content) + batch 6 (10)
+    assert(new IvfStreamMaintainer(ivf, path).load(spark).lists.count() === 160L)
+  }
+
   test("a replayed batch id overwrites its own partition — no duplicate list rows") {
     val path = Files.createTempDirectory("graft-ivf-replay").toString
     val m = new IvfStreamMaintainer(ivf, path)
