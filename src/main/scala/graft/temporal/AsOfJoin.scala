@@ -86,8 +86,14 @@ class AsOfJoin(
     val wBack = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // desc_nulls_FIRST, deliberately: a NULL left time can never have an
+    // as-of answer. asc puts nulls first, so the backward scan naturally
+    // shows them nothing — but plain desc puts them LAST, where the scan
+    // has already accumulated every right row, and a tolerance-less
+    // forward join silently matched null-time rows to the EARLIEST right
+    // row (merge_asof never matches NaT; backward and forward must agree)
     val wFwd = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").desc, col("__side").asc)
+      .orderBy(col("__t").desc_nulls_first, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val union = lTagged.unionByName(rTagged)

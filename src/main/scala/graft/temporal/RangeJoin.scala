@@ -50,10 +50,17 @@ class RangeJoin(
 
     val pb = points.withColumn("__bucket",
       floor(col(timeCol).cast("long") / bucketWidth))
-    val ib = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(startCol).cast("long") / bucketWidth),
-        floor(col(endCol).cast("long") / bucketWidth))))
+    // inverted intervals (end < start) can never match a point, but
+    // sequence() DESCENDS for them — one dirty row like (start=10^9,
+    // end=0) would explode into start/W garbage bucket rows before the
+    // residual filters them. Drop them BEFORE the explode; the filter
+    // also discards null-bounded intervals (null never matches BETWEEN).
+    val ib = intervals
+      .where(col(endCol).cast("long") >= col(startCol).cast("long"))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(startCol).cast("long") / bucketWidth),
+          floor(col(endCol).cast("long") / bucketWidth))))
     pb.join(ib, keyCols :+ "__bucket")
       .where(col(timeCol).cast("long").between(
         col(startCol).cast("long"), col(endCol).cast("long")))

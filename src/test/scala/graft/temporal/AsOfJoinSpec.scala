@@ -72,6 +72,24 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(m(5L) === Some(4.0))   // unchanged best match
   }
 
+  test("null-time LEFT rows never match, in every direction") {
+    // plain desc ordering put null-time left rows at the END of the
+    // forward scan, where "last right seen" is the earliest quote — a
+    // tolerance-less forward join silently matched rows that have no
+    // time at all (merge_asof never matches NaT); backward/forward/
+    // nearest must agree: no time, no match
+    val withNullTrade = trades.unionByName(
+      Seq((6L, "A", Option.empty[Long])).toDF("trade_id", "sym", "t"))
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val m = new AsOfJoin(Seq("sym"), "t", "qt", dir)
+        .join(withNullTrade, quotes)
+        .select($"trade_id", $"px").as[(Long, Option[Double])].collect().toMap
+      assert(m(6L) === None, s"direction=$dir matched a null-time left row")
+      assert(m(5L) === (if (dir == "forward") None else Some(4.0)),
+        s"direction=$dir disturbed a real match")
+    }
+  }
+
   test("clashing right payload columns are rejected") {
     val bad = quotes.withColumnRenamed("px", "t")
     intercept[IllegalArgumentException] {

@@ -28,6 +28,22 @@ class RangeJoinSpec extends SparkTestBase {
     assert(joined(width = 50L) === expected)
   }
 
+  test("inverted and null-bounded intervals are dropped BEFORE the bucket explode") {
+    // sequence() DESCENDS for end < start, so one dirty inverted interval
+    // would explode into start/width garbage rows before the residual
+    // filters them — the guard must kill it pre-explode (results already
+    // could not include it: BETWEEN never matches an inverted interval)
+    val dirty = intervals.unionByName(Seq(
+      (13L, "A", Some(1000000000L), Some(0L)), // inverted: 2e7 rows at width 50 pre-guard
+      (14L, "A", None, Some(200L)),
+      (15L, "B", Some(100L), None))
+      .toDF("iid", "key", "lo", "hi"))
+    val out = new RangeJoin(Seq("key"), "t", "lo", "hi", 50L)
+      .join(points, dirty)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L), (2L, 10L), (2L, 11L), (4L, 12L)))
+  }
+
   test("bucket width does not change results (only the plan)") {
     val expected = joined(width = 50L)
     assert(joined(width = 1L) === expected)
