@@ -614,7 +614,9 @@ object TemporalQueries {
         |FROM z GROUP BY 1""".stripMargin,
     // the same recurrence as a recursive CTE: rn=1 seeds at the value,
     // each step computes 0.25*v + 0.75*prev in the identical order (both
-    // constants exactly representable, so no cross-engine drift)
+    // constants exactly representable, so no cross-engine drift). The
+    // CASE mirrors the engine's null handling: a null observation emits
+    // the running ewma unchanged instead of poisoning every later step
     "q127_ewma" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_id, value,
@@ -625,7 +627,9 @@ object TemporalQueries {
         |  SELECT user_id, event_id, value, rn, value FROM ev WHERE rn = 1
         |  UNION ALL
         |  SELECT ev.user_id, ev.event_id, ev.value, ev.rn,
-        |    0.25 * ev.value + 0.75 * rec.ewma
+        |    CASE WHEN ev.value IS NULL THEN rec.ewma
+        |         WHEN rec.ewma IS NULL THEN ev.value
+        |         ELSE 0.25 * ev.value + 0.75 * rec.ewma END
         |  FROM rec JOIN ev ON ev.user_id = rec.user_id AND ev.rn = rec.rn + 1
         |)
         |SELECT user_id, event_id, value, ewma

@@ -513,6 +513,23 @@ object TextQueries {
       new TokenPacker().setIdCol("doc_id").setTokensCol("bpe_tokens")
         .setBudget(2048L).transform(counted)
         .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("chunk"))
+    }),
+
+    // the loader-facing half of real-tokenizer packing: the same
+    // committed-fixture BPE subword counts drive SequencePacker's span
+    // table — which token range of which document lands in which
+    // fixed-length training sequence (q138's arithmetic on REAL counts)
+    "q169_bpe_seq_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = s.read.parquet(Goldens.path("q168_bpe") + "/merges")
+      val counts = new BpeTrainer().segment(docs, merges)
+        .groupBy(col("doc_id"))
+        .agg(sum(size(col("subwords"))).as("bpe_tokens"))
+      val counted = docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("bpe_tokens"), lit(0L)).as("n_tokens"))
+      new SequencePacker(seqLen = 128L).spansOnCounts(counted)
     })
   )
 
@@ -580,7 +597,12 @@ object TextQueries {
     * replay TokenPacker's exclusive-prefix chunking. A missing rank
     * (early-stopped training) replaces chr(1) — a no-op on both engines.
     */
-  private def bpePackOracleSql(k: Int, budget: Long): String = {
+  /** Shared CTE chain for the q168/q169 fixture-BPE compositions:
+    * normalize → distinct words → k unrolled rank-order merge stages
+    * against the committed merge table → per-doc REAL subword counts
+    * (`cnt`). Ends with `cnt`, callers append their pack/span tail.
+    */
+  private def bpeCntCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(normSql)
     sb.append(s"""
@@ -613,7 +635,13 @@ object TextQueries {
       |  LEFT JOIN tok ON tok.doc_id = d.doc_id
       |  LEFT JOIN seg ON seg.word = tok.word
       |  GROUP BY d.doc_id
-      |), pref AS (
+      |)""".stripMargin)
+    sb.toString
+  }
+
+  private def bpePackOracleSql(k: Int, budget: Long): String =
+    bpeCntCtes(k) + s"""
+      |, pref AS (
       |  SELECT doc_id, n_tokens,
       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -624,9 +652,34 @@ object TextQueries {
       |  CAST(floor(prefix_tokens / $budget.0) AS BIGINT) AS chunk
       |FROM pref
       |UNION ALL -- guard: loud mismatch if the fixture outgrows the replayed ranks
-      |SELECT -1, -1, -1, -1 WHERE (SELECT max("rank") FROM mt) > $k""".stripMargin)
-    sb.toString
-  }
+      |SELECT -1, -1, -1, -1 WHERE (SELECT max("rank") FROM mt) > $k""".stripMargin
+
+  /** q169 tail: [[graft.text.SequencePacker]] span arithmetic over the
+    * REAL subword counts (the q138 replay with `cnt` swapped in).
+    */
+  private def bpeSeqPackOracleSql(k: Int, seqLen: Long): String =
+    bpeCntCtes(k) + s"""
+      |, pre AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start
+      |  FROM cnt
+      |), nz AS (SELECT * FROM pre WHERE n_tokens > 0),
+      |spans AS (
+      |  SELECT doc_id, n_tokens, start,
+      |    unnest(generate_series(start // $seqLen, (start + n_tokens - 1) // $seqLen))
+      |      AS seq_id
+      |  FROM nz
+      |)
+      |SELECT doc_id, n_tokens, seq_id,
+      |  greatest(start, seq_id * $seqLen) - seq_id * $seqLen AS seq_off,
+      |  greatest(start, seq_id * $seqLen) - start AS doc_off,
+      |  least(start + n_tokens, (seq_id + 1) * $seqLen)
+      |    - greatest(start, seq_id * $seqLen) AS len
+      |FROM spans
+      |UNION ALL -- guard: loud mismatch if the fixture outgrows the replayed ranks
+      |SELECT -1, -1, -1, -1, -1, -1 WHERE (SELECT max("rank") FROM mt) > $k""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // same md5 coins (selection + two boundary draws), list_slice + list
@@ -1362,6 +1415,7 @@ object TextQueries {
           |FROM lb GROUP BY 1, 2""".stripMargin),
     "q97_bpe" -> bpeOracleSql(10),
     "q168_bpe_pack" -> bpePackOracleSql(64, 2048L),
+    "q169_bpe_seq_pack" -> bpeSeqPackOracleSql(64, 128L),
     "q100_bigram_lm" ->
       (normSql +
         """

@@ -54,13 +54,37 @@ class Scd2Merge(
     val ups = updates.select(col(keyCol), col(payloadCol),
       col(tsCol).cast("long").as("__t"), lit(1).as("__side"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__side"))
+    // loud guard: an update timestamped BEFORE its key's open version
+    // start would insert a version UNDER the existing one — overlapping
+    // [from, to) validity, i.e. silently corrupted history (backfill
+    // against closed history needs a rebuild, not a merge). The check is
+    // a second window over the SAME partitioning — no extra shuffle.
+    val wAll = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val openFrom = max(when(col("__side") === 0, col("__t"))).over(wAll)
     val chain = open.unionByName(ups)
+      // per-key flag computed BEFORE duplicate suppression (the offending
+      // update itself might be suppressed, but its key always keeps at
+      // least its first row, which carries the flag forward)
+      .withColumn("__bad",
+        max(when(col("__side") === 1 && col("__t") < openFrom, col("__t")))
+          .over(wAll))
       .withColumn("__prev", lag(col(payloadCol), 1).over(w))
       // keep version starts: the first row per key, and every payload change
       .where(col("__prev").isNull || !(col(payloadCol) <=> col("__prev")))
       .withColumn("__next", lead(col("__t"), 1).over(w))
+      // the guard lives INSIDE the fromCol output expression so column
+      // pruning can never drop it (the GroupedNtile lesson: a guard in
+      // its own never-referenced column silently disappears)
       .select(col(keyCol), col(payloadCol),
-        col("__t").as(fromCol), col("__next").as(toCol))
+        when(col("__bad").isNotNull, raise_error(concat(
+          lit("Scd2Merge: update at "), col("__bad").cast("string"),
+          lit(s" precedes the open version's $fromCol for $keyCol="),
+          col(keyCol).cast("string"),
+          lit(" — merging it would create overlapping validity; rebuild instead"))
+          ).cast("long"))
+          .otherwise(col("__t")).as(fromCol),
+        col("__next").as(toCol))
     closed.unionByName(chain)
   }
 }

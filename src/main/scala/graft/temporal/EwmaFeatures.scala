@@ -44,6 +44,14 @@ class EwmaFeatures(
         s"""array_sort(collect_list(named_struct(
            |  'o', $orderCol, 'tie', $tieCol, 'v', CAST($valueCol AS DOUBLE))))
            |""".stripMargin).as("seq"))
+      // NULL values must not poison the smoother: a*NULL + b*prev is
+      // NULL, and the naive fold carried that null as `prev` FOREVER —
+      // one missing observation blanked every later ewma of the key.
+      // The pandas `ewm` convention instead: a null observation emits
+      // the running ewma unchanged (null only while no value has been
+      // seen yet), so the emitted value and the carry are the SAME
+      // expression in every case. Oracle (q127) replays the identical
+      // CASE in its recursive CTE.
       .select(col(keyCol), explode(expr(
         s"""aggregate(
            |  slice(seq, 2, greatest(size(seq) - 1, 0)),
@@ -54,8 +62,12 @@ class EwmaFeatures(
            |  (acc, x) -> named_struct(
            |    'lst', concat(acc.lst, array(named_struct(
            |      'tie', x.tie, 'v', x.v,
-           |      'ewma', ${a}D * x.v + ${b}D * acc.prev))),
-           |    'prev', ${a}D * x.v + ${b}D * acc.prev),
+           |      'ewma', CASE WHEN x.v IS NULL THEN acc.prev
+           |                   WHEN acc.prev IS NULL THEN x.v
+           |                   ELSE ${a}D * x.v + ${b}D * acc.prev END))),
+           |    'prev', CASE WHEN x.v IS NULL THEN acc.prev
+           |                 WHEN acc.prev IS NULL THEN x.v
+           |                 ELSE ${a}D * x.v + ${b}D * acc.prev END),
            |  acc -> acc.lst)""".stripMargin)).as("r"))
       .select(col(keyCol), col("r.tie").as(tieCol), col("r.v").as(valueCol),
         col("r.ewma").as("ewma"))

@@ -36,9 +36,19 @@ class SequencePacker(
     * the span starts inside the sequence, `doc_off` where it starts inside
     * the document.
     */
-  def spans(docs: DataFrame): DataFrame = {
-    val counted = docs.select(col(idCol),
-      size(TextNormalizer.tokens(col(textCol))).cast("long").as("n_tokens"))
+  def spans(docs: DataFrame): DataFrame =
+    spansOnCounts(docs.select(col(idCol),
+      size(TextNormalizer.tokens(col(textCol))).cast("long").as("n_tokens")))
+
+  /** [[spans]] from PRECOMPUTED per-document token counts — a frame of
+    * (idCol, n_tokens). The real-tokenizer composition: production
+    * loaders budget sequences on actual tokenizer output (e.g.
+    * `BpeTrainer.segment` subword counts, q169), not the whitespace
+    * count; the span arithmetic is identical either way.
+    */
+  def spansOnCounts(counts: DataFrame): DataFrame = {
+    val counted = counts.select(col(idCol),
+      col("n_tokens").cast("long").as("n_tokens"))
     val withStart =
       PrefixSum.exclusive(counted, idCol, "n_tokens", "start")
         .where(col("n_tokens") > 0)

@@ -69,4 +69,20 @@ class Scd2MergeSpec extends SparkTestBase {
       (2L, "w", 0L, Some(5L)),
       (2L, "x", 5L, None)))
   }
+
+  test("an update older than the open version start fails loudly (no overlapping history)") {
+    // merging (2L, t=2) under k2's open row (valid_from=5) would fabricate
+    // a version overlapping the closed [0,5) row — silent corruption the
+    // old code happily produced; must raise instead
+    val stale = Seq((2L, "q", 2L)).toDF("k", "segment", "ts")
+    val e = intercept[Exception] {
+      new Scd2Merge("k").apply(dim, stale, "segment", "ts").collect()
+    }
+    assert(e.getMessage.contains("precedes the open version"))
+    // a key with NO open row (pure insert) is unaffected by the guard
+    val insert = Seq((9L, "n", 1L)).toDF("k", "segment", "ts")
+    val res = new Scd2Merge("k").apply(dim, insert, "segment", "ts")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(res.filter(_._1 == 9L) === Set((9L, "n", 1L, None)))
+  }
 }

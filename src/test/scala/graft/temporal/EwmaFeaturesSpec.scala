@@ -41,4 +41,27 @@ class EwmaFeaturesSpec extends SparkTestBase {
     val rows = (1L to 100L).map(i => (i % 7, i, i * 10L, i.toDouble))
     assert(run(rows).size === 100)
   }
+
+  test("a null observation emits the running ewma and does NOT poison later steps") {
+    // the old fold carried a*NULL + b*prev = NULL as `prev` forever: one
+    // missing reading blanked the key's entire remaining ewma series.
+    // pandas ewm convention: null rows surface the running value; the
+    // smoother resumes on the next real observation
+    val rows = Seq(
+      (1L, 10L, 100L, Some(8.0)),
+      (1L, 11L, 200L, None),
+      (1L, 12L, 300L, Some(4.0)),
+      (2L, 20L, 100L, None), // leading null: no value seen yet
+      (2L, 21L, 200L, Some(5.0)))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val got = new EwmaFeatures(alpha = 0.25).transform(rows)
+      .select("user_id", "event_id", "ewma")
+      .as[(Long, Long, Option[Double])].collect()
+      .map { case (u, e, w) => (u, e) -> w }.toMap
+    assert(got((1L, 10L)) === Some(8.0))
+    assert(got((1L, 11L)) === Some(8.0)) // running value, unchanged
+    assert(got((1L, 12L)) === Some(0.25 * 4.0 + 0.75 * 8.0)) // resumed
+    assert(got((2L, 20L)) === None) // nothing observed yet
+    assert(got((2L, 21L)) === Some(5.0)) // seeds at first real value
+  }
 }
