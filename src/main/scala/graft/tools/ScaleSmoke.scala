@@ -212,6 +212,23 @@ object ScaleSmoke {
       "sequence_pack" -> { d: DataFrame =>
         new graft.text.SequencePacker(seqLen = 512).spans(d).count()
       },
+      // real-tokenizer packing (q168/q169 composition): broadcast
+      // rank-priority BPE encoder against the committed 64-merge fixture
+      // → per-doc subword counts → shard chunks. Scale stake: the encoder
+      // is row-local behind one broadcast table and the per-task word
+      // memo makes repeated (Zipf) words one hash hit each — time must
+      // track corpus size, never merges × corpus
+      "bpe_pack" -> { d: DataFrame =>
+        val spark = d.sparkSession
+        val merges = spark.read.parquet(
+          graft.queries.Goldens.path("q168_bpe") + "/merges")
+        val counts = new graft.text.BpeTrainer().segment(d, merges)
+          .groupBy(col("doc_id"))
+          .agg(sum(size(col("subwords"))).as("bpe_tokens"))
+        new graft.text.TokenPacker().setIdCol("doc_id")
+          .setTokensCol("bpe_tokens").setBudget(2048L)
+          .transform(counts).count()
+      },
       // snapshot diff vs a copy with every 10th document's text changed:
       // full-outer on fixed-width fingerprints, output tracks rows
       "snapshot_diff" -> { d: DataFrame =>
