@@ -32,9 +32,11 @@ import org.apache.spark.sql.types.StructType
   * Cost: one shuffle + one per-key sort, same as any keyed window — at
   * 100 TB it scales exactly like `groupBy(key)`; a pathologically hot key
   * serializes only its own partition (standard salting/time-bucketing
-  * applies upstream). Duplicate (key, time) rows in the right table make
-  * the winner order-dependent — pre-aggregate the right side to one row
-  * per (key, time) when that matters.
+  * applies upstream). Among duplicate (key, time) rows in the right
+  * table, the greatest payload (struct order) wins deterministically —
+  * except when the payload type is unorderable (maps), where the winner
+  * is order-dependent and the right side should be pre-aggregated to one
+  * row per (key, time) upstream.
   */
 class AsOfJoin(
     keyCols: Seq[String],
@@ -83,8 +85,19 @@ class AsOfJoin(
     // nearest: both scans — two Window nodes over the SAME partitioning
     // (one exchange, two per-partition sorts), candidates reconciled
     // row-locally by gap.
+    //
+    // Duplicate (key, time) RIGHT rows: the payload struct joins the sort
+    // key (when its type is orderable — maps aren't), so the winner among
+    // duplicates is the GREATEST payload in both scan directions — a
+    // deterministic function of the data, not of partitioning/speculative
+    // task order. An unorderable payload falls back to the documented
+    // pre-aggregate-upstream contract.
+    val rTie: Seq[Column] =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rStruct))
+        Seq(col("__r").asc_nulls_first)
+      else Seq.empty
     val wBack = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(Seq(col("__t").asc, col("__side").asc) ++ rTie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // desc_nulls_FIRST, deliberately: a NULL left time can never have an
     // as-of answer. asc puts nulls first, so the backward scan naturally
@@ -93,7 +106,7 @@ class AsOfJoin(
     // forward join silently matched null-time rows to the EARLIEST right
     // row (merge_asof never matches NaT; backward and forward must agree)
     val wFwd = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").desc_nulls_first, col("__side").asc)
+      .orderBy(Seq(col("__t").desc_nulls_first, col("__side").asc) ++ rTie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val union = lTagged.unionByName(rTagged)

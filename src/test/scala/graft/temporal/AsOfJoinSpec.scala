@@ -90,6 +90,23 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("duplicate (key, time) right rows: greatest payload wins, deterministically") {
+    // without the payload tiebreak the winner depended on partitioning /
+    // task order — retries and speculation could flip results between
+    // runs. The greatest (qt, px) struct must win in EVERY direction.
+    val dup = quotes.unionByName(Seq(
+      ("A", 200L, 1.5), ("A", 200L, 2.5)).toDF("sym", "qt", "px"))
+    def px(dir: String): Map[Long, Option[Double]] =
+      new AsOfJoin(Seq("sym"), "t", "qt", dir).join(trades, dup)
+        .select($"trade_id", $"px").as[(Long, Option[Double])].collect().toMap
+    // the qt=200 trio (px 2.0, 1.5, 2.5) is trade 2's backward/nearest
+    // answer and trade 1's forward answer — max struct (200, 2.5) must
+    // win everywhere
+    assert(px("backward")(2L) === Some(2.5))
+    assert(px("nearest")(2L) === Some(2.5)) // gap 5 backward beats 95 forward
+    assert(px("forward")(1L) === Some(2.5))
+  }
+
   test("clashing right payload columns are rejected") {
     val bad = quotes.withColumnRenamed("px", "t")
     intercept[IllegalArgumentException] {
