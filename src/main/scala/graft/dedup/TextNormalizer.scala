@@ -51,12 +51,16 @@ object TextNormalizer {
 
   private val wsChars: String = WhitespaceCodepoints.map(_.toChar).mkString
 
-  /** `translate` argument tail (`chr(..)||...||chr(..), '<spaces>'`),
-    * parseable by BOTH Spark SQL and DuckDB (chr-concat constant-folds
-    * in each): every oracle replica interpolates this ONE fragment, so
-    * engine and oracle whitespace sets can never drift — and neither
-    * source file needs raw exotic-whitespace characters (a literal
-    * U+2028 is a line terminator to scalac and hazardous in SQL text).
+  /** `translate` argument tail (`chr(..)||...||chr(..), '<spaces>'`) for
+    * the DUCKDB ORACLE ONLY: every oracle replica interpolates this ONE
+    * fragment, so engine and oracle whitespace sets can never drift —
+    * and neither source file needs raw exotic-whitespace characters (a
+    * literal U+2028 is a line terminator to scalac and hazardous in SQL
+    * text). Do NOT interpolate it into Spark SQL text: Spark's `chr()`
+    * is mod-256 (chr(12288) yields codepoint 0, not ideographic space),
+    * which would silently map the wrong characters — Spark SQL-text
+    * callers use [[sparkSqlTranslateArgs]], and the product path is the
+    * [[normalize]] Column API.
     */
   def sqlTranslateArgs: String =
     WhitespaceCodepoints.map(c => s"chr($c)").mkString(" || ") +

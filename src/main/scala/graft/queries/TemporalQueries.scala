@@ -106,12 +106,14 @@ object TemporalQueries {
     // stats strictly before each event (the ML feature-leakage guard) —
     // one keyed shuffle, one window pass for all features
     // per-user EWMA (alpha = 0.25): the recursive smoother a window frame
-    // can't express — one key-shuffle, then the recurrence runs as a
-    // row-local fold in (ts, event_id) order. Output UNROUNDED on
-    // purpose: the recurrence is bit-identical across engines (same op
-    // order, exactly-representable 0.25/0.75), while rounding would
-    // DIVERGE — the recurrence systematically lands values on exact 6dp
-    // half-boundaries where the two engines' round() disagree.
+    // can't express — the segmented two-phase affine scan (per-(key,
+    // range-bucket) segments, bounded carry chain, within-segment
+    // re-fold), so a hot key never gathers its whole history into one
+    // row. Output UNROUNDED on purpose: every op (bucket assignment,
+    // summary fold, carry chain, re-fold) is bit-identical across
+    // engines (same op order, exactly-representable 0.25/0.75), while
+    // rounding would DIVERGE — the recurrence systematically lands
+    // values on exact 6dp half-boundaries where round() disagrees.
     "q127_ewma" -> ((s, dir) => {
       new graft.temporal.EwmaFeatures(alpha = 0.25)
         .transform(Tables.events(s, dir)
@@ -612,25 +614,78 @@ object TemporalQueries {
         |  min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY 1""".stripMargin,
-    // the same recurrence as a recursive CTE: rn=1 seeds at the value,
-    // each step computes 0.25*v + 0.75*prev in the identical order (both
-    // constants exactly representable, so no cross-engine drift). The
+    // the segmented two-phase plan replayed op-for-op: the same integer
+    // range-bucket formula (64 buckets), a per-segment recursive fold of
+    // the affine summary (a_c, b_c, s_c) in the engine's exact
+    // expression order (seed = lambda applied to the engine's
+    // (0.0, 1.0, NULL) init), the carry chain over segments in bucket
+    // order, and the within-segment re-fold seeded at the carry. Both
+    // constants exactly representable, so no cross-engine drift. The
     // CASE mirrors the engine's null handling: a null observation emits
     // the running ewma unchanged instead of poisoning every later step
     "q127_ewma" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events
-        |), rec(user_id, event_id, value, rn, ewma) AS (
-        |  SELECT user_id, event_id, value, rn, value FROM ev WHERE rn = 1
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS o FROM events
+        |), span AS (
+        |  SELECT user_id, min(o) AS omin, max(o) AS omax FROM base GROUP BY 1
+        |), evr AS (
+        |  SELECT b.user_id, b.event_id, b.value, b.o,
+        |    ((64 * (b.o - s.omin)) // (s.omax - s.omin + 1)) AS bkt,
+        |    row_number() OVER (
+        |      PARTITION BY b.user_id,
+        |        ((64 * (b.o - s.omin)) // (s.omax - s.omin + 1))
+        |      ORDER BY b.o, b.event_id) AS rn
+        |  FROM base b JOIN span s USING (user_id)
+        |), summ(user_id, bkt, rn, a_c, b_c, s_c) AS (
+        |  SELECT user_id, bkt, rn,
+        |    CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE)
+        |         ELSE 0.25 * value + 0.75 * CAST(0.0 AS DOUBLE) END,
+        |    -- anchor types fix the recursion's column types: a DECIMAL
+        |    -- literal product here would round b_c to scale 3 every step
+        |    CASE WHEN value IS NULL THEN CAST(1.0 AS DOUBLE)
+        |         ELSE 0.75 * CAST(1.0 AS DOUBLE) END,
+        |    value
+        |  FROM evr WHERE rn = 1
         |  UNION ALL
-        |  SELECT ev.user_id, ev.event_id, ev.value, ev.rn,
-        |    CASE WHEN ev.value IS NULL THEN rec.ewma
-        |         WHEN rec.ewma IS NULL THEN ev.value
-        |         ELSE 0.25 * ev.value + 0.75 * rec.ewma END
-        |  FROM rec JOIN ev ON ev.user_id = rec.user_id AND ev.rn = rec.rn + 1
+        |  SELECT e.user_id, e.bkt, e.rn,
+        |    CASE WHEN e.value IS NULL THEN summ.a_c
+        |         ELSE 0.25 * e.value + 0.75 * summ.a_c END,
+        |    CASE WHEN e.value IS NULL THEN summ.b_c ELSE 0.75 * summ.b_c END,
+        |    CASE WHEN e.value IS NULL THEN summ.s_c
+        |         WHEN summ.s_c IS NULL THEN e.value
+        |         ELSE 0.25 * e.value + 0.75 * summ.s_c END
+        |  FROM summ JOIN evr e ON e.user_id = summ.user_id
+        |    AND e.bkt = summ.bkt AND e.rn = summ.rn + 1
+        |), segf AS (
+        |  SELECT user_id, bkt, a_c, b_c, s_c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bkt) AS sn
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bkt
+        |                                     ORDER BY rn DESC) AS rr
+        |        FROM summ)
+        |  WHERE rr = 1
+        |), carry(user_id, bkt, sn, cin, prev) AS (
+        |  SELECT user_id, bkt, sn, CAST(NULL AS DOUBLE), s_c
+        |  FROM segf WHERE sn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.bkt, s.sn, carry.prev,
+        |    CASE WHEN carry.prev IS NULL THEN s.s_c
+        |         ELSE s.b_c * carry.prev + s.a_c END
+        |  FROM carry JOIN segf s ON s.user_id = carry.user_id
+        |    AND s.sn = carry.sn + 1
+        |), rec(user_id, event_id, value, bkt, rn, ewma) AS (
+        |  SELECT e.user_id, e.event_id, e.value, e.bkt, e.rn,
+        |    CASE WHEN e.value IS NULL THEN c.cin
+        |         WHEN c.cin IS NULL THEN e.value
+        |         ELSE 0.25 * e.value + 0.75 * c.cin END
+        |  FROM evr e JOIN carry c ON c.user_id = e.user_id AND c.bkt = e.bkt
+        |  WHERE e.rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.value, e.bkt, e.rn,
+        |    CASE WHEN e.value IS NULL THEN rec.ewma
+        |         WHEN rec.ewma IS NULL THEN e.value
+        |         ELSE 0.25 * e.value + 0.75 * rec.ewma END
+        |  FROM rec JOIN evr e ON e.user_id = rec.user_id
+        |    AND e.bkt = rec.bkt AND e.rn = rec.rn + 1
         |)
         |SELECT user_id, event_id, value, ewma
         |FROM rec""".stripMargin,

@@ -56,8 +56,10 @@ class IvfStreamMaintainer(
     maxFilesPerCell: Int = 0) {
 
   // compaction leaves up to three eras (baseline, merged middle, the
-  // replayable current batch), so a watermark below 4 would re-compact
-  // on every subsequent trigger — full-index I/O per micro-batch
+  // replayable current batch) and fires only when the era count EXCEEDS
+  // the watermark, so even the minimum setting leaves two triggers
+  // between compactions (3 -> 4 -> 5 > 4 -> compact) instead of a
+  // full-index rewrite per micro-batch
   require(maxFilesPerCell == 0 || maxFilesPerCell >= 4,
     s"maxFilesPerCell ($maxFilesPerCell) must be 0 (off) or >= 4 " +
       "(compaction itself leaves up to 3 eras; a lower watermark thrashes)")
@@ -192,8 +194,13 @@ class IvfStreamMaintainer(
     else fs.listStatus(dir).count(_.getPath.getName.startsWith("batch="))
   }
 
+  // strictly-greater, deliberately: at the minimum watermark (4) a >=
+  // trigger would re-compact every trigger forever (compaction leaves 3
+  // eras, the next append makes 4) — the exact thrash the require above
+  // warns about. With >, the post-append era count still never exceeds
+  // the watermark observably (crossing it compacts within the same call).
   private def maybeCompact(spark: SparkSession, currentBatchId: Long): Unit =
-    if (eraCount(spark) >= maxFilesPerCell) compactInPlace(spark, currentBatchId)
+    if (eraCount(spark) > maxFilesPerCell) compactInPlace(spark, currentBatchId)
 
   /** Fold the accrued eras into the next `lists@<gen>` generation and cut
     * the pointer over atomically. Three eras survive, deliberately:
@@ -223,16 +230,27 @@ class IvfStreamMaintainer(
       case g => g.stripPrefix("lists@").toInt
     }
     val next = s"$path/lists@${gen + 1}"
+    // stage under a name resolveListsDir can never pick (no "lists@"
+    // prefix), then rename into place only after the write completes: a
+    // crash mid-write must not leave a PARTIAL lists@<gen+1> that the
+    // highest-generation fallback would prefer over the intact current
+    // dir (the gen-0 case has no pointer file yet, so the fallback IS
+    // the resolution path). The rename is the atomic publish.
+    val staging = new Path(s"$path/_staging_lists@${gen + 1}")
+    if (fs.exists(staging)) fs.delete(staging, true) // stale crash debris
     lists
       .withColumn("batch",
         when(col("batch") === b0, b0)
           .when(col("batch") === currentBatchId, currentBatchId)
           .otherwise(lit(currentBatchId - 1L)))
       .repartition(col("batch"), col("cid"))
-      .write.mode("overwrite").partitionBy("batch", "cid").parquet(next)
+      .write.mode("overwrite").partitionBy("batch", "cid")
+      .parquet(staging.toString)
+    fs.rename(staging, new Path(next))
     // pointer cutover: tmp write + rename; the resolution fallback scans
-    // for the highest generation, so even the tiny delete→rename window
-    // cannot strand a reader on a missing dir
+    // for the highest generation (all complete, thanks to the staged
+    // rename above), so even the tiny delete→rename window cannot strand
+    // a reader on a missing dir
     val tmp = new Path(s"$path/LISTS.ptr.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"lists@${gen + 1}".getBytes(StandardCharsets.UTF_8))

@@ -1,7 +1,9 @@
 package graft.temporal
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
 
 /** Per-key exponentially-weighted moving average — the RECURSIVE
   * time-series feature a window frame cannot express: ewma_t = α·x_t +
@@ -12,64 +14,190 @@ import org.apache.spark.sql.functions._
   *
   * Beyond-reference operator (LLM-pipeline extension from the build brief).
   *
-  * Each key's sequence is gathered once (collect_list + array_sort by
-  * (order, tie) — the [[graft.streaming.Sessionize]] / TokenPacker
-  * contract: one entity's history fits in a row) and the recurrence runs
-  * as a row-local `aggregate` fold in sequence order. Engine parity is
-  * exact: the fold multiplies and adds in the same order as the oracle's
-  * recursive CTE, and the default α = 0.25 (and 1-α = 0.75) are exactly
-  * representable doubles, so no literal-parsing drift exists.
+  * == Segmented two-phase plan (no per-key row-size bound) ==
   *
-  * Scale shape: ONE hash-partitioned shuffle on the key, then row-local
-  * work — no window, no self-join, no per-step pass. Hot keys cost their
-  * own history length only.
+  * The old formulation gathered each key's FULL history into one row
+  * (`collect_list` + row-local fold) — correct, but a hot key with 10⁸
+  * events overflows a single row. EWMA is an affine recurrence: each
+  * non-null observation maps the running value p ↦ α·x + (1-α)·p, and
+  * affine maps compose, so a contiguous segment of a key's history is
+  * summarized by three doubles:
+  *
+  *   - `Bc` = Π(1-α) over the segment's non-null values (the composed
+  *     multiplier), `A` = the composed offset (folded left-to-right as
+  *     A' = α·x + (1-α)·A from A=0), so a non-null incoming carry p
+  *     leaves the segment as `Bc·p + A`;
+  *   - `S` = the segment's standalone fold (seeded at its first non-null
+  *     value — what a NULL incoming carry leaves the segment as).
+  *
+  * The plan (the [[graft.sql.PrefixSum]] two-phase discipline, applied to
+  * an affine scan instead of a sum):
+  *
+  *  1. per-key (min, max) of the order column (one partial-aggregated
+  *     groupBy), joined back; each row gets an integer range bucket
+  *     `((o - min) * numBuckets) div (max - min + 1)` — pure BIGINT
+  *     arithmetic, bit-replayable by the oracle;
+  *  2. per-(key, bucket) segment gather: `collect_list` + `array_sort`
+  *     by (order, tie) and ONE row-local fold computing (A, Bc, S) —
+  *     the gathered row is 1/numBuckets of the key's history, and
+  *     `numBuckets` is the knob that keeps it bounded at any history
+  *     length;
+  *  3. per-key carry chain: a window over the ≤numBuckets segment rows
+  *     of each key (collect_list of STRICTLY-EARLIER summaries — three
+  *     doubles each, bounded state) folded left-to-right:
+  *     carry' = if (carry null) S else Bc·carry + A;
+  *  4. re-fold each segment's elements with its incoming carry using the
+  *     plain recurrence — bit-identical fold ORDER within segments.
+  *
+  * Two exchanges total (the (key, bucket) aggregation and the key-window),
+  * both AQE-sized; no join diamond, no global window, no driver state. A
+  * hot key costs max(segment size, numBuckets) per task, never its whole
+  * history.
+  *
+  * == Numeric contract ==
+  *
+  * Within a segment the fold order is bit-identical to the sequential
+  * recurrence. ACROSS segment boundaries the carry is the affine
+  * recomposition `Bc·p + A`, which differs from the purely sequential
+  * interleaving in the last ulps (IEEE addition does not re-associate) —
+  * the standard parallel-scan trade, deterministic and independent of
+  * partitioning/task order. The q127 oracle replays the identical
+  * segmented arithmetic (same bucket formula, same fold expressions), so
+  * engine parity stays bit-exact. `numBuckets = 1` degenerates to one
+  * segment per key — the exact sequential semantics of the old gather
+  * path (and its row-size bound) — for callers who need the purely
+  * sequential bits.
+  *
+  * NULL handling (the pandas `ewm` convention, unchanged): a null
+  * observation emits the running ewma unchanged (null only while no value
+  * has been seen yet) — a*NULL would otherwise poison every later step.
+  * A null ORDER value has no defined position in a recurrence and fails
+  * loudly (the PrefixSum discipline). The order column must be numeric /
+  * timestamp (bucketing is integer arithmetic on its BIGINT cast — a
+  * monotone function of the order, so segment boundaries respect it;
+  * within-segment sorting uses the original values).
   */
 class EwmaFeatures(
     alpha: Double = 0.25,
     keyCol: String = "user_id",
     orderCol: String = "ts_us",
     valueCol: String = "value",
-    tieCol: String = "event_id") {
+    tieCol: String = "event_id",
+    numBuckets: Int = 64) {
   require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+  require(numBuckets > 0, s"numBuckets ($numBuckets) must be positive")
 
   /** (key, tie, value, ewma): one row per input event; ewma seeds at the
     * key's first value.
     */
   def transform(events: DataFrame): DataFrame = {
+    events.schema(orderCol).dataType match {
+      case _: NumericType | TimestampType | DateType => ()
+      case dt => throw new IllegalArgumentException(
+        s"EwmaFeatures: order column '$orderCol' must be numeric/timestamp for " +
+          s"range bucketing, got $dt")
+    }
     val a = alpha
     val b = 1.0 - alpha
-    events
-      .groupBy(col(keyCol))
+    val B = numBuckets
+
+    val e = events.select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+      col(tieCol).as("__tie"), col(valueCol).cast("double").as("__v"))
+
+    // phase 1: per-key span -> integer range bucket. The join is
+    // null-safe so a NULL key is a real group (the TargetEncoder
+    // convention); AQE broadcasts the span frame while small.
+    val span = e.groupBy(col("__k"))
+      .agg(min(col("__o").cast("long")).as("__omin"),
+        max(col("__o").cast("long")).as("__omax"))
+      .select(col("__k").as("__sk"), col("__omin"), col("__omax"))
+    val withB = e.join(span, col("__k") <=> col("__sk")).drop("__sk")
+      .withColumn("__bkt",
+        when(col("__o").isNull,
+          raise_error(lit(s"EwmaFeatures: null order value in '$orderCol'")))
+          .otherwise(expr(
+            s"(($B * (CAST(__o AS BIGINT) - __omin)) div (__omax - __omin + 1))")))
+      .drop("__omin", "__omax")
+
+    // phase 2: segment gather + one fold computing the affine summary.
+    // A/Bc/S fold exactly as documented above; null values are identity
+    // on (A, Bc) and on S-after-seeding.
+    val seg = withB
+      .groupBy(col("__k"), col("__bkt"))
       .agg(expr(
-        s"""array_sort(collect_list(named_struct(
-           |  'o', $orderCol, 'tie', $tieCol, 'v', CAST($valueCol AS DOUBLE))))
-           |""".stripMargin).as("seq"))
-      // NULL values must not poison the smoother: a*NULL + b*prev is
-      // NULL, and the naive fold carried that null as `prev` FOREVER —
-      // one missing observation blanked every later ewma of the key.
-      // The pandas `ewm` convention instead: a null observation emits
-      // the running ewma unchanged (null only while no value has been
-      // seen yet), so the emitted value and the carry are the SAME
-      // expression in every case. Oracle (q127) replays the identical
-      // CASE in its recursive CTE.
-      .select(col(keyCol), explode(expr(
-        s"""aggregate(
-           |  slice(seq, 2, greatest(size(seq) - 1, 0)),
-           |  named_struct(
-           |    'lst', array(named_struct('tie', seq[0].tie, 'v', seq[0].v,
-           |                              'ewma', seq[0].v)),
-           |    'prev', seq[0].v),
+        "array_sort(collect_list(named_struct('o', __o, 'tie', __tie, 'v', __v)))")
+        .as("__seq"))
+      .withColumn("__sm", expr(
+        s"""aggregate(__seq,
+           |  named_struct('A', CAST(0.0 AS DOUBLE), 'Bc', CAST(1.0 AS DOUBLE),
+           |               'S', CAST(NULL AS DOUBLE)),
            |  (acc, x) -> named_struct(
-           |    'lst', concat(acc.lst, array(named_struct(
-           |      'tie', x.tie, 'v', x.v,
-           |      'ewma', CASE WHEN x.v IS NULL THEN acc.prev
-           |                   WHEN acc.prev IS NULL THEN x.v
-           |                   ELSE ${a}D * x.v + ${b}D * acc.prev END))),
-           |    'prev', CASE WHEN x.v IS NULL THEN acc.prev
-           |                 WHEN acc.prev IS NULL THEN x.v
-           |                 ELSE ${a}D * x.v + ${b}D * acc.prev END),
-           |  acc -> acc.lst)""".stripMargin)).as("r"))
-      .select(col(keyCol), col("r.tie").as(tieCol), col("r.v").as(valueCol),
-        col("r.ewma").as("ewma"))
+           |    'A',  CASE WHEN x.v IS NULL THEN acc.A
+           |               ELSE ${a}D * x.v + ${b}D * acc.A END,
+           |    'Bc', CASE WHEN x.v IS NULL THEN acc.Bc
+           |               ELSE ${b}D * acc.Bc END,
+           |    'S',  CASE WHEN x.v IS NULL THEN acc.S
+           |               WHEN acc.S IS NULL THEN x.v
+           |               ELSE ${a}D * x.v + ${b}D * acc.S END))""".stripMargin))
+
+    // phase 3: carry chain. Each segment's incoming carry folds the
+    // summaries of its key's STRICTLY-EARLIER buckets — <= numBuckets-1
+    // structs of three doubles, bounded window state regardless of key
+    // heat. collect_list over a window follows frame order (bkt asc,
+    // unique per key), so the fold order is deterministic.
+    val wPrior = Window.partitionBy(col("__k")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCin = seg
+      .withColumn("__prior", collect_list(col("__sm")).over(wPrior))
+      .withColumn("__cin", expr(
+        """aggregate(__prior, CAST(NULL AS DOUBLE),
+          |  (acc, s) -> CASE WHEN acc IS NULL THEN s.S
+          |                   ELSE s.Bc * acc + s.A END)""".stripMargin))
+      .drop("__prior", "__sm")
+
+    // phase 4: re-fold each segment with its carry — the plain recurrence
+    // in (order, tie) order, seeded at the carry (the first segment's
+    // carry is NULL, so its values are bit-identical to the old gather
+    // path). A row-local Scala pass, deliberately NOT an `aggregate` HOF
+    // building the output with concat(acc.lst, ...): Catalyst array
+    // concat copies the accumulator every step — O(|segment|²) per
+    // segment, which is exactly the blow-up this operator exists to
+    // avoid on hot keys. The UDF is one linear pass over the value
+    // array (same IEEE double ops in the same order — bit parity with
+    // the oracle is unchanged); the ewma array zips back positionally,
+    // so the generic tie column never enters the UDF signature.
+    withCin
+      .withColumn("__ew", EwmaFeatures.refold(a, b)(
+        expr("transform(__seq, x -> x.v)"), col("__cin")))
+      .select(col("__k"), explode(arrays_zip(col("__seq"), col("__ew"))).as("r"))
+      .select(col("__k").as(keyCol), col("r.__seq.tie").as(tieCol),
+        col("r.__seq.v").as(valueCol), col("r.__ew").as("ewma"))
   }
+}
+
+object EwmaFeatures {
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+
+  /** Linear within-segment re-fold: values in segment order, the
+    * incoming carry as initial state; emits one ewma per value. Null
+    * values emit the running state unchanged; the state seeds at the
+    * first value seen (after a null carry). Arithmetic is `a·x + b·prev`
+    * in exactly the fold order the q127 oracle replays.
+    */
+  private[temporal] def refold(a: Double, b: Double): UserDefinedFunction =
+    udf((vs: Seq[java.lang.Double], cin: java.lang.Double) => {
+      var prev: java.lang.Double = cin
+      val out = new Array[java.lang.Double](vs.length)
+      var i = 0
+      vs.foreach { v =>
+        val e: java.lang.Double =
+          if (v == null) prev
+          else if (prev == null) v
+          else java.lang.Double.valueOf(a * v.doubleValue() + b * prev.doubleValue())
+        prev = e
+        out(i) = e
+        i += 1
+      }
+      out.toSeq
+    })
 }

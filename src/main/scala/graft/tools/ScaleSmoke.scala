@@ -348,6 +348,19 @@ object ScaleSmoke {
         new graft.feature.RobustOutliers().flag(e, "event_type", "value")
           .where(col("is_outlier")).count()
       },
+      // r13: the unbounded-key EWMA — ALL events collapsed onto ONE key,
+      // so the 1x→Nx ratio measures the segmented two-phase affine scan
+      // on a single hot key (the shape whose old gather formulation put
+      // the whole history in one row and degraded with history length).
+      // Segments grow as history/64 and the carry chain stays <=64
+      // three-double structs, so time must track rows
+      "ewma_hotkey" -> { e: DataFrame =>
+        new graft.temporal.EwmaFeatures(alpha = 0.25)
+          .transform(e.select(lit(0L).as("user_id"), col("event_id"),
+            expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+            col("value")))
+          .count()
+      },
       // same users, ×n events each: both directional windows grow with the
       // per-user slice; output (clicks) grows linearly
       "asof_nearest" -> { e: DataFrame =>

@@ -231,17 +231,48 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
     val path = Files.createTempDirectory("graft-ivf-compactreplay").toString
     val m = new IvfStreamMaintainer(ivf, path, maxFilesPerCell = 4)
     m.bootstrap((0L until 100L).map(vec).toDF())
-    // eras: 0 (bootstrap) + 1,2,3 → era count 4 hits the watermark inside
-    // appendBatch(3); batch 3 keeps its own era through compaction
-    (1 to 3).foreach { b =>
+    // eras: 0 (bootstrap) + 1,2,3,4 → era count 5 EXCEEDS the watermark
+    // inside appendBatch(4) (the strictly-greater trigger); batch 4
+    // keeps its own era through compaction
+    (1 to 4).foreach { b =>
       m.appendBatch((100L + b * 20L until 120L + b * 20L).map(vec).toDF(), b.toLong)
     }
+    assert(m.eraCount(spark) === 3, "compaction should have fired and left 3 eras")
     // at-least-once replay of the LATEST batch, post-compaction: must
     // land in its own (kept) era, not duplicate against the merged one
-    m.appendBatch((160L until 180L).map(vec).toDF(), 3L)
+    m.appendBatch((180L until 200L).map(vec).toDF(), 4L)
     val loaded = m.load(spark)
-    assert(loaded.lists.count() === 160L)
-    assert(loaded.lists.select("vec_id").distinct().count() === 160L)
+    assert(loaded.lists.count() === 180L)
+    assert(loaded.lists.select("vec_id").distinct().count() === 180L)
+  }
+
+  test("a crash mid-first-compaction cannot strand resolution on a partial generation") {
+    // gen-0 is the dangerous window: no LISTS.ptr exists yet, so
+    // resolution relies on the highest-generation scan. Compaction now
+    // stages under _staging_lists@<gen> and renames only after the write
+    // completes — crash debris is invisible to resolution and swept by
+    // the next compaction.
+    val path = Files.createTempDirectory("graft-ivf-crashsafe").toString
+    val m = new IvfStreamMaintainer(ivf, path, maxFilesPerCell = 4)
+    m.bootstrap((0L until 100L).map(vec).toDF())
+    // plant simulated crash debris where a partial generation would have
+    // landed pre-fix (a directory with a junk file, no valid parquet)
+    val debris = new java.io.File(s"$path/_staging_lists@1")
+    debris.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_staging_lists@1/part-junk"), "not parquet")
+    // a fresh reader resolves the intact primordial lists, not the debris
+    val reader = new IvfStreamMaintainer(ivf, path)
+    assert(reader.resolveListsDir(spark) === s"$path/lists")
+    assert(reader.load(spark).lists.count() === 100L)
+    // the next real compaction sweeps the debris and publishes lists@1
+    (1 to 4).foreach { b =>
+      m.appendBatch((100L + b * 20L until 120L + b * 20L).map(vec).toDF(), b.toLong)
+    }
+    assert(!debris.exists(), "compaction must sweep stale staging debris")
+    assert(new java.io.File(s"$path/LISTS.ptr").exists())
+    assert(new IvfStreamMaintainer(ivf, path).resolveListsDir(spark) === s"$path/lists@1")
+    assert(m.load(spark).lists.count() === 180L)
   }
 
   test("retrainTo on planted drift: fresh baseline, rows preserved, KMeans composition") {

@@ -64,4 +64,64 @@ class EwmaFeaturesSpec extends SparkTestBase {
     assert(got((2L, 20L)) === None) // nothing observed yet
     assert(got((2L, 21L)) === Some(5.0)) // seeds at first real value
   }
+
+  test("segmented scan tracks the exact sequential fold (numBuckets = 1) to fp-assoc tolerance") {
+    // dense multi-element segments: 400 events on one key, values chosen
+    // so the smoother keeps moving. numBuckets = 1 is the purely
+    // sequential gather semantics; the segmented default recomposes the
+    // carry affinely at segment boundaries — same recurrence, last-ulp
+    // differences only.
+    val rows = (1L to 400L).map(i =>
+      (1L, i, i * 1000L, math.sin(i.toDouble) * 10.0 + (i % 13).toDouble))
+    def runB(b: Int): Map[Long, Double] =
+      new EwmaFeatures(alpha = 0.25, numBuckets = b)
+        .transform(rows.toDF("user_id", "event_id", "ts_us", "value"))
+        .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    val seq = runB(1)
+    val seg = runB(64)
+    assert(seq.size === 400 && seg.size === 400)
+    rows.foreach { case (_, id, _, _) =>
+      val (a, b) = (seq(id), seg(id))
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+        s"event $id: sequential $a vs segmented $b")
+    }
+  }
+
+  test("hot key: one key's history spans many segments, no whole-history row") {
+    // 50k events on a single key — the shape whose gather formulation
+    // put the full history in one row. The segmented plan caps gathered
+    // rows at ~history/numBuckets and must stay correct: spot-check the
+    // recurrence at the head and that every event got exactly one row.
+    val n = 50000
+    val rows = (1L to n.toLong).map(i => (7L, i, i * 10L, (i % 97).toDouble))
+    val got = new EwmaFeatures(alpha = 0.25, numBuckets = 64)
+      .transform(rows.toDF("user_id", "event_id", "ts_us", "value"))
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(got.size === n)
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 0.25 * 2.0 + 0.75 * 1.0)
+    // full independent replay (exact sequential) within fp-assoc tolerance
+    var prev = Option.empty[Double]
+    rows.foreach { case (_, id, _, v) =>
+      val e = prev match {
+        case None => v
+        case Some(p) => 0.25 * v + 0.75 * p
+      }
+      prev = Some(e)
+      assert(math.abs(got(id) - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"event $id: expected ~$e got ${got(id)}")
+    }
+  }
+
+  test("null order value fails loudly") {
+    val rows = Seq(
+      (1L, 10L, Some(100L), 8.0),
+      (1L, 11L, None, 4.0))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val ex = intercept[Exception] {
+      new EwmaFeatures(alpha = 0.25).transform(rows).collect()
+    }
+    assert(ex.getMessage.contains("null order value") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null order value")))
+  }
 }
