@@ -133,6 +133,62 @@ object Bench {
       // path remainder, keep the `file:/tmp/` marker so a tmp-vs-real
       // layout move still flips the hash
       .replaceAll("file:/tmp/[^\\]\\s,]*", "file:/tmp/")
+      // RewriteDistinctAggregates keys its attribute-set ordering on
+      // per-JVM ExprId hashes: the SAME semantic plan prints its Expand
+      // rows, group keys, hashpartitioning args and gid numbering
+      // permuted depending on how many expr ids earlier queries consumed
+      // (q87's five exact distinct aggregates — stable solo, different
+      // every full-suite run; the one permanent false flip in every
+      // BenchDiff until r13). Every permuted token lives on a line that
+      // mentions the rewrite's `gid#` column, so canonicalization is
+      // scoped exactly there (see canonicalizeGidLine) — all other lines
+      // keep their order-sensitive hashing.
+      .split("\n", -1)
+      .map(l => if (l.contains("gid#")) canonicalizeGidLine(l) else l)
+      .mkString("\n")
+
+  /** Order-insensitive rendering of one `gid#`-bearing plan line: blank
+    * integer literals (the gid NUMBERING itself permutes with ExprId
+    * order — `FILTER (WHERE (gid# = 4))` vs `= 2` for the same column),
+    * then sort the top-level elements of every bracket/paren group
+    * recursively — a deterministic text for what the rewrite emits as an
+    * unordered set. Accepted blind spot, deliberately narrow: a REAL
+    * plan change that only reorders grouping keys or renumbers gids on
+    * these lines hashes the same — which is indistinguishable from what
+    * the rewrite already emits nondeterministically.
+    */
+  private[graft] def canonicalizeGidLine(line: String): String = {
+    val s = line.replaceAll("\\b\\d+\\b", "_")
+    // returns (canonical text of the group starting at `from`, index just
+    // past the closing delimiter)
+    def group(from: Int, close: Option[Char]): (String, Int) = {
+      val elems = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var i = from
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (close.contains(c)) {
+          elems += cur.toString.trim
+          return (elems.sorted.mkString(", "), i + 1)
+        }
+        c match {
+          case '[' =>
+            val (inner, ni) = group(i + 1, Some(']'))
+            cur.append('[').append(inner).append(']'); i = ni
+          case '(' =>
+            val (inner, ni) = group(i + 1, Some(')'))
+            cur.append('(').append(inner).append(')'); i = ni
+          case ',' =>
+            elems += cur.toString.trim; cur.clear(); i += 1
+          case ch =>
+            cur.append(ch); i += 1
+        }
+      }
+      elems += cur.toString.trim
+      (elems.sorted.mkString(", "), i)
+    }
+    group(0, None)._1
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -178,9 +234,18 @@ object Bench {
 
     var errors = List.empty[(String, String)]
     // per-query: (t1, t2, gcMs, peakHeapMB, shufReadMB, shufWriteMB,
-    // spillMemMB, spillDiskMB, taskTimeMs, planHash) — reported time
-    // stays min(t1, t2)
-    var tele = Map.empty[String, (Double, Double, Long, Long, Long, Long, Long, Long, Long, String)]
+    // spillMemMB, spillDiskMB, taskTimeMs, planHash, loadAvg) — reported
+    // time stays min(t1, t2). loadAvg is the host's 1-minute load
+    // average sampled at the query's closing snapshot: a raw-channel
+    // time outlier with equal plan hash AND elevated load classifies as
+    // host contention from the artifact alone (the r12 q05 forensic —
+    // 2.2 s raw vs 0.31 s snapshot — needed a re-measure to call).
+    var tele = Map.empty[String, (Double, Double, Long, Long, Long, Long, Long, Long, Long, String, Double)]
+    // 1-min system load average (JMX; -1.0 when the platform can't say)
+    def loadAvg: Double =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
     // a failing query lands in `errors` and contributes NO time (neither a
     // per-query entry nor `total`) — failures never masquerade as wall time.
     // Each query is timed twice and the MIN reported: round-4's driver run
@@ -236,7 +301,7 @@ object Bench {
         // the telemetry shape fixed when SPARK_GRAFT_PASSES > 2
         tele += name -> (times(0), times.drop(1).min, gcMs - gc0, peakMb,
           (m1(0) - m0(0)) >> 20, (m1(1) - m0(1)) >> 20, (m1(2) - m0(2)) >> 20,
-          (m1(3) - m0(3)) >> 20, m1(4) - m0(4), planHash(lastPlan))
+          (m1(3) - m0(3)) >> 20, m1(4) - m0(4), planHash(lastPlan), loadAvg)
         Some(name -> times.min)
       } catch {
         case e: Throwable =>
@@ -280,7 +345,7 @@ object Bench {
         s""""gc_ms":${t._3},"peak_mb":${t._4},"shuf_r_mb":${t._5},""" +
         s""""shuf_w_mb":${t._6},"spill_mem_mb":${t._7},""" +
         s""""spill_disk_mb":${t._8},"task_ms":${t._9},""" +
-        s""""plan":${jstr(t._10)}}""")
+        s""""plan":${jstr(t._10)},"load":${jsonNum(t._11, 2)}}""")
     }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     // r7's 12-error run pushed the printed line past the driver's log-tail

@@ -102,18 +102,12 @@ object BenchDiff {
     * print both times so a flip with a flat time (AQE re-decision, benign)
     * reads differently from a flip with a jump.
     */
-  /** Queries whose FINAL PLAN genuinely varies with session history, not
-    * by any token the hash normalization could strip: q87's five exact
-    * distinct aggregates go through RewriteDistinctAggregates, whose
-    * attribute-set ordering keys on per-JVM `ExprId` hashes — the same
-    * semantic plan prints with its group keys / gid filters PERMUTED
-    * depending on how many expr ids earlier queries consumed. Verified
-    * r12: solo and focused-bench hashes are stable run-to-run; full-suite
-    * hashes differ every run. Flagged KNOWN-UNSTABLE so the one permanent
-    * false flip doesn't erode trust in the real flip signal.
-    */
-  private val knownUnstableHash = Set("q87_profile")
-
+  // r12 carried a KNOWN-UNSTABLE carve-out here for q87_profile
+  // (RewriteDistinctAggregates permutes its attribute-set ordering on
+  // per-JVM ExprId hashes). r13 closed it at the source instead:
+  // Bench.canonicalizeGidLine renders gid#-bearing plan lines
+  // order-insensitively, so q87 hashes identically across full-suite
+  // runs and a REAL flip there is visible again.
   private def plansMode(oldPath: String, newPath: String): Unit = {
     val oldJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(oldPath))))
     val newJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(newPath))))
@@ -134,9 +128,6 @@ object BenchDiff {
           case (Some(a), Some(b)) if a == b =>
             same += 1
             println(f"PLANS $q%-6s $a -> $b SAME")
-          case (Some(a), Some(b)) if knownUnstableHash(kn) =>
-            same += 1
-            println(f"PLANS $q%-6s $a -> $b KNOWN-UNSTABLE (distinct-agg rewrite ordering)")
           case (Some(a), Some(b)) =>
             flips += 1
             println(f"PLANS $q%-6s $a -> $b FLIP ${tOld(ko)}%6.2fs -> ${tNew(kn)}%6.2fs")
@@ -230,8 +221,6 @@ object BenchDiff {
       val pOld = teleField(oldJson, nameOld.getOrElse(short(q), q), "plan")
       val pNew = teleField(newJson, q, "plan")
       val kind = (pOld, pNew) match {
-        case (Some(a), Some(b)) if a != b && knownUnstableHash(q) =>
-          "KNOWN-UNSTABLE-HASH(treat as same plan)"
         case (Some(a), Some(b)) if a != b => "PLAN-FLIP"
         case (Some(a), Some(b)) if a == b => "ENVIRONMENTAL(same plan)"
         case _ => "NO-HASH"

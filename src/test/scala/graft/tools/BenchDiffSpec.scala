@@ -76,6 +76,33 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(graft.Bench.planHash(f) !== graft.Bench.planHash(h))
   }
 
+  test("gid#-bearing plan lines canonicalize order-insensitively (the q87 distinct-agg rewrite)") {
+    // RewriteDistinctAggregates permutes group keys, Expand rows,
+    // hashpartitioning args and the gid NUMBERING itself with per-JVM
+    // ExprId order — the same semantic plan, different text every
+    // full-suite run (the r12 KNOWN-UNSTABLE carve-out, closed in r13)
+    val a = "Expand [[null, null, 0, l_quantity#, l_returnflag#], " +
+      "[l_returnflag#, null, 2, null, null], [null, l_quantity#, 4, null, null]], " +
+      "[l_returnflag#, l_quantity#, gid#, l_quantity#, l_returnflag#]"
+    val b = "Expand [[null, null, 0, l_quantity#, l_returnflag#], " +
+      "[l_quantity#, null, 2, null, null], [null, l_returnflag#, 4, null, null]], " +
+      "[l_quantity#, l_returnflag#, gid#, l_quantity#, l_returnflag#]"
+    assert(graft.Bench.planHash(a) === graft.Bench.planHash(b))
+    val c = "SortAggregate(key=[l_returnflag#, l_quantity#, gid#], " +
+      "functions=[partial_count(l_quantity#) FILTER (WHERE (gid# = 4))])"
+    val d = "SortAggregate(key=[l_quantity#, l_returnflag#, gid#], " +
+      "functions=[partial_count(l_quantity#) FILTER (WHERE (gid# = 2))])"
+    assert(graft.Bench.planHash(c) === graft.Bench.planHash(d))
+    // a different aggregate on a gid line still flips
+    val e = c.replace("partial_count", "partial_max")
+    assert(graft.Bench.planHash(c) !== graft.Bench.planHash(e))
+    // lines WITHOUT gid# keep order-sensitive hashing: a real sort-key
+    // reorder elsewhere must stay visible
+    val f = "Sort [a# ASC NULLS FIRST, b# ASC NULLS FIRST], false, 0"
+    val g = "Sort [b# ASC NULLS FIRST, a# ASC NULLS FIRST], false, 0"
+    assert(graft.Bench.planHash(f) !== graft.Bench.planHash(g))
+  }
+
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
     val driver = """{"n":10,"rc":0,"note":"outer \"escaped\" stays",""" +
       """"tail":"{\"metric\":\"total\",\"queries\":{\"q01\":0.5,\"q02\":1.2}}",""" +
