@@ -65,6 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     registerSketchFunctions(ext)
     registerSessionStats(ext)
+    GraftExtensions.temporalJoinFunctions.foreach(ext.injectTableFunction)
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_signature"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_signature"),
@@ -406,5 +407,197 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |        count(1) AS n_events, sum(`$v`) AS total_value
              |      FROM $rel GROUP BY 1, 2)""".stripMargin)
       }))
+  }
+}
+
+/** The temporal-join SQL table functions, shared between the
+  * [[GraftExtensions]] injection path (new sessions) and
+  * [[GraftExtensions.ensureTemporalJoins]] (existing sessions). These are
+  * the operators a SQL-first analyst most often lacks — the SQL front-end
+  * generates the SAME union+window / bucket-explode query shapes the
+  * Scala [[graft.temporal.AsOfJoin]] / [[graft.temporal.RangeJoin]]
+  * operators declare, so the two surfaces share semantics (and plans) by
+  * construction; GraftExtensionsSpec pins row parity.
+  */
+object GraftExtensions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private val identRe = "[A-Za-z_][A-Za-z0-9_]*"
+
+  private def checkIdent(s: String, what: String): String = {
+    require(s.matches(identRe), s"$what must be a plain identifier, got '$s'")
+    s
+  }
+
+  private def strLitO(e: Expression, name: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
+
+  private def longLitO(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def relId(e: Expression, name: String): String = {
+    val table = strLitO(e, name)
+    require(table.split('.').forall(_.matches(identRe)),
+      s"$name must be a (dotted) identifier, got '$table'")
+    table.split('.').map(p => s"`$p`").mkString(".")
+  }
+
+  /** `asof_join('<left>', '<right>', '<key>', '<leftTime>', '<rightTime>'
+    * [, '<direction>' [, <tolerance>]])` — [[graft.temporal.AsOfJoin]] as
+    * a SQL table function: left-outer, single key column (multi-key needs
+    * the Scala API), direction backward (default) / forward / nearest,
+    * optional nonnegative tolerance in the time columns' units:
+    *
+    * {{{ SELECT * FROM asof_join('clicks', 'views', 'user_id', 'ts_us', 'view_ts_us') }}}
+    *
+    * Same shape as the Scala operator: union the tagged sides (no join
+    * node), ONE hash shuffle on the key, per-key running
+    * `last(right-payload) IGNORE NULLS` windows, tolerance as a null-out.
+    * Right payload columns (all but the key) are appended and must not
+    * clash with left column names — rename upstream (the AsOfJoin
+    * contract; SQL star expansion would otherwise emit duplicate names).
+    * `__`-prefixed user column names are reserved by the rewrite.
+    */
+  private def asofJoinBuilder(children: Seq[Expression]): LogicalPlan = {
+    require(children.size >= 5 && children.size <= 7,
+      "asof_join(left STRING, right STRING, key STRING, leftTime STRING, " +
+        "rightTime STRING [, direction STRING [, tolerance BIGINT]])")
+    val lrel = relId(children.head, "left")
+    val rrel = relId(children(1), "right")
+    val k = checkIdent(strLitO(children(2), "key"), "key")
+    val lt = checkIdent(strLitO(children(3), "leftTime"), "leftTime")
+    val rt = checkIdent(strLitO(children(4), "rightTime"), "rightTime")
+    val direction =
+      if (children.size >= 6) strLitO(children(5), "direction") else "backward"
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val tol = if (children.size == 7) Some(longLitO(children(6), "tolerance")) else None
+    require(tol.forall(_ >= 0), "tolerance must be nonnegative")
+
+    // candidate validity, inlined per direction (matches AsOfJoin.valid)
+    def okB(m: String) = s"$m IS NOT NULL" +
+      tol.map(t => s" AND (__t - $m.`$rt`) <= ${t}L").getOrElse("")
+    def okF(m: String) = s"$m IS NOT NULL" +
+      tol.map(t => s" AND ($m.`$rt` - __t) <= ${t}L").getOrElse("")
+    // right rows order before left rows at equal time (inclusive match);
+    // the payload struct joins the sort key so duplicate (key, time)
+    // right rows resolve to the GREATEST payload deterministically —
+    // exactly AsOfJoin's wBack/wFwd. DESC NULLS FIRST on the forward
+    // scan: a NULL left time can never have an as-of answer.
+    val wBack = "PARTITION BY __k ORDER BY __t ASC, __side ASC, __r ASC NULLS FIRST " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val wFwd = "PARTITION BY __k ORDER BY __t DESC NULLS FIRST, __side ASC, __r ASC NULLS FIRST " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    // nested subqueries, NOT a WITH clause: a CTE inside a table-function
+    // builder's plan never reaches the analyzer's CTE substitution (the
+    // TVF result is spliced in after that phase) and fails resolution
+    val union =
+      s"""(SELECT `$k` AS __k, CAST(`$lt` AS BIGINT) AS __t, 1 AS __side,
+         |        struct(__lsrc.*) AS __l, NULL AS __r
+         | FROM $lrel __lsrc
+         | UNION ALL
+         | SELECT `$k` AS __k, CAST(`$rt` AS BIGINT) AS __t, 0 AS __side,
+         |        NULL AS __l, struct(__rsrc.* EXCEPT (`$k`)) AS __r
+         | FROM $rrel __rsrc
+         | WHERE `$rt` IS NOT NULL) __u""".stripMargin
+    val sql = direction match {
+      case "backward" =>
+        s"""SELECT __l.*, __mm.* FROM (
+           |  SELECT __l, CASE WHEN ${okB("__mb")} THEN __mb END AS __mm
+           |  FROM (SELECT __side, __t, __l, last(__r, true) OVER ($wBack) AS __mb
+           |        FROM $union) __m
+           |  WHERE __side = 1) __fin""".stripMargin
+      case "forward" =>
+        s"""SELECT __l.*, __mm.* FROM (
+           |  SELECT __l, CASE WHEN ${okF("__mf")} THEN __mf END AS __mm
+           |  FROM (SELECT __side, __t, __l, last(__r, true) OVER ($wFwd) AS __mf
+           |        FROM $union) __m
+           |  WHERE __side = 1) __fin""".stripMargin
+      case "nearest" =>
+        // both scans ride the same exchange; both valid -> smaller gap
+        // wins, tie -> backward (the pandas merge_asof convention)
+        s"""SELECT __l.*, __mm.* FROM (
+           |  SELECT __l,
+           |    CASE WHEN (${okB("__mb")}) AND (NOT (${okF("__mf")})
+           |               OR (__t - __mb.`$rt`) <= (__mf.`$rt` - __t)) THEN __mb
+           |         WHEN ${okF("__mf")} THEN __mf END AS __mm
+           |  FROM (SELECT __side, __t, __l,
+           |          last(__r, true) OVER ($wBack) AS __mb,
+           |          last(__r, true) OVER ($wFwd) AS __mf
+           |        FROM $union) __m
+           |  WHERE __side = 1) __fin""".stripMargin
+    }
+    CatalystSqlParser.parsePlan(sql)
+  }
+
+  /** `range_join('<points>', '<intervals>', '<key>', '<timeCol>',
+    * '<startCol>', '<endCol>', <bucketWidth>)` —
+    * [[graft.temporal.RangeJoin]] as a SQL table function: inner
+    * point-in-interval join, bucketed so it is a hash equi-join on
+    * (key, bucket) with a BETWEEN residual, never a nested loop:
+    *
+    * {{{ SELECT * FROM range_join('clicks', 'windows', 'user_id', 'click_us', 'start_us', 'end_us', 1800000000) }}}
+    *
+    * Inverted/null-bounded intervals are dropped before the explode
+    * (sequence() DESCENDS for them), and non-key column names must not
+    * clash — both the RangeJoin contract.
+    */
+  private def rangeJoinBuilder(children: Seq[Expression]): LogicalPlan = {
+    require(children.size == 7,
+      "range_join(points STRING, intervals STRING, key STRING, timeCol STRING, " +
+        "startCol STRING, endCol STRING, bucketWidth BIGINT)")
+    val prel = relId(children.head, "points")
+    val irel = relId(children(1), "intervals")
+    val k = checkIdent(strLitO(children(2), "key"), "key")
+    val t = checkIdent(strLitO(children(3), "timeCol"), "timeCol")
+    val s0 = checkIdent(strLitO(children(4), "startCol"), "startCol")
+    val e0 = checkIdent(strLitO(children(5), "endCol"), "endCol")
+    val w = longLitO(children(6), "bucketWidth")
+    require(w > 0, s"bucketWidth ($w) must be positive")
+    // nested subqueries, not WITH — same TVF CTE-resolution caveat as
+    // asofJoinBuilder
+    CatalystSqlParser.parsePlan(
+      s"""SELECT * EXCEPT (__bucket)
+         |FROM (SELECT *, floor(CAST(`$t` AS BIGINT) / ${w}L) AS __bucket
+         |      FROM $prel) __p
+         |JOIN (SELECT *, explode(sequence(floor(CAST(`$s0` AS BIGINT) / ${w}L),
+         |                                 floor(CAST(`$e0` AS BIGINT) / ${w}L))) AS __bucket
+         |      FROM $irel
+         |      WHERE CAST(`$e0` AS BIGINT) >= CAST(`$s0` AS BIGINT)) __i
+         |USING (`$k`, __bucket)
+         |WHERE CAST(`$t` AS BIGINT) BETWEEN CAST(`$s0` AS BIGINT) AND CAST(`$e0` AS BIGINT)""".stripMargin)
+  }
+
+  /** The injectable (identifier, info, builder) triples — consumed by the
+    * class's `apply` for extension-built sessions.
+    */
+  private[graft] val temporalJoinFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "asof_join"),
+      (children: Seq[Expression]) => asofJoinBuilder(children)),
+    (new FunctionIdentifier("range_join"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "range_join"),
+      (children: Seq[Expression]) => rangeJoinBuilder(children)))
+
+  /** Register the temporal-join table functions into an EXISTING session
+    * (idempotent). `SparkSessionExtensions` only applies when a session
+    * is CREATED; the driver's Verify/Bench sessions are plain builds, so
+    * SQL-text queries (q44's routed path) install the functions here.
+    */
+  def ensureTemporalJoins(spark: SparkSession): Unit = synchronized {
+    val reg = org.apache.spark.sql.GraftBridge.tableFunctionRegistry(spark)
+    temporalJoinFunctions.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
   }
 }

@@ -21,15 +21,24 @@ object TemporalQueries {
     // backward as-of join: each click picks up the most recent prior view
     // by the same user (inclusive), left-outer — the canonical "attach
     // last signal before the observation" shape. One keyed shuffle, no
-    // range join.
+    // range join. r13: routed through the SQL-text front-end (the
+    // asof_join table function registered by GraftExtensions) — the TVF
+    // generates the same union+window shape AsOfJoin declares, and
+    // AsOfJoinSqlSpec pins row parity between the two surfaces; this
+    // oracle query keeps the SQL path itself under the DuckDB gate.
     "q44_asof_join" -> ((s, dir) => {
+      graft.GraftExtensions.ensureTemporalJoins(s)
       val ev = Tables.events(s, dir)
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
-      val views = ev.where(col("event_type") === "view")
+      ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+        .createOrReplaceTempView("__q44_clicks")
+      ev.where(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"),
           expr("unix_micros(cast(ts as timestamp))").as("view_ts_us"))
-      new AsOfJoin(Seq("user_id"), "ts_us", "view_ts_us").join(clicks, views)
+        .createOrReplaceTempView("__q44_views")
+      s.sql("SELECT * FROM asof_join('__q44_clicks', '__q44_views', " +
+        "'user_id', 'ts_us', 'view_ts_us')")
     }),
 
     // bucketed point-in-interval join: clicks attributed to each purchase

@@ -33,17 +33,20 @@ import org.apache.spark.sql.types.StructType
   * 100 TB it scales exactly like `groupBy(key)`; a pathologically hot key
   * serializes only its own partition (standard salting/time-bucketing
   * applies upstream). Among duplicate (key, time) rows in the right
-  * table, the greatest payload (struct order) wins deterministically —
-  * except when the payload type is unorderable (maps), where the winner
-  * is order-dependent and the right side should be pre-aggregated to one
-  * row per (key, time) upstream.
+  * table, the greatest payload (struct order) wins deterministically.
+  * When the payload type is unorderable (maps) there IS no deterministic
+  * winner, so a duplicate (key, time) right row fails loudly at run time
+  * (r13 — previously a scaladoc-only contract, i.e. a silent
+  * nondeterminism footgun); pre-aggregate upstream, drop the map column,
+  * or pass `allowUnorderableDuplicates = true` to accept any-winner.
   */
 class AsOfJoin(
     keyCols: Seq[String],
     leftTimeCol: String,
     rightTimeCol: String,
     direction: String = "backward",
-    tolerance: Option[Long] = None) {
+    tolerance: Option[Long] = None,
+    allowUnorderableDuplicates: Boolean = false) {
 
   require(keyCols.nonEmpty, "as-of join needs at least one key column")
   require(Set("backward", "forward", "nearest").contains(direction),
@@ -90,12 +93,32 @@ class AsOfJoin(
     // key (when its type is orderable — maps aren't), so the winner among
     // duplicates is the GREATEST payload in both scan directions — a
     // deterministic function of the data, not of partitioning/speculative
-    // task order. An unorderable payload falls back to the documented
-    // pre-aggregate-upstream contract.
+    // task order.
+    val orderable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rStruct)
     val rTie: Seq[Column] =
-      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rStruct))
-        Seq(col("__r").asc_nulls_first)
-      else Seq.empty
+      if (orderable) Seq(col("__r").asc_nulls_first) else Seq.empty
+    // An UNORDERABLE payload (a map column) has no deterministic winner
+    // among duplicate (key, time) right rows — the match would silently
+    // depend on partitioning/speculative task order. Fail loudly at the
+    // first duplicate actually present (a per-(key, time) count window on
+    // the right side — one extra keyed sort, paid only on the unorderable
+    // path) and name the fixes; `allowUnorderableDuplicates = true` is
+    // the documented opt-out for callers who accept any-winner.
+    val rGuarded =
+      if (orderable || allowUnorderableDuplicates) rTagged
+      else {
+        val wDup = Window.partitionBy(keyCols.map(col) :+ col("__t"): _*)
+        rTagged
+          .withColumn("__r",
+            when(count(lit(1)).over(wDup) > 1, raise_error(lit(
+              s"AsOfJoin: duplicate (${keyCols.mkString(", ")}, $rightTimeCol) " +
+                "right rows with an UNORDERABLE payload (map column): the " +
+                "matched row would depend on partitioning. Pre-aggregate the " +
+                "right side to one row per (key, time), drop the map column, " +
+                "or opt in with allowUnorderableDuplicates = true.")))
+              .otherwise(col("__r")))
+      }
     val wBack = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(Seq(col("__t").asc, col("__side").asc) ++ rTie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -109,7 +132,7 @@ class AsOfJoin(
       .orderBy(Seq(col("__t").desc_nulls_first, col("__side").asc) ++ rTie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val union = lTagged.unionByName(rTagged)
+    val union = lTagged.unionByName(rGuarded)
     // candidate validity: present, and inside tolerance when one is set
     def valid(m: Column, gap: Column): Column = tolerance match {
       case None => m.isNotNull

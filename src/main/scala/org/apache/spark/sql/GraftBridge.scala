@@ -14,4 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The session's table-function registry — lets graft register its SQL
+    * table functions (asof_join/range_join) into an EXISTING session,
+    * where `SparkSessionExtensions` can no longer apply (getOrCreate only
+    * runs extensions when it CREATES the session).
+    */
+  def tableFunctionRegistry(
+      spark: SparkSession): org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
 }

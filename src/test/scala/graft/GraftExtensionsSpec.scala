@@ -243,6 +243,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT * FROM session_stats('sess_ev; DROP', 3600)").collect()
       }
       assert(bad.getMessage.contains("identifier"), bad.getMessage)
+
+      // --- asof_join/range_join register through the EXTENSION path too
+      // (AsOfJoinSqlSpec covers semantics via ensureTemporalJoins; this
+      // pins that a withExtensions-built session gets them injected) ---
+      Seq((1L, "u1", 100L)).toDF("pid", "k", "pt")
+        .createOrReplaceTempView("ext_pts")
+      Seq(("u1", 10L, 90L, 120L)).toDF("k", "iid", "s", "e")
+        .createOrReplaceTempView("ext_ivs")
+      assert(spark.sql(
+        "SELECT * FROM range_join('ext_pts', 'ext_ivs', 'k', 'pt', 's', 'e', 50)")
+        .count() === 1)
+      Seq(("u1", 90L, 1.5)).toDF("k", "qt", "px")
+        .createOrReplaceTempView("ext_quotes")
+      val asof = spark.sql(
+        "SELECT * FROM asof_join('ext_pts', 'ext_quotes', 'k', 'pt', 'qt')")
+        .collect()
+      assert(asof.length === 1 && asof.head.getAs[Double]("px") === 1.5)
     } finally {
       spark.catalog.dropTempView("sk_toks")
       spark.catalog.dropTempView("sess_ev")

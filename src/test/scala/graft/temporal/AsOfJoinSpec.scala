@@ -154,4 +154,37 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(m(5L) === ((None, None)))             // both sides out/absent
     assert(m(6L) === ((None, None)))             // 55 > 50 on both sides
   }
+
+  // --- unorderable payloads (maps): no deterministic duplicate winner ---
+
+  private lazy val mapQuotes = Seq(
+    ("A", 90L, Map("px" -> 1.0)),
+    ("A", 200L, Map("px" -> 2.0)),
+    ("A", 200L, Map("px" -> 2.5))) // duplicate (key, time)
+    .toDF("sym", "qt", "attrs")
+
+  test("unorderable payload + duplicate (key, time) right rows fails loudly") {
+    // pre-r13 this silently matched whichever duplicate the partitioning
+    // happened to order last — a nondeterminism footgun
+    val ex = intercept[Exception] {
+      new AsOfJoin(Seq("sym"), "t", "qt").join(trades, mapQuotes).collect()
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("UNORDERABLE") || msg.contains("duplicate"), msg)
+  }
+
+  test("unorderable payload WITHOUT duplicates joins fine") {
+    val dedup = mapQuotes.where($"attrs"("px") =!= 2.5)
+    val m = new AsOfJoin(Seq("sym"), "t", "qt").join(trades, dedup)
+      .select($"trade_id", $"qt").as[(Long, Option[Long])].collect().toMap
+    assert(m(2L) === Some(200L))
+    assert(m(4L) === None)
+  }
+
+  test("allowUnorderableDuplicates opts back into any-winner behavior") {
+    val m = new AsOfJoin(Seq("sym"), "t", "qt",
+      allowUnorderableDuplicates = true).join(trades, mapQuotes)
+      .select($"trade_id", $"qt").as[(Long, Option[Long])].collect().toMap
+    assert(m(2L) === Some(200L)) // matched; WHICH duplicate is undefined
+  }
 }

@@ -1,0 +1,111 @@
+package graft.temporal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The SQL table-function front-end (GraftExtensions.asof_join /
+  * range_join) must return row-identical results to the Scala operators
+  * on every direction/tolerance surface — the two front-ends generate the
+  * same union+window / bucket-explode shapes, and this spec pins it.
+  * Registered via ensureTemporalJoins (the EXISTING-session path the
+  * driver's Verify/Bench sessions use — extensions can't apply there).
+  */
+class AsOfJoinSqlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  graft.GraftExtensions.ensureTemporalJoins(spark)
+
+  private lazy val trades = Seq(
+    (1L, "A", 100L),
+    (2L, "A", 205L),
+    (3L, "A", 300L),
+    (4L, "B", 50L),
+    (5L, "B", 500L))
+    .toDF("trade_id", "sym", "t")
+
+  private lazy val quotes = Seq(
+    ("A", 90L, 1.0),
+    ("A", 200L, 2.0),
+    ("A", 200L, 2.5), // duplicate (key, time): greatest payload must win in BOTH paths
+    ("A", 300L, 3.0),
+    ("B", 100L, 4.0))
+    .toDF("sym", "qt", "px")
+
+  private def rows(df: DataFrame): Set[(Long, Option[Long], Option[Double])] =
+    df.select(col("trade_id"), col("qt"), col("px"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+
+  private def viaSql(direction: String, tol: Option[Long]): Set[(Long, Option[Long], Option[Double])] = {
+    trades.createOrReplaceTempView("__sql_trades")
+    quotes.createOrReplaceTempView("__sql_quotes")
+    val tail = (Seq(s"'$direction'") ++ tol.map(_.toString)).mkString(", ", ", ", "")
+    rows(spark.sql(
+      s"SELECT * FROM asof_join('__sql_trades', '__sql_quotes', 'sym', 't', 'qt'$tail)"))
+  }
+
+  private def viaScala(direction: String, tol: Option[Long]): Set[(Long, Option[Long], Option[Double])] =
+    rows(new AsOfJoin(Seq("sym"), "t", "qt", direction, tol).join(trades, quotes))
+
+  for (direction <- Seq("backward", "forward", "nearest");
+       tol <- Seq(None, Some(60L)))
+    test(s"asof_join SQL == AsOfJoin.join ($direction, tol=$tol)") {
+      val sql = viaSql(direction, tol)
+      assert(sql === viaScala(direction, tol))
+      assert(sql.size === 5, "left-outer: one row per left row")
+    }
+
+  test("asof_join SQL: null right times never match, null left times stay unmatched (forward)") {
+    val l = Seq((1L, "A", Some(100L)), (2L, "A", Option.empty[Long]))
+      .toDF("trade_id", "sym", "t")
+    val r = Seq(("A", Option.empty[Long], 9.0), ("A", Some(150L), 1.5))
+      .toDF("sym", "qt", "px")
+    l.createOrReplaceTempView("__sql_l")
+    r.createOrReplaceTempView("__sql_r")
+    val got = spark.sql(
+      "SELECT * FROM asof_join('__sql_l', '__sql_r', 'sym', 't', 'qt', 'forward')")
+      .select(col("trade_id"), col("qt"), col("px"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    val want = rows(new AsOfJoin(Seq("sym"), "t", "qt", "forward").join(l, r))
+    assert(got === want)
+    assert(got === Set((1L, Some(150L), Some(1.5)), (2L, None, None)))
+  }
+
+  test("range_join SQL == RangeJoin.join, inverted intervals dropped") {
+    val points = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 100L))
+      .toDF("pid", "k", "pt")
+    val ivals = Seq(
+      ("u1", 10L, 90L, 120L),   // covers point 1
+      ("u1", 11L, 240L, 260L),  // covers point 2
+      ("u1", 12L, 500L, 100L),  // INVERTED: must be dropped, not exploded
+      ("u2", 13L, 90L, 300L))   // covers point 3
+      .toDF("k", "iid", "s", "e")
+    points.createOrReplaceTempView("__sql_pts")
+    ivals.createOrReplaceTempView("__sql_ivs")
+    val got = spark.sql(
+      "SELECT * FROM range_join('__sql_pts', '__sql_ivs', 'k', 'pt', 's', 'e', 50)")
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    val want = new RangeJoin(Seq("k"), "pt", "s", "e", 50L).join(points, ivals)
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got === Set((1L, 10L), (2L, 11L), (3L, 13L)))
+  }
+
+  test("identifier validation fails loudly on non-identifier arguments") {
+    val bad = Seq(
+      "asof_join('t; DROP', 'r', 'k', 'lt', 'rt')",
+      "asof_join('t', 'r', 'k`x', 'lt', 'rt')",
+      "asof_join('t', 'r', 'k', 'lt', 'rt', 'sideways')",
+      "range_join('p', 'i', 'k', 't', 's', 'e', 0)")
+    bad.foreach { q =>
+      intercept[Exception] { spark.sql(s"SELECT * FROM $q").collect() }
+    }
+  }
+
+  test("ensureTemporalJoins is idempotent") {
+    graft.GraftExtensions.ensureTemporalJoins(spark)
+    graft.GraftExtensions.ensureTemporalJoins(spark)
+    assert(viaSql("backward", None) === viaScala("backward", None))
+  }
+}
