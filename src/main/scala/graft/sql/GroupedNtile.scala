@@ -44,6 +44,15 @@ object GroupedNtile {
     // filter below the guard projection, dropping the row before the
     // raise_error ever evaluates. Keyed on the guarded expression, that
     // same inferred filter EVALUATES the guard and raises.
+    //
+    // Cost, re-measured r13 (q56 shape, sf0.1, five variants interleaved
+    // min-of-5 in one JVM: guarded / unguarded / bucket-staged-then-
+    // guarded): the spread between ALL variants sits inside JIT/warm-up
+    // noise (±0.05 s) — run ORDER moved times more than the guard did,
+    // and the r12 diff's 0.41→0.60 attribution was dominated by window
+    // context, not this expression. A pre-projected bucket buys nothing
+    // measurable and would re-open the pushed-IsNotNull bypass for the
+    // group key, so the robust form stays.
     val withB = df
       .withColumn("__bkt",
         when(bucket.isNull && g.isNotNull,

@@ -60,6 +60,14 @@ object ScaleSmoke {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
+    // vocabulary-scale merge table for bpe_pack_10k: trained ONCE on the
+    // unscaled documents (outside every timed window), pinned so the two
+    // timed sides encode against the identical broadcast table
+    lazy val merges10k: DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      new graft.text.BpeTrainer(numMerges = 10000).fit(base).localCheckpoint()
+    }
+
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       "minhash_pairs" -> { d: DataFrame =>
         new graft.dedup.MinHashDeduplicator()
@@ -223,6 +231,21 @@ object ScaleSmoke {
         val merges = spark.read.parquet(
           graft.queries.Goldens.path("q168_bpe") + "/merges")
         val counts = new graft.text.BpeTrainer().segment(d, merges)
+          .groupBy(col("doc_id"))
+          .agg(sum(size(col("subwords"))).as("bpe_tokens"))
+        new graft.text.TokenPacker().setIdCol("doc_id")
+          .setTokensCol("bpe_tokens").setBudget(2048L)
+          .transform(counts).count()
+      },
+      // r13: the same composition at PRODUCTION VOCAB SIZE — a
+      // 10,000-merge table (trained once on the unscaled corpus, outside
+      // the timed window; the q168 fixture is 64 merges). The broadcast
+      // rank-priority encoder's per-task word memo makes encoding
+      // O(len^2) per DISTINCT word regardless of merge-table size, so
+      // packing time must keep tracking corpus size, never
+      // merges x corpus
+      "bpe_pack_10k" -> { d: DataFrame =>
+        val counts = new graft.text.BpeTrainer().segment(d, merges10k)
           .groupBy(col("doc_id"))
           .agg(sum(size(col("subwords"))).as("bpe_tokens"))
         new graft.text.TokenPacker().setIdCol("doc_id")
