@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import java.lang.management.ManagementFactory
 import java.util.concurrent.atomic.AtomicLong
+import scala.util.chaining._
 
 /** Benchmark main — driver runs per-round at sf0.1 and records the ONE JSON
   * line this prints. A warmup pass runs every query untimed first so the
@@ -106,6 +107,11 @@ object Bench {
     d.take(4).map(b => f"$b%02x").mkString
   }
 
+  // a truncated `DataFilters: [... partial-elem...` span (see the pipe
+  // stage below); group 1 is everything inside the bracket up to the
+  // ellipsis
+  private val dataFiltersTrunc = "(DataFilters: \\[[^\\]]*)\\.\\.\\.".r
+
   private[graft] def normalizePlan(plan: String): String =
     plan
       .replaceAll("#\\d+[L]?", "#")
@@ -133,6 +139,21 @@ object Bench {
       // path remainder, keep the `file:/tmp/` marker so a tmp-vs-real
       // layout move still flips the hash
       .replaceAll("file:/tmp/[^\\]\\s,]*", "file:/tmp/")
+      // FileScan `DataFilters: [...]` renders through a CHARACTER budget
+      // (spark.sql.maxMetadataStringLength) and the raw text carries
+      // expr ids, so the `...` cut point shifts with how many expr-id
+      // DIGITS earlier queries consumed — the same plan keeps a
+      // different partial last element per suite context (r13 find:
+      // q47/q134/q159 full-suite vs focused hashes). Trim a truncated
+      // DataFilters list back to its last COMPLETE element so the cut
+      // offset stops mattering. (PushedFilters renders id-less names —
+      // its cut is stable; only DataFilters carries ids.)
+      .pipe(t => dataFiltersTrunc.replaceAllIn(t, m => {
+        val body = m.group(1)
+        val cut = body.lastIndexOf(',')
+        scala.util.matching.Regex.quoteReplacement(
+          (if (cut >= 0) body.substring(0, cut + 1) else body) + " ...")
+      }))
       // RewriteDistinctAggregates keys its attribute-set ordering on
       // per-JVM ExprId hashes: the SAME semantic plan prints its Expand
       // rows, group keys, hashpartitioning args and gid numbering

@@ -103,6 +103,26 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(graft.Bench.planHash(f) !== graft.Bench.planHash(g))
   }
 
+  test("truncated DataFilters lists hash independent of the ellipsis cut point") {
+    // the metadata renderer cuts at a CHARACTER budget over raw text
+    // that still carries expr ids, so the surviving partial element
+    // varies with how many expr-id digits earlier queries consumed
+    // (q47/q134/q159 full-suite vs focused, r13)
+    val a = "FileScan parquet [ts#] DataFilters: [isnotnull(event_type#), " +
+      "(event_type# = click), isnotnull(unix_micros(cast(ts# as timestamp)))..., " +
+      "Format: Parquet"
+    val b = "FileScan parquet [ts#] DataFilters: [isnotnull(event_type#), " +
+      "(event_type# = click), isnotnull(unix_micros(cast(ts# as timest..., " +
+      "Format: Parquet"
+    assert(graft.Bench.planHash(a) === graft.Bench.planHash(b))
+    // a difference in a COMPLETE (surviving) element still flips
+    val c = a.replace("= click", "= view")
+    assert(graft.Bench.planHash(a) !== graft.Bench.planHash(c))
+    // untruncated DataFilters lists are untouched
+    val d = "FileScan parquet [a#] DataFilters: [isnotnull(a#)], Format: Parquet"
+    assert(graft.Bench.normalizePlan(d).contains("[isnotnull(a#)]"))
+  }
+
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
     val driver = """{"n":10,"rc":0,"note":"outer \"escaped\" stays",""" +
       """"tail":"{\"metric\":\"total\",\"queries\":{\"q01\":0.5,\"q02\":1.2}}",""" +
