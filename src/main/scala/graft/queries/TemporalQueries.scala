@@ -115,14 +115,16 @@ object TemporalQueries {
     // stats strictly before each event (the ML feature-leakage guard) —
     // one keyed shuffle, one window pass for all features
     // per-user EWMA (alpha = 0.25): the recursive smoother a window frame
-    // can't express — the segmented two-phase affine scan (per-(key,
-    // range-bucket) segments, bounded carry chain, within-segment
-    // re-fold), so a hot key never gathers its whole history into one
-    // row. Output UNROUNDED on purpose: every op (bucket assignment,
-    // summary fold, carry chain, re-fold) is bit-identical across
-    // engines (same op order, exactly-representable 0.25/0.75), while
-    // rounding would DIVERGE — the recurrence systematically lands
-    // values on exact 6dp half-boundaries where round() disagrees.
+    // can't express — the segmented two-phase affine scan (adaptive
+    // per-(key, range-bucket) segments, summary-only carry chain,
+    // within-segment re-fold), so a hot key never gathers its whole
+    // history into one row while a normal key stays ONE segment with
+    // exactly sequential arithmetic. Output UNROUNDED on purpose: every
+    // op (bucket assignment, summary fold, carry chain, re-fold) is
+    // bit-identical across engines (same op order, exactly-representable
+    // 0.25/0.75), while rounding would DIVERGE — the recurrence
+    // systematically lands values on exact 6dp half-boundaries where
+    // round() disagrees.
     "q127_ewma" -> ((s, dir) => {
       new graft.temporal.EwmaFeatures(alpha = 0.25)
         .transform(Tables.events(s, dir)
@@ -623,26 +625,29 @@ object TemporalQueries {
         |  min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY 1""".stripMargin,
-    // the segmented two-phase plan replayed op-for-op: the same integer
-    // range-bucket formula (64 buckets), a per-segment recursive fold of
-    // the affine summary (a_c, b_c, s_c) in the engine's exact
-    // expression order (seed = lambda applied to the engine's
-    // (0.0, 1.0, NULL) init), the carry chain over segments in bucket
-    // order, and the within-segment re-fold seeded at the carry. Both
-    // constants exactly representable, so no cross-engine drift. The
-    // CASE mirrors the engine's null handling: a null observation emits
-    // the running ewma unchanged instead of poisoning every later step
+    // the segmented two-phase plan replayed op-for-op: the same ADAPTIVE
+    // integer range-bucket formula (B_k = least(1024, ceil(n/8192)) — a
+    // normal key is ONE segment and exactly sequential), a per-segment
+    // recursive fold of the affine summary (a_c, b_c, s_c) in the
+    // engine's exact expression order (seed = lambda applied to the
+    // engine's (0.0, 1.0, NULL) init), the carry chain over segments in
+    // bucket order, and the within-segment re-fold seeded at the carry.
+    // Both constants exactly representable, so no cross-engine drift.
+    // The CASE mirrors the engine's null handling: a null observation
+    // emits the running ewma unchanged instead of poisoning later steps
     "q127_ewma" ->
       """WITH RECURSIVE base AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS o FROM events
         |), span AS (
-        |  SELECT user_id, min(o) AS omin, max(o) AS omax FROM base GROUP BY 1
+        |  SELECT user_id, min(o) AS omin, max(o) AS omax,
+        |    least(1024, (count(*) + 8191) // 8192) AS bk
+        |  FROM base GROUP BY 1
         |), evr AS (
         |  SELECT b.user_id, b.event_id, b.value, b.o,
-        |    ((64 * (b.o - s.omin)) // (s.omax - s.omin + 1)) AS bkt,
+        |    ((s.bk * (b.o - s.omin)) // (s.omax - s.omin + 1)) AS bkt,
         |    row_number() OVER (
         |      PARTITION BY b.user_id,
-        |        ((64 * (b.o - s.omin)) // (s.omax - s.omin + 1))
+        |        ((s.bk * (b.o - s.omin)) // (s.omax - s.omin + 1))
         |      ORDER BY b.o, b.event_id) AS rn
         |  FROM base b JOIN span s USING (user_id)
         |), summ(user_id, bkt, rn, a_c, b_c, s_c) AS (

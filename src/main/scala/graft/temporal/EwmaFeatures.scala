@@ -1,7 +1,6 @@
 package graft.temporal
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
 
@@ -33,40 +32,54 @@ import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
   * The plan (the [[graft.sql.PrefixSum]] two-phase discipline, applied to
   * an affine scan instead of a sum):
   *
-  *  1. per-key (min, max) of the order column (one partial-aggregated
-  *     groupBy), joined back; each row gets an integer range bucket
-  *     `((o - min) * numBuckets) div (max - min + 1)` — pure BIGINT
-  *     arithmetic, bit-replayable by the oracle;
+  *  1. per-key (min, max, count) of the order column (one
+  *     partial-aggregated groupBy), joined back; the key's bucket count
+  *     ADAPTS to its history length —
+  *     `B_k = least(numBuckets, ceil(n_k / targetSegment))` — so a
+  *     normal key is ONE segment (zero segmentation overhead, and its
+  *     values are bit-identical to the purely sequential fold) while a
+  *     hot key splits into up to `numBuckets` segments of
+  *     ~`targetSegment` events; each row gets the integer range bucket
+  *     `(B_k * (o - min)) div (max - min + 1)` — pure BIGINT arithmetic,
+  *     bit-replayable by the oracle (B_k ≤ numBuckets ≤ 2²⁰ and spans in
+  *     µs keep the product well under Long overflow);
   *  2. per-(key, bucket) segment gather: `collect_list` + `array_sort`
   *     by (order, tie) and ONE row-local fold computing (A, Bc, S) —
-  *     the gathered row is 1/numBuckets of the key's history, and
-  *     `numBuckets` is the knob that keeps it bounded at any history
-  *     length;
-  *  3. per-key carry chain: a window over the ≤numBuckets segment rows
-  *     of each key (collect_list of STRICTLY-EARLIER summaries — three
-  *     doubles each, bounded state) folded left-to-right:
+  *     the gathered row is bounded by ~max(history/numBuckets,
+  *     targetSegment), never the whole history;
+  *  3. per-key carry chain: a key-partitioned window over the segment
+  *     rows (≤numBuckets per key — usually ONE) collects each segment's
+  *     STRICTLY-EARLIER summaries — three doubles each, bounded window
+  *     state — and folds them left-to-right:
   *     carry' = if (carry null) S else Bc·carry + A;
   *  4. re-fold each segment's elements with its incoming carry using the
   *     plain recurrence — bit-identical fold ORDER within segments.
   *
-  * Two exchanges total (the (key, bucket) aggregation and the key-window),
-  * both AQE-sized; no join diamond, no global window, no driver state. A
-  * hot key costs max(segment size, numBuckets) per task, never its whole
-  * history.
+  * Two exchanges total: the (key, bucket) gather and the key-window over
+  * the segment frame. The window is deliberately NOT a separate summary
+  * aggregation joined back on (key, bucket): that formulation either
+  * re-runs the gather for the summary branch (a diamond), goes
+  * stats-less under a pinned checkpoint (demoting the carry join to a
+  * sort-merge with a THIRD full-data exchange — measured), or leans on
+  * broadcasting a one-row-per-(key, bucket) frame that stops being
+  * broadcastable at billion-key scale. No driver state. A hot key costs
+  * max(~targetSegment elements, numBuckets summaries) per task, never
+  * its whole history.
   *
   * == Numeric contract ==
   *
   * Within a segment the fold order is bit-identical to the sequential
-  * recurrence. ACROSS segment boundaries the carry is the affine
-  * recomposition `Bc·p + A`, which differs from the purely sequential
-  * interleaving in the last ulps (IEEE addition does not re-associate) —
-  * the standard parallel-scan trade, deterministic and independent of
-  * partitioning/task order. The q127 oracle replays the identical
-  * segmented arithmetic (same bucket formula, same fold expressions), so
-  * engine parity stays bit-exact. `numBuckets = 1` degenerates to one
-  * segment per key — the exact sequential semantics of the old gather
-  * path (and its row-size bound) — for callers who need the purely
-  * sequential bits.
+  * recurrence — and a key whose history fits `targetSegment` is ONE
+  * segment, so normal keys are bit-identical to the purely sequential
+  * fold end-to-end. ACROSS segment boundaries (hot keys only) the carry
+  * is the affine recomposition `Bc·p + A`, which differs from the purely
+  * sequential interleaving in the last ulps (IEEE addition does not
+  * re-associate) — the standard parallel-scan trade, deterministic and
+  * independent of partitioning/task order. The q127 oracle replays the
+  * identical segmented arithmetic (same adaptive bucket formula, same
+  * fold expressions), so engine parity stays bit-exact. `numBuckets = 1`
+  * forces the exact sequential semantics (and its row-size bound) at any
+  * history length.
   *
   * NULL handling (the pandas `ewm` convention, unchanged): a null
   * observation emits the running ewma unchanged (null only while no value
@@ -83,9 +96,12 @@ class EwmaFeatures(
     orderCol: String = "ts_us",
     valueCol: String = "value",
     tieCol: String = "event_id",
-    numBuckets: Int = 64) {
+    numBuckets: Int = 1024,
+    targetSegment: Long = 8192L) {
   require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
-  require(numBuckets > 0, s"numBuckets ($numBuckets) must be positive")
+  require(numBuckets > 0 && numBuckets <= (1 << 20),
+    s"numBuckets ($numBuckets) must be in [1, 2^20]")
+  require(targetSegment > 0, s"targetSegment ($targetSegment) must be positive")
 
   /** (key, tie, value, ewma): one row per input event; ewma seeds at the
     * key's first value.
@@ -100,28 +116,35 @@ class EwmaFeatures(
     val a = alpha
     val b = 1.0 - alpha
     val B = numBuckets
+    val tgt = targetSegment
 
     val e = events.select(col(keyCol).as("__k"), col(orderCol).as("__o"),
       col(tieCol).as("__tie"), col(valueCol).cast("double").as("__v"))
 
-    // phase 1: per-key span -> integer range bucket. The join is
-    // null-safe so a NULL key is a real group (the TargetEncoder
-    // convention); AQE broadcasts the span frame while small.
+    // phase 1: per-key span + adaptive bucket count -> integer range
+    // bucket. The join is null-safe so a NULL key is a real group (the
+    // TargetEncoder convention); AQE broadcasts the span frame while
+    // small.
     val span = e.groupBy(col("__k"))
       .agg(min(col("__o").cast("long")).as("__omin"),
-        max(col("__o").cast("long")).as("__omax"))
-      .select(col("__k").as("__sk"), col("__omin"), col("__omax"))
+        max(col("__o").cast("long")).as("__omax"),
+        count(lit(1)).as("__n"))
+      .withColumn("__bk", expr(
+        s"least(CAST($B AS BIGINT), (__n + ${tgt - 1}L) div ${tgt}L)"))
+      .select(col("__k").as("__sk"), col("__omin"), col("__omax"), col("__bk"))
     val withB = e.join(span, col("__k") <=> col("__sk")).drop("__sk")
       .withColumn("__bkt",
         when(col("__o").isNull,
           raise_error(lit(s"EwmaFeatures: null order value in '$orderCol'")))
           .otherwise(expr(
-            s"(($B * (CAST(__o AS BIGINT) - __omin)) div (__omax - __omin + 1))")))
-      .drop("__omin", "__omax")
+            "((__bk * (CAST(__o AS BIGINT) - __omin)) div (__omax - __omin + 1))")))
+      .drop("__omin", "__omax", "__bk")
 
     // phase 2: segment gather + one fold computing the affine summary.
     // A/Bc/S fold exactly as documented above; null values are identity
-    // on (A, Bc) and on S-after-seeding.
+    // on (A, Bc) and on S-after-seeding. The frame is pinned because two
+    // consumers read it (the summary chain and the carry join) — without
+    // the pin each branch would re-run the gather shuffle.
     val seg = withB
       .groupBy(col("__k"), col("__bkt"))
       .agg(expr(
@@ -140,13 +163,24 @@ class EwmaFeatures(
            |               WHEN acc.S IS NULL THEN x.v
            |               ELSE ${a}D * x.v + ${b}D * acc.S END))""".stripMargin))
 
-    // phase 3: carry chain. Each segment's incoming carry folds the
-    // summaries of its key's STRICTLY-EARLIER buckets — <= numBuckets-1
-    // structs of three doubles, bounded window state regardless of key
-    // heat. collect_list over a window follows frame order (bkt asc,
+    // phase 3: carry chain over summaries only. Each segment's incoming
+    // carry folds the summaries of its key's STRICTLY-EARLIER buckets —
+    // ≤numBuckets-1 three-double structs of bounded window state — via a
+    // key-partitioned window over the SEGMENT frame (≤numBuckets rows
+    // per key thanks to the adaptive B_k, usually exactly one). A window,
+    // deliberately NOT a separate summaries aggregation joined back:
+    // the join formulation either re-runs the gather for the summary
+    // branch (a diamond over a shuffle), goes stats-less under a pinned
+    // checkpoint (demoting the carry join to a sort-merge with a THIRD
+    // full-data exchange — measured), or leans on broadcasting a
+    // one-row-per-(key, bucket) frame that stops being broadcastable at
+    // billion-key scale. The window is the predictable plan: one extra
+    // exchange of the segment frame, no duplicate compute, no broadcast
+    // cliff. collect_list over a window follows frame order (bkt asc,
     // unique per key), so the fold order is deterministic.
-    val wPrior = Window.partitionBy(col("__k")).orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrior = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val withCin = seg
       .withColumn("__prior", collect_list(col("__sm")).over(wPrior))
       .withColumn("__cin", expr(
@@ -156,16 +190,15 @@ class EwmaFeatures(
       .drop("__prior", "__sm")
 
     // phase 4: re-fold each segment with its carry — the plain recurrence
-    // in (order, tie) order, seeded at the carry (the first segment's
-    // carry is NULL, so its values are bit-identical to the old gather
-    // path). A row-local Scala pass, deliberately NOT an `aggregate` HOF
-    // building the output with concat(acc.lst, ...): Catalyst array
-    // concat copies the accumulator every step — O(|segment|²) per
-    // segment, which is exactly the blow-up this operator exists to
-    // avoid on hot keys. The UDF is one linear pass over the value
-    // array (same IEEE double ops in the same order — bit parity with
-    // the oracle is unchanged); the ewma array zips back positionally,
-    // so the generic tie column never enters the UDF signature.
+    // in (order, tie) order, seeded at the carry. A row-local Scala pass,
+    // deliberately NOT an `aggregate` HOF building the output with
+    // concat(acc.lst, ...): Catalyst array concat copies the accumulator
+    // every step — O(|segment|²) per segment, which is exactly the
+    // blow-up this operator exists to avoid on hot keys. The UDF is one
+    // linear pass over the value array (same IEEE double ops in the same
+    // order — bit parity with the oracle is unchanged); the ewma array
+    // zips back positionally, so the generic tie column never enters the
+    // UDF signature.
     withCin
       .withColumn("__ew", EwmaFeatures.refold(a, b)(
         expr("transform(__seq, x -> x.v)"), col("__cin")))

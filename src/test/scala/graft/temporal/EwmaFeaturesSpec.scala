@@ -65,20 +65,23 @@ class EwmaFeaturesSpec extends SparkTestBase {
     assert(got((2L, 21L)) === Some(5.0)) // seeds at first real value
   }
 
-  test("segmented scan tracks the exact sequential fold (numBuckets = 1) to fp-assoc tolerance") {
+  test("segmented scan tracks the exact sequential fold to fp-assoc tolerance") {
     // dense multi-element segments: 400 events on one key, values chosen
     // so the smoother keeps moving. numBuckets = 1 is the purely
-    // sequential gather semantics; the segmented default recomposes the
-    // carry affinely at segment boundaries — same recurrence, last-ulp
-    // differences only.
+    // sequential gather semantics; a small targetSegment forces real
+    // multi-segment splitting (the adaptive default would keep 400
+    // events in ONE segment), so the carry recomposes affinely at
+    // segment boundaries — same recurrence, last-ulp differences only.
     val rows = (1L to 400L).map(i =>
       (1L, i, i * 1000L, math.sin(i.toDouble) * 10.0 + (i % 13).toDouble))
-    def runB(b: Int): Map[Long, Double] =
-      new EwmaFeatures(alpha = 0.25, numBuckets = b)
+    def runB(b: Int, tgt: Long): Map[Long, Double] =
+      new EwmaFeatures(alpha = 0.25, numBuckets = b, targetSegment = tgt)
         .transform(rows.toDF("user_id", "event_id", "ts_us", "value"))
         .select("event_id", "ewma").as[(Long, Double)].collect().toMap
-    val seq = runB(1)
-    val seg = runB(64)
+    val seq = runB(1, 8192L)
+    // adaptive default at 400 events -> ONE segment -> BIT-identical
+    assert(runB(1024, 8192L) === seq)
+    val seg = runB(64, 8L) // ~50 segments of ~8
     assert(seq.size === 400 && seg.size === 400)
     rows.foreach { case (_, id, _, _) =>
       val (a, b) = (seq(id), seg(id))
@@ -89,12 +92,13 @@ class EwmaFeaturesSpec extends SparkTestBase {
 
   test("hot key: one key's history spans many segments, no whole-history row") {
     // 50k events on a single key — the shape whose gather formulation
-    // put the full history in one row. The segmented plan caps gathered
-    // rows at ~history/numBuckets and must stay correct: spot-check the
-    // recurrence at the head and that every event got exactly one row.
+    // put the full history in one row. ceil(50000/8192) = 7 segments
+    // under the adaptive default; the plan must stay correct:
+    // spot-check the recurrence at the head and that every event got
+    // exactly one row.
     val n = 50000
     val rows = (1L to n.toLong).map(i => (7L, i, i * 10L, (i % 97).toDouble))
-    val got = new EwmaFeatures(alpha = 0.25, numBuckets = 64)
+    val got = new EwmaFeatures(alpha = 0.25)
       .transform(rows.toDF("user_id", "event_id", "ts_us", "value"))
       .select("event_id", "ewma").as[(Long, Double)].collect().toMap
     assert(got.size === n)
