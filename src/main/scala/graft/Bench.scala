@@ -151,8 +151,13 @@ object Bench {
       .pipe(t => dataFiltersTrunc.replaceAllIn(t, m => {
         val body = m.group(1)
         val cut = body.lastIndexOf(',')
-        scala.util.matching.Regex.quoteReplacement(
-          (if (cut >= 0) body.substring(0, cut + 1) else body) + " ...")
+        // no complete element before the ellipsis (a single filter too
+        // wide for the budget, q37's shape): drop the partial text
+        // entirely — it still carries the id-width-dependent cut point
+        val kept =
+          if (cut >= 0) body.substring(0, cut + 1)
+          else body.substring(0, body.indexOf('[') + 1)
+        scala.util.matching.Regex.quoteReplacement(kept + " ...")
       }))
       // RewriteDistinctAggregates keys its attribute-set ordering on
       // per-JVM ExprId hashes: the SAME semantic plan prints its Expand

@@ -121,6 +121,13 @@ class BenchDiffSpec extends AnyFunSuite {
     // untruncated DataFilters lists are untouched
     val d = "FileScan parquet [a#] DataFilters: [isnotnull(a#)], Format: Parquet"
     assert(graft.Bench.normalizePlan(d).contains("[isnotnull(a#)]"))
+    // a single filter too wide for the budget (no complete element
+    // before the ellipsis — q37's shape): the partial text is dropped
+    // entirely, since its cut point is id-width-dependent too
+    val e1 = "FileScan parquet [text#] DataFilters: [element_at(transform(array(CASE WHEN (length(text#) > 0..., Format: Parquet"
+    val e2 = "FileScan parquet [text#] DataFilters: [element_at(transform(array(CASE WHEN (length(te..., Format: Parquet"
+    assert(graft.Bench.planHash(e1) === graft.Bench.planHash(e2))
+    assert(graft.Bench.normalizePlan(e1).contains("DataFilters: [ ..."))
   }
 
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
