@@ -133,6 +133,47 @@ object TemporalQueries {
         .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
     }),
 
+    // the SQL-TVF surface under the oracle in its OTHER modes (q44
+    // covers backward/no-tolerance): forward direction + tolerance —
+    // each view matched to the next purchase by the same user within
+    // 24h. Right side pre-deduped to one row per (user, ts) so the
+    // winner is engine-independent (the q134 discipline).
+    "q170_asof_sql_fwd" -> ((s, dir) => {
+      graft.GraftExtensions.ensureTemporalJoins(s)
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+        .createOrReplaceTempView("__q170_views")
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("p_ts_us"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("p_ts_us"))
+        .agg(min(col("event_id")).as("p_id"))
+        .createOrReplaceTempView("__q170_purch")
+      s.sql("SELECT * FROM asof_join('__q170_views', '__q170_purch', " +
+        "'user_id', 'ts_us', 'p_ts_us', 'forward', 86400000000)")
+    }),
+
+    // range_join through the SQL TVF (q47 keeps the Scala surface under
+    // the oracle): views attributed to each purchase's FORWARD 2h window
+    "q171_range_sql" -> ((s, dir) => {
+      graft.GraftExtensions.ensureTemporalJoins(s)
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("v_us"))
+        .createOrReplaceTempView("__q171_pts")
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("start_us"),
+          (expr("unix_micros(cast(ts as timestamp))") + lit(7200000000L)).as("end_us"))
+        .createOrReplaceTempView("__q171_ivs")
+      s.sql("SELECT * FROM range_join('__q171_pts', '__q171_ivs', " +
+        "'user_id', 'v_us', 'start_us', 'end_us', 3600000000)")
+    }),
+
     "q79_rolling_features" -> ((s, dir) => {
       new graft.temporal.RollingFeatures(n = 5)
         .transform(Tables.events(s, dir)
@@ -703,6 +744,37 @@ object TemporalQueries {
         |)
         |SELECT user_id, event_id, value, ewma
         |FROM rec""".stripMargin,
+
+    // DuckDB's native ASOF join replays the forward match (the single
+    // inequality flipped to <=); tolerance as a post-CASE null-out is
+    // equivalent because ASOF already picked the MINIMAL gap — if it
+    // exceeds the bound, no other row qualifies either. Right side
+    // deduped to one row per (user, ts) in both engines.
+    "q170_asof_sql_fwd" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_ts_us, min(event_id) AS p_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT v.event_id, v.user_id, v.ts_us,
+        |  CASE WHEN p.p_ts_us - v.ts_us <= 86400000000 THEN p.p_id END AS p_id,
+        |  CASE WHEN p.p_ts_us - v.ts_us <= 86400000000 THEN p.p_ts_us END AS p_ts_us
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.ts_us <= p.p_ts_us""".stripMargin,
+    "q171_range_sql" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 7200000000 AS end_us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT v.user_id, view_id, v_us, p_id, start_us, end_us
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND v.v_us BETWEEN p.start_us AND p.end_us""".stripMargin,
 
     "q79_rolling_features" ->
       """WITH ev AS (
