@@ -149,6 +149,25 @@ class PlanAuditSpec extends SparkTestBase {
         s"found ${scanSigs.size} distinct scans:\n${scanSigs.mkString("\n")}")
   }
 
+  test("q127's gather is segmented — no whole-history-per-key collect_list") {
+    // the r13 scale fix: EwmaFeatures must gather per (key, bucket),
+    // never per key alone — a key-only gather is the row-size cap the
+    // segmented plan removed. The carry chain's per-key aggregation over
+    // SUMMARIES (window collect_list of three-double structs) is fine;
+    // what must not exist is a collect_list of the event struct keyed by
+    // __k without __bkt.
+    val plan = SparkEntry.queries("q127_ewma")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val eventGathers = plan.linesIterator
+      .filter(l => l.contains("collect_list(named_struct(o, "))
+      .toSeq
+    assert(eventGathers.nonEmpty, s"expected the segment gather in:\n$plan")
+    eventGathers.foreach { l =>
+      assert(l.contains("__bkt"),
+        s"event gather not segmented (keyed without __bkt): $l")
+    }
+  }
+
   test("flagship entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
