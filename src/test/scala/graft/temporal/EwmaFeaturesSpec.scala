@@ -117,6 +117,53 @@ class EwmaFeaturesSpec extends SparkTestBase {
     }
   }
 
+  test("alpha = 1.0 degenerates to the identity smoother") {
+    // b = 0: every non-null observation IS the ewma; nulls emit the
+    // previous value — exercises the Bc=0 edge of the affine summary
+    // (a hot-key segment's composed multiplier hits exactly 0.0)
+    val rows = Seq(
+      (1L, 10L, 100L, Some(8.0)),
+      (1L, 11L, 200L, None),
+      (1L, 12L, 300L, Some(4.0)))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val got = new EwmaFeatures(alpha = 1.0, numBuckets = 64, targetSegment = 1L)
+      .transform(rows)
+      .select("event_id", "ewma").as[(Long, Option[Double])].collect().toMap
+    assert(got(10L) === Some(8.0))
+    assert(got(11L) === Some(8.0))
+    assert(got(12L) === Some(4.0))
+  }
+
+  test("negative (pre-epoch) order values bucket correctly") {
+    val rows = Seq(
+      (1L, 10L, -300L, 8.0),
+      (1L, 11L, -200L, 4.0),
+      (1L, 12L, -100L, 12.0))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val got = new EwmaFeatures(alpha = 0.25, targetSegment = 1L, numBuckets = 4)
+      .transform(rows)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(got(10L) === 8.0)
+    assert(math.abs(got(11L) - 7.0) < 1e-12)
+    assert(math.abs(got(12L) - 8.25) < 1e-12)
+  }
+
+  test("timestamp-typed order column is accepted; string rejected") {
+    val ts = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", 8.0),
+      (1L, 11L, "2024-01-02 00:00:00", 4.0))
+      .toDF("user_id", "event_id", "tss", "value")
+      .select($"user_id", $"event_id", $"tss".cast("timestamp").as("ts_us"), $"value")
+    val got = new EwmaFeatures(alpha = 0.25).transform(ts)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(got(10L) === 8.0 && got(11L) === 7.0)
+    val bad = Seq((1L, 10L, "x", 8.0)).toDF("user_id", "event_id", "ts_us", "value")
+    val ex = intercept[IllegalArgumentException] {
+      new EwmaFeatures(alpha = 0.25).transform(bad)
+    }
+    assert(ex.getMessage.contains("numeric/timestamp"))
+  }
+
   test("null order value fails loudly") {
     val rows = Seq(
       (1L, 10L, Some(100L), 8.0),
