@@ -174,6 +174,24 @@ object TemporalQueries {
         "'user_id', 'v_us', 'start_us', 'end_us', 3600000000)")
     }),
 
+    // the STREAMING smoother's state transition under the oracle: the
+    // same flatMapGroupsWithState fn executes in batch mode (each key's
+    // events in one sorted invocation — the purely sequential fold), so
+    // the oracle is the plain recursive CTE. Ordering granularity is the
+    // operator's contract: (event-time millis, event_id) — Timestamp
+    // state folds at ms, the tie id breaks sub-ms ties.
+    "q172_ewma_stream" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EwmaStream.EwmaEvent]
+      graft.streaming.EwmaStream.smooth(ev, alpha = 0.25).toDF()
+        .where(!col("late"))
+        .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+    }),
+
     "q79_rolling_features" -> ((s, dir) => {
       new graft.temporal.RollingFeatures(n = 5)
         .transform(Tables.events(s, dir)
@@ -775,6 +793,28 @@ object TemporalQueries {
         |SELECT v.user_id, view_id, v_us, p_id, start_us, end_us
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND v.v_us BETWEEN p.start_us AND p.end_us""".stripMargin,
+
+    // plain sequential recurrence (batch-mode state fn sees each key's
+    // full history in one sorted pass), ordered by (ms, event_id) — the
+    // streaming operator's Timestamp state folds at millisecond
+    // granularity with the tie id breaking sub-ms ties
+    "q172_ewma_stream" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000, event_id) AS rn
+        |  FROM events
+        |), rec(user_id, event_id, value, rn, ewma) AS (
+        |  SELECT user_id, event_id, value, rn, value FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.event_id, ev.value, ev.rn,
+        |    CASE WHEN ev.value IS NULL THEN rec.ewma
+        |         WHEN rec.ewma IS NULL THEN ev.value
+        |         ELSE 0.25 * ev.value + 0.75 * rec.ewma END
+        |  FROM rec JOIN ev ON ev.user_id = rec.user_id AND ev.rn = rec.rn + 1
+        |)
+        |SELECT user_id, event_id, value, ewma
+        |FROM rec""".stripMargin,
 
     "q79_rolling_features" ->
       """WITH ev AS (
