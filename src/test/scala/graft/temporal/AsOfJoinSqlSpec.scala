@@ -103,6 +103,22 @@ class AsOfJoinSqlSpec extends SparkTestBase {
     }
   }
 
+  test("NULL keys are a real group in BOTH paths (the TargetEncoder convention)") {
+    val l = Seq((Option("A"), 1L, 100L), (Option.empty[String], 2L, 100L))
+      .toDF("sym", "trade_id", "t")
+    val r = Seq((Option("A"), 90L, 1.0), (Option.empty[String], 95L, 9.5))
+      .toDF("sym", "qt", "px")
+    l.createOrReplaceTempView("__sql_nl")
+    r.createOrReplaceTempView("__sql_nr")
+    val got = spark.sql(
+      "SELECT * FROM asof_join('__sql_nl', '__sql_nr', 'sym', 't', 'qt')")
+      .select(col("trade_id"), col("px")).as[(Long, Option[Double])].collect().toMap
+    val want = rows(new AsOfJoin(Seq("sym"), "t", "qt").join(l, r))
+      .map(t => (t._1, t._3)).toMap
+    assert(got === want)
+    assert(got(2L) === Some(9.5), "the null-key trade must match the null-key quote")
+  }
+
   test("ensureTemporalJoins is idempotent") {
     graft.GraftExtensions.ensureTemporalJoins(spark)
     graft.GraftExtensions.ensureTemporalJoins(spark)
