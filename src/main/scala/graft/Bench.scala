@@ -150,7 +150,23 @@ object Bench {
       // its cut is stable; only DataFilters carries ids.)
       .pipe(t => dataFiltersTrunc.replaceAllIn(t, m => {
         val body = m.group(1)
-        val cut = body.lastIndexOf(',')
+        // last TOP-LEVEL comma: a comma nested inside the partial last
+        // element's parentheses (an IN-list, a multi-arg function) is
+        // itself on the id-width-dependent side of the cut — trimming
+        // there would keep cut-offset-dependent text (the r13 review
+        // find). Depth counts only '(' — the body has no nested '['.
+        var depth = 0
+        var cut = -1
+        var i = body.indexOf('[') + 1
+        while (i < body.length) {
+          body.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 => cut = i
+            case _ => ()
+          }
+          i += 1
+        }
         // no complete element before the ellipsis (a single filter too
         // wide for the budget, q37's shape): drop the partial text
         // entirely — it still carries the id-width-dependent cut point
@@ -175,13 +191,18 @@ object Bench {
 
   /** Order-insensitive rendering of one `gid#`-bearing plan line: blank
     * integer literals (the gid NUMBERING itself permutes with ExprId
-    * order — `FILTER (WHERE (gid# = 4))` vs `= 2` for the same column),
-    * then sort the top-level elements of every bracket/paren group
-    * recursively — a deterministic text for what the rewrite emits as an
-    * unordered set. Accepted blind spot, deliberately narrow: a REAL
-    * plan change that only reorders grouping keys or renumbers gids on
-    * these lines hashes the same — which is indistinguishable from what
-    * the rewrite already emits nondeterministically.
+    * order — `FILTER (WHERE (gid# = 4))` vs `= 2` for the same column;
+    * the Expand rows carry the literals too, so blanking must cover ALL
+    * ints on the line), then sort the top-level elements of every
+    * bracket/paren group recursively — a deterministic text for what the
+    * rewrite emits as an unordered set. Accepted blind spot, stated at
+    * its REAL width: on gid#-bearing lines a change to ANY integer
+    * literal (shuffle partition counts, filter/aggregate constants) or
+    * to any group's ELEMENT ORDER (grouping keys, function-argument
+    * order) hashes the same — the price of normalizing what the rewrite
+    * permutes nondeterministically. Non-gid lines keep full-fidelity
+    * hashing, and changes to the operators/expressions themselves on
+    * gid lines still flip.
     */
   private[graft] def canonicalizeGidLine(line: String): String = {
     val s = line.replaceAll("\\b\\d+\\b", "_")

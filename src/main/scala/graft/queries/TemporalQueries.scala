@@ -703,10 +703,10 @@ object TemporalQueries {
         |  FROM base GROUP BY 1
         |), evr AS (
         |  SELECT b.user_id, b.event_id, b.value, b.o,
-        |    ((s.bk * (b.o - s.omin)) // (s.omax - s.omin + 1)) AS bkt,
+        |    ((b.o - s.omin) // ((s.omax - s.omin + s.bk) // s.bk)) AS bkt,
         |    row_number() OVER (
         |      PARTITION BY b.user_id,
-        |        ((s.bk * (b.o - s.omin)) // (s.omax - s.omin + 1))
+        |        ((b.o - s.omin) // ((s.omax - s.omin + s.bk) // s.bk))
         |      ORDER BY b.o, b.event_id) AS rn
         |  FROM base b JOIN span s USING (user_id)
         |), summ(user_id, bkt, rn, a_c, b_c, s_c) AS (

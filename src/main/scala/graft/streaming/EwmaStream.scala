@@ -47,7 +47,13 @@ object EwmaStream {
       key: Long,
       events: Iterator[EwmaEvent],
       state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+    // belt-and-braces for direct flatMapGroupsWithState wiring; smooth()
+    // validates driver-side so a bad config fails at wiring time, not
+    // inside the first micro-batch's tasks
     require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(idleGapSeconds > 0,
+      s"idleGapSeconds ($idleGapSeconds) must be positive (a nonpositive " +
+        "gap sets timeouts at or before the watermark and kills the query)")
     if (state.hasTimedOut) {
       // idle horizon passed: evict (the smoother emits per event, so
       // there is nothing pending to flush — unlike a session close)
@@ -90,6 +96,12 @@ object EwmaStream {
       alpha: Double = 0.25,
       watermark: String = "1 hour",
       idleGapSeconds: Long = 86400L): Dataset[EwmaPoint] = {
+    // fail at WIRING time (driver), not inside the first micro-batch:
+    // a streaming query that starts and then dies on its first trigger
+    // is strictly worse than one that never starts
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(idleGapSeconds > 0,
+      s"idleGapSeconds ($idleGapSeconds) must be positive")
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)

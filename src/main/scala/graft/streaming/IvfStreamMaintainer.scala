@@ -246,7 +246,21 @@ class IvfStreamMaintainer(
       .repartition(col("batch"), col("cid"))
       .write.mode("overwrite").partitionBy("batch", "cid")
       .parquet(staging.toString)
-    fs.rename(staging, new Path(next))
+    // `next` can already EXIST: a crash between a previous compaction's
+    // rename and its pointer cutover leaves a complete-but-ORPHANED
+    // lists@<gen+1> (the pointer still names cur, so resolution never
+    // reads it — it is stale, missing every post-crash batch). An
+    // unchecked rename would silently no-op (or nest staging inside it),
+    // the pointer would then be cut to the stale generation and
+    // delete(cur) would destroy the only complete data. Deleting it is
+    // safe by construction: the pointer is written only AFTER a rename,
+    // and it names cur, never cur's successor. The rename result is
+    // REQUIRED so any other failure mode stays loud.
+    val nextPath = new Path(next)
+    if (fs.exists(nextPath)) fs.delete(nextPath, true)
+    require(fs.rename(staging, nextPath),
+      s"compaction rename $staging -> $nextPath failed; " +
+        "the current generation is untouched")
     // pointer cutover: tmp write + rename; the resolution fallback scans
     // for the highest generation (all complete, thanks to the staged
     // rename above), so even the tiny delete→rename window cannot strand

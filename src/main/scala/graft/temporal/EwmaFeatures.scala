@@ -40,9 +40,10 @@ import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
   *     values are bit-identical to the purely sequential fold) while a
   *     hot key splits into up to `numBuckets` segments of
   *     ~`targetSegment` events; each row gets the integer range bucket
-  *     `(B_k * (o - min)) div (max - min + 1)` — pure BIGINT arithmetic,
-  *     bit-replayable by the oracle (B_k ≤ numBuckets ≤ 2²⁰ and spans in
-  *     µs keep the product well under Long overflow);
+  *     `(o - min) div ceil(span / B_k)` — pure BIGINT arithmetic,
+  *     bit-replayable by the oracle, and DIVIDE-first so no intermediate
+  *     can overflow at any span/B_k combination (a span itself near
+  *     Long.MaxValue fails loudly rather than wrapping);
   *  2. per-(key, bucket) segment gather: `collect_list` + `array_sort`
   *     by (order, tie) and ONE row-local fold computing (A, Bc, S) —
   *     the gathered row is bounded by ~max(history/numBuckets,
@@ -132,19 +133,32 @@ class EwmaFeatures(
       .withColumn("__bk", expr(
         s"least(CAST($B AS BIGINT), (__n + ${tgt - 1}L) div ${tgt}L)"))
       .select(col("__k").as("__sk"), col("__omin"), col("__omax"), col("__bk"))
+    // bucket = (o - min) div ceil(span / B_k): DIVIDE-first, deliberately
+    // — the multiply form `B_k * (o - min)` overflows Long once
+    // span > Long.Max / B_k (a raw-id order column can span the full
+    // Long range), silently wrapping buckets out of time order. Here no
+    // intermediate exceeds span + B_k, and the one unrepresentable case
+    // (the span itself near Long.Max) fails LOUDLY below instead of
+    // wrapping. Monotone in o, <= B_k - 1 by construction.
     val withB = e.join(span, col("__k") <=> col("__sk")).drop("__sk")
       .withColumn("__bkt",
         when(col("__o").isNull,
           raise_error(lit(s"EwmaFeatures: null order value in '$orderCol'")))
+          // try_subtract: under ANSI the raw subtraction would throw its
+          // own (less specific) overflow error before this guard runs;
+          // under non-ANSI it would WRAP silently — null-on-overflow
+          // makes the guard fire with the domain message in both modes
+          .when(expr(s"try_subtract(__omax, __omin) IS NULL OR " +
+            s"try_subtract(__omax, __omin) > ${Long.MaxValue - (1L << 21)}L"),
+            raise_error(lit(s"EwmaFeatures: order span of '$orderCol' " +
+              "overflows BIGINT bucketing")))
           .otherwise(expr(
-            "((__bk * (CAST(__o AS BIGINT) - __omin)) div (__omax - __omin + 1))")))
+            "((CAST(__o AS BIGINT) - __omin) div ((__omax - __omin + __bk) div __bk))")))
       .drop("__omin", "__omax", "__bk")
 
     // phase 2: segment gather + one fold computing the affine summary.
     // A/Bc/S fold exactly as documented above; null values are identity
-    // on (A, Bc) and on S-after-seeding. The frame is pinned because two
-    // consumers read it (the summary chain and the carry join) — without
-    // the pin each branch would re-run the gather shuffle.
+    // on (A, Bc) and on S-after-seeding.
     val seg = withB
       .groupBy(col("__k"), col("__bkt"))
       .agg(expr(

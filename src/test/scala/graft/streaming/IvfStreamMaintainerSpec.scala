@@ -275,6 +275,40 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
     assert(m.load(spark).lists.count() === 180L)
   }
 
+  test("a stale orphaned generation (crash between rename and pointer cutover) is replaced, not silently kept") {
+    // the r13 review find: a crash AFTER a previous compaction's rename
+    // but BEFORE its pointer write leaves a complete lists@<g+1> the
+    // pointer never references; appends continue into lists@<g>, and the
+    // NEXT compaction's target name collides. An unchecked rename would
+    // no-op, cut the pointer to the STALE generation and delete the only
+    // complete data. Simulate the orphan, then compact across it.
+    val path = Files.createTempDirectory("graft-ivf-orphan").toString
+    val m = new IvfStreamMaintainer(ivf, path, maxFilesPerCell = 4)
+    m.bootstrap((0L until 100L).map(vec).toDF())
+    // plant the orphan where the next compaction will want to publish:
+    // a directory that LOOKS like a complete generation but holds junk
+    val orphan = new java.io.File(s"$path/lists@1")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/lists@1/_SUCCESS"), "")
+    // no pointer exists yet, so resolution's highest-generation fallback
+    // would prefer the orphan — appendBatch must still work off the
+    // primordial dir... it does NOT: this is exactly why compaction
+    // stages+renames; for THIS spec the orphan only matters at publish
+    // time, so point resolution at the primordial dir explicitly
+    val ptr = java.nio.file.Paths.get(s"$path/LISTS.ptr")
+    java.nio.file.Files.writeString(ptr, "lists")
+    (1 to 4).foreach { b =>
+      m.appendBatch((100L + b * 20L until 120L + b * 20L).map(vec).toDF(), b.toLong)
+    }
+    // compaction fired inside appendBatch(4): the orphan was REPLACED
+    assert(new String(java.nio.file.Files.readAllBytes(ptr)).trim === "lists@1")
+    val loaded = m.load(spark)
+    assert(loaded.lists.count() === 180L,
+      "stale orphaned generation must be replaced by the real compaction output")
+    assert(loaded.lists.select("vec_id").distinct().count() === 180L)
+  }
+
   test("retrainTo on planted drift: fresh baseline, rows preserved, KMeans composition") {
     val path = Files.createTempDirectory("graft-ivf-retrain").toString
     val m = new IvfStreamMaintainer(ivf, path)

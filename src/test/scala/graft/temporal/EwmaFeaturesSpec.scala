@@ -164,6 +164,33 @@ class EwmaFeaturesSpec extends SparkTestBase {
     assert(ex.getMessage.contains("numeric/timestamp"))
   }
 
+  test("huge order spans bucket without overflow (divide-first formula)") {
+    // the multiply form B_k * (o - min) wraps Long once span > Long.Max /
+    // B_k — reachable with a raw-id order column. 2^62 span, forced
+    // multi-segment: values must still be the exact recurrence.
+    val rows = Seq(
+      (1L, 10L, 0L, 8.0),
+      (1L, 11L, 1L << 62, 4.0))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val got = new EwmaFeatures(alpha = 0.25, numBuckets = 4, targetSegment = 1L)
+      .transform(rows)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(got(10L) === 8.0)
+    assert(got(11L) === 0.25 * 4.0 + 0.75 * 8.0)
+  }
+
+  test("an order span that itself overflows BIGINT fails loudly") {
+    val rows = Seq(
+      (1L, 10L, Long.MinValue + 1, 8.0),
+      (1L, 11L, Long.MaxValue - 1, 4.0))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val ex = intercept[Exception] {
+      new EwmaFeatures(alpha = 0.25).transform(rows).collect()
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("overflows BIGINT"), msg)
+  }
+
   test("null order value fails loudly") {
     val rows = Seq(
       (1L, 10L, Some(100L), 8.0),

@@ -128,6 +128,14 @@ class BenchDiffSpec extends AnyFunSuite {
     val e2 = "FileScan parquet [text#] DataFilters: [element_at(transform(array(CASE WHEN (length(te..., Format: Parquet"
     assert(graft.Bench.planHash(e1) === graft.Bench.planHash(e2))
     assert(graft.Bench.normalizePlan(e1).contains("DataFilters: [ ..."))
+    // commas NESTED inside the partial last element (IN-lists, multi-arg
+    // functions) are on the cut-offset-dependent side — the trim must
+    // land at the last TOP-LEVEL comma, or the hash still varies with
+    // where the budget cut fell (the r13 review find)
+    val g1 = "FileScan parquet [t#] DataFilters: [isnotnull(t#), t# IN (click,view,purch..., Format: Parquet"
+    val g2 = "FileScan parquet [t#] DataFilters: [isnotnull(t#), t# IN (cli..., Format: Parquet"
+    assert(graft.Bench.planHash(g1) === graft.Bench.planHash(g2))
+    assert(graft.Bench.normalizePlan(g1).contains("[isnotnull(t#), ..."))
   }
 
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
