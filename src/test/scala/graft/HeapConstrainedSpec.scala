@@ -34,7 +34,11 @@ class HeapConstrainedSpec extends AnyFunSuite {
     // round-11 addition: the OPQ serving path (fixture load + broadcast
     // matvec rotate + encode + full ADC) — the rotation literal and the
     // per-query distance tables are the broadcast-side memory to bound
-    "q167_opq_adc_search")
+    "q167_opq_adc_search",
+    // round-13 addition: the segmented EWMA — its per-(key, bucket)
+    // gathers and the carry-chain window are the new array-bearing
+    // memory shape; must degrade like the others under the cap
+    "q127_ewma")
 
   test("top expensive queries complete under a 1.5g heap cap") {
     val sfDir = "/root/testdata/sf0.01"
