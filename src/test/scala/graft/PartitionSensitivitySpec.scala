@@ -27,7 +27,11 @@ class PartitionSensitivitySpec extends SparkTestBase {
     // round 11: artifact-serving ADC — the m-row sum per (query, vec)
     // pair aggregates in shuffle order; the 1e-6 snap must keep ranks
     // partition-count-independent
-    "q167_opq_adc_search")
+    "q167_opq_adc_search",
+    // round 13: segmented EWMA — bucket assignment, within-segment sort
+    // order and the carry-chain fold must be byte-stable regardless of
+    // how the gather/window exchanges partition
+    "q127_ewma")
 
   representatives.foreach { name =>
     test(s"$name: identical result at 97 shuffle partitions") {
