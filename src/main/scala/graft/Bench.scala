@@ -20,8 +20,11 @@ import scala.util.chaining._
   * and memory+disk spill summed from `SparkListenerTaskEnd` task metrics,
   * and an id-normalized hash of the final (post-AQE) physical plan — enough
   * to tell a GC/contention outlier from a plan flip from real spill without
-  * a rerun. The PRINTED line stays within the driver's log-tail window:
-  * same shape as before plus two scalar totals (`gc_s`, `spill_mb`).
+  * a rerun. The PRINTED line stays within the driver's ~1900-byte log-tail
+  * window: per-query times ride as a POSITIONAL decisecond array
+  * (`"qprec":"ds","qt":[...]` — see the encoding comment in main) plus two
+  * scalar totals (`gc_s`, `spill_mb`); bench_out.json keeps the keyed
+  * full-name ms-precision map and full telemetry.
   */
 object Bench {
 
@@ -107,10 +110,61 @@ object Bench {
     d.take(4).map(b => f"$b%02x").mkString
   }
 
-  // a truncated `DataFilters: [... partial-elem...` span (see the pipe
-  // stage below); group 1 is everything inside the bracket up to the
-  // ellipsis
-  private val dataFiltersTrunc = "(DataFilters: \\[[^\\]]*)\\.\\.\\.".r
+  /** Trim every truncated `DataFilters: [...` span back to its last
+    * complete element (see the pipe stage below for WHY). Imperative scan
+    * instead of the r13 regex: `[^\]]*` silently skipped any span whose
+    * surviving text itself contained ']' (a GetArrayItem rendering like
+    * `x#[0]`), resurfacing the cut-offset hash instability exactly for
+    * array-syntax filters — and its paren-only depth count let a comma
+    * inside nested brackets read as top-level (r13 ADVICE). Here both
+    * '('/')' and '['/']' depths gate the top-level-comma scan, and a
+    * balanced inner ']' no longer ends the span — only the list's own
+    * closing ']' (bracket depth 0) or the renderer's `...` does.
+    */
+  private[graft] def trimTruncatedDataFilters(plan: String): String = {
+    val marker = "DataFilters: ["
+    val sb = new StringBuilder
+    var pos = 0
+    var at = plan.indexOf(marker, pos)
+    while (at >= 0) {
+      val bodyStart = at + marker.length
+      var i = bodyStart
+      var pd = 0 // '(' depth
+      var bd = 0 // '[' depth INSIDE the list (the list's own '[' not counted)
+      var lastTopComma = -1
+      var closed = -1 // index of the list's closing ']'
+      var ell = -1    // index of the renderer's truncation '...'
+      while (i < plan.length && closed < 0 && ell < 0) {
+        plan.charAt(i) match {
+          case '(' => pd += 1
+          case ')' => pd -= 1
+          case '[' => bd += 1
+          case ']' => if (bd == 0) closed = i else bd -= 1
+          case ',' if pd == 0 && bd == 0 => lastTopComma = i
+          case '.' if plan.startsWith("...", i) => ell = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (ell >= 0) {
+        // truncated: keep the complete elements (through the last
+        // top-level comma), drop the id-width-dependent partial tail,
+        // keep the ellipsis as the end marker. No complete element at
+        // all (one filter too wide for the budget, q37's shape) → drop
+        // the partial text entirely.
+        val keptEnd = if (lastTopComma >= 0) lastTopComma + 1 else bodyStart
+        sb.append(plan.substring(pos, keptEnd)).append(" ...")
+        pos = ell + 3
+      } else {
+        // untruncated (or unterminated odd shape): copy through unchanged
+        val upTo = if (closed >= 0) closed + 1 else plan.length
+        sb.append(plan.substring(pos, upTo))
+        pos = upTo
+      }
+      at = plan.indexOf(marker, pos)
+    }
+    sb.append(plan.substring(pos)).toString
+  }
 
   private[graft] def normalizePlan(plan: String): String =
     plan
@@ -148,33 +202,7 @@ object Bench {
       // DataFilters list back to its last COMPLETE element so the cut
       // offset stops mattering. (PushedFilters renders id-less names —
       // its cut is stable; only DataFilters carries ids.)
-      .pipe(t => dataFiltersTrunc.replaceAllIn(t, m => {
-        val body = m.group(1)
-        // last TOP-LEVEL comma: a comma nested inside the partial last
-        // element's parentheses (an IN-list, a multi-arg function) is
-        // itself on the id-width-dependent side of the cut — trimming
-        // there would keep cut-offset-dependent text (the r13 review
-        // find). Depth counts only '(' — the body has no nested '['.
-        var depth = 0
-        var cut = -1
-        var i = body.indexOf('[') + 1
-        while (i < body.length) {
-          body.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case ',' if depth == 0 => cut = i
-            case _ => ()
-          }
-          i += 1
-        }
-        // no complete element before the ellipsis (a single filter too
-        // wide for the budget, q37's shape): drop the partial text
-        // entirely — it still carries the id-width-dependent cut point
-        val kept =
-          if (cut >= 0) body.substring(0, cut + 1)
-          else body.substring(0, body.indexOf('[') + 1)
-        scala.util.matching.Regex.quoteReplacement(kept + " ...")
-      }))
+      .pipe(trimTruncatedDataFilters)
       // RewriteDistinctAggregates keys its attribute-set ordering on
       // per-JVM ExprId hashes: the SAME semantic plan prints its Expand
       // rows, group keys, hashpartitioning args and gid numbering
@@ -184,10 +212,24 @@ object Bench {
       // BenchDiff until r13). Every permuted token lives on a line that
       // mentions the rewrite's `gid#` column, so canonicalization is
       // scoped exactly there (see canonicalizeGidLine) — all other lines
-      // keep their order-sensitive hashing.
-      .split("\n", -1)
-      .map(l => if (l.contains("gid#")) canonicalizeGidLine(l) else l)
-      .mkString("\n")
+      // keep their order-sensitive hashing. r14 tightens the TRIGGER:
+      // the r13 version fired on ANY plan whose lines contain `gid#`,
+      // including q52/q93-style plans that merely alias
+      // `grouping_id() AS gid` — blanking real integers/element order on
+      // those user lines (r13 ADVICE). Now the whole-plan canonicalization
+      // only arms when the plan carries the rewrite's own signature —
+      // a `FILTER (WHERE (gid#` aggregate or an Expand line that itself
+      // emits `gid#` (rollup/cube Expands emit `spark_grouping_id#`, not
+      // `gid#`, so they don't arm it). Plans without the signature keep
+      // full-fidelity hashing on every line, aliased gid included.
+      .pipe { t =>
+        val rewriteSignature = t.contains("FILTER (WHERE (gid#") ||
+          t.split("\n", -1).exists(l => l.contains("Expand") && l.contains("gid#"))
+        if (!rewriteSignature) t
+        else t.split("\n", -1)
+          .map(l => if (l.contains("gid#")) canonicalizeGidLine(l) else l)
+          .mkString("\n")
+      }
 
   /** Order-insensitive rendering of one `gid#`-bearing plan line: blank
     * integer literals (the gid NUMBERING itself permutes with ExprId
@@ -376,16 +418,35 @@ object Bench {
     // driver's parsed JSON — fail loudly at bench time instead
     require(results.map(r => short(r._1)).distinct.size == results.size,
       "duplicate qNN prefixes across query names; printed JSON keys would collide")
-    // the PRINTED per-query map uses DECISECOND precision: the driver's
-    // log-tail window is exactly 2000 chars and ends with sbt's ~80-char
-    // "[success]" line, so the whole printed line must fit ~1900 bytes.
-    // r10's centisecond line hit ~2015 bytes at 166 queries and its head
-    // was clipped (BENCH_r10 parsed=null, lost q01-q03). One decimal keeps
-    // 167 queries at ~1.83 KB; bench_out.json keeps ms precision + full
-    // names for real round-over-round comparison.
-    def num2(v: Double): String = jsonNum(v, 1)
-    val qJson = results.map { case (k, v) => jstr(short(k)) + ":" + num2(v) }.mkString("{", ",", "}")
     val qJsonFull = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+    // The PRINTED per-query channel is a POSITIONAL decisecond array:
+    // `"qprec":"ds","qt":[5,12,-1,...]` where qt[i] is query q(i+1)'s
+    // min-pass time in 0.1 s units and -1 means "no time" (the query
+    // errored, was filtered out by SPARK_GRAFT_ONLY, or its id is a gap
+    // in the numbering — the `errors` field disambiguates). r13's keyed
+    // decisecond map (`"q101":1.2,` ≈ 12 B/query) overflowed the
+    // driver's 1900-byte log-tail window at 172 queries and the
+    // whole-second fallback fired, degrading the driver's own artifact
+    // to near-zero information. The positional form costs ~3 B/query —
+    // headroom past 500 queries at full 0.1 s resolution. Decodable
+    // because suite naming is dense `qNN_desc` (required below);
+    // BenchDiff.times reconstructs the qNN keys from the positions.
+    def qid(k: String): Int = {
+      val ds = k.drop(1).takeWhile(_.isDigit)
+      require(k.startsWith("q") && ds.nonEmpty,
+        s"query name '$k' lacks the qNN_ prefix the positional bench encoding needs")
+      ds.toInt
+    }
+    val ids = qs.map { case (k, _) => qid(k) }
+    require(ids.distinct.size == ids.size,
+      "duplicate numeric query ids; positional bench encoding would collide")
+    val timeById = results.map { case (k, v) => qid(k) -> v }.toMap
+    def qtArray(decimalsPerSec: Int): String =
+      (1 to ids.max).map { i =>
+        timeById.get(i)
+          .map(v => math.round(v * decimalsPerSec).toString)
+          .getOrElse("-1")
+      }.mkString("[", ",", "]")
     val teleJson = results.map { case (k, _) =>
       val t = tele(k)
       jstr(k) + ":" + (s"""{"t1":${num(t._1)},"t2":${num(t._2)},""" +
@@ -419,27 +480,23 @@ object Bench {
     // 1900-byte window and the driver records sf separately anyway)
     val sfShort = new java.io.File(sfDir).getName
     val line =
-      s"""{$head,"queries":$qJson,"errors":$eJsonShort,$tele2,"sf":${jstr(sfShort)}}"""
+      s"""{$head,"qprec":"ds","qt":${qtArray(10)},"errors":$eJsonShort,$tele2,"sf":${jstr(sfShort)}}"""
     val lineFull =
       s"""{$head,"queries":$qJsonFull,"errors":$eJson,$tele2,""" +
         s""""telemetry":$teleJson,"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), lineFull + "\n")
-    // last-resort degrade instead of a silent driver-side clip: if query
-    // growth ever pushes past the window again, drop per-query precision
-    // to whole seconds (saves ~2 bytes/query) and collapse the error map
-    // to a count — keys stay "qNN" so BenchDiff's alignment still works
-    // (a bare-number key variant would read as zero shared queries), and
-    // `total` keeps millisecond precision. Loud on stderr so the next
-    // builder rethinks the encoding instead of inheriting the floor.
+    // last-resort degrade instead of a silent driver-side clip: at
+    // ~3 B/query the decisecond array holds ~550 queries in the 1900-byte
+    // window; if the suite ever outgrows even that, halve resolution to
+    // whole seconds and collapse the error map to a count. Loud on stderr
+    // so the next builder rethinks the encoding instead of inheriting the
+    // floor.
     val printedLine =
       if (line.length <= 1900) line
       else {
-        val qJsonCoarse = results.map { case (k, v) =>
-          jstr(short(k)) + ":" + jsonNum(v, 0)
-        }.mkString("{", ",", "}")
         System.err.println(s"[bench] printed line ${line.length}B > 1900B window; " +
           "degrading per-query times to whole seconds — time to rethink the printed encoding")
-        s"""{$head,"qprec":"sec","queries":$qJsonCoarse,"errors":{"n":${errors.size}},$tele2,"sf":${jstr(sfShort)}}"""
+        s"""{$head,"qprec":"sec","qt":${qtArray(1)},"errors":{"n":${errors.size}},$tele2,"sf":${jstr(sfShort)}}"""
       }
     println(printedLine)
     spark.stop()

@@ -95,6 +95,66 @@ object BenchDiff {
     }
   }
 
+  /** Per-query times from any bench artifact shape this project has ever
+    * emitted. r14+ driver lines carry a POSITIONAL per-query array
+    * (`"qprec":"ds","qt":[5,12,-1,...]` — qt[i] is q(i+1)'s time in 0.1 s
+    * units, -1 = no time), which replaced the keyed map after it
+    * overflowed the driver's 1900-byte window at 172 queries; decode it
+    * to the same qNN-keyed map the diff logic uses. bench_out.json
+    * snapshots keep the keyed full-name map and take the paths below, as
+    * do pre-r14 driver artifacts (including clipped tails).
+    */
+  private[tools] def queryTimes(json: String): Map[String, Double] = {
+    val qtArr = """"qt"\s*:\s*\[([-0-9,\s]*)\]""".r.findFirstMatchIn(json)
+    if (qtArr.isDefined) {
+      // divide (not multiply by 0.1): 12/10.0 rounds once to the nearest
+      // double to 1.2; 12*0.1 compounds two roundings and misses it
+      val divisor = """"qprec"\s*:\s*"([a-z]+)"""".r.findFirstMatchIn(json)
+        .map(_.group(1)) match {
+        case Some("ds") => 10.0
+        case _ => 1.0 // "sec" fallback shape, or an unmarked array
+      }
+      return qtArr.get.group(1).split(",").iterator.map(_.trim)
+        .filter(_.nonEmpty).zipWithIndex
+        .filter(_._1 != "-1")
+        .map { case (v, i) => f"q${i + 1}%02d" -> v.toDouble / divisor }
+        .toMap
+    }
+    var sec = section(json, "queries")
+    if (sec == "{}") {
+      // driver tails are log-window CLIPPED at the head: the r9 artifact
+      // starts mid-line ('":{"q01":...'), losing the "queries" key
+      // itself. Fall back to brace-matching the first {"qNN": object.
+      """\{\s*"q\d""".r.findFirstMatchIn(json).foreach { m =>
+        var depth = 0
+        var j = m.start
+        var end = -1
+        while (j < json.length && end < 0) {
+          json.charAt(j) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) end = j + 1
+            case _ =>
+          }
+          j += 1
+        }
+        if (end > 0) sec = json.substring(m.start, end)
+      }
+    }
+    if (sec != "{}")
+      qTime.findAllMatchIn(sec)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    else {
+      // last resort for tails clipped MID-ENTRY (BENCH_r10 starts
+      // '4":1.43,...' — no opening brace survives): scan every
+      // "qNN":time pair up to the closing '}' of the queries map; the
+      // clipped first entry is simply missing (reported in only-*).
+      val stop = json.indexOf("},\"errors\"")
+      val scanned = if (stop > 0) json.substring(0, stop) else json
+      """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(scanned)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   /** `--plans old new`: the full per-query plan-hash history between two
     * telemetry-bearing snapshots (committed BENCHOUT_r{N}.json), one line
     * per query — makes "plan flip vs host drift" a one-liner for every
@@ -112,9 +172,7 @@ object BenchDiff {
     val oldJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(oldPath))))
     val newJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(newPath))))
     def short(k: String): String = k.takeWhile(_ != '_')
-    def timesOf(json: String): Map[String, Double] =
-      qTime.findAllMatchIn(section(json, "queries"))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    def timesOf(json: String): Map[String, Double] = queryTimes(json)
     val tOld = timesOf(oldJson)
     val tNew = timesOf(newJson)
     val nameOld = tOld.keySet.map(k => short(k) -> k).toMap
@@ -153,41 +211,7 @@ object BenchDiff {
     val newJson = normalize(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1)))))
     val minRatio = if (args.length > 2) args(2).toDouble else 1.5
 
-    def times(json: String): Map[String, Double] = {
-      var sec = section(json, "queries")
-      if (sec == "{}") {
-        // driver tails are log-window CLIPPED at the head: the r9 artifact
-        // starts mid-line ('":{"q01":...'), losing the "queries" key
-        // itself. Fall back to brace-matching the first {"qNN": object.
-        """\{\s*"q\d""".r.findFirstMatchIn(json).foreach { m =>
-          var depth = 0
-          var j = m.start
-          var end = -1
-          while (j < json.length && end < 0) {
-            json.charAt(j) match {
-              case '{' => depth += 1
-              case '}' => depth -= 1; if (depth == 0) end = j + 1
-              case _ =>
-            }
-            j += 1
-          }
-          if (end > 0) sec = json.substring(m.start, end)
-        }
-      }
-      if (sec != "{}")
-        qTime.findAllMatchIn(sec)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      else {
-        // last resort for tails clipped MID-ENTRY (BENCH_r10 starts
-        // '4":1.43,...' — no opening brace survives): scan every
-        // "qNN":time pair up to the closing '}' of the queries map; the
-        // clipped first entry is simply missing (reported in only-*).
-        val stop = json.indexOf("},\"errors\"")
-        val scanned = if (stop > 0) json.substring(0, stop) else json
-        """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(scanned)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    }
+    def times(json: String): Map[String, Double] = queryTimes(json)
 
     // driver artifacts carry the printed SHORT keys (q108), bench_out.json
     // full names (q108_semantic_dedup); diff on the qNN prefix (unique by

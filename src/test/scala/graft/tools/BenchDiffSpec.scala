@@ -138,6 +138,64 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(graft.Bench.normalizePlan(g1).contains("[isnotnull(t#), ..."))
   }
 
+  test("queryTimes decodes the r14 positional qt array (ds and sec, -1 skipped)") {
+    // the r14 printed line: qt[i] is q(i+1)'s time in qprec units, -1 =
+    // no time (errored / filtered / id gap)
+    val ds = """{"metric":"total","value":3.1,"unit":"sec","qprec":"ds",""" +
+      """"qt":[5,12,-1,0,103],"errors":{},"gc_s":0.1,"spill_mb":0,"sf":"sf0.1"}"""
+    val t = BenchDiff.queryTimes(ds)
+    assert(t === Map("q01" -> 0.5, "q02" -> 1.2, "q04" -> 0.0, "q05" -> 10.3))
+    // the whole-second degrade fallback keeps the same positional shape
+    val sec = ds.replace("\"qprec\":\"ds\"", "\"qprec\":\"sec\"")
+    assert(BenchDiff.queryTimes(sec)("q05") === 103.0)
+    // keyed shapes (bench_out.json, pre-r14 driver artifacts) still decode
+    val keyed = """{"metric":"total","value":1.0,"unit":"sec",""" +
+      """"queries":{"q01_a":0.50,"q02_b":1.25},"errors":{},"sf":"x"}"""
+    assert(BenchDiff.queryTimes(keyed) === Map("q01_a" -> 0.5, "q02_b" -> 1.25))
+  }
+
+  test("truncated DataFilters with ']' inside elements still normalizes (r13 ADVICE)") {
+    // the r13 regex used [^\]]* so a GetArrayItem rendering (x#[0]) in the
+    // surviving text silently skipped the trim — the cut-offset hash
+    // instability came back exactly for array-syntax filters
+    val a = "FileScan parquet [x#] DataFilters: [(x#[0] = 7), isnotnull(y#[2]), (y#[2] > someco..., Format: Parquet"
+    val b = "FileScan parquet [x#] DataFilters: [(x#[0] = 7), isnotnull(y#[2]), (y#..., Format: Parquet"
+    assert(graft.Bench.planHash(a) === graft.Bench.planHash(b))
+    assert(graft.Bench.normalizePlan(a).contains("isnotnull(y#[2]), ..."))
+    // a change in a COMPLETE bracket-bearing element still flips
+    val c = a.replace("(x#[0] = 7)", "(x#[1] = 7)")
+    assert(graft.Bench.planHash(a) !== graft.Bench.planHash(c))
+    // a comma nested inside BRACKETS in the partial tail is not a trim
+    // point (the paren-only depth scan missed this)
+    val d = "FileScan parquet [x#] DataFilters: [isnotnull(x#), x# IN sort_array(array(a#[1,..., Format: Parquet"
+    assert(graft.Bench.normalizePlan(d).contains("[isnotnull(x#), ..."))
+    // untruncated bracket-bearing lists stay untouched
+    val e = "FileScan parquet [x#] DataFilters: [(x#[0] = 7)], Format: Parquet"
+    assert(graft.Bench.normalizePlan(e).contains("[(x#[0] = 7)]"))
+  }
+
+  test("gid canonicalization only arms on the distinct-agg rewrite signature (r13 ADVICE)") {
+    // q52/q93 merely alias grouping_id() AS gid — their plans carry gid#
+    // on aggregate-output lines but no `FILTER (WHERE (gid#` and no
+    // Expand line that emits gid# (rollup Expands emit
+    // spark_grouping_id#). Integer literals and element order on those
+    // lines must keep full-fidelity hashing.
+    val aliased = "HashAggregate(keys=[n_name#, spark_grouping_id#], " +
+      "functions=[sum((x# + 1))], output=[n_name#, gid#, sum_x#])\n" +
+      "Expand [[n_name#, 0], [null, 1]], [n_name#, spark_grouping_id#]"
+    val intChanged = aliased.replace("(x# + 1)", "(x# + 2)")
+    val reordered = aliased.replace("output=[n_name#, gid#, sum_x#]",
+      "output=[gid#, n_name#, sum_x#]")
+    assert(graft.Bench.planHash(aliased) !== graft.Bench.planHash(intChanged))
+    assert(graft.Bench.planHash(aliased) !== graft.Bench.planHash(reordered))
+    // with the rewrite signature present, gid# lines canonicalize as before
+    val rewrite = "HashAggregate(keys=[k#, gid#], functions=[partial_count(v#) " +
+      "FILTER (WHERE (gid# = 4))])\nExchange hashpartitioning(k#, gid#, 32)"
+    val permuted = "HashAggregate(keys=[k#, gid#], functions=[partial_count(v#) " +
+      "FILTER (WHERE (gid# = 2))])\nExchange hashpartitioning(gid#, k#, 32)"
+    assert(graft.Bench.planHash(rewrite) === graft.Bench.planHash(permuted))
+  }
+
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
     val driver = """{"n":10,"rc":0,"note":"outer \"escaped\" stays",""" +
       """"tail":"{\"metric\":\"total\",\"queries\":{\"q01\":0.5,\"q02\":1.2}}",""" +
