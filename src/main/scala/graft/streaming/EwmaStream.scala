@@ -109,4 +109,163 @@ object EwmaStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
         ewmaFn(alpha, idleGapSeconds))
   }
+
+  // ---------------------------------------------------------------------
+  // Ordered mode: bounded-allowed-lateness buffered fold (r13 verdict ask)
+  // ---------------------------------------------------------------------
+
+  /** One unfolded observation held in keyed state (compact: epoch-ms +
+    * tie id + value, not the full event row).
+    */
+  case class PendingObs(ts: Long, tie: Long, value: Option[Double])
+
+  /** Ordered-mode state: the folded frontier (as in [[EwmaState]]) plus
+    * the bounded buffer of events newer than the fold horizon. Size is
+    * O(events inside the allowed-lateness window) per key — lateness-rate
+    * bounded, never O(history).
+    */
+  case class OrderedEwmaState(lastTs: Long, lastTie: Long,
+      ewma: Option[Double], pending: Seq[PendingObs])
+
+  /** The ordered-mode per-key transition — see [[smoothOrdered]] for the
+    * semantics. `slackMs` = watermarkMs − latenessMs (both validated at
+    * wiring time): the fold horizon is `currentWatermark + slackMs` ≈
+    * (max event time seen) − lateness.
+    */
+  def orderedEwmaFn(alpha: Double, idleGapSeconds: Long, slackMs: Long)(
+      key: Long,
+      events: Iterator[EwmaEvent],
+      state: GroupState[OrderedEwmaState]): Iterator[EwmaPoint] = {
+    val wm = state.getCurrentWatermarkMs()
+    val horizon = wm + slackMs // fold everything strictly below this
+    val st = state.getOption.getOrElse(
+      OrderedEwmaState(Long.MinValue, Long.MinValue, None, Nil))
+    val fresh = if (state.hasTimedOut) Seq.empty[EwmaEvent] else events.toSeq
+    // an arrival behind the FOLDED frontier exceeded the allowed
+    // lateness (its exact fold position is gone): flag, never silently
+    // fold out of order, never silently drop. Spark itself drops rows
+    // behind the WATERMARK before this function runs — the standard
+    // watermarked-operator contract — which is why lateness is allowed
+    // to be tighter than the watermark but never looser.
+    val (lateArrivals, ok) = fresh.partition { e =>
+      val t = e.ts.getTime
+      t < st.lastTs || (t == st.lastTs && e.event_id <= st.lastTie)
+    }
+    val lateOut = lateArrivals
+      .map(e => EwmaPoint(key, e.event_id, e.value, None, late = true))
+    // merge arrivals into the buffer; fold in (event-time, tie) order
+    // everything the horizon has passed — those can no longer be
+    // preceded by a non-late arrival, so the fold is exact
+    val merged = (st.pending ++
+      ok.map(e => PendingObs(e.ts.getTime, e.event_id, e.value)))
+      .sortBy(p => (p.ts, p.tie))
+    val (foldable, hold) = merged.partition(_.ts < horizon)
+    var (lastTs, lastTie, ewma) = (st.lastTs, st.lastTie, st.ewma)
+    val foldedOut = foldable.map { p =>
+      val next = (p.value, ewma) match {
+        case (None, prev) => prev
+        case (Some(v), None) => Some(v)
+        case (Some(v), Some(prev)) => Some(alpha * v + (1.0 - alpha) * prev)
+      }
+      lastTs = p.ts; lastTie = p.tie; ewma = next
+      EwmaPoint(key, p.tie, p.value, next, late = false)
+    }
+    if (state.hasTimedOut && foldedOut.isEmpty && hold.isEmpty) {
+      // idle horizon passed with nothing buffered: evict
+      state.remove()
+      return Iterator.empty
+    }
+    state.update(OrderedEwmaState(lastTs, lastTie, ewma, hold))
+    if (hold.nonEmpty) {
+      // wake when the horizon passes the oldest buffered event:
+      // timeout fires once wm > timeoutTs, i.e. horizon > minPendingTs
+      val wake = hold.iterator.map(_.ts).min - slackMs
+      state.setTimeoutTimestamp(math.max(wake, wm + 1))
+    } else if (lastTs != Long.MinValue) {
+      // nothing buffered: plain idle eviction, as in the base mode
+      state.setTimeoutTimestamp(math.max(lastTs + idleGapSeconds * 1000L, wm + 1))
+    } else {
+      // state exists but nothing ever folded (all arrivals were late
+      // flags on a fresh key — impossible, a fresh key has no frontier —
+      // or an empty invocation); evict on idle horizon from now
+      state.setTimeoutTimestamp(wm + idleGapSeconds * 1000L + 1)
+    }
+    (foldedOut ++ lateOut).iterator
+  }
+
+  /** Bounded-allowed-lateness EWMA: ordinary out-of-order arrivals get
+    * REAL ewma values instead of the base mode's `late` flag. Events are
+    * held in a per-key buffer and folded in (event-time, tie) order once
+    * the fold horizon — (max event time) − `lateness`, tracked as
+    * watermark + slack — passes them, so any disorder within `lateness`
+    * is served exactly (bit-for-bit [[graft.temporal.EwmaFeatures]]
+    * parity, pinned across micro-batch boundaries in EwmaStreamSpec).
+    * Output is therefore DELAYED by up to `lateness` relative to arrival
+    * — the price of exactness.
+    *
+    * Events later than `lateness` but within `watermark` still surface,
+    * flagged `late = true, ewma = null` (the base-mode contract); events
+    * behind the watermark itself are dropped by Spark before this
+    * operator runs, the standard watermarked contract. With
+    * `lateness == watermark` (the default wiring) the flag path is
+    * corner-case-only and Spark's watermark is the single bound.
+    *
+    * State per key: the 3-number frontier + the ≤`lateness`-window
+    * buffer — O(keys × lateness-rate), never O(history). Buffer flush
+    * needs no new per-key data: an event-time timeout set at (oldest
+    * buffered − slack) folds the buffer as the global watermark
+    * advances. Idle keys with an empty buffer evict after
+    * `idleGapSeconds`, as in [[smooth]].
+    *
+    * On a batch `Dataset` this degenerates to the exact per-key
+    * sort-fold (the whole input is "within lateness"), matching
+    * [[graft.temporal.EwmaFeatures]] by construction.
+    */
+  def smoothOrdered(
+      events: Dataset[EwmaEvent],
+      alpha: Double = 0.25,
+      lateness: String = "1 hour",
+      watermark: String = null, // null → same as lateness
+      idleGapSeconds: Long = 86400L): Dataset[EwmaPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(idleGapSeconds > 0,
+      s"idleGapSeconds ($idleGapSeconds) must be positive")
+    def intervalMs(s: String): Long = {
+      val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(i.months == 0,
+        s"interval '$s' uses calendar months — not a fixed duration")
+      i.days * 86400000L + i.microseconds / 1000L
+    }
+    val latenessMs = intervalMs(lateness)
+    val wmStr = Option(watermark).getOrElse(lateness)
+    val watermarkMs = intervalMs(wmStr)
+    require(latenessMs > 0, s"lateness ($lateness) must be positive")
+    require(watermarkMs >= latenessMs,
+      s"watermark ($wmStr) must be >= lateness ($lateness): Spark drops rows " +
+        "behind the watermark before the operator can flag them")
+    import events.sparkSession.implicits._
+    if (!events.isStreaming) {
+      // batch degenerate case: everything is within lateness — the exact
+      // per-key sort-fold, no state machinery
+      events.groupByKey(_.user_id).flatMapGroups { (key, it) =>
+        var ewma: Option[Double] = None
+        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).iterator.map { e =>
+          val next = (e.value, ewma) match {
+            case (None, prev) => prev
+            case (Some(v), None) => Some(v)
+            case (Some(v), Some(prev)) => Some(alpha * v + (1.0 - alpha) * prev)
+          }
+          ewma = next
+          EwmaPoint(key, e.event_id, e.value, next, late = false)
+        }
+      }
+    } else {
+      events
+        .withWatermark("ts", wmStr)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+          orderedEwmaFn(alpha, idleGapSeconds, watermarkMs - latenessMs))
+    }
+  }
 }

@@ -90,4 +90,128 @@ class EwmaStreamSpec extends SparkTestBase {
       assert(got(3L) === Some(2.0), "expected a re-seed, not 0.25*2 + 0.75*8")
     } finally q.stop()
   }
+
+  // -------------------------------------------------------------------
+  // ordered mode (smoothOrdered): bounded-allowed-lateness exact fold
+  // -------------------------------------------------------------------
+
+  private def batchEwma(events: Seq[EwmaEvent]): Map[Long, Option[Double]] = {
+    val df = events.map(e => (e.user_id, e.event_id, e.ts.getTime, e.value))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    new graft.temporal.EwmaFeatures(alpha = 0.25).transform(df)
+      .select($"event_id", $"ewma").as[(Long, Option[Double])].collect().toMap
+  }
+
+  test("ordered mode: bounded disorder matches batch EwmaFeatures bit-for-bit across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EwmaEvent]
+    val q = EwmaStream.smoothOrdered(input.toDS(), alpha = 0.25,
+      lateness = "10 minutes").writeStream
+      .format("memory").queryName("ewma_ordered_out").outputMode("append").start()
+    val key1 = Seq(
+      EwmaEvent(1L, 10L, ts(0), Some(8.0)),
+      EwmaEvent(1L, 11L, ts(10), Some(4.0)),
+      EwmaEvent(1L, 12L, ts(5), Some(6.0)),  // delivered AFTER ts(10): disorder within lateness
+      EwmaEvent(1L, 13L, ts(30), None),
+      EwmaEvent(1L, 14L, ts(40), Some(12.0)))
+    try {
+      input.addData(key1(0), key1(1)); q.processAllAvailable()
+      // ts(5) arrives after ts(10) was seen — wm is ts(0), within bound
+      input.addData(key1(2), key1(3)); q.processAllAvailable()
+      input.addData(key1(4)); q.processAllAvailable()
+      // advance the watermark with a dummy key so the buffered tail folds
+      // via the event-time flush timeout (no new key-1 data needed)
+      input.addData(EwmaEvent(99L, 990L, ts(60), Some(1.0))); q.processAllAvailable()
+      input.addData(EwmaEvent(99L, 991L, ts(80), Some(1.0))); q.processAllAvailable()
+      val got = spark.table("ewma_ordered_out").as[EwmaPoint].collect()
+        .filter(_.user_id == 1L).map(p => p.event_id -> ((p.ewma, p.late))).toMap
+      val want = batchEwma(key1)
+      assert(got.keySet === want.keySet,
+        s"every key-1 event must fold once the watermark passes it; got ${got.keySet}")
+      want.foreach { case (id, w) =>
+        assert(got(id) === ((w, false)), s"event $id: stream ${got(id)} vs batch $w")
+      }
+      // the disordered ts(5) got a REAL value in exact order: 8 -> 6 -> 4
+      assert(got(12L)._1 === Some(0.25 * 6.0 + 0.75 * 8.0))
+      assert(got(11L)._1 === Some(0.25 * 4.0 + 0.75 * (0.25 * 6.0 + 0.75 * 8.0)))
+    } finally q.stop()
+  }
+
+  test("ordered mode: beyond-lateness-but-within-watermark arrivals stay FLAGGED") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EwmaEvent]
+    // lateness 10 min, watermark 30 min: the [lateness, watermark) band
+    // surfaces flagged instead of being dropped by Spark
+    val q = EwmaStream.smoothOrdered(input.toDS(), alpha = 0.25,
+      lateness = "10 minutes", watermark = "30 minutes").writeStream
+      .format("memory").queryName("ewma_ordered_late").outputMode("append").start()
+    try {
+      input.addData(
+        EwmaEvent(1L, 10L, ts(0), Some(8.0)),
+        EwmaEvent(1L, 11L, ts(28), Some(4.0)),
+        EwmaEvent(1L, 12L, ts(40), Some(2.0)))
+      q.processAllAvailable() // wm -> ts(10)
+      // horizon = wm + 20min = ts(30): folds ts(0), ts(28); frontier ts(28)
+      input.addData(EwmaEvent(99L, 990L, ts(55), Some(1.0)))
+      q.processAllAvailable() // wm -> ts(25)
+      // ts(26) >= wm ts(25) (survives Spark) but behind frontier ts(28):
+      // beyond the allowed lateness — flagged, never folded out of order
+      input.addData(EwmaEvent(1L, 13L, ts(26), Some(100.0)))
+      q.processAllAvailable()
+      // push the watermark so the ts(40) tail folds
+      input.addData(EwmaEvent(99L, 991L, ts(100), Some(1.0)))
+      q.processAllAvailable()
+      val got = spark.table("ewma_ordered_late").as[EwmaPoint].collect()
+        .filter(_.user_id == 1L).map(p => p.event_id -> ((p.ewma, p.late))).toMap
+      assert(got(13L) === ((None, true)), "beyond-lateness arrival must be flagged")
+      // the smoother was untouched by the flagged event: exact fold of 0,28,40
+      val want = batchEwma(Seq(
+        EwmaEvent(1L, 10L, ts(0), Some(8.0)),
+        EwmaEvent(1L, 11L, ts(28), Some(4.0)),
+        EwmaEvent(1L, 12L, ts(40), Some(2.0))))
+      Seq(10L, 11L, 12L).foreach { id =>
+        assert(got(id) === ((want(id), false)))
+      }
+    } finally q.stop()
+  }
+
+  test("ordered mode: state is frontier + bounded buffer, and batch datasets sort-fold exactly") {
+    // unit-level: the transition folds only below the horizon and holds
+    // the rest — the buffer is the ≤lateness window, not history
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[EwmaStream.OrderedEwmaState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      1000L, org.apache.spark.api.java.Optional.of(ts(20).getTime), hasTimedOut = false)
+    val out = EwmaStream.orderedEwmaFn(0.25, 86400L, 0L)(
+      1L,
+      Iterator(
+        EwmaEvent(1L, 1L, ts(0), Some(8.0)),
+        EwmaEvent(1L, 2L, ts(10), Some(4.0)),
+        EwmaEvent(1L, 3L, ts(30), Some(2.0))),
+      st).toSeq
+    assert(out.map(_.event_id) === Seq(1L, 2L)) // ts(30) >= horizon ts(20): held
+    assert(st.get.pending.map(_.tie) === Seq(3L), "exactly the above-horizon tail buffered")
+    assert(st.get.lastTs === ts(10).getTime)
+    // flush timeout set at the oldest buffered event (slack 0)
+    assert(st.getTimeoutTimestampMs.get === ts(30).getTime)
+    // batch degenerate case: exact sort-fold, EwmaFeatures parity
+    val events = Seq(
+      EwmaEvent(1L, 1L, ts(10), Some(4.0)),
+      EwmaEvent(1L, 2L, ts(0), Some(8.0)),
+      EwmaEvent(2L, 3L, ts(5), None),
+      EwmaEvent(2L, 4L, ts(15), Some(5.0)))
+    val got = EwmaStream.smoothOrdered(events.toDS(), alpha = 0.25)
+      .collect().map(p => p.event_id -> p.ewma).toMap
+    val want = batchEwma(events)
+    assert(got === want)
+  }
+
+  test("ordered mode: watermark tighter than lateness is refused at wiring time") {
+    val e = intercept[IllegalArgumentException] {
+      EwmaStream.smoothOrdered(Seq.empty[EwmaEvent].toDS(), lateness = "1 hour",
+        watermark = "10 minutes")
+    }
+    assert(e.getMessage.contains("watermark"))
+  }
 }
