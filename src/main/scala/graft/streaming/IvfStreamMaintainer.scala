@@ -219,6 +219,17 @@ class IvfStreamMaintainer(
     * Zero-interruption compaction remains [[compactTo]] (offline, new
     * path, caller-controlled cutover).
     */
+  /** Crash-injection seam for the compaction spec: called after each
+    * durable step of [[compactInPlace]] ("staged", "renamed", "cutover",
+    * "swept") so a test can kill the process-equivalent at every point
+    * and assert the layout still serves complete, duplicate-free data.
+    * This file produced two crash-safety bugs in two rounds (the gen-0
+    * partial-layout hole, the orphan/rename regression) — the seam makes
+    * the whole failure lattice enumerable instead of found-one-at-a-time.
+    * No-op in production.
+    */
+  private[streaming] var onCompactStep: String => Unit = _ => ()
+
   private def compactInPlace(spark: SparkSession, currentBatchId: Long): Unit = {
     val cur = listsDir(spark)
     val fs = hfs(spark)
@@ -246,6 +257,7 @@ class IvfStreamMaintainer(
       .repartition(col("batch"), col("cid"))
       .write.mode("overwrite").partitionBy("batch", "cid")
       .parquet(staging.toString)
+    onCompactStep("staged")
     // `next` can already EXIST: a crash between a previous compaction's
     // rename and its pointer cutover leaves a complete-but-ORPHANED
     // lists@<gen+1> (the pointer still names cur, so resolution never
@@ -261,6 +273,7 @@ class IvfStreamMaintainer(
     require(fs.rename(staging, nextPath),
       s"compaction rename $staging -> $nextPath failed; " +
         "the current generation is untouched")
+    onCompactStep("renamed")
     // pointer cutover: tmp write + rename; the resolution fallback scans
     // for the highest generation (all complete, thanks to the staged
     // rename above), so even the tiny delete→rename window cannot strand
@@ -271,8 +284,28 @@ class IvfStreamMaintainer(
     finally out.close()
     fs.delete(pointerFile, false)
     fs.rename(tmp, pointerFile)
+    onCompactStep("cutover")
     listsDirCache = next
-    fs.delete(new Path(cur), true)
+    // sweep EVERY superseded generation, not just `cur`: a crash between
+    // a previous compaction's rename and cutover (or cutover and delete)
+    // leaves an older generation orphaned, and post-restart resolution
+    // moves past it so no later compaction's single delete(cur) ever
+    // reclaims it — stale full-index copies accrue on disk forever
+    // (r13 ADVICE). Resolution ignores them (pointer-first; the fallback
+    // takes the HIGHEST generation), so deleting anything strictly older
+    // than the generation just published is safe by construction. Stale
+    // staging debris at or below the published generation goes too.
+    fs.listStatus(new Path(path)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stale =
+        (n == "lists" && next != s"$path/lists") ||
+          (n.startsWith("lists@") &&
+            n.stripPrefix("lists@").toIntOption.exists(_ < gen + 1)) ||
+          (n.startsWith("_staging_lists@") &&
+            n.stripPrefix("_staging_lists@").toIntOption.exists(_ <= gen + 1))
+      if (stale) fs.delete(p, true)
+    }
+    onCompactStep("swept")
   }
 
   /** Start the maintenance stream: each trigger appends its micro-batch.

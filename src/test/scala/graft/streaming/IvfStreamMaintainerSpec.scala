@@ -309,6 +309,59 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
     assert(loaded.lists.select("vec_id").distinct().count() === 180L)
   }
 
+  test("crash-point enumeration: every durable step of compactInPlace is kill-safe") {
+    // this file produced two crash-safety bugs in two rounds (the gen-0
+    // partial-layout hole; the orphan/unchecked-rename regression), both
+    // found one-at-a-time. Enumerate the whole lattice instead: kill the
+    // compaction right after EACH durable step and assert (a) a fresh
+    // reader immediately serves complete, duplicate-free data, (b) a
+    // restarted maintainer replays the latest batch and continues, and
+    // (c) its next COMPLETED compaction sweeps every bit of crash debris
+    // — no stale generations, no staging dirs (the r13 ADVICE leak).
+    for (crashAt <- Seq("staged", "renamed", "cutover", "swept")) {
+      val path = Files.createTempDirectory(s"graft-ivf-kill-$crashAt").toString
+      val m = new IvfStreamMaintainer(ivf, path, maxFilesPerCell = 4)
+      m.bootstrap((0L until 100L).map(vec).toDF())
+      m.onCompactStep = step =>
+        if (step == crashAt) throw new RuntimeException(s"injected kill after $step")
+      def batchRows(b: Int) = (100L + b * 20L until 120L + b * 20L).map(vec).toDF()
+      (1 to 3).foreach(b => m.appendBatch(batchRows(b), b.toLong))
+      // batch 4 pushes the era count past the watermark: compaction fires
+      // inside this append and dies at the injected point
+      val e = intercept[RuntimeException] { m.appendBatch(batchRows(4), 4L) }
+      assert(e.getMessage.contains("injected kill"), s"$crashAt: $e")
+
+      // (a) a fresh reader — pointer-first, highest-generation fallback —
+      // serves all 180 rows exactly once, whatever the crash left behind
+      val reader = new IvfStreamMaintainer(ivf, path)
+      val afterCrash = reader.load(spark)
+      assert(afterCrash.lists.count() === 180L,
+        s"$crashAt: rows lost or phantom after crash")
+      assert(afterCrash.lists.select("vec_id").distinct().count() === 180L,
+        s"$crashAt: duplicate list rows after crash")
+
+      // (b) restart: at-least-once replay of the latest batch, then new
+      // batches — far enough that another compaction COMPLETES
+      val m2 = new IvfStreamMaintainer(ivf, path, maxFilesPerCell = 4)
+      m2.appendBatch(batchRows(4), 4L) // replay, same content
+      (5 to 8).foreach(b => m2.appendBatch(batchRows(b), b.toLong))
+      val recovered = new IvfStreamMaintainer(ivf, path).load(spark)
+      assert(recovered.lists.count() === 260L, s"$crashAt: rows after recovery")
+      assert(recovered.lists.select("vec_id").distinct().count() === 260L,
+        s"$crashAt: duplicates after recovery")
+      assert(ivf.search((0L until 3L).map(vec).toDF(), recovered, k = 3).count() > 0)
+
+      // (c) the completed compaction swept ALL debris: exactly one live
+      // lists generation, zero staging dirs, zero superseded generations
+      val listDirs = new java.io.File(path).listFiles().map(_.getName)
+        .filter(n => n == "lists" || n.startsWith("lists@") || n.startsWith("_staging_lists@"))
+      assert(listDirs.count(_.startsWith("_staging_lists@")) === 0,
+        s"$crashAt: staging debris survived: ${listDirs.toSeq}")
+      assert(listDirs.count(n => n == "lists" || n.startsWith("lists@")) === 1,
+        s"$crashAt: superseded generations not swept: ${listDirs.toSeq}")
+    }
+  }
+
   test("retrainTo on planted drift: fresh baseline, rows preserved, KMeans composition") {
     val path = Files.createTempDirectory("graft-ivf-retrain").toString
     val m = new IvfStreamMaintainer(ivf, path)
