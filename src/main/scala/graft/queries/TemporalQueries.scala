@@ -174,6 +174,51 @@ object TemporalQueries {
         "'user_id', 'v_us', 'start_us', 'end_us', 3600000000)")
     }),
 
+    // the multi-key TVF surface (r13 verdict ask #4): composite
+    // (user_id, day) key — each purchase matched to the latest prior
+    // view by the same user ON THE SAME DAY. Right side deduped to one
+    // row per (user, day, ts) so the winner is engine-independent.
+    "q173_asof_sql_multikey" -> ((s, dir) => {
+      graft.GraftExtensions.ensureTemporalJoins(s)
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(to_date(ts) AS STRING)").as("day"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+        .createOrReplaceTempView("__q173_purch")
+      ev.where(col("event_type") === "view")
+        .select(col("user_id"),
+          expr("CAST(to_date(ts) AS STRING)").as("day"),
+          expr("unix_micros(cast(ts as timestamp))").as("v_ts_us"),
+          col("event_id"))
+        .groupBy(col("user_id"), col("day"), col("v_ts_us"))
+        .agg(min(col("event_id")).as("v_id"))
+        .createOrReplaceTempView("__q173_views")
+      s.sql("SELECT * FROM asof_join('__q173_purch', '__q173_views', " +
+        "'user_id,day', 'ts_us', 'v_ts_us')")
+    }),
+
+    // range_join on the same composite key: views inside each purchase's
+    // forward 2h window, same user AND same day (the day key also proves
+    // the bucket equi-join composes with extra key columns)
+    "q174_range_sql_multikey" -> ((s, dir) => {
+      graft.GraftExtensions.ensureTemporalJoins(s)
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          expr("CAST(to_date(ts) AS STRING)").as("day"),
+          expr("unix_micros(cast(ts as timestamp))").as("v_us"))
+        .createOrReplaceTempView("__q174_pts")
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          expr("CAST(to_date(ts) AS STRING)").as("day"),
+          expr("unix_micros(cast(ts as timestamp))").as("start_us"),
+          (expr("unix_micros(cast(ts as timestamp))") + lit(7200000000L)).as("end_us"))
+        .createOrReplaceTempView("__q174_ivs")
+      s.sql("SELECT * FROM range_join('__q174_pts', '__q174_ivs', " +
+        "'user_id,day', 'v_us', 'start_us', 'end_us', 3600000000)")
+    }),
+
     // the STREAMING smoother's state transition under the oracle: the
     // same flatMapGroupsWithState fn executes in batch mode (each key's
     // events in one sorted invocation — the purely sequential fold), so
@@ -792,6 +837,36 @@ object TemporalQueries {
         |)
         |SELECT v.user_id, view_id, v_us, p_id, start_us, end_us
         |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND v.v_us BETWEEN p.start_us AND p.end_us""".stripMargin,
+
+    // composite-key ASOF: DuckDB carries the extra equality key directly
+    // in the ASOF ON clause; backward match is the >= inequality
+    "q173_asof_sql_multikey" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    epoch_us(ts) AS v_ts_us, min(event_id) AS v_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3
+        |)
+        |SELECT p.event_id, p.user_id, p.day, p.ts_us, v.v_ts_us, v.v_id
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.day = v.day AND p.ts_us >= v.v_ts_us""".stripMargin,
+    "q174_range_sql_multikey" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT event_id AS p_id, user_id,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    epoch_us(ts) AS start_us, epoch_us(ts) + 7200000000 AS end_us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT v.user_id, v.day, view_id, v_us, p_id, start_us, end_us
+        |FROM v JOIN p ON v.user_id = p.user_id AND v.day = p.day
         |  AND v.v_us BETWEEN p.start_us AND p.end_us""".stripMargin,
 
     // plain sequential recurrence (batch-mode state fn sees each key's
