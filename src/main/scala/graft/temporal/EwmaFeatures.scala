@@ -100,8 +100,19 @@ class EwmaFeatures(
     numBuckets: Int = 1024,
     targetSegment: Long = 8192L) {
   require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
-  require(numBuckets > 0 && numBuckets <= (1 << 20),
-    s"numBuckets ($numBuckets) must be in [1, 2^20]")
+  // 2^12 cap, down from the r13 2^20: the carry chain (phase 3)
+  // materializes each segment row's STRICTLY-EARLIER summaries via a
+  // window collect_list — O(B²/2) three-double structs of window state
+  // per maximal hot key. At the 1024 default that is ~0.5M tiny structs
+  // (measured fine); at 4096 ~8M (the spec pins this worst case end to
+  // end); at the old 2^20 admission it would be ~5·10^11 — a setting the
+  // plan could never honor, so the bound now states what the plan can
+  // actually do. Raising it again requires restating the carry as a
+  // running fold first (no bit-exact cumulative affine composition
+  // exists in Spark SQL today — exp/log products break IEEE parity).
+  require(numBuckets > 0 && numBuckets <= (1 << 12),
+    s"numBuckets ($numBuckets) must be in [1, 2^12] (the carry window " +
+      "holds O(numBuckets^2) summaries per hot key — see the phase-3 note)")
   require(targetSegment > 0, s"targetSegment ($targetSegment) must be positive")
 
   /** (key, tie, value, ewma): one row per input event; ewma seeds at the
@@ -119,16 +130,27 @@ class EwmaFeatures(
     val B = numBuckets
     val tgt = targetSegment
 
+    // DATE→BIGINT casts are disallowed by Spark, so a DateType order
+    // column needs its integer image taken via unix_date (days since
+    // epoch — monotone, so bucket boundaries still respect the order);
+    // the r13 guard accepted DateType and then died at analysis with a
+    // generic CAST error (r13 ADVICE). `__ol` is the bucketing image;
+    // `__o` keeps the original values for within-segment sorting.
+    val oLong = events.schema(orderCol).dataType match {
+      case DateType => unix_date(col(orderCol)).cast("long")
+      case _ => col(orderCol).cast("long")
+    }
     val e = events.select(col(keyCol).as("__k"), col(orderCol).as("__o"),
-      col(tieCol).as("__tie"), col(valueCol).cast("double").as("__v"))
+      oLong.as("__ol"), col(tieCol).as("__tie"),
+      col(valueCol).cast("double").as("__v"))
 
     // phase 1: per-key span + adaptive bucket count -> integer range
     // bucket. The join is null-safe so a NULL key is a real group (the
     // TargetEncoder convention); AQE broadcasts the span frame while
     // small.
     val span = e.groupBy(col("__k"))
-      .agg(min(col("__o").cast("long")).as("__omin"),
-        max(col("__o").cast("long")).as("__omax"),
+      .agg(min(col("__ol")).as("__omin"),
+        max(col("__ol")).as("__omax"),
         count(lit(1)).as("__n"))
       .withColumn("__bk", expr(
         s"least(CAST($B AS BIGINT), (__n + ${tgt - 1}L) div ${tgt}L)"))
@@ -153,8 +175,8 @@ class EwmaFeatures(
             raise_error(lit(s"EwmaFeatures: order span of '$orderCol' " +
               "overflows BIGINT bucketing")))
           .otherwise(expr(
-            "((CAST(__o AS BIGINT) - __omin) div ((__omax - __omin + __bk) div __bk))")))
-      .drop("__omin", "__omax", "__bk")
+            "((__ol - __omin) div ((__omax - __omin + __bk) div __bk))")))
+      .drop("__omin", "__omax", "__bk", "__ol")
 
     // phase 2: segment gather + one fold computing the affine summary.
     // A/Bc/S fold exactly as documented above; null values are identity

@@ -117,6 +117,57 @@ class EwmaFeaturesSpec extends SparkTestBase {
     }
   }
 
+  test("numBuckets max setting: the carry window's O(B^2) worst case is honored end to end") {
+    // r13 admitted numBuckets up to 2^20 while the phase-3 carry window
+    // materializes O(B^2/2) summaries per maximal hot key — a setting
+    // the plan could never honor. The bound is now 2^12, and this test
+    // PINS the worst case the bound promises: one key driven to the
+    // full 4096 segments (8192 rows, targetSegment=2 -> B_k = 4096,
+    // ~8M window structs) completes and tracks the sequential fold.
+    val n = 8192
+    val rows = (1L to n.toLong).map(i => (3L, i, i * 10L, (i % 31).toDouble))
+    val got = new EwmaFeatures(alpha = 0.25, numBuckets = 1 << 12, targetSegment = 2L)
+      .transform(rows.toDF("user_id", "event_id", "ts_us", "value"))
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(got.size === n)
+    var prev = Option.empty[Double]
+    rows.foreach { case (_, id, _, v) =>
+      val e = prev match {
+        case None => v
+        case Some(p) => 0.25 * v + 0.75 * p
+      }
+      prev = Some(e)
+      assert(math.abs(got(id) - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"event $id: expected ~$e got ${got(id)}")
+    }
+    // the old admission is refused with the domain message, not honored
+    val err = intercept[IllegalArgumentException] {
+      new EwmaFeatures(numBuckets = 1 << 13)
+    }
+    assert(err.getMessage.contains("carry window"))
+  }
+
+  test("DateType order column buckets via unix_date instead of dying on a DATE cast") {
+    // the r13 guard accepted DateType, then the BIGINT bucketing cast
+    // failed at analysis with a generic error (r13 ADVICE)
+    val rows = Seq(
+      (1L, 10L, java.sql.Date.valueOf("2024-01-01"), 8.0),
+      (1L, 11L, java.sql.Date.valueOf("2024-01-03"), 4.0),
+      (1L, 12L, java.sql.Date.valueOf("2024-02-01"), 6.0),
+      (2L, 20L, java.sql.Date.valueOf("2024-01-15"), 5.0))
+      .toDF("user_id", "event_id", "d", "value")
+    // multi-segment on purpose: bucketing arithmetic runs on the date's
+    // integer image (days since epoch)
+    val got = new EwmaFeatures(alpha = 0.25, orderCol = "d",
+      numBuckets = 4, targetSegment = 1L)
+      .transform(rows)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(got(10L) === 8.0)
+    assert(got(11L) === 0.25 * 4.0 + 0.75 * 8.0)
+    assert(math.abs(got(12L) - (0.25 * 6.0 + 0.75 * got(11L))) < 1e-12)
+    assert(got(20L) === 5.0)
+  }
+
   test("alpha = 1.0 degenerates to the identity smoother") {
     // b = 0: every non-null observation IS the ewma; nulls emit the
     // previous value — exercises the Bc=0 edge of the affine summary
