@@ -237,6 +237,27 @@ object TemporalQueries {
         .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
     }),
 
+    // the stream-stream interval join's semantics replayed in batch under
+    // the oracle (the q172 pattern — r13 verdict ask #6): the SAME
+    // intervalJoin wiring runs on batch frames (withWatermark is a no-op
+    // there), so the join condition, key equality, and window bounds the
+    // streaming query executes are what the DuckDB oracle checks.
+    "q175_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").cast("timestamp").as("c_ts"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").cast("timestamp").as("p_ts"))
+      graft.streaming.StreamStreamJoin.intervalJoin(
+        clicks, purch, Seq("user_id"), "c_ts", "p_ts",
+        windowBefore = "30 minutes", watermark = "2 hours")
+        .select(col("user_id"), col("click_id"),
+          expr("unix_micros(c_ts)").as("c_us"),
+          col("p_id"), expr("unix_micros(p_ts)").as("p_us"))
+    }),
+
     "q79_rolling_features" -> ((s, dir) => {
       new graft.temporal.RollingFeatures(n = 5)
         .transform(Tables.events(s, dir)
@@ -854,6 +875,23 @@ object TemporalQueries {
         |SELECT p.event_id, p.user_id, p.day, p.ts_us, v.v_ts_us, v.v_id
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.day = v.day AND p.ts_us >= v.v_ts_us""".stripMargin,
+    // trailing-window interval join: clicks within each purchase's
+    // trailing 30 minutes, same user — the exact bounds intervalJoin
+    // declares (inclusive both ends)
+    "q175_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, click_id, epoch_us(c_ts) AS c_us,
+        |  p_id, epoch_us(p_ts) AS p_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |  AND c.c_ts <= p.p_ts""".stripMargin,
+
     "q174_range_sql_multikey" ->
       """WITH v AS (
         |  SELECT event_id AS view_id, user_id,
