@@ -196,6 +196,28 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(graft.Bench.planHash(rewrite) === graft.Bench.planHash(permuted))
   }
 
+  test("classify: flat task_ms + elevated load + equal hash reads CONTENTION") {
+    def tele(plan: String, taskMs: Long, load: Double) =
+      s"""{"metric":"total","value":1.0,"unit":"sec","queries":{"q01_a":0.5},""" +
+        s""""telemetry":{"q01_a":{"t1":0.5,"t2":0.5,"gc_ms":1,"task_ms":$taskMs,""" +
+        s""""plan":"$plan","load":${graft.Bench.jsonNum(load, 2)}}},"sf":"x"}"""
+    // same plan, same work, host went from idle to loaded: contention
+    assert(BenchDiff.classify(tele("aa", 1000, 1.0), tele("aa", 1050, 7.5),
+      "q01_a", "q01_a").startsWith("CONTENTION"))
+    // same plan but the task time itself grew: a real slowdown, not queueing
+    assert(BenchDiff.classify(tele("aa", 1000, 1.0), tele("aa", 2400, 7.5),
+      "q01_a", "q01_a") === "ENVIRONMENTAL(same plan)")
+    // same plan, flat work, but the host was NOT loaded: unexplained env
+    assert(BenchDiff.classify(tele("aa", 1000, 1.0), tele("aa", 1050, 2.0),
+      "q01_a", "q01_a") === "ENVIRONMENTAL(same plan)")
+    // plan changed: always a flip, whatever the load says
+    assert(BenchDiff.classify(tele("aa", 1000, 1.0), tele("bb", 1050, 7.5),
+      "q01_a", "q01_a") === "PLAN-FLIP")
+    // no telemetry (driver artifacts): NO-HASH, as before
+    assert(BenchDiff.classify("""{"queries":{"q01":0.5}}""",
+      tele("aa", 1000, 7.5), "q01", "q01_a") === "NO-HASH")
+  }
+
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
     val driver = """{"n":10,"rc":0,"note":"outer \"escaped\" stays",""" +
       """"tail":"{\"metric\":\"total\",\"queries\":{\"q01\":0.5,\"q02\":1.2}}",""" +
