@@ -137,7 +137,13 @@ object EwmaStream {
       events: Iterator[EwmaEvent],
       state: GroupState[OrderedEwmaState]): Iterator[EwmaPoint] = {
     val wm = state.getCurrentWatermarkMs()
-    val horizon = wm + slackMs // fold everything strictly below this
+    // fold everything strictly below the horizon. Before the first
+    // watermark update Spark reports wm = 0 ("no information"), and with
+    // slack > 0 a naive `0 + slack` horizon would fold epoch-adjacent
+    // events (ts < slackMs) in the very first batch — then a legitimate
+    // within-lateness straggler behind that premature frontier would be
+    // FLAGGED. No watermark yet means nothing is safe to fold.
+    val horizon = if (wm <= 0L) Long.MinValue else wm + slackMs
     val st = state.getOption.getOrElse(
       OrderedEwmaState(Long.MinValue, Long.MinValue, None, Nil))
     val fresh = if (state.hasTimedOut) Seq.empty[EwmaEvent] else events.toSeq

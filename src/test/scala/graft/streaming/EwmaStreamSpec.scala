@@ -207,6 +207,24 @@ class EwmaStreamSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("ordered mode: no watermark yet (wm=0) folds NOTHING, even epoch-adjacent events") {
+    // before the first watermark update Spark reports wm = 0; with
+    // slack > 0 a naive horizon of 0 + slack would prematurely fold
+    // events with ts < slackMs (epoch-adjacent data), mis-flagging the
+    // within-lateness stragglers behind that frontier (r14 self-review)
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[EwmaStream.OrderedEwmaState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      1000L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val out = EwmaStream.orderedEwmaFn(0.25, 86400L, 1200000L)( // 20 min slack
+      1L,
+      Iterator(EwmaEvent(1L, 1L, new Timestamp(60000L), Some(8.0))), // ts = epoch + 1 min
+      st).toSeq
+    assert(out.isEmpty, "nothing may fold before the first real watermark")
+    assert(st.get.pending.map(_.tie) === Seq(1L))
+  }
+
   test("ordered mode: watermark tighter than lateness is refused at wiring time") {
     val e = intercept[IllegalArgumentException] {
       EwmaStream.smoothOrdered(Seq.empty[EwmaEvent].toDS(), lateness = "1 hour",
