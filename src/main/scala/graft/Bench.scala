@@ -441,8 +441,10 @@ object Bench {
     require(ids.distinct.size == ids.size,
       "duplicate numeric query ids; positional bench encoding would collide")
     val timeById = results.map { case (k, v) => qid(k) -> v }.toMap
+    // ids.max on an empty seq throws — a SPARK_GRAFT_ONLY filter that
+    // matches nothing must still print a parseable (empty-array) line
     def qtArray(decimalsPerSec: Int): String =
-      (1 to ids.max).map { i =>
+      (1 to (if (ids.isEmpty) 0 else ids.max)).map { i =>
         timeById.get(i)
           .map(v => math.round(v * decimalsPerSec).toString)
           .getOrElse("-1")
