@@ -207,6 +207,63 @@ class EwmaStreamSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("ordered mode: buffered state stays O(lateness-rate), never O(history)") {
+    // drive one key through 60 simulated micro-batches (10 events each,
+    // event time advancing 1 min/batch, watermark trailing 10 min) and
+    // assert the pending buffer NEVER exceeds the events inside the
+    // lateness window (rate × lateness = 10 ev/min × 10 min + one
+    // batch in flight), while the folded output stays exact — the
+    // "state O(keys × lateness-rate)" leg of the r13 verdict ask
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val lateness = 600000L // 10 min, slack 0 (watermark == lateness)
+    var stateOpt = Option.empty[EwmaStream.OrderedEwmaState]
+    var folded = Vector.empty[EwmaStream.EwmaPoint]
+    var allEvents = Vector.empty[EwmaEvent]
+    var maxPending = 0
+    var eventId = 0L
+    val perBatch = 10
+    (0 until 60).foreach { b =>
+      val t0 = 1700000000000L + b * 60000L
+      val events = (0 until perBatch).map { j =>
+        eventId += 1
+        // mild disorder inside the batch: reverse pairs
+        val ts = t0 + (j ^ 1) * 1000L
+        EwmaEvent(1L, eventId, new Timestamp(ts), Some((eventId % 7).toDouble))
+      }
+      val wm = math.max(0L, t0 - lateness) // engine watermark trails max event time
+      val st = TestGroupState.create[EwmaStream.OrderedEwmaState](
+        stateOpt.map(Optional.of[EwmaStream.OrderedEwmaState])
+          .getOrElse(Optional.empty()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        1000L + b, Optional.of(wm), hasTimedOut = false)
+      allEvents ++= events
+      folded ++= EwmaStream.orderedEwmaFn(0.25, 86400L, 0L)(1L, events.iterator, st)
+        .filterNot(_.late)
+      stateOpt = Some(st.get)
+      maxPending = math.max(maxPending, st.get.pending.size)
+    }
+    // bound: lateness window (10 min × 10 ev/min) + the in-flight batch
+    val bound = 10 * perBatch + perBatch
+    assert(maxPending <= bound, s"pending grew to $maxPending > $bound — O(history)?")
+    assert(maxPending >= perBatch, "the buffer must actually hold the disorder window")
+    // exactness: every folded event carries the value the sequential
+    // (ts, tie)-ordered fold over the FULL event set assigns it
+    assert(folded.size > 400, "most of the 600 events must have folded")
+    var prev = Option.empty[Double]
+    val expected = allEvents.sortBy(e => (e.ts.getTime, e.event_id)).map { ev =>
+      val e = prev match {
+        case None => ev.value.get
+        case Some(x) => 0.25 * ev.value.get + 0.75 * x
+      }
+      prev = Some(e)
+      ev.event_id -> e
+    }.toMap
+    folded.foreach { p =>
+      assert(p.ewma === Some(expected(p.event_id)), s"event ${p.event_id}")
+    }
+  }
+
   test("ordered mode: no watermark yet (wm=0) folds NOTHING, even epoch-adjacent events") {
     // before the first watermark update Spark reports wm = 0; with
     // slack > 0 a naive horizon of 0 + slack would prematurely fold
