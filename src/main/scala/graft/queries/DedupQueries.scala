@@ -61,6 +61,19 @@ object DedupQueries {
       |)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // the STREAMING exact deduplicator's identity under the oracle: in
+    // batch mode dropDuplicatesWithinWatermark keeps one arbitrary row
+    // per fingerprint, so the deterministic surface is the fingerprint
+    // SET itself — same sha2-over-normalized-text identity as q19's
+    // batch deduplicator (the backfill/ingest-parity contract).
+    "q177_streaming_dedup" -> ((s, dir) => {
+      graft.streaming.StreamingDedup.dedup(
+        seeded(s, dir).withColumn("ts",
+          expr("timestamp_micros(doc_id * 1000000)")),
+        "text", "ts", "1 hour")
+        .select(col("fingerprint"))
+    }),
+
     // exact dedup: normalize → sha2 fingerprint → keep lowest id per group.
     // The 50 seeded identical copies collapse onto their originals.
     "q19_dedup_exact" -> ((s, dir) => {
@@ -327,6 +340,10 @@ object DedupQueries {
         """
           |SELECT doc_id, sha256(norm) AS fingerprint FROM norm
           |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1""".stripMargin),
+    "q177_streaming_dedup" ->
+      (seededSql +
+        """
+          |SELECT DISTINCT sha256(norm) AS fingerprint FROM norm""".stripMargin),
     "q113_source_overlap" ->
       (seededSql +
         """, fp AS (

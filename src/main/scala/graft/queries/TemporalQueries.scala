@@ -258,6 +258,22 @@ object TemporalQueries {
           col("p_id"), expr("unix_micros(p_ts)").as("p_us"))
     }),
 
+    // the r14 ordered-mode smoother under the oracle: on a batch frame
+    // smoothOrdered degenerates to the exact per-key (ts-ms, event_id)
+    // sort-fold — the same recurrence q172 replays, so the recursive-CTE
+    // oracle gates the NEW operator surface too (flush/buffer logic is
+    // MemoryStream-spec'd; this pins the fold arithmetic + ordering)
+    "q176_ewma_ordered" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EwmaStream.EwmaEvent]
+      graft.streaming.EwmaStream.smoothOrdered(ev, alpha = 0.25).toDF()
+        .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+    }),
+
     "q79_rolling_features" -> ((s, dir) => {
       new graft.temporal.RollingFeatures(n = 5)
         .transform(Tables.events(s, dir)
@@ -911,6 +927,26 @@ object TemporalQueries {
     // full history in one sorted pass), ordered by (ms, event_id) — the
     // streaming operator's Timestamp state folds at millisecond
     // granularity with the tie id breaking sub-ms ties
+    // same recurrence and ordering as q172 — the batch-degenerate path
+    // of the r14 ordered-mode smoother computes the identical fold
+    "q176_ewma_ordered" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000, event_id) AS rn
+        |  FROM events
+        |), rec(user_id, event_id, value, rn, ewma) AS (
+        |  SELECT user_id, event_id, value, rn, value FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.event_id, ev.value, ev.rn,
+        |    CASE WHEN ev.value IS NULL THEN rec.ewma
+        |         WHEN rec.ewma IS NULL THEN ev.value
+        |         ELSE 0.25 * ev.value + 0.75 * rec.ewma END
+        |  FROM rec JOIN ev ON ev.user_id = rec.user_id AND ev.rn = rec.rn + 1
+        |)
+        |SELECT user_id, event_id, value, ewma
+        |FROM rec""".stripMargin,
+
     "q172_ewma_stream" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_id, value,

@@ -25,13 +25,18 @@ object StreamingDedup {
   def fingerprint(text: Column): Column =
     sha2(TextNormalizer.normalize(text), 256)
 
-  /** Appends `fingerprint` and drops in-window duplicates. `df` must be a
-    * streaming frame with an event-time column named by `tsCol`; the
-    * caller picks the watermark delay (how long duplicates are
-    * remembered).
+  /** Appends `fingerprint` and drops in-window duplicates. On a
+    * streaming frame `tsCol` is the event-time column and `delay` the
+    * watermark (how long duplicates are remembered). On a BATCH frame —
+    * the backfill half of the parity contract — the whole input is one
+    * window, so this degenerates to a plain fingerprint dropDuplicates
+    * (`dropDuplicatesWithinWatermark` itself refuses batch frames); the
+    * kept row per fingerprint is arbitrary either way, so the
+    * deterministic surface is the fingerprint set (q177's oracle).
     */
-  def dedup(df: DataFrame, textCol: String, tsCol: String, delay: String): DataFrame =
-    df.withColumn("fingerprint", fingerprint(col(textCol)))
-      .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("fingerprint")
+  def dedup(df: DataFrame, textCol: String, tsCol: String, delay: String): DataFrame = {
+    val fp = df.withColumn("fingerprint", fingerprint(col(textCol)))
+    if (!df.isStreaming) fp.dropDuplicates("fingerprint")
+    else fp.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("fingerprint")
+  }
 }
