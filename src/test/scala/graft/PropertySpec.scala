@@ -295,4 +295,89 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("ordered EWMA stream: any bounded-disorder arrival pattern folds exactly; flags only beyond-lateness") {
+    // simulate the engine's micro-batch loop around orderedEwmaFn for
+    // RANDOM event/delay patterns: events arrive sorted by
+    // (event time + delay) in batches of 5; the watermark trails the max
+    // event time seen in completed batches by W; Spark's own late-row
+    // filter (drop ts < wm) is simulated too. Invariants:
+    //  (1) lateness honored: an event still at-or-ahead of the fold
+    //      horizon when it arrives is NEVER flagged;
+    //  (2) exactness: folded values equal the sequential (ts, tie) fold
+    //      over exactly the folded set;
+    //  (3) completeness: folded ∪ flagged ∪ engine-dropped = all events
+    //      after a final flush.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.EwmaStream
+    val base = 1700000000000L
+    val wMs = 120000L // watermark 120 s
+    val lMs = 60000L  // lateness 60 s -> slack 60 s
+    val slack = wMs - lMs
+    val evGen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 600), Gen.choose(0, 180)))
+    forAll(evGen, trials = 12) { raw =>
+      whenever(raw.nonEmpty) {
+        val events = raw.zipWithIndex.map { case ((offS, delayS), i) =>
+          (EwmaStream.EwmaEvent(1L, i.toLong, new java.sql.Timestamp(base + offS * 1000L),
+            Some((i % 5).toDouble)), base + (offS + delayS) * 1000L)
+        }
+        val arrival = events.sortBy { case (e, at) => (at, e.event_id) }
+        var stateOpt = Option.empty[EwmaStream.OrderedEwmaState]
+        var wm = 0L
+        var folded = Vector.empty[EwmaStream.EwmaPoint]
+        var flagged = Vector.empty[Long]
+        var dropped = Vector.empty[Long]
+        var maxSeen = 0L
+        def call(batch: Seq[EwmaStream.EwmaEvent], timedOut: Boolean): Unit = {
+          val st = TestGroupState.create[EwmaStream.OrderedEwmaState](
+            stateOpt.map(Optional.of[EwmaStream.OrderedEwmaState]).getOrElse(Optional.empty()),
+            GroupStateTimeout.EventTimeTimeout, 1000L, Optional.of(wm), timedOut)
+          val out = EwmaStream.orderedEwmaFn(0.25, 86400L, slack)(
+            1L, batch.iterator, st).toVector
+          stateOpt = if (st.isRemoved) None else Some(st.get)
+          val horizon = if (wm <= 0L) Long.MinValue else wm + slack
+          out.foreach { p =>
+            if (p.late) {
+              // invariant (1): only events the horizon had already
+              // passed may be flagged
+              val ts = batch.find(_.event_id == p.event_id).get.ts.getTime
+              assert(ts < horizon,
+                s"event ${p.event_id} (ts=$ts) flagged though horizon=$horizon had not passed it")
+              flagged :+= p.event_id
+            } else folded :+= p
+          }
+        }
+        arrival.grouped(5).foreach { g =>
+          val (keep, drop) = g.partition { case (e, _) => e.ts.getTime >= wm }
+          dropped ++= drop.map(_._1.event_id)
+          call(keep.map(_._1), timedOut = false)
+          maxSeen = math.max(maxSeen, g.map(_._1.ts.getTime).max)
+          wm = math.max(wm, maxSeen - wMs)
+        }
+        // final flush: watermark passes everything
+        wm = maxSeen + wMs + lMs + 60000L
+        call(Seq.empty, timedOut = true)
+        // invariant (3): nothing lost, nothing duplicated
+        val ids = folded.map(_.event_id) ++ flagged ++ dropped
+        assert(ids.sorted === events.map(_._1.event_id).sorted,
+          s"folded=${folded.size} flagged=${flagged.size} dropped=${dropped.size}")
+        // invariant (2): sequential fold over exactly the folded set
+        val byId = events.map { case (e, _) => e.event_id -> e }.toMap
+        var prev = Option.empty[Double]
+        val expected = folded.map(p => byId(p.event_id))
+          .sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val v = prev match {
+              case None => e.value.get
+              case Some(x) => 0.25 * e.value.get + 0.75 * x
+            }
+            prev = Some(v)
+            e.event_id -> v
+          }.toMap
+        folded.foreach { p =>
+          assert(p.ewma === Some(expected(p.event_id)), s"event ${p.event_id}")
+        }
+      }
+    }
+  }
 }
