@@ -438,7 +438,10 @@ object GraftExtensions {
     * immediately.
     */
   private def checkKeys(s: String, what: String): Seq[String] = {
-    val keys = s.split(',').map(_.trim).toSeq
+    // limit -1: plain split drops TRAILING empty elements, so
+    // 'user_id,' would silently pass as a single key while 'a,,b' is
+    // refused — trailing empties must reach the nonEmpty check too
+    val keys = s.split(",", -1).map(_.trim).toSeq
     require(keys.nonEmpty && keys.forall(_.nonEmpty),
       s"$what must be a comma-separated list of identifiers, got '$s'")
     keys.foreach(checkIdent(_, what))

@@ -40,6 +40,19 @@ object EwmaStream {
   case class EwmaPoint(user_id: Long, event_id: Long, value: Option[Double],
       ewma: Option[Double], late: Boolean)
 
+  /** The one EWMA step every path folds with — null passthrough, seed at
+    * the first value, blend otherwise. Shared (not copy-pasted) because
+    * the bit-exact parity between the base stream, the ordered stream and
+    * the batch degenerate path is a load-bearing oracle contract: a tweak
+    * applied to one copy but not the others would silently break it.
+    */
+  private def step(alpha: Double, v: Option[Double],
+      prev: Option[Double]): Option[Double] = (v, prev) match {
+    case (None, p) => p
+    case (Some(x), None) => Some(x)
+    case (Some(x), Some(p)) => Some(alpha * x + (1.0 - alpha) * p)
+  }
+
   /** The per-key state transition — exposed for direct
     * `flatMapGroupsWithState` wiring; [[smooth]] is the convenience form.
     */
@@ -69,11 +82,7 @@ object EwmaStream {
           // behind the folded frontier: flag, never silently reorder
           EwmaPoint(key, e.event_id, e.value, None, late = true)
         case prev =>
-          val next = (e.value, prev.flatMap(_.ewma)) match {
-            case (None, p) => p
-            case (Some(v), None) => Some(v)
-            case (Some(v), Some(p)) => Some(alpha * v + (1.0 - alpha) * p)
-          }
+          val next = step(alpha, e.value, prev.flatMap(_.ewma))
           st = Some(EwmaState(t, e.event_id, next))
           EwmaPoint(key, e.event_id, e.value, next, late = false)
       }
@@ -136,6 +145,14 @@ object EwmaStream {
       key: Long,
       events: Iterator[EwmaEvent],
       state: GroupState[OrderedEwmaState]): Iterator[EwmaPoint] = {
+    // belt-and-braces for direct flatMapGroupsWithState wiring, as in
+    // ewmaFn; smoothOrdered validates driver-side (including the
+    // watermark >= lateness bound that keeps slackMs nonnegative)
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(idleGapSeconds > 0,
+      s"idleGapSeconds ($idleGapSeconds) must be positive")
+    require(slackMs >= 0, s"slackMs ($slackMs) must be nonnegative " +
+      "(watermark tighter than lateness — smoothOrdered refuses this at wiring time)")
     val wm = state.getCurrentWatermarkMs()
     // fold everything strictly below the horizon. Before the first
     // watermark update Spark reports wm = 0 ("no information"), and with
@@ -157,22 +174,29 @@ object EwmaStream {
       val t = e.ts.getTime
       t < st.lastTs || (t == st.lastTs && e.event_id <= st.lastTie)
     }
-    val lateOut = lateArrivals
+    // an at-least-once redelivery of an event still in the BUFFER would
+    // otherwise fold twice (the frontier check above only catches copies
+    // of already-folded events) — permanently corrupting the smoother.
+    // (ts, tie) identifies an event, so collisions against the buffer
+    // and within the batch flag as late duplicates, same loud contract
+    // as the frontier path (r14 review find).
+    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+    st.pending.foreach(p => seen += ((p.ts, p.tie)))
+    val (dupArrivals, fresh0) = ok.partition { e =>
+      !seen.add((e.ts.getTime, e.event_id))
+    }
+    val lateOut = (lateArrivals ++ dupArrivals)
       .map(e => EwmaPoint(key, e.event_id, e.value, None, late = true))
     // merge arrivals into the buffer; fold in (event-time, tie) order
     // everything the horizon has passed — those can no longer be
     // preceded by a non-late arrival, so the fold is exact
     val merged = (st.pending ++
-      ok.map(e => PendingObs(e.ts.getTime, e.event_id, e.value)))
+      fresh0.map(e => PendingObs(e.ts.getTime, e.event_id, e.value)))
       .sortBy(p => (p.ts, p.tie))
     val (foldable, hold) = merged.partition(_.ts < horizon)
     var (lastTs, lastTie, ewma) = (st.lastTs, st.lastTie, st.ewma)
     val foldedOut = foldable.map { p =>
-      val next = (p.value, ewma) match {
-        case (None, prev) => prev
-        case (Some(v), None) => Some(v)
-        case (Some(v), Some(prev)) => Some(alpha * v + (1.0 - alpha) * prev)
-      }
+      val next = step(alpha, p.value, ewma)
       lastTs = p.ts; lastTie = p.tie; ewma = next
       EwmaPoint(key, p.tie, p.value, next, late = false)
     }
@@ -257,11 +281,7 @@ object EwmaStream {
       events.groupByKey(_.user_id).flatMapGroups { (key, it) =>
         var ewma: Option[Double] = None
         it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).iterator.map { e =>
-          val next = (e.value, ewma) match {
-            case (None, prev) => prev
-            case (Some(v), None) => Some(v)
-            case (Some(v), Some(prev)) => Some(alpha * v + (1.0 - alpha) * prev)
-          }
+          val next = step(alpha, e.value, ewma)
           ewma = next
           EwmaPoint(key, e.event_id, e.value, next, late = false)
         }

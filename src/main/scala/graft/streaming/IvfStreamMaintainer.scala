@@ -298,7 +298,9 @@ class IvfStreamMaintainer(
     fs.listStatus(new Path(path)).map(_.getPath).foreach { p =>
       val n = p.getName
       val stale =
-        (n == "lists" && next != s"$path/lists") ||
+        // the published generation always carries an @-suffix (gen+1 >=
+        // 1), so a bare primordial `lists` is superseded by construction
+        n == "lists" ||
           (n.startsWith("lists@") &&
             n.stripPrefix("lists@").toIntOption.exists(_ < gen + 1)) ||
           (n.startsWith("_staging_lists@") &&

@@ -34,7 +34,10 @@ object BenchDiff {
     val i = if (t < 0) -1 else objStart(json, q, t)
     if (i < 0) return None
     val obj = json.substring(i, math.min(json.length, i + 500))
-    ("\"" + Regex.quote(field) + "\"\\s*:\\s*(\"?[0-9a-zA-Z.]+\"?)").r
+    // '-' included: Bench records load:-1.00 when the JMX load average is
+    // unavailable — without it the field read as ABSENT and classify lost
+    // the load channel exactly when the artifact carried the sentinel
+    ("\"" + Regex.quote(field) + "\"\\s*:\\s*(\"?-?[0-9a-zA-Z.]+\"?)").r
       .findFirstMatchIn(obj).map(_.group(1).replace("\"", ""))
   }
 
@@ -140,19 +143,31 @@ object BenchDiff {
         if (end > 0) sec = json.substring(m.start, end)
       }
     }
-    if (sec != "{}")
-      qTime.findAllMatchIn(sec)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    else {
-      // last resort for tails clipped MID-ENTRY (BENCH_r10 starts
-      // '4":1.43,...' — no opening brace survives): scan every
-      // "qNN":time pair up to the closing '}' of the queries map; the
-      // clipped first entry is simply missing (reported in only-*).
-      val stop = json.indexOf("},\"errors\"")
-      val scanned = if (stop > 0) json.substring(0, stop) else json
-      """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(scanned)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
+    val keyed =
+      if (sec != "{}")
+        qTime.findAllMatchIn(sec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      else {
+        // last resort for tails clipped MID-ENTRY (BENCH_r10 starts
+        // '4":1.43,...' — no opening brace survives): scan every
+        // "qNN":time pair up to the closing '}' of the queries map; the
+        // clipped first entry is simply missing (reported in only-*).
+        val stop = json.indexOf("},\"errors\"")
+        val scanned = if (stop > 0) json.substring(0, stop) else json
+        """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(scanned)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    // a positional qt array clipped at the HEAD (no `"qt":[` survives,
+    // just `...12,-1,9],"errors"`) is UNRECOVERABLE — without the array
+    // start the surviving values cannot be aligned to query ids (unlike
+    // the keyed shapes above, which self-identify). Do not degrade
+    // silently to an empty diff (the BENCH_r9/r10 failure mode): say so.
+    if (keyed.isEmpty && """[-0-9][-0-9,\s]*\]\s*,\s*"errors"""".r
+        .findFirstIn(json).isDefined)
+      System.err.println("[benchdiff] artifact looks like a HEAD-CLIPPED " +
+        "positional qt array — per-query times are unrecoverable (no array " +
+        "start to align indices); treating as zero queries")
+    keyed
   }
 
   /** `--plans old new`: the full per-query plan-hash history between two

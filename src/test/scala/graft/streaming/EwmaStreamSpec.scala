@@ -264,6 +264,36 @@ class EwmaStreamSpec extends SparkTestBase {
     }
   }
 
+  test("ordered mode: an at-least-once redelivery of a BUFFERED event is flagged, never double-folded") {
+    // the frontier check only catches copies of already-FOLDED events; a
+    // redelivery while the original still sits in the pending buffer
+    // would fold twice and permanently corrupt the smoother (r14 review)
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st1 = TestGroupState.create[EwmaStream.OrderedEwmaState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(0L), hasTimedOut = false)
+    val e = EwmaEvent(1L, 7L, ts(10), Some(4.0))
+    assert(EwmaStream.orderedEwmaFn(0.25, 86400L, 0L)(1L, Iterator(e), st1).isEmpty)
+    assert(st1.get.pending.size === 1)
+    // same (ts, tie) arrives again (and once more within one batch)
+    val st2 = TestGroupState.create[EwmaStream.OrderedEwmaState](
+      Optional.of(st1.get), GroupStateTimeout.EventTimeTimeout,
+      1001L, Optional.of(0L), hasTimedOut = false)
+    val out = EwmaStream.orderedEwmaFn(0.25, 86400L, 0L)(
+      1L, Iterator(e, e), st2).toSeq
+    assert(out.forall(_.late), s"duplicates must flag, got $out")
+    assert(out.size === 2)
+    assert(st2.get.pending.size === 1, "the buffer must still hold ONE copy")
+    // flush: the single copy folds once with its exact value
+    val st3 = TestGroupState.create[EwmaStream.OrderedEwmaState](
+      Optional.of(st2.get), GroupStateTimeout.EventTimeTimeout,
+      1002L, Optional.of(ts(60).getTime), hasTimedOut = true)
+    val flushed = EwmaStream.orderedEwmaFn(0.25, 86400L, 0L)(
+      1L, Iterator.empty, st3).toSeq
+    assert(flushed.map(p => (p.event_id, p.ewma, p.late)) === Seq((7L, Some(4.0), false)))
+  }
+
   test("ordered mode: no watermark yet (wm=0) folds NOTHING, even epoch-adjacent events") {
     // before the first watermark update Spark reports wm = 0; with
     // slack > 0 a naive horizon of 0 + slack would prematurely fold

@@ -166,7 +166,9 @@ class AsOfJoinSqlSpec extends SparkTestBase {
   }
 
   test("key lists with duplicates or empty elements are refused") {
-    Seq("'sym,sym'", "'sym,,venue'", "''", "'sym, ven ue'").foreach { ks =>
+    // 'sym,' included: plain split drops trailing empties, so the r14
+    // review found it silently passing as a single key
+    Seq("'sym,sym'", "'sym,,venue'", "''", "'sym, ven ue'", "'sym,'", "',sym'").foreach { ks =>
       intercept[Exception] {
         spark.sql(s"SELECT * FROM asof_join('__sql_trades', '__sql_quotes', $ks, 't', 'qt')").collect()
       }

@@ -196,6 +196,11 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(graft.Bench.planHash(rewrite) === graft.Bench.planHash(permuted))
   }
 
+  test("teleField reads negative values (the load:-1.00 JMX-unavailable sentinel)") {
+    val j = """{"telemetry":{"q01_a":{"task_ms":100,"load":-1.00,"plan":"aa"}}}"""
+    assert(BenchDiff.teleField(j, "q01_a", "load") === Some("-1.00"))
+  }
+
   test("classify: flat task_ms + elevated load + equal hash reads CONTENTION") {
     def tele(plan: String, taskMs: Long, load: Double) =
       s"""{"metric":"total","value":1.0,"unit":"sec","queries":{"q01_a":0.5},""" +
