@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming per-key EWMA: the continuous-ingest counterpart of
@@ -277,15 +278,21 @@ object EwmaStream {
     import events.sparkSession.implicits._
     if (!events.isStreaming) {
       // batch degenerate case: everything is within lateness — the exact
-      // per-key sort-fold, no state machinery
-      events.groupByKey(_.user_id).flatMapGroups { (key, it) =>
-        var ewma: Option[Double] = None
-        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).iterator.map { e =>
-          val next = step(alpha, e.value, ewma)
-          ewma = next
-          EwmaPoint(key, e.event_id, e.value, next, late = false)
-        }
-      }
+      // per-key (event-time ms, tie) fold. Routed through the SEGMENTED
+      // EwmaFeatures plan, NOT a flatMapGroups gather: a gather holds
+      // each key's full history in one invocation — the per-key row-size
+      // cap the segmented scan exists to remove, and this path is the
+      // recommended backfill entry so it must scale like the batch
+      // operator. unix_millis keeps the stream contract's millisecond
+      // fold granularity (a raw timestamp order column would bucket at
+      // seconds and, worse, ORDER at microseconds).
+      val withMs = events.toDF().withColumn("__oms", expr("unix_millis(ts)"))
+      new graft.temporal.EwmaFeatures(alpha = alpha, keyCol = "user_id",
+        orderCol = "__oms", valueCol = "value", tieCol = "event_id")
+        .transform(withMs)
+        .select(col("user_id"), col("event_id"), col("value"), col("ewma"),
+          lit(false).as("late"))
+        .as[EwmaPoint]
     } else {
       events
         .withWatermark("ts", wmStr)
