@@ -31,7 +31,12 @@ class PartitionSensitivitySpec extends SparkTestBase {
     // round 13: segmented EWMA — bucket assignment, within-segment sort
     // order and the carry-chain fold must be byte-stable regardless of
     // how the gather/window exchanges partition
-    "q127_ewma")
+    "q127_ewma",
+    // round 14: the multi-key asof TVF (two-column window partitioning +
+    // the right-side pre-dedup shuffle) and the ordered-mode smoother's
+    // batch path (segmented EwmaFeatures behind a Dataset[EwmaPoint]
+    // façade) — both fold/window over shuffled exchanges
+    "q173_asof_sql_multikey", "q176_ewma_ordered")
 
   representatives.foreach { name =>
     test(s"$name: identical result at 97 shuffle partitions") {
