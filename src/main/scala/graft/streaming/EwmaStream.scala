@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lag, lit, struct}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming per-key EWMA: the continuous-ingest counterpart of
@@ -229,8 +229,12 @@ object EwmaStream {
     * held in a per-key buffer and folded in (event-time, tie) order once
     * the fold horizon — (max event time) − `lateness`, tracked as
     * watermark + slack — passes them, so any disorder within `lateness`
-    * is served exactly (bit-for-bit [[graft.temporal.EwmaFeatures]]
-    * parity, pinned across micro-batch boundaries in EwmaStreamSpec).
+    * is served exactly: the emitted values are the strictly sequential
+    * (event-time-ms, tie) fold (bit-for-bit
+    * [[graft.temporal.EwmaFeatures]] parity on single-segment keys,
+    * pinned across micro-batch boundaries in EwmaStreamSpec; last-ulp
+    * fp-association differences vs the segmented batch plan on hot keys
+    * beyond targetSegment — see the batch-path parity note below).
     * Output is therefore DELAYED by up to `lateness` relative to arrival
     * — the price of exactness.
     *
@@ -248,9 +252,16 @@ object EwmaStream {
     * advances. Idle keys with an empty buffer evict after
     * `idleGapSeconds`, as in [[smooth]].
     *
-    * On a batch `Dataset` this degenerates to the exact per-key
-    * sort-fold (the whole input is "within lateness"), matching
-    * [[graft.temporal.EwmaFeatures]] by construction.
+    * On a batch `Dataset` this degenerates to the per-key
+    * (event-time-ms, tie) fold ON THE SEGMENTED [[graft.temporal.EwmaFeatures]]
+    * PLAN (bit-exact vs that operator by construction; no per-key
+    * row-size cap on backfill). Stream-vs-batch parity is bit-exact for
+    * keys within one segment (≤ targetSegment = 8192 events) and
+    * fp-associativity-equal (last ulps, the EwmaFeatures contract)
+    * beyond — see the in-body parity note. Duplicate (key, ts, tie)
+    * rows fold once and flag the rest in BOTH modes; the batch winner
+    * is deterministic (greatest value), where the stream keeps
+    * first-arrival.
     */
   def smoothOrdered(
       events: Dataset[EwmaEvent],
@@ -277,8 +288,8 @@ object EwmaStream {
         "behind the watermark before the operator can flag them")
     import events.sparkSession.implicits._
     if (!events.isStreaming) {
-      // batch degenerate case: everything is within lateness — the exact
-      // per-key (event-time ms, tie) fold. Routed through the SEGMENTED
+      // batch degenerate case: everything is within lateness — the
+      // per-key (event-time ms, tie) fold, routed through the SEGMENTED
       // EwmaFeatures plan, NOT a flatMapGroups gather: a gather holds
       // each key's full history in one invocation — the per-key row-size
       // cap the segmented scan exists to remove, and this path is the
@@ -286,13 +297,44 @@ object EwmaStream {
       // operator. unix_millis keeps the stream contract's millisecond
       // fold granularity (a raw timestamp order column would bucket at
       // seconds and, worse, ORDER at microseconds).
+      //
+      // Parity contract, stated precisely: bit-exact vs EwmaFeatures by
+      // construction (it IS that plan). vs the STREAM: bit-exact for
+      // keys whose history fits one segment (<= targetSegment = 8192
+      // events — the adaptive bucket formula keeps such keys
+      // single-segment, i.e. a strictly sequential fold); beyond that
+      // the segmented carry recomposition differs in last ulps from the
+      // stream's sequential fold — the same fp-associativity tolerance
+      // EwmaFeatures documents, priced consciously: the alternative
+      // (numBuckets = 1) restores bit parity by re-introducing the
+      // whole-history-per-key row the hot-key path exists to avoid.
       val withMs = events.toDF().withColumn("__oms", expr("unix_millis(ts)"))
-      new graft.temporal.EwmaFeatures(alpha = alpha, keyCol = "user_id",
-        orderCol = "__oms", valueCol = "value", tieCol = "event_id")
-        .transform(withMs)
+      // duplicate (key, ts-ms, tie) rows fold once and FLAG the rest —
+      // the streaming path's redelivery guard, mirrored (r14 review:
+      // without this, batch double-folded exactly the at-least-once
+      // inputs the guard was added for). The lag window partitions on
+      // the key — the same hash partitioning EwmaFeatures' own span agg
+      // needs — and picks a DETERMINISTIC winner per duplicate group
+      // (greatest value, nulls last; the stream keeps first-arrival,
+      // which batch data cannot express).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("__oms"), col("event_id"), col("value").desc_nulls_last)
+      val marked = withMs.withColumn("__dup",
+        coalesce(
+          lag(struct(col("__oms"), col("event_id")), 1).over(w) ===
+            struct(col("__oms"), col("event_id")),
+          lit(false)))
+      val flagged = marked.where(col("__dup"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          lit(null).cast("double").as("ewma"), lit(true).as("late"))
+      val folded = new graft.temporal.EwmaFeatures(alpha = alpha,
+        keyCol = "user_id", orderCol = "__oms", valueCol = "value",
+        tieCol = "event_id")
+        .transform(marked.where(!col("__dup")).drop("__dup"))
         .select(col("user_id"), col("event_id"), col("value"), col("ewma"),
           lit(false).as("late"))
-        .as[EwmaPoint]
+      folded.unionByName(flagged).as[EwmaPoint]
     } else {
       events
         .withWatermark("ts", wmStr)

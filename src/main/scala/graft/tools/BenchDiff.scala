@@ -158,11 +158,15 @@ object BenchDiff {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     // a positional qt array clipped at the HEAD (no `"qt":[` survives,
-    // just `...12,-1,9],"errors"`) is UNRECOVERABLE — without the array
-    // start the surviving values cannot be aligned to query ids (unlike
-    // the keyed shapes above, which self-identify). Do not degrade
-    // silently to an empty diff (the BENCH_r9/r10 failure mode): say so.
-    if (keyed.isEmpty && """[-0-9][-0-9,\s]*\]\s*,\s*"errors"""".r
+    // just `12,-1,9],"errors"` with the fragment BEGINNING the text) is
+    // UNRECOVERABLE — without the array start the surviving values
+    // cannot be aligned to query ids (unlike the keyed shapes above,
+    // which self-identify). Do not degrade silently to an empty diff
+    // (the BENCH_r9/r10 failure mode): say so. Anchored at the artifact
+    // head, because a clip cuts the FRONT — an intact zero-query
+    // artifact that happens to carry some other numeric array before an
+    // "errors" key must not trip the warning (r14 review).
+    if (keyed.isEmpty && """^\s*[-0-9][-0-9,\s]*\]\s*,\s*"errors"""".r
         .findFirstIn(json).isDefined)
       System.err.println("[benchdiff] artifact looks like a HEAD-CLIPPED " +
         "positional qt array — per-query times are unrecoverable (no array " +

@@ -312,6 +312,28 @@ class EwmaStreamSpec extends SparkTestBase {
     assert(st.get.pending.map(_.tie) === Seq(1L))
   }
 
+  test("ordered mode: the BATCH path also flags duplicate (ts, tie) rows instead of double-folding") {
+    // mirror of the streaming redelivery guard (r14 second review pass:
+    // without it, batch backfill of an at-least-once dump double-folded
+    // exactly the inputs the streaming guard was added for). Winner is
+    // deterministic: greatest value.
+    val events = Seq(
+      EwmaEvent(1L, 1L, ts(0), Some(8.0)),
+      EwmaEvent(1L, 2L, ts(10), Some(4.0)),
+      EwmaEvent(1L, 2L, ts(10), Some(4.0)),  // redelivered copy
+      EwmaEvent(1L, 3L, ts(20), Some(6.0)))
+    val got = EwmaStream.smoothOrdered(events.toDS(), alpha = 0.25).collect()
+    val flagged = got.filter(_.late)
+    assert(flagged.length === 1 && flagged.head.event_id === 2L && flagged.head.ewma.isEmpty)
+    val foldedMap = got.filterNot(_.late).map(p => p.event_id -> p.ewma).toMap
+    assert(foldedMap.size === 3)
+    assert(foldedMap(1L) === Some(8.0))
+    val e2 = 0.25 * 4.0 + 0.75 * 8.0
+    assert(foldedMap(2L) === Some(e2), "the kept copy folds ONCE")
+    assert(foldedMap(3L) === Some(0.25 * 6.0 + 0.75 * e2),
+      "later values must not see the duplicate twice")
+  }
+
   test("ordered mode: watermark tighter than lateness is refused at wiring time") {
     val e = intercept[IllegalArgumentException] {
       EwmaStream.smoothOrdered(Seq.empty[EwmaEvent].toDS(), lateness = "1 hour",
