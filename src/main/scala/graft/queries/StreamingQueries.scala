@@ -72,6 +72,21 @@ object StreamingQueries {
           col("event_type"), col("n_events"), col("n_nulls"),
           round(col("avg_value"), 6).as("avg_value"),
           col("est_entities"))
+    }),
+
+    // streaming heavy hitters, batch-gated (the q177 pattern): monitor()
+    // on a batch frame is the EXACT per-group top-k (err = 0) — the
+    // backfill half of the live SpaceSaving monitor, whose sketch bounds
+    // StreamingTopKSpec pins against these same exact counts. Top-5
+    // users per event type; ties by item ascending.
+    "q179_topk_stream" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("event_type").as("group"),
+          col("user_id").cast("string").as("item"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[graft.streaming.StreamingTopK.ItemEvent]
+      graft.streaming.StreamingTopK.monitor(ev, capacity = 64, k = 5)
     })
   )
 
@@ -157,6 +172,24 @@ object StreamingQueries {
         |)
         |SELECT window_start_us, event_type, n_events, n_nulls, avg_value,
         |  est_entities
-        |FROM agg JOIN est USING (window_start_us, event_type)""".stripMargin
+        |FROM agg JOIN est USING (window_start_us, event_type)""".stripMargin,
+
+    // q179: the batch path is exact counts — rank by (count desc, item
+    // asc), top 5, err pinned at 0, n_group = total events per group
+    "q179_topk_stream" ->
+      """WITH c AS (
+        |  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS item,
+        |    count(*) AS est
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT grp, CAST(sum(est) AS BIGINT) AS n_group FROM c GROUP BY 1
+        |), r AS (
+        |  SELECT grp, item, est,
+        |    row_number() OVER (PARTITION BY grp ORDER BY est DESC, item) AS rnk
+        |  FROM c
+        |)
+        |SELECT r.grp AS "group", r.item, r.est, CAST(0 AS BIGINT) AS err,
+        |  CAST(rnk AS INT) AS rank, g.n_group
+        |FROM r JOIN g USING (grp) WHERE rnk <= 5""".stripMargin
   )
 }

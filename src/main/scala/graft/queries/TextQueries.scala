@@ -170,6 +170,32 @@ object TextQueries {
           "q_vector" -> Seq("vector", "window", "filter", "dup")), k = 10)
     }),
 
+    // hybrid retrieval: the q111 BM25 term leg and the q21 cosine leg
+    // fused by reciprocal-rank fusion — each query is a term profile
+    // ANCHORED at a document (its embedding drives the vector leg; the
+    // anchor itself is excluded there by CosineTopK's self-pair rule,
+    // while the term leg may retrieve it — documented asymmetry, the
+    // fusion sees both). Only integer RANKS cross the fusion boundary:
+    // rrf = 1/(60+r_lex) + 1/(60+r_vec) added in fixed leg order, so the
+    // fused doubles are bit-pinned given the legs' rank orders.
+    "q180_hybrid_rrf" -> ((s, dir) => {
+      val anchors = Seq(0L, 7L, 42L)
+      val lex = new Bm25(k1 = 1.2, b = 0.75)
+        .retrieve(Tables.documents(s, dir), Seq(
+          "0" -> Seq("spark", "query", "join", "stream"),
+          "7" -> Seq("hash", "merge", "sort", "group"),
+          "42" -> Seq("vector", "window", "filter", "dup")), k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val vec = new graft.similarity.CosineTopK(20)
+        .search(emb.where(col("vec_id").isin(anchors: _*)), emb)
+        .select(col("query_id").cast("string").as("query_id"),
+          col("vec_id").as("id"), col("rank"))
+      graft.similarity.HybridRetriever.fuse(
+        Seq("lex" -> lex, "vec" -> vec), rrfK = 60, topK = 10)
+    }),
+
     // HyperLogLog distinct-token estimate per source: 2^10 one-byte
     // registers per group (merge = element-wise max) — the fixed-state
     // counterpart of q67's KMV sketch. md5-derived registers let the
@@ -1314,6 +1340,81 @@ object TextQueries {
           |    row_number() OVER (PARTITION BY query_id
           |      ORDER BY score DESC, doc_id) AS rnk
           |  FROM scored)
+          |WHERE rnk <= 10""".stripMargin),
+
+    // q180: the q111 BM25 leg (new query ids, k=20) + the q21 cosine leg
+    // (anchors 0/7/42, self excluded, k=20), full-outer fused on
+    // (query_id, id), rrf added in the engine's fixed leg order
+    // (lex first), ranked (rrf desc, id)
+    "q180_hybrid_rrf" ->
+      (normSql +
+        """
+          |, tok AS (
+          |  SELECT doc_id, len(tl) AS len, unnest(tl) AS term FROM toks
+          |), qt(query_id, term) AS (
+          |  VALUES ('0', 'spark'), ('0', 'query'),
+          |         ('0', 'join'), ('0', 'stream'),
+          |         ('7', 'hash'), ('7', 'merge'),
+          |         ('7', 'sort'), ('7', 'group'),
+          |         ('42', 'vector'), ('42', 'window'),
+          |         ('42', 'filter'), ('42', 'dup')
+          |), tc AS (
+          |  SELECT doc_id, len, term, count(*) AS c FROM tok
+          |  WHERE term IN (SELECT term FROM qt)
+          |  GROUP BY 1, 2, 3
+          |), df AS (
+          |  SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY 1
+          |), corpus AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(tl)) AS avgdl
+          |  FROM toks
+          |), scored AS (
+          |  SELECT query_id, doc_id,
+          |    round(sum(
+          |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+          |      (c * (1.2 + 1)) / (c + 1.2 * (1 - 0.75 + 0.75 * len / avgdl))
+          |    ), 6) AS score
+          |  FROM tc JOIN qt USING (term) JOIN df USING (term) CROSS JOIN corpus
+          |  GROUP BY 1, 2
+          |), lex AS (
+          |  SELECT query_id, doc_id AS id, CAST(rnk AS BIGINT) AS r
+          |  FROM (
+          |    SELECT query_id, doc_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY score DESC, doc_id) AS rnk
+          |    FROM scored)
+          |  WHERE rnk <= 20
+          |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |qv AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id IN (0, 7, 42)),
+          |sims AS (
+          |  SELECT qid, vec_id, list_cosine_similarity(qvec, v) AS cos
+          |  FROM qv JOIN e ON vec_id != qid
+          |), vecleg AS (
+          |  SELECT CAST(qid AS VARCHAR) AS query_id, vec_id AS id,
+          |    CAST(rnk AS BIGINT) AS r
+          |  FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid
+          |        ORDER BY cos DESC, vec_id) AS rnk
+          |    FROM sims)
+          |  WHERE rnk <= 20
+          |), fused AS (
+          |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+          |    coalesce(l.id, v.id) AS id, l.r AS rank_lex, v.r AS rank_vec
+          |  FROM lex l FULL OUTER JOIN vecleg v
+          |    ON l.query_id = v.query_id AND l.id = v.id
+          |), rrfd AS (
+          |  SELECT query_id, id,
+          |    coalesce(1.0 / (60.0 + CAST(rank_lex AS DOUBLE)), 0.0) +
+          |    coalesce(1.0 / (60.0 + CAST(rank_vec AS DOUBLE)), 0.0) AS rrf_score,
+          |    rank_lex, rank_vec
+          |  FROM fused
+          |)
+          |SELECT query_id, id, rrf_score, CAST(rnk AS INT) AS rank,
+          |  rank_lex, rank_vec
+          |FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY rrf_score DESC, id) AS rnk
+          |  FROM rrfd)
           |WHERE rnk <= 10""".stripMargin),
     "q67_distinct_sketch" ->
       s"""WITH nrm AS (

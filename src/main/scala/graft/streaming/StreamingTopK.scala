@@ -1,0 +1,164 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming heavy hitters: per-group top-k items under BOUNDED state —
+  * the SpaceSaving summary (Metwally, Agrawal, El Abbadi 2005), `capacity`
+  * counters per group no matter how many distinct items flow through.
+  * The live counterpart of the batch exact top-k (q56/q08 family) and of
+  * the CMS+heap sketch (q74): "which domains/tokens/users dominate this
+  * feed RIGHT NOW", asked of a stream whose item cardinality would blow
+  * any exact per-item state.
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build brief).
+  *
+  * == SpaceSaving invariants (what the spec pins) ==
+  *
+  * With n events folded into a group and m = `capacity` counters:
+  *   - any item whose true count exceeds n/m is IN the summary
+  *     (guaranteed-heavy-hitter completeness);
+  *   - every counter overestimates: est >= true >= est − err, with
+  *     err <= floor(n/m) (the evicted-minimum bound).
+  *
+  * Estimates are arrival-order dependent (inherent to the sketch); within
+  * one micro-batch events fold in (event-time, item) order and eviction
+  * ties break deterministically (min count, then lexicographically
+  * GREATEST item leaves — so the items that win rank ties are also the
+  * stickier ones), making each run reproducible given the same batch
+  * boundaries.
+  *
+  * == Emission contract ==
+  *
+  * Per micro-batch, each group that received events (or flushed a timeout)
+  * emits its CURRENT top-k snapshot tagged with `n_group` (events folded
+  * so far) — consumers keep the row set with the largest n_group per
+  * group. State per group is `capacity` (item, cnt, err) triples + a
+  * frontier — O(groups × capacity); idle groups evict after
+  * `idleGapSeconds` of event time (a group returning later restarts its
+  * summary — the documented trade, as in [[EwmaStream]]).
+  *
+  * On a BATCH frame — the backfill half of the parity contract — the
+  * sketch is pointless (exact counts cost one partial-aggregated groupBy),
+  * so [[monitor]] degenerates to the EXACT per-group top-k with err = 0:
+  * the q179 oracle gates that path, and the spec pins the sketch's
+  * invariants against the same exact counts.
+  */
+object StreamingTopK {
+
+  case class ItemEvent(group: String, item: String, ts: Timestamp)
+  case class Counter(item: String, cnt: Long, err: Long)
+  case class TopKState(n: Long, lastTs: Long, counters: Seq[Counter])
+  case class TopKRow(group: String, item: String, est: Long, err: Long,
+      rank: Int, n_group: Long)
+
+  /** One SpaceSaving fold of `events` (already in fold order) into
+    * `counters`. Exposed for the spec's reference replay.
+    */
+  private[streaming] def fold(capacity: Int,
+      counters: Seq[Counter], items: Seq[String]): Seq[Counter] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Counter]
+    counters.foreach(c => m(c.item) = c)
+    items.foreach { it =>
+      m.get(it) match {
+        case Some(c) => m(it) = c.copy(cnt = c.cnt + 1)
+        case None if m.size < capacity => m(it) = Counter(it, 1L, 0L)
+        case None =>
+          // evict the minimum counter; ties leave the lexicographically
+          // greatest item so rank-tie winners (smallest item) stick
+          val victim = m.valuesIterator.minBy(c => (c.cnt, invert(c.item)))
+          m.remove(victim.item)
+          m(it) = Counter(it, victim.cnt + 1L, victim.cnt)
+      }
+    }
+    m.values.toSeq
+  }
+
+  // minBy needs an Ordering that REVERSES the string leg only; wrapping in
+  // a custom Ordering per call allocates — a tiny negated-compare key via
+  // Ordered is simplest expressed as an inverting wrapper
+  private case class invert(s: String) extends Ordered[invert] {
+    def compare(that: invert): Int = that.s.compareTo(s)
+  }
+
+  private def snapshot(group: String, st: TopKState, k: Int): Iterator[TopKRow] =
+    st.counters.sortBy(c => (-c.cnt, c.err, c.item)).iterator.take(k)
+      .zipWithIndex
+      .map { case (c, i) => TopKRow(group, c.item, c.cnt, c.err, i + 1, st.n) }
+
+  /** The per-group state transition — exposed for direct
+    * `flatMapGroupsWithState` wiring; [[monitor]] is the convenience form.
+    */
+  def topKFn(capacity: Int, k: Int, idleGapSeconds: Long)(
+      group: String,
+      events: Iterator[ItemEvent],
+      state: GroupState[TopKState]): Iterator[TopKRow] = {
+    require(capacity > 0, s"capacity ($capacity) must be positive")
+    require(k > 0 && k <= capacity,
+      s"k ($k) must be in [1, capacity=$capacity]: the summary cannot rank " +
+        "items it does not hold")
+    require(idleGapSeconds > 0,
+      s"idleGapSeconds ($idleGapSeconds) must be positive")
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.item))
+    val st = state.getOption.getOrElse(TopKState(0L, Long.MinValue, Nil))
+    val next = TopKState(
+      st.n + sorted.size,
+      math.max(st.lastTs, if (sorted.isEmpty) Long.MinValue else sorted.last.ts.getTime),
+      fold(capacity, st.counters, sorted.map(_.item)))
+    state.update(next)
+    if (next.lastTs != Long.MinValue)
+      state.setTimeoutTimestamp(next.lastTs + idleGapSeconds * 1000L)
+    snapshot(group, next, k)
+  }
+
+  /** Per-group top-k over a stream of [[ItemEvent]]. Streaming: the
+    * SpaceSaving summary above. Batch: EXACT counts (one partial-agg
+    * groupBy + the shared grouped-rank path), err = 0 — backfill and the
+    * q179 oracle read the same surface.
+    */
+  def monitor(
+      events: Dataset[ItemEvent],
+      capacity: Int = 256,
+      k: Int = 10,
+      watermark: String = "1 hour",
+      idleGapSeconds: Long = 86400L): DataFrame = {
+    require(capacity > 0, s"capacity ($capacity) must be positive")
+    require(k > 0 && k <= capacity,
+      s"k ($k) must be in [1, capacity=$capacity]")
+    require(idleGapSeconds > 0,
+      s"idleGapSeconds ($idleGapSeconds) must be positive")
+    import events.sparkSession.implicits._
+    if (!events.isStreaming) {
+      val counts = events.toDF().groupBy(col("group"), col("item"))
+        .agg(count(lit(1)).as("est"))
+      val ranked = graft.sql.GroupedNtile.rankByValue(counts, "group", "est",
+        descending = true, tieCols = Seq(col("item")), rankName = "rank")
+      // n_group as a partial-aggregated one-row-per-group frame joined
+      // onto the k survivors — NOT an unordered window over the item
+      // frame, whose whole-partition buffer is exactly the per-group item
+      // cardinality the sketch exists to avoid holding. Null groups
+      // cannot reach this join: rankByValue fails loudly on them.
+      val totals = counts.groupBy(col("group")).agg(sum(col("est")).as("n_group"))
+      ranked
+        .where(col("rank") <= k)
+        .join(totals, Seq("group"))
+        .select(col("group"), col("item"), col("est"),
+          lit(0L).as("err"), col("rank").cast("int").as("rank"),
+          col("n_group"))
+    } else {
+      events
+        .withWatermark("ts", watermark)
+        .groupByKey(_.group)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+          topKFn(capacity, k, idleGapSeconds))
+        .toDF()
+    }
+  }
+}

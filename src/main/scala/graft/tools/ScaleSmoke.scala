@@ -384,6 +384,19 @@ object ScaleSmoke {
             col("value")))
           .count()
       },
+      // r14: the anomaly composition on ONE key — BOTH segmented smoothers
+      // (x and x²) on the hot key, the two (key, tie) joins, and the
+      // lag/count scoring window (a streaming sliding frame: spillable
+      // external sort, never whole-history-in-one-row). Time must track
+      // rows; superlinearity here would mean one of the five stages
+      // re-introduced a gather
+      "anomaly_hotkey" -> { e: DataFrame =>
+        new graft.temporal.AnomalyDetector(alpha = 0.25)
+          .transform(e.select(lit(0L).as("user_id"), col("event_id"),
+            expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+            col("value")))
+          .where(col("is_anomaly") === 1).count()
+      },
       // same users, ×n events each: both directional windows grow with the
       // per-user slice; output (clicks) grows linearly
       "asof_nearest" -> { e: DataFrame =>

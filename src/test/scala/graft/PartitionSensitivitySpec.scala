@@ -36,7 +36,12 @@ class PartitionSensitivitySpec extends SparkTestBase {
     // the right-side pre-dedup shuffle) and the ordered-mode smoother's
     // batch path (segmented EwmaFeatures behind a Dataset[EwmaPoint]
     // façade) — both fold/window over shuffled exchanges
-    "q173_asof_sql_multikey", "q176_ewma_ordered")
+    "q173_asof_sql_multikey", "q176_ewma_ordered",
+    // round 14 (continued): the anomaly composition (two independent
+    // segmented smoothers + (key, tie) joins + one lag window — doubles
+    // must be byte-stable across reducer counts) and RRF fusion (leg
+    // union, integer-min pivot, fixed-order float adds, grouped rank)
+    "q178_anomaly", "q180_hybrid_rrf")
 
   representatives.foreach { name =>
     test(s"$name: identical result at 97 shuffle partitions") {

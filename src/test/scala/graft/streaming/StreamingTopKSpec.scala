@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+import graft.streaming.StreamingTopK.{ItemEvent, TopKRow}
+
+/** SpaceSaving invariants vs exact counts, cross-batch state carry, and
+  * the exact batch degenerate path (the q179-gated surface).
+  */
+class StreamingTopKSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    new Timestamp(1700000000000L + minute * 60000L)
+
+  private def ev(items: Seq[String], startMin: Int, group: String = "g"): Seq[ItemEvent] =
+    items.zipWithIndex.map { case (it, i) => ItemEvent(group, it, ts(startMin + i)) }
+
+  private def runStream(batches: Seq[Seq[ItemEvent]], capacity: Int, k: Int): Seq[TopKRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ItemEvent]
+    val q = StreamingTopK.monitor(input.toDS(), capacity = capacity, k = k)
+      .as[TopKRow].writeStream
+      .format("memory").queryName("topk_stream_out").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table("topk_stream_out").as[TopKRow].collect().toSeq
+    } finally q.stop()
+  }
+
+  /** Final snapshot per group = the emission set with the largest n_group. */
+  private def finalSnapshot(rows: Seq[TopKRow]): Map[String, Seq[TopKRow]] =
+    rows.groupBy(_.group).map { case (g, rs) =>
+      g -> rs.filter(_.n_group == rs.map(_.n_group).max).sortBy(_.rank)
+    }
+
+  test("capacity >= distinct items: estimates are exact across micro-batches, err 0") {
+    val b1 = ev(Seq("a", "b", "a", "c", "a"), 0)
+    val b2 = ev(Seq("b", "a", "d", "b", "b"), 10)
+    val snap = finalSnapshot(runStream(Seq(b1, b2), capacity = 8, k = 4))("g")
+    assert(snap.map(r => r.item -> r.est) ===
+      Seq("a" -> 4L, "b" -> 4L, "c" -> 1L, "d" -> 1L)) // ties: item asc
+    assert(snap.forall(_.err === 0L))
+    assert(snap.head.n_group === 10L)
+  }
+
+  test("capacity-constrained: SpaceSaving bounds hold against exact counts") {
+    // skewed feed: x dominates, y second, long tail of singletons
+    val items = Seq.fill(30)("x") ++ Seq.fill(12)("y") ++
+      (1 to 18).map(i => f"t$i%02d")
+    val exact = items.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+    val n = items.size.toLong
+    val capacity = 6
+    val snap = finalSnapshot(
+      runStream(Seq(ev(items, 0)), capacity = capacity, k = capacity))("g")
+    assert(snap.head.n_group === n)
+    // completeness: every item with true count > n/capacity is present
+    val mustHave = exact.filter(_._2 > n / capacity).keySet
+    assert(mustHave.subsetOf(snap.map(_.item).toSet), s"missing from $snap")
+    // overestimation band: est >= true >= est - err; err <= n/capacity
+    snap.foreach { r =>
+      val t = exact.getOrElse(r.item, 0L)
+      assert(r.est >= t, s"${r.item} underestimated")
+      assert(r.est - r.err <= t, s"${r.item} band broken")
+      assert(r.err <= n / capacity, s"${r.item} err bound broken")
+    }
+    // the dominant items rank by exact count at the top
+    assert(snap.head.item === "x" && snap(1).item === "y")
+  }
+
+  test("groups are independent; idle-key state carries between batches") {
+    val b1 = ev(Seq("a", "a", "b"), 0, "g1") ++ ev(Seq("z"), 0, "g2")
+    val b2 = ev(Seq("a"), 10, "g1") // g2 silent: no new emission for it
+    val rows = runStream(Seq(b1, b2), capacity = 4, k = 2)
+    val snap = finalSnapshot(rows)
+    assert(snap("g1").map(r => r.item -> r.est) === Seq("a" -> 3L, "b" -> 1L))
+    assert(snap("g2").map(r => r.item -> r.est) === Seq("z" -> 1L))
+    // per-batch emission: g1 emitted in both batches, g2 only in the first
+    assert(rows.count(_.group == "g1") === 2 + 2)
+    assert(rows.count(_.group == "g2") === 1)
+  }
+
+  test("batch path is the exact top-k with err 0 (the q179 oracle surface)") {
+    val items = Seq("a", "a", "a", "b", "b", "c", "d", "d", "d", "d")
+    val df = StreamingTopK.monitor(ev(items, 0).toDS(), capacity = 4, k = 3)
+    val got = df.as[TopKRow].collect().sortBy(_.rank)
+    assert(got.map(r => (r.item, r.est, r.err, r.rank, r.n_group)).toSeq ===
+      Seq(("d", 4L, 0L, 1, 10L), ("a", 3L, 0L, 2, 10L), ("b", 2L, 0L, 3, 10L)))
+  }
+
+  test("k > capacity refuses at wiring time") {
+    val e = intercept[IllegalArgumentException] {
+      StreamingTopK.monitor(ev(Seq("a"), 0).toDS(), capacity = 2, k = 3)
+    }
+    assert(e.getMessage.contains("capacity"))
+  }
+
+  test("deterministic eviction: reference fold replays the stream exactly") {
+    // force evictions with capacity 2 and interleaved novel items
+    val items = Seq("a", "b", "c", "a", "d", "c", "e", "a")
+    val snap = finalSnapshot(
+      runStream(Seq(ev(items, 0)), capacity = 2, k = 2))("g")
+    val ref = StreamingTopK.fold(2, Nil, items)
+      .sortBy(c => (-c.cnt, c.err, c.item)).take(2)
+    assert(snap.map(r => (r.item, r.est, r.err)) ===
+      ref.map(c => (c.item, c.cnt, c.err)))
+  }
+}
