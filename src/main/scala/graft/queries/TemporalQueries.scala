@@ -274,6 +274,43 @@ object TemporalQueries {
         .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
     }),
 
+    // EWMA mean/variance anomaly monitor: z-scores each event against the
+    // smoother state BEFORE it folded in (m_{t-1}, v_{t-1}) — two
+    // independent segmented smoothers (x and x², v = q − m² clamped at 0,
+    // West's recurrence expanded), one key-partitioned lag window. No
+    // rounding anywhere: mean/variance/z are bit-pinned like q127, the
+    // oracle replaying the identical segmented arithmetic for BOTH
+    // smoothers plus the same fixed-op-order scoring.
+    "q178_anomaly" -> ((s, dir) => {
+      new graft.temporal.AnomalyDetector(
+        alpha = 0.25, threshold = 3.0, minPrior = 2)
+        .transform(Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+            col("value")))
+        .select(col("user_id"), col("event_id"), col("value"), col("mean"),
+          col("variance"), col("z"), col("is_anomaly"))
+    }),
+
+    // the LIVE anomaly monitor's batch route under the oracle (the
+    // q176 pattern): AnomalyStream.detect on a batch frame = the
+    // segmented detector at the stream contract's MILLISECOND fold
+    // granularity plus the duplicate-(ts-ms, tie) guard (event_id is
+    // unique, so no row flags here — the guard itself is spec-pinned).
+    // Streaming parity with this exact surface is AnomalyStreamSpec.
+    "q181_anomaly_stream" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.EwmaStream.EwmaEvent]
+      graft.streaming.AnomalyStream.detect(ev,
+        alpha = 0.25, threshold = 3.0, minPrior = 2).toDF()
+        .select(col("user_id"), col("event_id"), col("value"), col("mean"),
+          col("variance"), col("z"), col("is_anomaly"))
+    }),
+
     "q79_rolling_features" -> ((s, dir) => {
       new graft.temporal.RollingFeatures(n = 5)
         .transform(Tables.events(s, dir)
@@ -964,6 +1001,172 @@ object TemporalQueries {
         |)
         |SELECT user_id, event_id, value, ewma
         |FROM rec""".stripMargin,
+
+    // q178: the q127 segmented replay run for BOTH smoothers (x and x²)
+    // in ONE shared recursion — same span/bucket/rn frame, six summary
+    // columns instead of three — then the same lag/count window scoring
+    // the engine computes: v = q − m² clamped at 0 via CASE (NOT
+    // greatest: Spark's greatest skips nulls, DuckDB's doesn't — CASE
+    // propagates null identically), z gated on non-null value, a prior
+    // mean, >= 2 prior non-null observations, and strictly positive
+    // prior variance. No rounding — every double is bit-pinned.
+    "q178_anomaly" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id, value, value * value AS v2,
+        |    epoch_us(ts) AS o
+        |  FROM events
+        |), span AS (
+        |  SELECT user_id, min(o) AS omin, max(o) AS omax,
+        |    least(1024, (count(*) + 8191) // 8192) AS bk
+        |  FROM base GROUP BY 1
+        |), evr AS (
+        |  SELECT b.user_id, b.event_id, b.value, b.v2, b.o,
+        |    ((b.o - s.omin) // ((s.omax - s.omin + s.bk) // s.bk)) AS bkt,
+        |    row_number() OVER (
+        |      PARTITION BY b.user_id,
+        |        ((b.o - s.omin) // ((s.omax - s.omin + s.bk) // s.bk))
+        |      ORDER BY b.o, b.event_id) AS rn
+        |  FROM base b JOIN span s USING (user_id)
+        |), summ(user_id, bkt, rn, a1, b1, s1, a2, b2, s2) AS (
+        |  SELECT user_id, bkt, rn,
+        |    CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE)
+        |         ELSE 0.25 * value + 0.75 * CAST(0.0 AS DOUBLE) END,
+        |    CASE WHEN value IS NULL THEN CAST(1.0 AS DOUBLE)
+        |         ELSE 0.75 * CAST(1.0 AS DOUBLE) END,
+        |    value,
+        |    CASE WHEN v2 IS NULL THEN CAST(0.0 AS DOUBLE)
+        |         ELSE 0.25 * v2 + 0.75 * CAST(0.0 AS DOUBLE) END,
+        |    CASE WHEN v2 IS NULL THEN CAST(1.0 AS DOUBLE)
+        |         ELSE 0.75 * CAST(1.0 AS DOUBLE) END,
+        |    v2
+        |  FROM evr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.bkt, e.rn,
+        |    CASE WHEN e.value IS NULL THEN summ.a1
+        |         ELSE 0.25 * e.value + 0.75 * summ.a1 END,
+        |    CASE WHEN e.value IS NULL THEN summ.b1 ELSE 0.75 * summ.b1 END,
+        |    CASE WHEN e.value IS NULL THEN summ.s1
+        |         WHEN summ.s1 IS NULL THEN e.value
+        |         ELSE 0.25 * e.value + 0.75 * summ.s1 END,
+        |    CASE WHEN e.v2 IS NULL THEN summ.a2
+        |         ELSE 0.25 * e.v2 + 0.75 * summ.a2 END,
+        |    CASE WHEN e.v2 IS NULL THEN summ.b2 ELSE 0.75 * summ.b2 END,
+        |    CASE WHEN e.v2 IS NULL THEN summ.s2
+        |         WHEN summ.s2 IS NULL THEN e.v2
+        |         ELSE 0.25 * e.v2 + 0.75 * summ.s2 END
+        |  FROM summ JOIN evr e ON e.user_id = summ.user_id
+        |    AND e.bkt = summ.bkt AND e.rn = summ.rn + 1
+        |), segf AS (
+        |  SELECT user_id, bkt, a1, b1, s1, a2, b2, s2,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bkt) AS sn
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bkt
+        |                                     ORDER BY rn DESC) AS rr
+        |        FROM summ)
+        |  WHERE rr = 1
+        |), carry(user_id, bkt, sn, cin1, prev1, cin2, prev2) AS (
+        |  SELECT user_id, bkt, sn, CAST(NULL AS DOUBLE), s1,
+        |    CAST(NULL AS DOUBLE), s2
+        |  FROM segf WHERE sn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.bkt, s.sn, carry.prev1,
+        |    CASE WHEN carry.prev1 IS NULL THEN s.s1
+        |         ELSE s.b1 * carry.prev1 + s.a1 END,
+        |    carry.prev2,
+        |    CASE WHEN carry.prev2 IS NULL THEN s.s2
+        |         ELSE s.b2 * carry.prev2 + s.a2 END
+        |  FROM carry JOIN segf s ON s.user_id = carry.user_id
+        |    AND s.sn = carry.sn + 1
+        |), rec(user_id, event_id, value, bkt, rn, m, q) AS (
+        |  SELECT e.user_id, e.event_id, e.value, e.bkt, e.rn,
+        |    CASE WHEN e.value IS NULL THEN c.cin1
+        |         WHEN c.cin1 IS NULL THEN e.value
+        |         ELSE 0.25 * e.value + 0.75 * c.cin1 END,
+        |    CASE WHEN e.v2 IS NULL THEN c.cin2
+        |         WHEN c.cin2 IS NULL THEN e.v2
+        |         ELSE 0.25 * e.v2 + 0.75 * c.cin2 END
+        |  FROM evr e JOIN carry c ON c.user_id = e.user_id AND c.bkt = e.bkt
+        |  WHERE e.rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.value, e.bkt, e.rn,
+        |    CASE WHEN e.value IS NULL THEN rec.m
+        |         WHEN rec.m IS NULL THEN e.value
+        |         ELSE 0.25 * e.value + 0.75 * rec.m END,
+        |    CASE WHEN e.v2 IS NULL THEN rec.q
+        |         WHEN rec.q IS NULL THEN e.v2
+        |         ELSE 0.25 * e.v2 + 0.75 * rec.q END
+        |  FROM rec JOIN evr e ON e.user_id = rec.user_id
+        |    AND e.bkt = rec.bkt AND e.rn = rec.rn + 1
+        |), scored AS (
+        |  SELECT user_id, event_id, value, m, q,
+        |    lag(m) OVER w AS mp,
+        |    lag(q) OVER w AS qp,
+        |    count(value) OVER (PARTITION BY user_id ORDER BY bkt, rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS np
+        |  FROM rec
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY bkt, rn)
+        |), final AS (
+        |  SELECT user_id, event_id, value, m AS mean,
+        |    CASE WHEN (q - m * m) < 0 THEN 0.0 ELSE q - m * m END AS variance,
+        |    CASE WHEN value IS NOT NULL AND mp IS NOT NULL AND np >= 2
+        |           AND (CASE WHEN (qp - mp * mp) < 0 THEN 0.0
+        |                     ELSE qp - mp * mp END) > 0
+        |         THEN (value - mp) /
+        |           sqrt(CASE WHEN (qp - mp * mp) < 0 THEN 0.0
+        |                     ELSE qp - mp * mp END)
+        |    END AS z
+        |  FROM scored
+        |)
+        |SELECT user_id, event_id, value, mean, variance, z,
+        |  CASE WHEN z IS NOT NULL AND abs(z) > 3.0 THEN 1 ELSE 0 END
+        |    AS is_anomaly
+        |FROM final""".stripMargin,
+
+    // q181: the q176-style sequential replay (keys are single-segment at
+    // test SFs, where the segmented plan IS the sequential fold) at the
+    // stream's MILLISECOND granularity, carrying the (m, q) pair, then
+    // the same window scoring as q178
+    "q181_anomaly_stream" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, value, value * value AS v2,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000, event_id) AS rn
+        |  FROM events
+        |), rec(user_id, event_id, value, rn, m, q) AS (
+        |  SELECT user_id, event_id, value, rn, value, v2 FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.event_id, ev.value, ev.rn,
+        |    CASE WHEN ev.value IS NULL THEN rec.m
+        |         WHEN rec.m IS NULL THEN ev.value
+        |         ELSE 0.25 * ev.value + 0.75 * rec.m END,
+        |    CASE WHEN ev.v2 IS NULL THEN rec.q
+        |         WHEN rec.q IS NULL THEN ev.v2
+        |         ELSE 0.25 * ev.v2 + 0.75 * rec.q END
+        |  FROM rec JOIN ev ON ev.user_id = rec.user_id
+        |    AND ev.rn = rec.rn + 1
+        |), scored AS (
+        |  SELECT user_id, event_id, value, m, q,
+        |    lag(m) OVER w AS mp,
+        |    lag(q) OVER w AS qp,
+        |    count(value) OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS np
+        |  FROM rec
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+        |), final AS (
+        |  SELECT user_id, event_id, value, m AS mean,
+        |    CASE WHEN (q - m * m) < 0 THEN 0.0 ELSE q - m * m END AS variance,
+        |    CASE WHEN value IS NOT NULL AND mp IS NOT NULL AND np >= 2
+        |           AND (CASE WHEN (qp - mp * mp) < 0 THEN 0.0
+        |                     ELSE qp - mp * mp END) > 0
+        |         THEN (value - mp) /
+        |           sqrt(CASE WHEN (qp - mp * mp) < 0 THEN 0.0
+        |                     ELSE qp - mp * mp END)
+        |    END AS z
+        |  FROM scored
+        |)
+        |SELECT user_id, event_id, value, mean, variance, z,
+        |  CASE WHEN z IS NOT NULL AND abs(z) > 3.0 THEN 1 ELSE 0 END
+        |    AS is_anomaly
+        |FROM final""".stripMargin,
 
     "q79_rolling_features" ->
       """WITH ev AS (

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.{coalesce, col, expr, lag, lit, struct}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.streaming.EwmaStream.EwmaEvent
+
+/** Live per-key EWMA mean/variance anomaly monitor — the continuous
+  * counterpart of [[graft.temporal.AnomalyDetector]]: each event is
+  * z-scored against the smoother state BEFORE it folds in
+  * (z = (x − m_{t−1}) / sqrt(v_{t−1}), v = q − m² clamped at 0), then
+  * advances the (m, q) pair with the shared EWMA step. Identical
+  * arithmetic, identical cold-start gate (non-null value, ≥ `minPrior`
+  * non-null priors, strictly positive prior variance), so a live alert
+  * and the batch backfill agree on every flag.
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build brief).
+  *
+  * State per key is five numbers (frontier ts + tie, m, q, non-null
+  * count) — O(keys), never O(history) — with the [[EwmaStream]] base-mode
+  * contracts unchanged: within a micro-batch events fold in (event-time,
+  * tie) order; an arrival behind the folded frontier is emitted FLAGGED
+  * (`late = true`, unscored) and leaves the state untouched; idle keys
+  * evict on an event-time timeout (a returning key restarts cold —
+  * mean re-seeds, z stays null until `minPrior` rebuilds).
+  *
+  * On a BATCH frame this routes through the SEGMENTED
+  * [[graft.temporal.AnomalyDetector]] plan (no per-key row-size cap on
+  * backfill) at the stream contract's MILLISECOND fold granularity, with
+  * the q176-style duplicate (ts-ms, tie) guard: duplicates fold once and
+  * flag the rest in both modes (the batch winner is deterministic —
+  * greatest value — where the stream keeps first-arrival). Stream-vs-batch
+  * parity is bit-exact for keys within one segment (≤ targetSegment
+  * events) and fp-associativity-equal beyond — the EwmaFeatures contract,
+  * inherited twice.
+  */
+object AnomalyStream {
+
+  case class AnomPoint(user_id: Long, event_id: Long, value: Option[Double],
+      mean: Option[Double], variance: Option[Double], z: Option[Double],
+      is_anomaly: Int, late: Boolean)
+
+  case class AnomState(lastTs: Long, lastTie: Long, m: Option[Double],
+      q: Option[Double], nPrior: Long)
+
+  /** v = q − m² clamped at 0 — the identical expression (and therefore
+    * the identical IEEE ops) the batch detector computes.
+    */
+  private def clampVar(q: Double, m: Double): Double = {
+    val v = q - m * m
+    if (v < 0.0) 0.0 else v
+  }
+
+  /** The per-key transition — exposed for direct `flatMapGroupsWithState`
+    * wiring; [[detect]] is the convenience form.
+    */
+  def detectFn(alpha: Double, threshold: Double, minPrior: Int,
+      idleGapSeconds: Long)(
+      key: Long,
+      events: Iterator[EwmaEvent],
+      state: GroupState[AnomState]): Iterator[AnomPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(threshold > 0.0, s"threshold ($threshold) must be positive")
+    require(minPrior >= 1, s"minPrior ($minPrior) must be >= 1")
+    require(idleGapSeconds > 0,
+      s"idleGapSeconds ($idleGapSeconds) must be positive")
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var st = state.getOption.getOrElse(
+      AnomState(Long.MinValue, Long.MinValue, None, None, 0L))
+    val out = sorted.map { e =>
+      val t = e.ts.getTime
+      // fresh-key sentinel (Long.MinValue) can never satisfy either leg,
+      // so a first-ever event is never late — the base-mode semantics
+      if (t < st.lastTs || (t == st.lastTs && e.event_id <= st.lastTie)) {
+        // behind the folded frontier: flag, never silently reorder
+        AnomPoint(key, e.event_id, e.value, None, None, None, 0, late = true)
+      } else {
+        // score against the PRE-fold state
+        val z = (e.value, st.m, st.q) match {
+          case (Some(x), Some(m), Some(q)) if st.nPrior >= minPrior =>
+            val vp = clampVar(q, m)
+            if (vp > 0.0) Some((x - m) / math.sqrt(vp)) else None
+          case _ => None
+        }
+        val flag = if (z.exists(v => math.abs(v) > threshold)) 1 else 0
+        // fold (the EwmaStream.step identity, on x and x²)
+        val m1 = EwmaStream.step(alpha, e.value, st.m)
+        val q1 = EwmaStream.step(alpha, e.value.map(x => x * x), st.q)
+        st = AnomState(t, e.event_id, m1, q1,
+          st.nPrior + (if (e.value.isDefined) 1L else 0L))
+        AnomPoint(key, e.event_id, e.value, m1,
+          (q1, m1) match {
+            case (Some(qq), Some(mm)) => Some(clampVar(qq, mm))
+            case _ => None
+          },
+          z, flag, late = false)
+      }
+    }
+    // st has a real frontier here unless every event was late on a key
+    // with no prior state — impossible (a fresh key cannot be late)
+    if (st.lastTs != Long.MinValue) {
+      state.update(st)
+      state.setTimeoutTimestamp(st.lastTs + idleGapSeconds * 1000L)
+    }
+    out.iterator
+  }
+
+  /** Wires [[detectFn]] into a watermarked stream of [[EwmaEvent]]; on a
+    * batch frame, routes through the segmented batch detector (see the
+    * class doc for the parity contract).
+    */
+  def detect(
+      events: Dataset[EwmaEvent],
+      alpha: Double = 0.25,
+      threshold: Double = 3.0,
+      minPrior: Int = 2,
+      watermark: String = "1 hour",
+      idleGapSeconds: Long = 86400L): Dataset[AnomPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(threshold > 0.0, s"threshold ($threshold) must be positive")
+    require(minPrior >= 1, s"minPrior ($minPrior) must be >= 1")
+    require(idleGapSeconds > 0,
+      s"idleGapSeconds ($idleGapSeconds) must be positive")
+    import events.sparkSession.implicits._
+    if (!events.isStreaming) {
+      // batch backfill: the segmented detector plan at the stream's ms
+      // fold granularity, duplicate (ts-ms, tie) rows folding once and
+      // flagging the rest (the q176 discipline — without it, batch would
+      // double-fold exactly the at-least-once redeliveries the streaming
+      // frontier guard flags)
+      val withMs = events.toDF().withColumn("__oms", expr("unix_millis(ts)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("__oms"), col("event_id"), col("value").desc_nulls_last)
+      val marked = withMs.withColumn("__dup",
+        coalesce(
+          lag(struct(col("__oms"), col("event_id")), 1).over(w) ===
+            struct(col("__oms"), col("event_id")),
+          lit(false)))
+      val flagged = marked.where(col("__dup"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          lit(null).cast("double").as("mean"),
+          lit(null).cast("double").as("variance"),
+          lit(null).cast("double").as("z"),
+          lit(0).as("is_anomaly"), lit(true).as("late"))
+      val scored = new graft.temporal.AnomalyDetector(alpha = alpha,
+        threshold = threshold, minPrior = minPrior, keyCol = "user_id",
+        orderCol = "__oms", valueCol = "value", tieCol = "event_id")
+        .transform(marked.where(!col("__dup")).drop("__dup"))
+        .withColumn("late", lit(false))
+      scored.unionByName(flagged).as[AnomPoint]
+    } else {
+      events
+        .withWatermark("ts", watermark)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+          detectFn(alpha, threshold, minPrior, idleGapSeconds))
+    }
+  }
+}

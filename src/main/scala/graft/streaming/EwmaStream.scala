@@ -43,11 +43,12 @@ object EwmaStream {
 
   /** The one EWMA step every path folds with — null passthrough, seed at
     * the first value, blend otherwise. Shared (not copy-pasted) because
-    * the bit-exact parity between the base stream, the ordered stream and
-    * the batch degenerate path is a load-bearing oracle contract: a tweak
-    * applied to one copy but not the others would silently break it.
+    * the bit-exact parity between the base stream, the ordered stream,
+    * the batch degenerate path, and [[AnomalyStream]]'s (m, q) pair is a
+    * load-bearing oracle contract: a tweak applied to one copy but not
+    * the others would silently break it.
     */
-  private def step(alpha: Double, v: Option[Double],
+  private[streaming] def step(alpha: Double, v: Option[Double],
       prev: Option[Double]): Option[Double] = (v, prev) match {
     case (None, p) => p
     case (Some(x), None) => Some(x)
