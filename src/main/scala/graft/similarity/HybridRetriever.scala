@@ -62,8 +62,17 @@ object HybridRetriever {
     val rankCols = legs.zipWithIndex.map { case ((name, _), i) =>
       min(when(col("__leg") === i, col("__r"))).as(s"rank_$name")
     }
+    // localCheckpoint: the grouped-rank path below reads its input
+    // through a stats-join diamond (group stats + main branch + bucket
+    // offsets), so an UNPINNED frame re-executes the legs' full plans —
+    // BM25 corpus scans, ANN kernels — two to three times. Measured on
+    // q180 at sf0.1: unpinned 7.2-9.3 s, pinned ~sum of one pass per leg.
+    // The pinned frame is O(queries × k × legs) rows by construction
+    // (the legs are top-k outputs), so materializing it eagerly is
+    // O(output), never O(corpus).
     val pivoted = tagged.groupBy(col("__q"), col("__id"))
       .agg(rankCols.head, rankCols.tail: _*)
+      .localCheckpoint(true)
 
     // fixed left-to-right addition: leg order is part of the contract
     val rrf = legs.map { case (name, _) =>
