@@ -52,6 +52,32 @@ object AnomalyStream {
     if (v < 0.0) 0.0 else v
   }
 
+  private case class Step(z: Option[Double], flag: Int, m: Option[Double],
+      q: Option[Double], nPrior: Long, variance: Option[Double])
+
+  /** ONE score-then-fold step, shared by the base and ordered transitions
+    * (the [[EwmaStream.step]] rule: scoring arithmetic that exists in two
+    * copies silently breaks the live-vs-backfill flag agreement).
+    */
+  private def advance(alpha: Double, threshold: Double, minPrior: Int,
+      value: Option[Double], m: Option[Double], q: Option[Double],
+      nPrior: Long): Step = {
+    val z = (value, m, q) match {
+      case (Some(x), Some(mm), Some(qq)) if nPrior >= minPrior =>
+        val vp = clampVar(qq, mm)
+        if (vp > 0.0) Some((x - mm) / math.sqrt(vp)) else None
+      case _ => None
+    }
+    val flag = if (z.exists(v => math.abs(v) > threshold)) 1 else 0
+    val m1 = EwmaStream.step(alpha, value, m)
+    val q1 = EwmaStream.step(alpha, value.map(x => x * x), q)
+    val v1 = (q1, m1) match {
+      case (Some(qq), Some(mm)) => Some(clampVar(qq, mm))
+      case _ => None
+    }
+    Step(z, flag, m1, q1, nPrior + (if (value.isDefined) 1L else 0L), v1)
+  }
+
   /** The per-key transition — exposed for direct `flatMapGroupsWithState`
     * wiring; [[detect]] is the convenience form.
     */
@@ -80,25 +106,11 @@ object AnomalyStream {
         // behind the folded frontier: flag, never silently reorder
         AnomPoint(key, e.event_id, e.value, None, None, None, 0, late = true)
       } else {
-        // score against the PRE-fold state
-        val z = (e.value, st.m, st.q) match {
-          case (Some(x), Some(m), Some(q)) if st.nPrior >= minPrior =>
-            val vp = clampVar(q, m)
-            if (vp > 0.0) Some((x - m) / math.sqrt(vp)) else None
-          case _ => None
-        }
-        val flag = if (z.exists(v => math.abs(v) > threshold)) 1 else 0
-        // fold (the EwmaStream.step identity, on x and x²)
-        val m1 = EwmaStream.step(alpha, e.value, st.m)
-        val q1 = EwmaStream.step(alpha, e.value.map(x => x * x), st.q)
-        st = AnomState(t, e.event_id, m1, q1,
-          st.nPrior + (if (e.value.isDefined) 1L else 0L))
-        AnomPoint(key, e.event_id, e.value, m1,
-          (q1, m1) match {
-            case (Some(qq), Some(mm)) => Some(clampVar(qq, mm))
-            case _ => None
-          },
-          z, flag, late = false)
+        // score against the PRE-fold state, then fold
+        val s = advance(alpha, threshold, minPrior, e.value, st.m, st.q, st.nPrior)
+        st = AnomState(t, e.event_id, s.m, s.q, s.nPrior)
+        AnomPoint(key, e.event_id, e.value, s.m, s.variance, s.z, s.flag,
+          late = false)
       }
     }
     // st has a real frontier here unless every event was late on a key
@@ -160,6 +172,104 @@ object AnomalyStream {
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
           detectFn(alpha, threshold, minPrior, idleGapSeconds))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Ordered mode: bounded-allowed-lateness monitoring (smoothOrdered's
+  // buffer semantics, scoring at FOLD time)
+  // ---------------------------------------------------------------------
+
+  /** Ordered-mode state: the base-mode numbers plus the bounded buffer of
+    * observations newer than the fold horizon — O(lateness-rate) per key,
+    * as in [[EwmaStream.OrderedEwmaState]].
+    */
+  case class OrderedAnomState(lastTs: Long, lastTie: Long, m: Option[Double],
+      q: Option[Double], nPrior: Long, pending: Seq[EwmaStream.PendingObs])
+
+  /** The ordered-mode per-key transition — [[EwmaStream.planOrdered]]'s
+    * buffer plan (shared code, shared contract), with each observation
+    * scored against the state it folds INTO, so z/flags are exactly the
+    * in-order monitor's even under bounded disorder.
+    */
+  def orderedAnomFn(alpha: Double, threshold: Double, minPrior: Int,
+      idleGapSeconds: Long, slackMs: Long)(
+      key: Long,
+      events: Iterator[EwmaEvent],
+      state: GroupState[OrderedAnomState]): Iterator[AnomPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(threshold > 0.0, s"threshold ($threshold) must be positive")
+    require(minPrior >= 1, s"minPrior ($minPrior) must be >= 1")
+    require(idleGapSeconds > 0,
+      s"idleGapSeconds ($idleGapSeconds) must be positive")
+    require(slackMs >= 0, s"slackMs ($slackMs) must be nonnegative")
+    val wm = state.getCurrentWatermarkMs()
+    val st = state.getOption.getOrElse(
+      OrderedAnomState(Long.MinValue, Long.MinValue, None, None, 0L, Nil))
+    val fresh = if (state.hasTimedOut) Seq.empty[EwmaEvent] else events.toSeq
+    val plan = EwmaStream.planOrdered(
+      fresh, st.lastTs, st.lastTie, st.pending, wm, slackMs)
+    val lateOut = plan.late
+      .map(e => AnomPoint(key, e.event_id, e.value, None, None, None, 0,
+        late = true))
+    var (lastTs, lastTie) = (st.lastTs, st.lastTie)
+    var (m, q, n) = (st.m, st.q, st.nPrior)
+    val foldedOut = plan.foldable.map { p =>
+      val s = advance(alpha, threshold, minPrior, p.value, m, q, n)
+      lastTs = p.ts; lastTie = p.tie; m = s.m; q = s.q; n = s.nPrior
+      AnomPoint(key, p.tie, p.value, s.m, s.variance, s.z, s.flag,
+        late = false)
+    }
+    if (state.hasTimedOut && foldedOut.isEmpty && plan.hold.isEmpty) {
+      state.remove()
+      return Iterator.empty
+    }
+    state.update(OrderedAnomState(lastTs, lastTie, m, q, n, plan.hold))
+    EwmaStream.armOrderedTimeout(state, plan.hold, lastTs, wm, slackMs,
+      idleGapSeconds)
+    (foldedOut ++ lateOut).iterator
+  }
+
+  /** Bounded-allowed-lateness anomaly monitoring: ordinary out-of-order
+    * arrivals are buffered and scored IN (event-time, tie) ORDER once the
+    * fold horizon passes them, so their z/flags match the batch detector
+    * exactly instead of the base mode's `late` flag — output delayed by
+    * up to `lateness`, the price of exactness (the
+    * [[EwmaStream.smoothOrdered]] trade, same buffer semantics via the
+    * shared planner). Events later than `lateness` still surface flagged;
+    * batch frames take the same segmented-detector route as [[detect]].
+    */
+  def detectOrdered(
+      events: Dataset[EwmaEvent],
+      alpha: Double = 0.25,
+      threshold: Double = 3.0,
+      minPrior: Int = 2,
+      lateness: String = "1 hour",
+      watermark: String = null, // null → same as lateness
+      idleGapSeconds: Long = 86400L): Dataset[AnomPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(threshold > 0.0, s"threshold ($threshold) must be positive")
+    require(minPrior >= 1, s"minPrior ($minPrior) must be >= 1")
+    require(idleGapSeconds > 0,
+      s"idleGapSeconds ($idleGapSeconds) must be positive")
+    val latenessMs = EwmaStream.intervalMs(lateness)
+    val wmStr = Option(watermark).getOrElse(lateness)
+    val watermarkMs = EwmaStream.intervalMs(wmStr)
+    require(latenessMs > 0, s"lateness ($lateness) must be positive")
+    require(watermarkMs >= latenessMs,
+      s"watermark ($wmStr) must be >= lateness ($lateness): Spark drops rows " +
+        "behind the watermark before the operator can flag them")
+    import events.sparkSession.implicits._
+    if (!events.isStreaming) {
+      // batch: everything is within lateness — identical to detect()
+      detect(events, alpha, threshold, minPrior, wmStr, idleGapSeconds)
+    } else {
+      events
+        .withWatermark("ts", wmStr)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+          orderedAnomFn(alpha, threshold, minPrior, idleGapSeconds,
+            watermarkMs - latenessMs))
     }
   }
 }

@@ -138,6 +138,91 @@ object EwmaStream {
   case class OrderedEwmaState(lastTs: Long, lastTie: Long,
       ewma: Option[Double], pending: Seq[PendingObs])
 
+  /** The ordered-buffer plan for one invocation: which arrivals flag as
+    * late/duplicate, which buffered+fresh observations fold NOW (in exact
+    * (event-time, tie) order), and which stay held. Shared by the ordered
+    * smoother and [[AnomalyStream]]'s ordered monitor — the buffer
+    * semantics (frontier check, redelivery dedup, horizon split) are a
+    * load-bearing contract, so they live in exactly one place (the same
+    * rule as [[step]]).
+    */
+  private[streaming] case class OrderedPlan(
+      late: Seq[EwmaEvent], foldable: Seq[PendingObs], hold: Seq[PendingObs])
+
+  private[streaming] def planOrdered(
+      fresh: Seq[EwmaEvent],
+      lastTs: Long, lastTie: Long, pending: Seq[PendingObs],
+      wm: Long, slackMs: Long): OrderedPlan = {
+    // fold everything strictly below the horizon. Before the first
+    // watermark update Spark reports wm = 0 ("no information"), and with
+    // slack > 0 a naive `0 + slack` horizon would fold epoch-adjacent
+    // events (ts < slackMs) in the very first batch — then a legitimate
+    // within-lateness straggler behind that premature frontier would be
+    // FLAGGED. No watermark yet means nothing is safe to fold.
+    val horizon = if (wm <= 0L) Long.MinValue else wm + slackMs
+    // an arrival behind the FOLDED frontier exceeded the allowed
+    // lateness (its exact fold position is gone): flag, never silently
+    // fold out of order, never silently drop. Spark itself drops rows
+    // behind the WATERMARK before this function runs — the standard
+    // watermarked-operator contract — which is why lateness is allowed
+    // to be tighter than the watermark but never looser.
+    val (lateArrivals, ok) = fresh.partition { e =>
+      val t = e.ts.getTime
+      t < lastTs || (t == lastTs && e.event_id <= lastTie)
+    }
+    // an at-least-once redelivery of an event still in the BUFFER would
+    // otherwise fold twice (the frontier check above only catches copies
+    // of already-folded events) — permanently corrupting the smoother.
+    // (ts, tie) identifies an event, so collisions against the buffer
+    // and within the batch flag as late duplicates, same loud contract
+    // as the frontier path (r14 review find).
+    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+    pending.foreach(p => seen += ((p.ts, p.tie)))
+    val (dupArrivals, fresh0) = ok.partition { e =>
+      !seen.add((e.ts.getTime, e.event_id))
+    }
+    // merge arrivals into the buffer; fold in (event-time, tie) order
+    // everything the horizon has passed — those can no longer be
+    // preceded by a non-late arrival, so the fold is exact
+    val merged = (pending ++
+      fresh0.map(e => PendingObs(e.ts.getTime, e.event_id, e.value)))
+      .sortBy(p => (p.ts, p.tie))
+    val (foldable, hold) = merged.partition(_.ts < horizon)
+    OrderedPlan(lateArrivals ++ dupArrivals, foldable, hold)
+  }
+
+  /** Timeout arming shared by the ordered operators: wake when the
+    * horizon passes the oldest buffered observation; plain idle eviction
+    * when the buffer is empty; an idle horizon from "now" when state
+    * exists without a frontier.
+    */
+  private[streaming] def armOrderedTimeout(
+      state: GroupState[_], hold: Seq[PendingObs], lastTs: Long,
+      wm: Long, slackMs: Long, idleGapSeconds: Long): Unit =
+    if (hold.nonEmpty) {
+      // timeout fires once wm > timeoutTs, i.e. horizon > minPendingTs
+      val wake = hold.iterator.map(_.ts).min - slackMs
+      state.setTimeoutTimestamp(math.max(wake, wm + 1))
+    } else if (lastTs != Long.MinValue) {
+      state.setTimeoutTimestamp(math.max(lastTs + idleGapSeconds * 1000L, wm + 1))
+    } else {
+      // state exists but nothing ever folded (all arrivals were late
+      // flags on a fresh key — impossible, a fresh key has no frontier —
+      // or an empty invocation); evict on idle horizon from now
+      state.setTimeoutTimestamp(wm + idleGapSeconds * 1000L + 1)
+    }
+
+  /** Fixed-duration interval string → milliseconds (calendar-month
+    * intervals refused — they are not fixed durations).
+    */
+  private[streaming] def intervalMs(s: String): Long = {
+    val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(i.months == 0,
+      s"interval '$s' uses calendar months — not a fixed duration")
+    i.days * 86400000L + i.microseconds / 1000L
+  }
+
   /** The ordered-mode per-key transition — see [[smoothOrdered]] for the
     * semantics. `slackMs` = watermarkMs − latenessMs (both validated at
     * wiring time): the fold horizon is `currentWatermark + slackMs` ≈
@@ -156,72 +241,25 @@ object EwmaStream {
     require(slackMs >= 0, s"slackMs ($slackMs) must be nonnegative " +
       "(watermark tighter than lateness — smoothOrdered refuses this at wiring time)")
     val wm = state.getCurrentWatermarkMs()
-    // fold everything strictly below the horizon. Before the first
-    // watermark update Spark reports wm = 0 ("no information"), and with
-    // slack > 0 a naive `0 + slack` horizon would fold epoch-adjacent
-    // events (ts < slackMs) in the very first batch — then a legitimate
-    // within-lateness straggler behind that premature frontier would be
-    // FLAGGED. No watermark yet means nothing is safe to fold.
-    val horizon = if (wm <= 0L) Long.MinValue else wm + slackMs
     val st = state.getOption.getOrElse(
       OrderedEwmaState(Long.MinValue, Long.MinValue, None, Nil))
     val fresh = if (state.hasTimedOut) Seq.empty[EwmaEvent] else events.toSeq
-    // an arrival behind the FOLDED frontier exceeded the allowed
-    // lateness (its exact fold position is gone): flag, never silently
-    // fold out of order, never silently drop. Spark itself drops rows
-    // behind the WATERMARK before this function runs — the standard
-    // watermarked-operator contract — which is why lateness is allowed
-    // to be tighter than the watermark but never looser.
-    val (lateArrivals, ok) = fresh.partition { e =>
-      val t = e.ts.getTime
-      t < st.lastTs || (t == st.lastTs && e.event_id <= st.lastTie)
-    }
-    // an at-least-once redelivery of an event still in the BUFFER would
-    // otherwise fold twice (the frontier check above only catches copies
-    // of already-folded events) — permanently corrupting the smoother.
-    // (ts, tie) identifies an event, so collisions against the buffer
-    // and within the batch flag as late duplicates, same loud contract
-    // as the frontier path (r14 review find).
-    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
-    st.pending.foreach(p => seen += ((p.ts, p.tie)))
-    val (dupArrivals, fresh0) = ok.partition { e =>
-      !seen.add((e.ts.getTime, e.event_id))
-    }
-    val lateOut = (lateArrivals ++ dupArrivals)
+    val plan = planOrdered(fresh, st.lastTs, st.lastTie, st.pending, wm, slackMs)
+    val lateOut = plan.late
       .map(e => EwmaPoint(key, e.event_id, e.value, None, late = true))
-    // merge arrivals into the buffer; fold in (event-time, tie) order
-    // everything the horizon has passed — those can no longer be
-    // preceded by a non-late arrival, so the fold is exact
-    val merged = (st.pending ++
-      fresh0.map(e => PendingObs(e.ts.getTime, e.event_id, e.value)))
-      .sortBy(p => (p.ts, p.tie))
-    val (foldable, hold) = merged.partition(_.ts < horizon)
     var (lastTs, lastTie, ewma) = (st.lastTs, st.lastTie, st.ewma)
-    val foldedOut = foldable.map { p =>
+    val foldedOut = plan.foldable.map { p =>
       val next = step(alpha, p.value, ewma)
       lastTs = p.ts; lastTie = p.tie; ewma = next
       EwmaPoint(key, p.tie, p.value, next, late = false)
     }
-    if (state.hasTimedOut && foldedOut.isEmpty && hold.isEmpty) {
+    if (state.hasTimedOut && foldedOut.isEmpty && plan.hold.isEmpty) {
       // idle horizon passed with nothing buffered: evict
       state.remove()
       return Iterator.empty
     }
-    state.update(OrderedEwmaState(lastTs, lastTie, ewma, hold))
-    if (hold.nonEmpty) {
-      // wake when the horizon passes the oldest buffered event:
-      // timeout fires once wm > timeoutTs, i.e. horizon > minPendingTs
-      val wake = hold.iterator.map(_.ts).min - slackMs
-      state.setTimeoutTimestamp(math.max(wake, wm + 1))
-    } else if (lastTs != Long.MinValue) {
-      // nothing buffered: plain idle eviction, as in the base mode
-      state.setTimeoutTimestamp(math.max(lastTs + idleGapSeconds * 1000L, wm + 1))
-    } else {
-      // state exists but nothing ever folded (all arrivals were late
-      // flags on a fresh key — impossible, a fresh key has no frontier —
-      // or an empty invocation); evict on idle horizon from now
-      state.setTimeoutTimestamp(wm + idleGapSeconds * 1000L + 1)
-    }
+    state.update(OrderedEwmaState(lastTs, lastTie, ewma, plan.hold))
+    armOrderedTimeout(state, plan.hold, lastTs, wm, slackMs, idleGapSeconds)
     (foldedOut ++ lateOut).iterator
   }
 
@@ -273,13 +311,6 @@ object EwmaStream {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
     require(idleGapSeconds > 0,
       s"idleGapSeconds ($idleGapSeconds) must be positive")
-    def intervalMs(s: String): Long = {
-      val i = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-      require(i.months == 0,
-        s"interval '$s' uses calendar months — not a fixed duration")
-      i.days * 86400000L + i.microseconds / 1000L
-    }
     val latenessMs = intervalMs(lateness)
     val wmStr = Option(watermark).getOrElse(lateness)
     val watermarkMs = intervalMs(wmStr)

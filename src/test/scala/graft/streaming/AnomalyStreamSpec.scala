@@ -105,6 +105,76 @@ class AnomalyStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  // -------------------------------------------------------------------
+  // ordered mode (detectOrdered): bounded-disorder arrivals scored exactly
+  // -------------------------------------------------------------------
+
+  test("ordered mode: bounded disorder scores exactly like the batch detector") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EwmaEvent]
+    val q = AnomalyStream.detectOrdered(input.toDS(), alpha = 0.25,
+      threshold = 3.0, minPrior = 2, lateness = "10 minutes").writeStream
+      .format("memory").queryName("anom_ordered_out").outputMode("append").start()
+    val events = Seq(
+      EwmaEvent(1L, 10L, ts(0), Some(10.0)),
+      EwmaEvent(1L, 11L, ts(10), Some(12.0)),
+      EwmaEvent(1L, 12L, ts(5), Some(11.0)), // delivered late, within bound
+      EwmaEvent(1L, 13L, ts(30), Some(10.0)),
+      EwmaEvent(1L, 14L, ts(40), Some(100.0))) // the jump
+    try {
+      input.addData(events(0), events(1)); q.processAllAvailable()
+      input.addData(events(2), events(3)); q.processAllAvailable()
+      input.addData(events(4)); q.processAllAvailable()
+      // flush the tail: advance the watermark far past every buffered event
+      input.addData(EwmaEvent(2L, 99L, ts(500), Some(1.0)))
+      q.processAllAvailable()
+      val got = spark.table("anom_ordered_out").as[AnomPoint].collect()
+        .filter(_.user_id == 1L).map(p => p.event_id -> p).toMap
+      // ground truth: the IN-ORDER batch detector over the same events
+      val want = batchDetect(events)
+      assert(got.keySet === want.keySet)
+      want.foreach { case (id, w) =>
+        assert(got(id) === w, s"event $id: ordered stream ${got(id)} vs batch $w")
+      }
+      // the disorder was served exactly: event 12 folded between 10 and 11
+      // by EVENT TIME (second in order — still warming up, so z is null
+      // but never `late`), its mean shows the in-order fold, event 11
+      // (third in order) is the first scored row, and the jump flags
+      assert(!got(12L).late && got(12L).mean === Some(0.25 * 11.0 + 0.75 * 10.0))
+      assert(got(11L).z.nonEmpty)
+      assert(got(14L).is_anomaly === 1)
+    } finally q.stop()
+  }
+
+  test("ordered mode: an arrival beyond the allowed lateness is flagged, buffer intact") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EwmaEvent]
+    // lateness 5 min, watermark 30 min: the [lateness, watermark) band
+    // surfaces flagged instead of being dropped or folded out of order
+    val q = AnomalyStream.detectOrdered(input.toDS(), lateness = "5 minutes",
+      watermark = "30 minutes").writeStream
+      .format("memory").queryName("anom_ordered_late_out").outputMode("append").start()
+    try {
+      input.addData(
+        EwmaEvent(1L, 10L, ts(0), Some(10.0)),
+        EwmaEvent(1L, 11L, ts(20), Some(12.0)))
+      q.processAllAvailable() // first batch: wm 0, nothing folds
+      input.addData(EwmaEvent(1L, 12L, ts(60), Some(11.0)))
+      q.processAllAvailable() // wm ts(-10): folds ts(0); then wm -> ts(30)
+      input.addData(EwmaEvent(1L, 13L, ts(35), Some(10.5)))
+      q.processAllAvailable() // horizon ts(55): folds ts(20), ts(35)
+      // ts(33) is ABOVE the watermark (ts(30) — Spark lets it through)
+      // but BEHIND the folded frontier (ts(35)): beyond allowed lateness
+      input.addData(EwmaEvent(1L, 14L, ts(33), Some(999.0)))
+      q.processAllAvailable()
+      val got = spark.table("anom_ordered_late_out").as[AnomPoint].collect()
+        .map(p => p.event_id -> p).toMap
+      assert(got(14L).late && got(14L).z.isEmpty && got(14L).is_anomaly === 0)
+      assert(got(10L).mean === Some(10.0)) // folded exactly, unpolluted
+      assert(!got(13L).late && got(13L).mean.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch path flags duplicate (ts-ms, tie) rows instead of double-folding") {
     val events = Seq(
       EwmaEvent(1L, 10L, ts(0), Some(10.0)),
