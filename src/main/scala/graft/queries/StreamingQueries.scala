@@ -175,21 +175,24 @@ object StreamingQueries {
         |FROM agg JOIN est USING (window_start_us, event_type)""".stripMargin,
 
     // q179: the batch path is exact counts — rank by (count desc, item
-    // asc), top 5, err pinned at 0, n_group = total events per group
+    // asc), top 5, err pinned at 0, n_group = total events per group,
+    // as_of = the group's event-time frontier in epoch ms
     "q179_topk_stream" ->
       """WITH c AS (
         |  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS item,
         |    count(*) AS est
         |  FROM events GROUP BY 1, 2
         |), g AS (
-        |  SELECT grp, CAST(sum(est) AS BIGINT) AS n_group FROM c GROUP BY 1
+        |  SELECT event_type AS grp, count(*) AS n_group,
+        |    CAST(max(epoch_us(ts) // 1000) AS BIGINT) AS as_of
+        |  FROM events GROUP BY 1
         |), r AS (
         |  SELECT grp, item, est,
         |    row_number() OVER (PARTITION BY grp ORDER BY est DESC, item) AS rnk
         |  FROM c
         |)
         |SELECT r.grp AS "group", r.item, r.est, CAST(0 AS BIGINT) AS err,
-        |  CAST(rnk AS INT) AS rank, g.n_group
+        |  CAST(rnk AS INT) AS rank, g.n_group, g.as_of
         |FROM r JOIN g USING (grp) WHERE rnk <= 5""".stripMargin
   )
 }

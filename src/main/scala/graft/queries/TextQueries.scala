@@ -33,6 +33,29 @@ object TextQueries {
   private val enList = TextFunctions.stopwords.toMap.apply("en")
     .map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** q180's two retrieval legs — shared with PlanAuditSpec, which audits
+    * the UNPINNED fusion of exactly these frames (the eager pin inside
+    * fuse truncates lineage, so the per-query audit only sees the fusion
+    * tail; the legs are audited through this door).
+    */
+  private[graft] def hybridLegs(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = {
+    val anchors = Seq(0L, 7L, 42L)
+    val lex = new Bm25(k1 = 1.2, b = 0.75)
+      .retrieve(Tables.documents(s, dir), Seq(
+        "0" -> Seq("spark", "query", "join", "stream"),
+        "7" -> Seq("hash", "merge", "sort", "group"),
+        "42" -> Seq("vector", "window", "filter", "dup")), k = 20)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val vec = new graft.similarity.CosineTopK(20)
+      .search(emb.where(col("vec_id").isin(anchors: _*)), emb)
+      .select(col("query_id").cast("string").as("query_id"),
+        col("vec_id").as("id"), col("rank"))
+    Seq("lex" -> lex, "vec" -> vec)
+  }
+
   val queries: Map[String, Q] = Map(
     // per-document statistics + composite quality score
     "q23_text_stats" -> ((s, dir) => {
@@ -178,23 +201,9 @@ object TextQueries {
     // fusion sees both). Only integer RANKS cross the fusion boundary:
     // rrf = 1/(60+r_lex) + 1/(60+r_vec) added in fixed leg order, so the
     // fused doubles are bit-pinned given the legs' rank orders.
-    "q180_hybrid_rrf" -> ((s, dir) => {
-      val anchors = Seq(0L, 7L, 42L)
-      val lex = new Bm25(k1 = 1.2, b = 0.75)
-        .retrieve(Tables.documents(s, dir), Seq(
-          "0" -> Seq("spark", "query", "join", "stream"),
-          "7" -> Seq("hash", "merge", "sort", "group"),
-          "42" -> Seq("vector", "window", "filter", "dup")), k = 20)
-        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"))
-      val vec = new graft.similarity.CosineTopK(20)
-        .search(emb.where(col("vec_id").isin(anchors: _*)), emb)
-        .select(col("query_id").cast("string").as("query_id"),
-          col("vec_id").as("id"), col("rank"))
+    "q180_hybrid_rrf" -> ((s, dir) =>
       graft.similarity.HybridRetriever.fuse(
-        Seq("lex" -> lex, "vec" -> vec), rrfK = 60, topK = 10)
-    }),
+        hybridLegs(s, dir), rrfK = 60, topK = 10)),
 
     // HyperLogLog distinct-token estimate per source: 2^10 one-byte
     // registers per group (merge = element-wise max) — the fixed-state

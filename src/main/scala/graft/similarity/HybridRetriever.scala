@@ -47,7 +47,8 @@ object HybridRetriever {
       topK: Int = 10,
       queryCol: String = "query_id",
       idCol: String = "id",
-      rankCol: String = "rank"): DataFrame = {
+      rankCol: String = "rank",
+      pin: Boolean = true): DataFrame = {
     require(legs.nonEmpty, "fuse needs at least one leg")
     require(legs.map(_._1).distinct.size == legs.size,
       s"duplicate leg names: ${legs.map(_._1).mkString(", ")}")
@@ -69,10 +70,13 @@ object HybridRetriever {
     // q180 at sf0.1: unpinned 7.2-9.3 s, pinned ~sum of one pass per leg.
     // The pinned frame is O(queries × k × legs) rows by construction
     // (the legs are top-k outputs), so materializing it eagerly is
-    // O(output), never O(corpus).
-    val pivoted = tagged.groupBy(col("__q"), col("__id"))
+    // O(output), never O(corpus). `pin = false` exists for PLAN AUDITS:
+    // the eager checkpoint truncates lineage, so the per-query audit
+    // would otherwise only ever see the fusion tail, never the legs
+    // (PlanAuditSpec audits q180's legs through this door).
+    val grouped = tagged.groupBy(col("__q"), col("__id"))
       .agg(rankCols.head, rankCols.tail: _*)
-      .localCheckpoint(true)
+    val pivoted = if (pin) grouped.localCheckpoint(true) else grouped
 
     // fixed left-to-right addition: leg order is part of the contract
     val rrf = legs.map { case (name, _) =>

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.functions.{coalesce, col, expr, lag, lit, struct}
+import org.apache.spark.sql.functions.{col, expr, lit, row_number}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.streaming.EwmaStream.EwmaEvent
@@ -28,12 +28,19 @@ import graft.streaming.EwmaStream.EwmaEvent
   * On a BATCH frame this routes through the SEGMENTED
   * [[graft.temporal.AnomalyDetector]] plan (no per-key row-size cap on
   * backfill) at the stream contract's MILLISECOND fold granularity, with
-  * the q176-style duplicate (ts-ms, tie) guard: duplicates fold once and
-  * flag the rest in both modes (the batch winner is deterministic —
-  * greatest value — where the stream keeps first-arrival). Stream-vs-batch
-  * parity is bit-exact for keys within one segment (≤ targetSegment
-  * events) and fp-associativity-equal beyond — the EwmaFeatures contract,
-  * inherited twice.
+  * a duplicate guard on the per-key TIE ITSELF: any reused event_id
+  * within a key folds once (earliest time, then greatest value —
+  * deterministic) and flags the rest — wider than the stream's (ts, tie)
+  * redelivery check, because the detector's smoother outputs join back
+  * on (key, tie) and a reused tie would fan that join out with mixed
+  * means. Exact redeliveries (same ts AND tie) flag identically in both
+  * modes; a tie reused at a NEW timestamp flags on backfill while the
+  * live stream — which cannot know the id was reused — folds it: parity
+  * is promised only for per-key-unique ties, the same input contract the
+  * detector documents. Stream-vs-batch parity is bit-exact for keys
+  * within one segment (≤ targetSegment events) and
+  * fp-associativity-equal beyond — the EwmaFeatures contract, inherited
+  * twice.
   */
 object AnomalyStream {
 
@@ -141,19 +148,20 @@ object AnomalyStream {
     import events.sparkSession.implicits._
     if (!events.isStreaming) {
       // batch backfill: the segmented detector plan at the stream's ms
-      // fold granularity, duplicate (ts-ms, tie) rows folding once and
-      // flagging the rest (the q176 discipline — without it, batch would
-      // double-fold exactly the at-least-once redeliveries the streaming
-      // frontier guard flags)
+      // fold granularity. The guard flags ANY reused per-key event_id —
+      // wider than the stream's (ts, tie) redelivery check — because the
+      // detector's smoother outputs join back on (key, tie): a reused tie
+      // at a DIFFERENT timestamp would fan that join out k² ways with
+      // mixed means (silently wrong), where the stream, which cannot know
+      // an id was reused at a new time, folds it. Exact redeliveries
+      // (same ts AND tie — the at-least-once case both modes see) flag
+      // identically in both. Winner per duplicate group is deterministic:
+      // earliest event time, then greatest value.
       val withMs = events.toDF().withColumn("__oms", expr("unix_millis(ts)"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("__oms"), col("event_id"), col("value").desc_nulls_last)
-      val marked = withMs.withColumn("__dup",
-        coalesce(
-          lag(struct(col("__oms"), col("event_id")), 1).over(w) ===
-            struct(col("__oms"), col("event_id")),
-          lit(false)))
+        .partitionBy(col("user_id"), col("event_id"))
+        .orderBy(col("__oms"), col("value").desc_nulls_last)
+      val marked = withMs.withColumn("__dup", row_number().over(w) > 1)
       val flagged = marked.where(col("__dup"))
         .select(col("user_id"), col("event_id"), col("value"),
           lit(null).cast("double").as("mean"),

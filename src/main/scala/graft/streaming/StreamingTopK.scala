@@ -29,23 +29,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ties break deterministically (min count, then lexicographically
   * GREATEST item leaves — so the items that win rank ties are also the
   * stickier ones), making each run reproducible given the same batch
-  * boundaries.
+  * boundaries. A null item is a real item (nulls-first in every ordering
+  * — matching the batch path, where groupBy/rank treat null as a value).
+  * A null GROUP is refused loudly in both modes: the batch rank path
+  * raises on it, and the live transition raises symmetrically — a corrupt
+  * key column should stop a monitor, not silently become a key.
   *
   * == Emission contract ==
   *
   * Per micro-batch, each group that received events (or flushed a timeout)
   * emits its CURRENT top-k snapshot tagged with `n_group` (events folded
-  * so far) — consumers keep the row set with the largest n_group per
-  * group. State per group is `capacity` (item, cnt, err) triples + a
-  * frontier — O(groups × capacity); idle groups evict after
-  * `idleGapSeconds` of event time (a group returning later restarts its
-  * summary — the documented trade, as in [[EwmaStream]]).
+  * so far) and `as_of` (the group's event-time frontier, epoch ms) —
+  * consumers keep the rows with the largest (as_of, n_group) per group.
+  * n_group ALONE is not a freshness key: idle eviction resets it, so a
+  * group returning after eviction would emit smaller n_group values than
+  * its pre-eviction snapshots; as_of is event time and only moves forward.
+  * State per group is `capacity` (item, cnt, err) triples + a frontier —
+  * O(groups × capacity); idle groups evict after `idleGapSeconds` of
+  * event time (a group returning later restarts its summary — the
+  * documented trade, as in [[EwmaStream]]).
   *
   * On a BATCH frame — the backfill half of the parity contract — the
   * sketch is pointless (exact counts cost one partial-aggregated groupBy),
-  * so [[monitor]] degenerates to the EXACT per-group top-k with err = 0:
-  * the q179 oracle gates that path, and the spec pins the sketch's
-  * invariants against the same exact counts.
+  * so [[monitor]] degenerates to the EXACT per-group top-k with err = 0
+  * and as_of = the group's max event time: the q179 oracle gates that
+  * path, and the spec pins the sketch's invariants against the same
+  * exact counts.
   */
 object StreamingTopK {
 
@@ -53,41 +62,58 @@ object StreamingTopK {
   case class Counter(item: String, cnt: Long, err: Long)
   case class TopKState(n: Long, lastTs: Long, counters: Seq[Counter])
   case class TopKRow(group: String, item: String, est: Long, err: Long,
-      rank: Int, n_group: Long)
+      rank: Int, n_group: Long, as_of: Long)
 
-  /** One SpaceSaving fold of `events` (already in fold order) into
+  /** Null-safe item key: nulls first, then lexicographic — the same order
+    * Spark's ascending sort gives the batch path's tie column.
+    */
+  private def itemKey(s: String): (Int, String) =
+    if (s == null) (0, "") else (1, s)
+
+  /** Eviction order: min count first, ties leave the GREATEST item
+    * (nulls-first inverted = nulls last). A TreeSet keyed by this keeps
+    * the victim lookup O(log capacity) instead of an O(capacity) scan
+    * per novel item — the per-event cost the capacity bound exists to
+    * keep small.
+    */
+  private val evictOrd: Ordering[(Long, String)] =
+    Ordering.Tuple2(Ordering.Long,
+      Ordering.Tuple2(Ordering.Int, Ordering.String).reverse.on(itemKey))
+
+  /** One SpaceSaving fold of `items` (already in fold order) into
     * `counters`. Exposed for the spec's reference replay.
     */
   private[streaming] def fold(capacity: Int,
       counters: Seq[Counter], items: Seq[String]): Seq[Counter] = {
     val m = scala.collection.mutable.HashMap.empty[String, Counter]
-    counters.foreach(c => m(c.item) = c)
+    val byCnt = scala.collection.mutable.TreeSet.empty[(Long, String)](evictOrd)
+    counters.foreach { c => m(c.item) = c; byCnt += ((c.cnt, c.item)) }
     items.foreach { it =>
       m.get(it) match {
-        case Some(c) => m(it) = c.copy(cnt = c.cnt + 1)
-        case None if m.size < capacity => m(it) = Counter(it, 1L, 0L)
+        case Some(c) =>
+          byCnt -= ((c.cnt, c.item))
+          m(it) = c.copy(cnt = c.cnt + 1)
+          byCnt += ((c.cnt + 1, c.item))
+        case None if m.size < capacity =>
+          m(it) = Counter(it, 1L, 0L)
+          byCnt += ((1L, it))
         case None =>
-          // evict the minimum counter; ties leave the lexicographically
-          // greatest item so rank-tie winners (smallest item) stick
-          val victim = m.valuesIterator.minBy(c => (c.cnt, invert(c.item)))
-          m.remove(victim.item)
-          m(it) = Counter(it, victim.cnt + 1L, victim.cnt)
+          val (vCnt, vItem) = byCnt.head
+          byCnt -= ((vCnt, vItem))
+          m.remove(vItem)
+          m(it) = Counter(it, vCnt + 1L, vCnt)
+          byCnt += ((vCnt + 1L, it))
       }
     }
     m.values.toSeq
   }
 
-  // minBy needs an Ordering that REVERSES the string leg only; wrapping in
-  // a custom Ordering per call allocates — a tiny negated-compare key via
-  // Ordered is simplest expressed as an inverting wrapper
-  private case class invert(s: String) extends Ordered[invert] {
-    def compare(that: invert): Int = that.s.compareTo(s)
-  }
-
   private def snapshot(group: String, st: TopKState, k: Int): Iterator[TopKRow] =
-    st.counters.sortBy(c => (-c.cnt, c.err, c.item)).iterator.take(k)
+    st.counters.sortBy(c => (-c.cnt, c.err, itemKey(c.item))).iterator.take(k)
       .zipWithIndex
-      .map { case (c, i) => TopKRow(group, c.item, c.cnt, c.err, i + 1, st.n) }
+      .map { case (c, i) =>
+        TopKRow(group, c.item, c.cnt, c.err, i + 1, st.n, st.lastTs)
+      }
 
   /** The per-group state transition — exposed for direct
     * `flatMapGroupsWithState` wiring; [[monitor]] is the convenience form.
@@ -102,11 +128,17 @@ object StreamingTopK {
         "items it does not hold")
     require(idleGapSeconds > 0,
       s"idleGapSeconds ($idleGapSeconds) must be positive")
+    // loud, SYMMETRIC with the batch path (whose grouped-rank raises on a
+    // null group) — without this the same monitor would run live and then
+    // fail on backfill
+    require(group != null,
+      "StreamingTopK: null group key — a corrupt key column stops the " +
+        "monitor in both modes; filter or coalesce null groups upstream")
     if (state.hasTimedOut) {
       state.remove()
       return Iterator.empty
     }
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.item))
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, itemKey(e.item)))
     val st = state.getOption.getOrElse(TopKState(0L, Long.MinValue, Nil))
     val next = TopKState(
       st.n + sorted.size,
@@ -140,18 +172,21 @@ object StreamingTopK {
         .agg(count(lit(1)).as("est"))
       val ranked = graft.sql.GroupedNtile.rankByValue(counts, "group", "est",
         descending = true, tieCols = Seq(col("item")), rankName = "rank")
-      // n_group as a partial-aggregated one-row-per-group frame joined
-      // onto the k survivors — NOT an unordered window over the item
-      // frame, whose whole-partition buffer is exactly the per-group item
-      // cardinality the sketch exists to avoid holding. Null groups
-      // cannot reach this join: rankByValue fails loudly on them.
-      val totals = counts.groupBy(col("group")).agg(sum(col("est")).as("n_group"))
+      // n_group/as_of as a partial-aggregated one-row-per-group frame
+      // joined onto the k survivors — NOT an unordered window over the
+      // item frame, whose whole-partition buffer is exactly the per-group
+      // item cardinality the sketch exists to avoid holding. Null groups
+      // cannot reach this join: rankByValue fails loudly on them (and the
+      // live transition raises the same way).
+      val totals = events.toDF().groupBy(col("group")).agg(
+        count(lit(1)).as("n_group"),
+        max(expr("unix_millis(ts)")).as("as_of"))
       ranked
         .where(col("rank") <= k)
         .join(totals, Seq("group"))
         .select(col("group"), col("item"), col("est"),
           lit(0L).as("err"), col("rank").cast("int").as("rank"),
-          col("n_group"))
+          col("n_group"), col("as_of"))
     } else {
       events
         .withWatermark("ts", watermark)

@@ -62,6 +62,15 @@ import org.apache.spark.sql.functions._
   * outputs (the q127 oracle discipline); variance, z and the flag are
   * fixed-op-order arithmetic on them, so the q178 oracle replays the whole
   * pipeline bit-for-bit with no rounding tolerance.
+  *
+  * Input contract: `tieCol` must uniquely identify a row WITHIN its key —
+  * the smoother outputs join back on (key, tie), so duplicate (key, tie)
+  * rows fan that join out k² ways with mixed means (silently wrong, the
+  * reason the contract is stated here). The streaming batch route
+  * ([[graft.streaming.AnomalyStream.detect]]) enforces it upfront by
+  * flagging ANY reused per-key tie before calling this operator; direct
+  * callers with possibly-duplicated ties should dedupe the same way
+  * first.
   */
 class AnomalyDetector(
     alpha: Double = 0.25,

@@ -38,7 +38,12 @@ class HeapConstrainedSpec extends AnyFunSuite {
     // round-13 addition: the segmented EWMA — its per-(key, bucket)
     // gathers and the carry-chain window are the new array-bearing
     // memory shape; must degrade like the others under the cap
-    "q127_ewma")
+    "q127_ewma",
+    // round-14 (continued) addition: the anomaly composition — TWO
+    // segmented smoothers plus (key, tie) joins plus the lag/count
+    // scoring window live in one plan; the doubled gather/window state
+    // must spill, not OOM
+    "q178_anomaly")
 
   test("top expensive queries complete under a 1.5g heap cap") {
     val sfDir = "/root/testdata/sf0.01"

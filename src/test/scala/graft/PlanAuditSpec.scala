@@ -63,9 +63,11 @@ class PlanAuditSpec extends SparkTestBase {
       case _ => None
     }.toSeq
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name: no cartesian, no unpartitioned window, clean scan filters") {
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+  /** The three audit assertions, callable on any plan string (the
+    * per-query loop below, plus targeted audits of plans the queries hide
+    * behind lineage-truncating pins).
+    */
+  private def auditPlan(name: String, plan: String): Unit = {
       assert(!plan.contains("CartesianProduct"),
         s"cartesian product in $name:\n$plan")
       // physical Window prints [exprs], [partitionSpec], [orderSpec]; an
@@ -101,7 +103,24 @@ class PlanAuditSpec extends SparkTestBase {
         .toSeq
       assert(dirtyScans.isEmpty,
         s"InferFiltersFromGenerate clone in scan DataFilters of $name:\n${dirtyScans.mkString("\n")}")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name: no cartesian, no unpartitioned window, clean scan filters") {
+      auditPlan(name, fn(spark, dir).queryExecution.executedPlan.toString)
     }
+  }
+
+  test("q180 legs audit clean UNPINNED (the fusion pin truncates lineage)") {
+    // q180's executed plan starts at the eager localCheckpoint, so the
+    // per-query audit above only ever sees the fusion tail; this audits
+    // the SAME legs through fuse's pin = false door — a regression in the
+    // leg wiring (cartesian, unpartitioned window) must fail here
+    val plan = graft.similarity.HybridRetriever.fuse(
+      graft.queries.TextQueries.hybridLegs(spark, dir),
+      rrfK = 60, topK = 10, pin = false)
+      .queryExecution.executedPlan.toString
+    auditPlan("q180_hybrid_rrf(unpinned)", plan)
   }
 
   test("low-card window detector fires on the one-task-per-group pattern") {

@@ -175,16 +175,23 @@ class AnomalyStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("batch path flags duplicate (ts-ms, tie) rows instead of double-folding") {
+  test("batch path flags ANY reused per-key tie instead of corrupting the join-back") {
     val events = Seq(
       EwmaEvent(1L, 10L, ts(0), Some(10.0)),
       EwmaEvent(1L, 10L, ts(0), Some(10.0)), // exact redelivery
-      EwmaEvent(1L, 11L, ts(10), Some(12.0)))
-    val got = batchDetect(events)
-    val dups = AnomalyStream.detect(events.toDS()).collect().filter(_.late)
-    assert(dups.length === 1 && dups.head.event_id === 10L)
-    // the non-dup stream of 10, 11 folded once each
-    val clean = batchDetect(Seq(events.head, events.last))
-    assert(got(11L).mean === clean(11L).mean)
+      EwmaEvent(1L, 11L, ts(10), Some(12.0)),
+      // a REUSED id at a different timestamp: not a redelivery — but the
+      // detector joins back on (key, tie), so it must flag, not fan out
+      EwmaEvent(1L, 11L, ts(20), Some(50.0)))
+    val all = AnomalyStream.detect(events.toDS()).collect()
+    assert(all.length === events.length) // one row per input, no fan-out
+    val dups = all.filter(_.late)
+    assert(dups.map(_.event_id).sorted.toSeq === Seq(10L, 11L))
+    // winners are deterministic: earliest ts per tie — the kept stream is
+    // (10@ts0, 11@ts10), matching the dedup'd run exactly
+    val got = all.filterNot(_.late).map(p => p.event_id -> p).toMap
+    val clean = batchDetect(Seq(events(0), events(2)))
+    assert(got(10L) === clean(10L))
+    assert(got(11L) === clean(11L))
   }
 }

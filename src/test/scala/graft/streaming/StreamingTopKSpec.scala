@@ -7,8 +7,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkTestBase
 import graft.streaming.StreamingTopK.{ItemEvent, TopKRow}
 
-/** SpaceSaving invariants vs exact counts, cross-batch state carry, and
-  * the exact batch degenerate path (the q179-gated surface).
+/** SpaceSaving invariants vs exact counts, cross-batch state carry, the
+  * exact batch degenerate path (the q179-gated surface), and the
+  * null-item / null-group contracts.
   */
 class StreamingTopKSpec extends SparkTestBase {
   import spark.implicits._
@@ -31,10 +32,13 @@ class StreamingTopKSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  /** Final snapshot per group = the emission set with the largest n_group. */
+  /** The documented consumer rule: keep the emission set with the largest
+    * (as_of, n_group) per group.
+    */
   private def finalSnapshot(rows: Seq[TopKRow]): Map[String, Seq[TopKRow]] =
     rows.groupBy(_.group).map { case (g, rs) =>
-      g -> rs.filter(_.n_group == rs.map(_.n_group).max).sortBy(_.rank)
+      val latest = rs.map(r => (r.as_of, r.n_group)).max
+      g -> rs.filter(r => (r.as_of, r.n_group) == latest).sortBy(_.rank)
     }
 
   test("capacity >= distinct items: estimates are exact across micro-batches, err 0") {
@@ -45,6 +49,7 @@ class StreamingTopKSpec extends SparkTestBase {
       Seq("a" -> 4L, "b" -> 4L, "c" -> 1L, "d" -> 1L)) // ties: item asc
     assert(snap.forall(_.err === 0L))
     assert(snap.head.n_group === 10L)
+    assert(snap.head.as_of === ts(14).getTime) // the event-time frontier
   }
 
   test("capacity-constrained: SpaceSaving bounds hold against exact counts") {
@@ -87,8 +92,10 @@ class StreamingTopKSpec extends SparkTestBase {
     val items = Seq("a", "a", "a", "b", "b", "c", "d", "d", "d", "d")
     val df = StreamingTopK.monitor(ev(items, 0).toDS(), capacity = 4, k = 3)
     val got = df.as[TopKRow].collect().sortBy(_.rank)
-    assert(got.map(r => (r.item, r.est, r.err, r.rank, r.n_group)).toSeq ===
-      Seq(("d", 4L, 0L, 1, 10L), ("a", 3L, 0L, 2, 10L), ("b", 2L, 0L, 3, 10L)))
+    val asOf = ts(9).getTime
+    assert(got.map(r => (r.item, r.est, r.err, r.rank, r.n_group, r.as_of)).toSeq ===
+      Seq(("d", 4L, 0L, 1, 10L, asOf), ("a", 3L, 0L, 2, 10L, asOf),
+        ("b", 2L, 0L, 3, 10L, asOf)))
   }
 
   test("k > capacity refuses at wiring time") {
@@ -107,5 +114,38 @@ class StreamingTopKSpec extends SparkTestBase {
       .sortBy(c => (-c.cnt, c.err, c.item)).take(2)
     assert(snap.map(r => (r.item, r.est, r.err)) ===
       ref.map(c => (c.item, c.cnt, c.err)))
+  }
+
+  test("a null item is a real item in both modes (nulls-first tie order)") {
+    val items = Seq[String]("a", null, "a", null, null)
+    val want = Seq[(String, Long)]((null, 3L), ("a", 2L))
+    // streaming: null folds, sorts first among count ties, survives eviction
+    val snap = finalSnapshot(
+      runStream(Seq(ev(items, 0)), capacity = 4, k = 4))("g")
+    assert(snap.map(r => (r.item, r.est)) === want)
+    // batch: groupBy counts null as a value, same order
+    val got = StreamingTopK.monitor(ev(items, 0).toDS(), capacity = 4, k = 4)
+      .as[TopKRow].collect().sortBy(_.rank)
+    assert(got.map(r => (r.item, r.est)).toSeq === want)
+    // eviction under pressure with a null present does not NPE
+    val churn = Seq[String](null, "b", "c", "d", null, "e", "f", null)
+    val pressured = finalSnapshot(
+      runStream(Seq(ev(churn, 0)), capacity = 2, k = 2))
+    assert(pressured("g").nonEmpty)
+  }
+
+  test("a null group refuses loudly in the live mode (batch already does)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ItemEvent]
+    val q = StreamingTopK.monitor(input.toDS(), capacity = 4, k = 2)
+      .writeStream.format("memory").queryName("topk_nullg_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ItemEvent(null, "a", ts(0)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage != null)
+    } finally q.stop()
   }
 }
