@@ -380,4 +380,96 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("ordered anomaly stream: random bounded disorder scores exactly; flags only beyond-lateness") {
+    // the anomaly analog of the ordered-EWMA property above: the same
+    // simulated engine loop around orderedAnomFn, with the exactness
+    // invariant extended to the FULL scored tuple — mean, variance, z,
+    // and the flag must equal the sequential West-recurrence fold
+    // (m/q pair, pre-fold scoring, minPrior + v>0 gates) over exactly
+    // the folded set, in (event-time, tie) order
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.{AnomalyStream, EwmaStream}
+    val base = 1700000000000L
+    val wMs = 120000L
+    val lMs = 60000L
+    val slack = wMs - lMs
+    val evGen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 600), Gen.choose(0, 180)))
+    forAll(evGen, trials = 12) { raw =>
+      whenever(raw.nonEmpty) {
+        val events = raw.zipWithIndex.map { case ((offS, delayS), i) =>
+          // values with genuine dispersion plus occasional spikes so both
+          // flag outcomes occur across trials
+          val v = if (i % 11 == 0) 500.0 else (i % 7).toDouble
+          (EwmaStream.EwmaEvent(1L, i.toLong,
+            new java.sql.Timestamp(base + offS * 1000L), Some(v)),
+            base + (offS + delayS) * 1000L)
+        }
+        val arrival = events.sortBy { case (e, at) => (at, e.event_id) }
+        var stateOpt = Option.empty[AnomalyStream.OrderedAnomState]
+        var wm = 0L
+        var folded = Vector.empty[AnomalyStream.AnomPoint]
+        var flagged = Vector.empty[Long]
+        var dropped = Vector.empty[Long]
+        var maxSeen = 0L
+        def call(batch: Seq[EwmaStream.EwmaEvent], timedOut: Boolean): Unit = {
+          val st = TestGroupState.create[AnomalyStream.OrderedAnomState](
+            stateOpt.map(Optional.of[AnomalyStream.OrderedAnomState]).getOrElse(Optional.empty()),
+            GroupStateTimeout.EventTimeTimeout, 1000L, Optional.of(wm), timedOut)
+          val out = AnomalyStream.orderedAnomFn(0.25, 3.0, 2, 86400L, slack)(
+            1L, batch.iterator, st).toVector
+          stateOpt = if (st.isRemoved) None else Some(st.get)
+          val horizon = if (wm <= 0L) Long.MinValue else wm + slack
+          out.foreach { p =>
+            if (p.late) {
+              val ts = batch.find(_.event_id == p.event_id).get.ts.getTime
+              assert(ts < horizon,
+                s"event ${p.event_id} (ts=$ts) flagged though horizon=$horizon had not passed it")
+              flagged :+= p.event_id
+            } else folded :+= p
+          }
+        }
+        arrival.grouped(5).foreach { g =>
+          val (keep, drop) = g.partition { case (e, _) => e.ts.getTime >= wm }
+          dropped ++= drop.map(_._1.event_id)
+          call(keep.map(_._1), timedOut = false)
+          maxSeen = math.max(maxSeen, g.map(_._1.ts.getTime).max)
+          wm = math.max(wm, maxSeen - wMs)
+        }
+        wm = maxSeen + wMs + lMs + 60000L
+        call(Seq.empty, timedOut = true)
+        val ids = folded.map(_.event_id) ++ flagged ++ dropped
+        assert(ids.sorted === events.map(_._1.event_id).sorted,
+          s"folded=${folded.size} flagged=${flagged.size} dropped=${dropped.size}")
+        // sequential West-recurrence reference over exactly the folded set
+        val byId = events.map { case (e, _) => e.event_id -> e }.toMap
+        var m = Option.empty[Double]
+        var q = Option.empty[Double]
+        var n = 0L
+        val expected = folded.map(p => byId(p.event_id))
+          .sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val x = e.value.get
+            val vp = for (qq <- q; mm <- m) yield math.max(qq - mm * mm, 0.0)
+            val z = (m, vp) match {
+              case (Some(mm), Some(vv)) if n >= 2 && vv > 0.0 =>
+                Some((x - mm) / math.sqrt(vv))
+              case _ => None
+            }
+            m = Some(m.fold(x)(p0 => 0.25 * x + 0.75 * p0))
+            q = Some(q.fold(x * x)(p0 => 0.25 * x * x + 0.75 * p0))
+            n += 1
+            e.event_id -> ((m.get, math.max(q.get - m.get * m.get, 0.0), z,
+              if (z.exists(v => math.abs(v) > 3.0)) 1 else 0))
+          }.toMap
+        folded.foreach { p =>
+          val (em, ev, ez, ef) = expected(p.event_id)
+          assert(p.mean === Some(em), s"mean of ${p.event_id}")
+          assert(p.variance === Some(ev), s"variance of ${p.event_id}")
+          assert(p.z === ez, s"z of ${p.event_id}")
+          assert(p.is_anomaly === ef, s"flag of ${p.event_id}")
+        }
+      }
+    }
+  }
 }
