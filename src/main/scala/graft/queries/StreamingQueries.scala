@@ -87,8 +87,31 @@ object StreamingQueries {
           col("ts").cast("timestamp").as("ts"))
         .as[graft.streaming.StreamingTopK.ItemEvent]
       graft.streaming.StreamingTopK.monitor(ev, capacity = 64, k = 5)
+    }),
+
+    // windowed PSI drift monitor (batch replay of the one-aggregation
+    // streaming path): per (hour, event_type), the value distribution
+    // vs a fixed skewed reference (probs ∝ bin index + 1) over 16 bins
+    // of [0, 200) — width 12.5 exactly representable, smoothing and
+    // term order replayed by the oracle, ln rounded at 6dp (the q111
+    // discipline for cross-engine libm)
+    "q182_drift_stream" -> ((s, dir) => {
+      graft.streaming.DriftStream.psi(
+        Tables.events(s, dir).withColumn("ts_t", expr("cast(ts as timestamp)")),
+        refProbs = DRIFT_REF, lo = 0.0, hi = 200.0,
+        windowLength = "1 hour", watermark = "2 hours",
+        tsCol = "ts_t", groupCol = "event_type", valueCol = "value")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          round(col("psi"), 6).as("psi"))
     })
   )
+
+  /** q182's reference: probs ∝ (bin + 1) over 16 bins — deliberately
+    * skewed so PSI is non-trivial on the events table. The exact doubles
+    * (i+1)/136.0 are replayed by the oracle as CAST-double divisions.
+    */
+  private val DRIFT_REF: Seq[Double] = (1 to 16).map(_ / 136.0)
 
   val oracles: Map[String, String] = Map(
     "q28_sessionize" ->
@@ -193,6 +216,36 @@ object StreamingQueries {
         |)
         |SELECT r.grp AS "group", r.item, r.est, CAST(0 AS BIGINT) AS err,
         |  CAST(rnk AS INT) AS rank, g.n_group, g.as_of
-        |FROM r JOIN g USING (grp) WHERE rnk <= 5""".stripMargin
+        |FROM r JOIN g USING (grp) WHERE rnk <= 5""".stripMargin,
+
+    // q182: per-(hour, type) bin counts via FILTERed counts, then the
+    // engine's exact smoothing and FIXED-bin-order PSI sum, generated
+    // programmatically so the 16 terms chain left-to-right like the
+    // operator's reduce
+    "q182_drift_stream" -> {
+      val binCols = (0 until 16).map(i =>
+        s"count(*) FILTER (b = $i) AS c$i").mkString(",\n        |    ")
+      // CAST-double everything: a bare `(c0 + 0.5)` is DECIMAL arithmetic
+      // in the oracle engine, whose division rounds differently from the
+      // engine's IEEE doubles
+      val terms = (0 until 16).map { i =>
+        val p = s"((CAST(c$i AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + 8.0))"
+        val q = s"(CAST(${i + 1} AS DOUBLE) / CAST(136 AS DOUBLE))"
+        s"($p - $q) * ln($p / $q)"
+      }.reduce((a, b) => s"($a + $b)")
+      s"""WITH ev AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w, event_type,
+        |    greatest(0, least(15, CAST(floor((value - 0.0) / 12.5) AS INT))) AS b
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT w, event_type,
+        |    $binCols,
+        |    count(*) AS n
+        |  FROM ev GROUP BY 1, 2
+        |)
+        |SELECT w AS window_start_us, event_type, CAST(n AS BIGINT) AS n_events,
+        |  round($terms, 6) AS psi
+        |FROM c""".stripMargin
+    }
   )
 }
