@@ -221,7 +221,14 @@ object StreamingQueries {
     // q182: per-(hour, type) bin counts via FILTERed counts, then the
     // engine's exact smoothing and FIXED-bin-order PSI sum, generated
     // programmatically so the 16 terms chain left-to-right like the
-    // operator's reduce
+    // operator's reduce. The (window, group) key set comes from the
+    // UNFILTERED events table (b is NULL for a null/NaN value, and a
+    // FILTERed count skips NULL-b rows on its own): a bucket whose values
+    // are ALL null/NaN still surfaces with n_events=0 / psi NULL — the
+    // operator's "row still surfaces" monitor contract (r14 ADVICE; the
+    // old WHERE value IS NOT NULL form dropped such buckets from the
+    // oracle entirely). NaN is excluded WITH null, mirroring the
+    // operator's isnan branch.
     "q182_drift_stream" -> {
       val binCols = (0 until 16).map(i =>
         s"count(*) FILTER (b = $i) AS c$i").mkString(",\n        |    ")
@@ -235,16 +242,18 @@ object StreamingQueries {
       }.reduce((a, b) => s"($a + $b)")
       s"""WITH ev AS (
         |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w, event_type,
-        |    greatest(0, least(15, CAST(floor((value - 0.0) / 12.5) AS INT))) AS b
-        |  FROM events WHERE value IS NOT NULL
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |         ELSE greatest(0, least(15, CAST(floor((value - 0.0) / 12.5) AS INT)))
+        |         END AS b
+        |  FROM events
         |), c AS (
         |  SELECT w, event_type,
         |    $binCols,
-        |    count(*) AS n
+        |    count(b) AS n
         |  FROM ev GROUP BY 1, 2
         |)
         |SELECT w AS window_start_us, event_type, CAST(n AS BIGINT) AS n_events,
-        |  round($terms, 6) AS psi
+        |  CASE WHEN n > 0 THEN round($terms, 6) END AS psi
         |FROM c""".stripMargin
     }
   )

@@ -555,10 +555,17 @@ object TemporalQueries {
           expr("(unix_micros(cast(ts as timestamp))) div 86400000000")
             .cast("double").as("x"),
           col("value").as("y"), col("event_id"))
-      val slopes = ev.as("a").join(ev.as("b"),
-          col("a.user_id") === col("b.user_id") && col("a.x") < col("b.x"))
-        .select(col("a.user_id").as("user_id"),
-          ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("slope"))
+      // the b side is RENAMED before the join, not merely aliased: with
+      // bare `.as("a")`/`.as("b")` both join Columns resolve to the same
+      // attribute id and Spark falls back to its self-join disambiguation
+      // heuristic (the "trivially true equals predicate" warning in every
+      // bench tail) — correctness should never ride on that heuristic
+      val b = ev.select(col("user_id").as("user_id_b"),
+        col("x").as("xb"), col("y").as("yb"))
+      val slopes = ev.join(b,
+          col("user_id") === col("user_id_b") && col("x") < col("xb"))
+        .select(col("user_id"),
+          ((col("yb") - col("y")) / (col("xb") - col("x"))).as("slope"))
       slopes.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))

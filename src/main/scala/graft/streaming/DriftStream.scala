@@ -41,9 +41,9 @@ import org.apache.spark.sql.functions._
 object DriftStream {
 
   /** (window_start, group, n_events, psi) per tumbling window —
-    * `n_events` counts the NON-NULL observations (a null value is not a
-    * distribution sample; [[StreamMonitor.stats]] is the null-rate
-    * channel). `psi` is NULL when a (window, group) has zero
+    * `n_events` counts the NON-NULL, non-NaN observations (a null or NaN
+    * value is not a distribution sample; [[StreamMonitor.stats]] is the
+    * null-rate channel). `psi` is NULL when a (window, group) has zero
     * observations: no distribution to compare, but the row still
     * surfaces — the monitor contract.
     */
@@ -72,8 +72,13 @@ object DriftStream {
     // explicit null branch, NOT bare greatest/least: Spark's least SKIPS
     // nulls, so least(numBins-1, NULL) = numBins-1 and a null value would
     // silently land in the LAST bin as a phantom observation (the same
-    // null-skipping trap rankByValue and the variance clamp document)
-    val bin: Column = when(v.isNull, lit(null).cast("int"))
+    // null-skipping trap rankByValue and the variance clamp document).
+    // NaN is excluded with null: floor((NaN-lo)/width) is NaN and the
+    // non-ANSI double→int cast turns NaN into 0 — a NaN would otherwise
+    // silently count as a bin-0 observation (unlike null), and the oracle
+    // replay's strict NaN→INT cast would error. A NaN is not a
+    // distribution sample any more than a null is.
+    val bin: Column = when(v.isNull || isnan(v), lit(null).cast("int"))
       .otherwise(greatest(lit(0), least(lit(numBins - 1),
         floor((v - lit(lo)) / lit(width)).cast("int"))))
 

@@ -37,10 +37,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * == Emission contract ==
   *
-  * Per micro-batch, each group that received events (or flushed a timeout)
-  * emits its CURRENT top-k snapshot tagged with `n_group` (events folded
-  * so far) and `as_of` (the group's event-time frontier, epoch ms) —
-  * consumers keep the rows with the largest (as_of, n_group) per group.
+  * Per micro-batch, each group that received events emits its CURRENT
+  * top-k snapshot tagged with `n_group` (events folded so far) and
+  * `as_of` (the group's event-time frontier, epoch ms) — consumers keep
+  * the rows with the largest (as_of, n_group) per group. A timed-out
+  * group evicts SILENTLY: its state last changed when its last events
+  * folded, and that batch already emitted the identical snapshot — a
+  * flush-on-timeout would be a byte-for-byte duplicate row, not new
+  * information.
   * n_group ALONE is not a freshness key: idle eviction resets it, so a
   * group returning after eviction would emit smaller n_group values than
   * its pre-eviction snapshots; as_of is event time and only moves forward.
@@ -134,6 +138,10 @@ object StreamingTopK {
     require(group != null,
       "StreamingTopK: null group key — a corrupt key column stops the " +
         "monitor in both modes; filter or coalesce null groups upstream")
+    // silent eviction, deliberately (see the emission contract above): the
+    // state is unchanged since the batch that last folded events into it,
+    // so the "final" snapshot was already emitted then — re-emitting it
+    // here would hand consumers an exact-duplicate row per eviction
     if (state.hasTimedOut) {
       state.remove()
       return Iterator.empty
@@ -168,8 +176,14 @@ object StreamingTopK {
       s"idleGapSeconds ($idleGapSeconds) must be positive")
     import events.sparkSession.implicits._
     if (!events.isStreaming) {
+      // the per-item max event time rides the one (group, item) agg so
+      // totals below can derive ENTIRELY from `counts`: both consumers
+      // then share the identical counts exchange (runtime exchange reuse
+      // executes it once), so the input plan runs ONCE — the r14 ADVICE
+      // double-scan, where a separate groupBy(group) over raw `events`
+      // re-executed an expensive upstream frame, is gone
       val counts = events.toDF().groupBy(col("group"), col("item"))
-        .agg(count(lit(1)).as("est"))
+        .agg(count(lit(1)).as("est"), max(expr("unix_millis(ts)")).as("__mts"))
       val ranked = graft.sql.GroupedNtile.rankByValue(counts, "group", "est",
         descending = true, tieCols = Seq(col("item")), rankName = "rank")
       // n_group/as_of as a partial-aggregated one-row-per-group frame
@@ -178,9 +192,9 @@ object StreamingTopK {
       // item cardinality the sketch exists to avoid holding. Null groups
       // cannot reach this join: rankByValue fails loudly on them (and the
       // live transition raises the same way).
-      val totals = events.toDF().groupBy(col("group")).agg(
-        count(lit(1)).as("n_group"),
-        max(expr("unix_millis(ts)")).as("as_of"))
+      val totals = counts.groupBy(col("group")).agg(
+        sum(col("est")).as("n_group"),
+        max(col("__mts")).as("as_of"))
       ranked
         .where(col("rank") <= k)
         .join(totals, Seq("group"))

@@ -51,6 +51,35 @@ class DriftStreamSpec extends SparkTestBase {
       Some(refPsi(Seq(0L, 0L, 0L, 1L), uniform4)))
   }
 
+  test("NaN is excluded with null — never a phantom bin-0 observation") {
+    // pre-fix, floor((NaN-lo)/width) was NaN and the non-ANSI double->int
+    // cast turned it into bin 0: a NaN counted as a real low-end sample
+    // (r14 ADVICE). Same events as the hand-computed case plus one NaN:
+    // counts, n_events and psi must be IDENTICAL to the NaN-free fold.
+    val events = Seq(
+      DriftEv(ts(0), "click", 5.0),
+      DriftEv(ts(1), "click", 15.0),
+      DriftEv(ts(2), "click", Double.NaN),
+      DriftEv(ts(3), "click", null))
+    val got = DriftStream.psi(events.toDF(), uniform4, lo = 0.0, hi = 40.0)
+      .as[(Timestamp, String, Long, Option[Double])].collect()
+    assert(got.length === 1)
+    assert(got.head._3 === 2L) // NaN and null both excluded
+    assert(got.head._4 === Some(refPsi(Seq(1L, 1L, 0L, 0L), uniform4)))
+  }
+
+  test("an all-null/NaN (window, group) bucket still surfaces: n_events=0, psi NULL") {
+    val events = Seq(
+      DriftEv(ts(0), "click", null),
+      DriftEv(ts(1), "click", Double.NaN),
+      DriftEv(ts(2), "view", 25.0))
+    val got = DriftStream.psi(events.toDF(), uniform4, lo = 0.0, hi = 40.0)
+      .as[(Timestamp, String, Long, Option[Double])]
+      .collect().map(r => r._2 -> (r._3, r._4)).toMap
+    assert(got("click") === ((0L, None))) // row surfaces, no distribution
+    assert(got("view")._1 === 1L)
+  }
+
   test("out-of-range values clamp into the edge bins (the HistogramSketch convention)") {
     val events = Seq(
       DriftEv(ts(0), "x", -99.0), // below lo -> bin 0

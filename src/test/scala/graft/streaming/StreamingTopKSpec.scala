@@ -134,6 +134,31 @@ class StreamingTopKSpec extends SparkTestBase {
     assert(pressured("g").nonEmpty)
   }
 
+  test("batch path executes its input once: totals derive from the shared counts exchange") {
+    // both aggregation consumers (rank and totals) must read the SAME
+    // (group, item) counts exchange so the input plan runs once — the r14
+    // ADVICE double-scan re-executed an expensive upstream frame. The
+    // executed plan carries the proof: a ReusedExchange node, and exactly
+    // one scan of the input.
+    val events = Seq(
+      ItemEvent("g", "a", ts(0)), ItemEvent("g", "b", ts(1)),
+      ItemEvent("h", "a", ts(2))).toDS()
+    val df = StreamingTopK.monitor(events, capacity = 4, k = 2)
+    df.collect() // AQE finalizes the plan on execution
+    // AdaptiveSparkPlan.toString appends the pre-AQE "== Initial Plan =="
+    // (where nothing is reused yet) — count nodes in the FINAL section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      s"expected the counts exchange to be reused, plan:\n$plan")
+    // two scans, pinned: the live one under the shared counts exchange,
+    // plus rankByValue's internal bucket-prefix branch (re-partitioned by
+    // (group, bucket) — not exchange-identical, pre-existing machinery).
+    // Pre-fix this was THREE: the totals groupBy scanned raw events again.
+    assert("LocalTableScan".r.findAllIn(plan).size <= 2,
+      s"expected at most two input scans (counts + rank's prefix branch), plan:\n$plan")
+  }
+
   test("a null group refuses loudly in the live mode (batch already does)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ItemEvent]
