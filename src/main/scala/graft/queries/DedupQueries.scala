@@ -74,6 +74,26 @@ object DedupQueries {
         .select(col("fingerprint"))
     }),
 
+    // the STREAMING near-dup detector's batch route (the q177 pattern):
+    // the SAME banding + band-equality join + exact-Jaccard verify plan
+    // the live stream runs, on the seeded corpus with a planted event-time
+    // axis — minute (doc_id % 1000), with EVEN-source near-dup probe
+    // copies shifted +45 min so the join's ±30 min time bound genuinely
+    // prunes (those pairs band-collide and verify at j >= 0.5, yet must
+    // NOT appear; odd-source probes at Δt=0 must). ts_a is orientation-
+    // arbitrary after the pair dedup, so the deterministic surface is
+    // (id_a, id_b, jaccard).
+    "q183_streaming_neardup" -> ((s, dir) => {
+      val docs = seeded(s, dir).withColumn("ts", expr(
+        """timestamp_micros(((doc_id % 1000) * 60 +
+          |  CASE WHEN doc_id >= 200000 AND doc_id % 2 = 0 THEN 2700 ELSE 0 END
+          |) * 1000000)""".stripMargin))
+      graft.streaming.StreamingNearDup.pairs(docs, "doc_id", "text", "ts",
+        delay = "30 minutes", k = 8, numHashes = 12, numBands = 4,
+        threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // exact dedup: normalize → sha2 fingerprint → keep lowest id per group.
     // The 50 seeded identical copies collapse onto their originals.
     "q19_dedup_exact" -> ((s, dir) => {
@@ -395,6 +415,63 @@ object DedupQueries {
           |WHERE jaccard >= 0.5
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
           |SELECT -1, -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
+    // q183: q20's full MinHash-band replay plus the stream join's ±30 min
+    // event-time bound (the planted axis: minute doc_id % 1000, even-source
+    // probe copies shifted +45 min). The bound is applied to the CANDIDATE
+    // pairs — verification is a pure filter, so band ∧ time ∧ jaccard
+    // composes in any order.
+    "q183_streaming_neardup" ->
+      (seededSql +
+        """, tsx AS (
+          |  SELECT doc_id,
+          |    ((doc_id % 1000) * 60 +
+          |      CASE WHEN doc_id >= 200000 AND doc_id % 2 = 0 THEN 2700 ELSE 0 END
+          |    ) * 1000000 AS ts_us
+          |  FROM norm
+          |), sh AS (
+          |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
+          |  FROM norm CROSS JOIN range(1, 700) t(i)
+          |  WHERE i <= greatest(length(norm) - 7, 1)
+          |), hashed AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+          |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+          |  FROM sh
+          |), sig AS (
+          |  SELECT doc_id, CAST(j AS INT) AS seed,
+          |         min((h1 + j * h2) % 72057594037927936) AS minhash
+          |  FROM hashed CROSS JOIN range(0, 12) t(j)
+          |  GROUP BY 1, 2
+          |), bands AS (
+          |  SELECT doc_id, seed // 3 AS band,
+          |         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS bandsig
+          |  FROM sig GROUP BY doc_id, seed // 3
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a
+          |  JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+          |  JOIN tsx ta ON ta.doc_id = a.doc_id
+          |  JOIN tsx tb ON tb.doc_id = b.doc_id
+          |  WHERE abs(ta.ts_us - tb.ts_us) <= 1800000000
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+          |), inter AS (
+          |  SELECT c.id_a, c.id_b, count(*) AS i
+          |  FROM cand c
+          |  JOIN sh x ON x.doc_id = c.id_a
+          |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+          |  GROUP BY 1, 2
+          |), jac AS (
+          |  SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+          |  FROM inter
+          |  JOIN sizes sa ON sa.doc_id = id_a
+          |  JOIN sizes sb ON sb.doc_id = id_b
+          |)
+          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
+          |WHERE jaccard >= 0.5
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+          |SELECT -1, -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
+
     "q25_simhash" -> simhashSql,
     "q36_simhash_pairs" ->
       (seededSql + simhashChain +

@@ -61,8 +61,17 @@ object StreamingNearDup {
   }
 
   /** Verified near-dup pairs `(id_a, id_b, ts_a, jaccard)` among stream
-    * rows within `delay` of each other (e.g. `"30 minutes"`). `df` must be
-    * a streaming frame with event-time column `tsCol`.
+    * rows within `delay` of each other (e.g. `"30 minutes"`).
+    *
+    * On a BATCH frame the same plan runs as the backfill route (the q177
+    * pattern, oracle-gated by q183): the watermark is eliminated, the
+    * stream-stream join degenerates to a plain self-join with the same
+    * band-equality + time-range condition, and the pair dedup is a plain
+    * `dropDuplicates` (`dropDuplicatesWithinWatermark` itself refuses
+    * batch frames). `ts_a` is NOT deterministic across the pair's two join
+    * orientations (the survivor of the dedup is arbitrary) — deterministic
+    * consumers project (id_a, id_b, jaccard), which is orientation-
+    * invariant.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, tsCol: String,
       delay: String, k: Int = 8, numHashes: Int = 12, numBands: Int = 4,
@@ -78,7 +87,7 @@ object StreamingNearDup {
     // constraint from every </<= conjunct of a stream-stream join
     // condition and hits an internal error on non-temporal attributes;
     // `=!=` takes a code path it skips.
-    a.join(b,
+    val verified = a.join(b,
         col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
           col("id_a") =!= col("id_b") &&
           col("ts_b").between(
@@ -93,6 +102,7 @@ object StreamingNearDup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
         col("ts_a"), col("jaccard"))
-      .dropDuplicatesWithinWatermark("id_a", "id_b")
+    if (df.isStreaming) verified.dropDuplicatesWithinWatermark("id_a", "id_b")
+    else verified.dropDuplicates("id_a", "id_b")
   }
 }

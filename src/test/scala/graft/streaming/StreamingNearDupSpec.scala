@@ -54,6 +54,48 @@ class StreamingNearDupSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("batch route: same pairs as the live stream, one arbitrary row per pair") {
+    // the q183 oracle surface — pairs() on a non-streaming frame takes the
+    // dropDuplicates branch (dropDuplicatesWithinWatermark refuses batch)
+    // and must produce the identical (id_a, id_b, jaccard) set the
+    // MemoryStream run emits
+    implicit val sqlCtx = spark.sqlContext
+    val batchPairs = StreamingNearDup.pairs(docs.toDS().toDF(),
+      "doc_id", "text", "ts", delay = "30 minutes",
+      k = 8, numHashes = 12, numBands = 4, threshold = 0.5)
+    assert(!batchPairs.isStreaming)
+    val got = batchPairs.select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().sorted
+
+    val input = MemoryStream[Doc]
+    val out = StreamingNearDup.pairs(input.toDF(), "doc_id", "text", "ts",
+      delay = "30 minutes", k = 8, numHashes = 12, numBands = 4, threshold = 0.5)
+    val query = out.writeStream
+      .format("memory").queryName("neardup_batch_parity").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      input.addData(Doc(99L, ts(120), "watermark advancing row xyz"))
+      query.processAllAvailable()
+      val streamed = spark.table("neardup_batch_parity")
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().sorted
+      assert(got.nonEmpty && got.toSeq === streamed.toSeq)
+      // exactly one row per pair key in the batch route
+      assert(got.map(p => (p._1, p._2)).distinct.length === got.length)
+    } finally query.stop()
+  }
+
+  test("batch route: the time bound prunes band-colliding true near-dups") {
+    // identical text 60 min apart with a 10 min bound: band collision and
+    // jaccard = 1, yet no pair — the q183 planted +45 min shift relies on
+    // exactly this pruning
+    val far = Seq(docs.head, Doc(50L, ts(60), docs.head.text))
+    val got = StreamingNearDup.pairs(far.toDS().toDF(),
+      "doc_id", "text", "ts", delay = "10 minutes", numBands = 4, threshold = 0.5)
+    assert(got.count() === 0L)
+  }
+
   test("rows outside the watermark window do not pair") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
