@@ -215,6 +215,43 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id"), col("adc"), col("rank"))
     }),
 
+    // maintained-IVF layout end-to-end (r14 ask #5): bootstrap on the
+    // first 200 vectors, append the rest as six modulo micro-batches
+    // through appendBatch — the exact foreachBatch path minus the engine's
+    // trigger loop — with maxFilesPerCell=4 so in-place compaction FIRES
+    // TWICE (era count crosses the watermark at batches 4 and 6: pointer
+    // cutover, generation sweep, the works), then reopen with load() and
+    // serve q21-style probes from the compacted layout. The oracle replays
+    // bootstrap-only training (16 lowest-id seeds of vec_id < 200 + one
+    // Lloyd step), assigns the FULL corpus against those frozen centroids,
+    // and runs the probe/top-5 composition — a row duplicated or dropped
+    // anywhere in the append/compaction/pointer machinery is a hash
+    // mismatch, not just a spec failure.
+    "q184_ivf_maintained_search" -> ((s, dir) => {
+      val e = vectors(s, dir)
+      val ivf = new IvfCosineIndex(numCentroids = 16, nprobe = 4, dim = Some(64))
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q184_maintained_${ProcessHandle.current().pid()}"
+      SimilarityQueries.cleanupOnExit(root)
+      // fresh layout per run: the maintainer's fresh-checkpoint guard (by
+      // design) refuses batch ids at or below the highest era a previous
+      // in-process run left behind, and a rerun must re-exercise the full
+      // bootstrap → append → compact lattice, not serve stale files
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val maintainer = new graft.streaming.IvfStreamMaintainer(
+        ivf, root, maxFilesPerCell = 4)
+      maintainer.bootstrap(e.where(col("vec_id") < 200))
+      (1 to 6).foreach { i =>
+        maintainer.appendBatch(
+          e.where(col("vec_id") >= 200 && col("vec_id") % 6 === (i - 1)),
+          batchId = i.toLong)
+      }
+      ivf.search(e.where(col("vec_id") < 5), maintainer.load(s), k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // OPQ application served from a COMMITTED trained artifact (the
     // carried round-9 ask): the rotation (SVD-trained — not SQL-
     // expressible) + the codebook trained in the rotated space live as a
@@ -594,6 +631,60 @@ object SimilarityQueries {
     // persistence is exact (parquet doubles), so its oracle IS q116's SQL —
     // the contract that save/load is an identity on the search result
     "q164_ivfpq_artifact_search" -> q116Sql,
+    // q184: q114's bootstrap-training replay (seeds + one Lloyd step on
+    // vec_id < 200), full-corpus assignment against the frozen centroids,
+    // then the q21-style probe/top-5 — the maintained layout must serve
+    // exactly what a direct build-over-everything of the SAME centroids
+    // would
+    "q184_ivf_maintained_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e0 AS (SELECT * FROM e WHERE vec_id < 200),
+        |seeds0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT 16)),
+        |b0 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT a.vec_id, s.cid,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.v, s.cv) DESC, s.cid) AS rn
+        |    FROM e0 a CROSS JOIN seeds0 s)
+        |  WHERE rn = 1
+        |), bcomps AS (
+        |  SELECT b0.cid, CAST(i AS INT) - 1 AS pos, v[CAST(i AS INT)] AS x
+        |  FROM e0 JOIN b0 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        |  WHERE i <= len(v)
+        |), bcents AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv
+        |  FROM (SELECT cid, pos, avg(x) AS m FROM bcomps GROUP BY 1, 2)
+        |  GROUP BY cid
+        |), lists AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT a.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid) AS rn
+        |    FROM e a CROSS JOIN bcents c)
+        |  WHERE rn = 1
+        |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT query_id, qv, cid FROM (
+        |    SELECT q.query_id, q.qv, c.cid,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN bcents c)
+        |  WHERE rn <= 4
+        |), res AS (
+        |  SELECT p.query_id, l.vec_id,
+        |    list_cosine_similarity(p.qv, e.v) AS cos
+        |  FROM probes p JOIN lists l ON l.cid = p.cid
+        |  JOIN e ON e.vec_id = l.vec_id
+        |  WHERE p.query_id <> l.vec_id
+        |)
+        |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
+        |FROM (SELECT query_id, vec_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM res)
+        |WHERE rnk <= 5
+        |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
+        |SELECT -1, -1, -1.0, -1 WHERE (SELECT max(len(v)) FROM e) > 64""".stripMargin,
 
     // independent replay of the OPQ application path from the SAME
     // committed fixture the query loads: rotated component i =
