@@ -25,6 +25,29 @@ import scala.util.chaining._
   * (`"qprec":"ds","qt":[...]` — see the encoding comment in main) plus two
   * scalar totals (`gc_s`, `spill_mb`); bench_out.json keeps the keyed
   * full-name ms-precision map and full telemetry.
+  *
+  * r15 (the r14 q120 incident — a contractual 270.8 s reading, 44× the
+  * snapshot, that the driver artifact could neither confirm nor refute):
+  * the printed line now carries its own attribution —
+  *   - `"load":N` — the MAX 1-min system load sampled across the query
+  *     windows (a 32-cpu box reading 60+ says contention at a glance);
+  *   - `"tt":[...]` — positional per-query executor task time in WHOLE
+  *     seconds (same -1 gap convention as `qt`; spans all timed passes,
+  *     like bench_out's task_ms). Wall time up, task time flat = the work
+  *     didn't grow, the host did;
+  *   - `"ph":"..."` — positional fixed-width 3-hex-char prefixes of the
+  *     per-query plan hashes (`---` = gap). Equal prefix across runs =
+  *     same plan to 1/4096; bench_out.json keeps the full 8-char hashes;
+  *   - `"rm":{"q120":61,...}` — the in-run OUTLIER RE-MEASURE: any query
+  *     whose min-pass exceeds 3× (and +1 s over) its committed snapshot
+  *     time (classpath resource `graft/bench_baseline.json`, regenerated
+  *     per round from BENCHOUT_r{N}) is re-run once after the whole suite
+  *     finishes, on a settled heap; the re-measured decisecond time prints
+  *     beside the original (which still counts — the contract min is
+  *     unchanged). A transient-contention outlier re-measures near
+  *     baseline; a real regression re-measures high twice.
+  * If the line outgrows the 1900-byte window the attribution degrades
+  * gracefully (drop `ph`, then `tt`) before the whole-second qt fallback.
   */
 object Bench {
 
@@ -164,6 +187,22 @@ object Bench {
       at = plan.indexOf(marker, pos)
     }
     sb.append(plan.substring(pos)).toString
+  }
+
+  /** Committed per-query snapshot times (full name → seconds) for the
+    * in-run outlier re-measure — the classpath resource is regenerated
+    * each round from the sanctioned min-merged BENCHOUT snapshot, so the
+    * re-measure trigger compares against the same numbers the judge does.
+    * Absent resource (or a fresh checkout) disables the mechanism.
+    */
+  private[graft] def loadBaseline(): Map[String, Double] = {
+    val in = getClass.getResourceAsStream("/graft/bench_baseline.json")
+    if (in == null) Map.empty
+    else try {
+      val txt = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } finally in.close()
   }
 
   private[graft] def normalizePlan(plan: String): String =
@@ -399,6 +438,34 @@ object Bench {
       }
     }
 
+    // in-run outlier re-measure (r14 ask #3): a query whose min-pass landed
+    // far above its committed snapshot time gets ONE more settled pass after
+    // the whole suite finishes — by then any transient co-tenant burst has
+    // had the suite's full duration to pass, so a near-baseline re-measure
+    // says "contention", a still-high one says "real". The original min
+    // stays the contract value either way; the re-measure is a parallel
+    // channel (`rm` on the printed line, `remeasure` in bench_out.json).
+    // The r14 q120 incident (270.8 s printed, 6.1 s reproducible) would
+    // have carried its own refutation.
+    val baseline = loadBaseline()
+    val remeasured: Seq[(String, Double)] = results.flatMap { case (name, t) =>
+      baseline.get(name).filter(b => t > 3.0 * b && t - b > 1.0).map { _ =>
+        if (!sys.env.contains("SPARK_GRAFT_NO_SETTLE")) {
+          System.gc()
+          Thread.sleep(50)
+        }
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // -1.0 = the re-run itself failed (keep the artifact shape; the
+        // original min-pass time still stands in qt)
+        val rt = try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        name -> rt
+      }
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -478,27 +545,64 @@ object Bench {
     // bench_out.json on disk
     val head = s""""metric":"total","value":${num(total)},"unit":"sec""""
     val tele2 = s""""gc_s":${num(totalGc)},"spill_mb":$totalSpill"""
+    // driver-channel attribution (r14 ask #2) — see the class doc:
+    // load = the run's WORST sampled 1-min load; tt = positional whole-
+    // second task times; ph = positional 3-hex plan-hash prefixes; rm =
+    // the outlier re-measures (decisecond, absent when none flagged)
+    val maxId = if (ids.isEmpty) 0 else ids.max
+    val loadMax =
+      if (results.isEmpty) -1.0 else results.map(r => tele(r._1)._11).max
+    val ttById = results.map { case (k, _) =>
+      qid(k) -> math.round(tele(k)._9 / 1000.0) }.toMap
+    val ttArray = (1 to maxId)
+      .map(i => ttById.getOrElse(i, -1L).toString).mkString("[", ",", "]")
+    val phById = results.map { case (k, _) => qid(k) -> tele(k)._10.take(3) }.toMap
+    val phString = (1 to maxId).map(i => phById.getOrElse(i, "---")).mkString
+    val rmJson =
+      if (remeasured.isEmpty) ""
+      else remeasured.map { case (k, v) =>
+        jstr(short(k)) + ":" + (if (v < 0) "-1" else math.round(v * 10).toString)
+      }.mkString(""","rm":{""", ",", "}")
+    val loadJson = s""","load":${jsonNum(loadMax, 2)}"""
     // printed sf is the basename (the full path costs 20 bytes of the
     // 1900-byte window and the driver records sf separately anyway)
     val sfShort = new java.io.File(sfDir).getName
-    val line =
-      s"""{$head,"qprec":"ds","qt":${qtArray(10)},"errors":$eJsonShort,$tele2,"sf":${jstr(sfShort)}}"""
+    def assemble(withTt: Boolean, withPh: Boolean): String = {
+      val attr = loadJson +
+        (if (withTt) s""","tt":$ttArray""" else "") +
+        (if (withPh) s""","ph":"$phString"""" else "") +
+        rmJson
+      s"""{$head,"qprec":"ds","qt":${qtArray(10)},"errors":$eJsonShort$attr,$tele2,"sf":${jstr(sfShort)}}"""
+    }
+    val line = assemble(withTt = true, withPh = true)
+    val rmFull =
+      if (remeasured.isEmpty) ""
+      else remeasured.map { case (k, v) => jstr(k) + ":" + num(v) }
+        .mkString(""","remeasure":{""", ",", "}")
     val lineFull =
-      s"""{$head,"queries":$qJsonFull,"errors":$eJson,$tele2,""" +
+      s"""{$head,"queries":$qJsonFull,"errors":$eJson$loadJson$rmFull,$tele2,""" +
         s""""telemetry":$teleJson,"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), lineFull + "\n")
-    // last-resort degrade instead of a silent driver-side clip: at
-    // ~3 B/query the decisecond array holds ~550 queries in the 1900-byte
-    // window; if the suite ever outgrows even that, halve resolution to
-    // whole seconds and collapse the error map to a count. Loud on stderr
-    // so the next builder rethinks the encoding instead of inheriting the
-    // floor.
+    // graceful degrade instead of a silent driver-side clip: shed the
+    // attribution channels first (ph, then tt — qt and rm are the
+    // contract), then fall to the whole-second floor. Loud on stderr so
+    // the next builder rethinks the encoding instead of inheriting it.
     val printedLine =
       if (line.length <= 1900) line
       else {
-        System.err.println(s"[bench] printed line ${line.length}B > 1900B window; " +
-          "degrading per-query times to whole seconds — time to rethink the printed encoding")
-        s"""{$head,"qprec":"sec","qt":${qtArray(1)},"errors":{"n":${errors.size}},$tele2,"sf":${jstr(sfShort)}}"""
+        val noPh = assemble(withTt = true, withPh = false)
+        val noTtPh = assemble(withTt = false, withPh = false)
+        if (noPh.length <= 1900) {
+          System.err.println(s"[bench] printed line ${line.length}B > 1900B window; dropped ph")
+          noPh
+        } else if (noTtPh.length <= 1900) {
+          System.err.println(s"[bench] printed line ${line.length}B > 1900B window; dropped ph+tt")
+          noTtPh
+        } else {
+          System.err.println(s"[bench] printed line ${line.length}B > 1900B window even bare; " +
+            "degrading per-query times to whole seconds — time to rethink the printed encoding")
+          s"""{$head,"qprec":"sec","qt":${qtArray(1)},"errors":{"n":${errors.size}},$tele2,"sf":${jstr(sfShort)}}"""
+        }
       }
     println(printedLine)
     spark.stop()

@@ -98,6 +98,46 @@ object BenchDiff {
     }
   }
 
+  /** r15+ driver lines carry positional ATTRIBUTION channels beside `qt`:
+    * `"ph":"a7cf01..."` — fixed-width 3-hex-char plan-hash prefixes
+    * (`---` = gap), `"tt":[...]` — whole-second task times (-1 = gap),
+    * `"load":N` — the run's max sampled 1-min load, and `"rm":{"qNN":ds}`
+    * — post-suite outlier re-measures. These decoders feed [[classify]]'s
+    * fallback paths so CONTENTION/ENVIRONMENTAL attribution runs on the
+    * driver artifact itself, not only on bench_out snapshots.
+    */
+  private[tools] def positionalPlans(json: String): Map[String, String] =
+    """"ph"\s*:\s*"([0-9a-f\-]*)"""".r.findFirstMatchIn(json).map { m =>
+      m.group(1).grouped(3).zipWithIndex
+        .filter(_._1 != "---")
+        .map { case (h, i) => f"q${i + 1}%02d" -> h }.toMap
+    }.getOrElse(Map.empty)
+
+  private[tools] def positionalTaskMs(json: String): Map[String, Long] =
+    """"tt"\s*:\s*\[([-0-9,\s]*)\]""".r.findFirstMatchIn(json).map { m =>
+      m.group(1).split(",").iterator.map(_.trim).filter(_.nonEmpty).zipWithIndex
+        .filter(_._1 != "-1")
+        .map { case (v, i) => f"q${i + 1}%02d" -> v.toLong * 1000L }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The run-level load scalar — only read when the artifact has NO
+    * telemetry section (a driver line); in bench_out.json the first
+    * `"load":` match would be some query's per-window sample, not the
+    * run max, and the per-query channel is strictly better there.
+    */
+  private[tools] def scalarLoad(json: String): Option[Double] =
+    if (objStart(json, "telemetry") >= 0) None
+    else """"load"\s*:\s*(-?[0-9.]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+
+  /** Post-suite re-measures from a driver line: short name → seconds. */
+  private[tools] def remeasures(json: String): Map[String, Double] =
+    ("\"rm\"\\s*:\\s*(\\{[^}]*\\})").r.findFirstMatchIn(json).map { m =>
+      """"(q\d+)"\s*:\s*(-?[0-9]+)""".r.findAllMatchIn(m.group(1))
+        .filter(_.group(2) != "-1")
+        .map(x => x.group(1) -> x.group(2).toDouble / 10.0).toMap
+    }.getOrElse(Map.empty)
+
   /** Per-query times from any bench artifact shape this project has ever
     * emitted. r14+ driver lines carry a POSITIONAL per-query array
     * (`"qprec":"ds","qt":[5,12,-1,...]` — qt[i] is q(i+1)'s time in 0.1 s
@@ -233,21 +273,43 @@ object BenchDiff {
     */
   private[tools] def classify(oldJson: String, newJson: String,
       kOld: String, kNew: String): String = {
-    val pOld = teleField(oldJson, kOld, "plan")
-    val pNew = teleField(newJson, kNew, "plan")
-    (pOld, pNew) match {
-      case (Some(a), Some(b)) if a != b => "PLAN-FLIP"
+    def sn(k: String) = k.takeWhile(_ != '_')
+    // every channel reads the keyed telemetry first (bench_out.json) and
+    // falls back to the r15 positional driver-line channels, so the
+    // classifier runs on the contractual artifact itself (r14 ask #2)
+    def planOf(json: String, k: String): Option[String] =
+      teleField(json, k, "plan").orElse(positionalPlans(json).get(sn(k)))
+    def taskOf(json: String, k: String): Option[Double] =
+      teleField(json, k, "task_ms").map(_.toDouble)
+        .orElse(positionalTaskMs(json).get(sn(k)).map(_.toDouble))
+    def loadOf(json: String, k: String): Option[Double] =
+      teleField(json, k, "load").map(_.toDouble).orElse(scalarLoad(json))
+    // the printed channel truncates hashes to 3 hex chars — compare on the
+    // common prefix, so a full 8-char snapshot hash and a driver-line
+    // prefix of the SAME plan read as same-plan (resolution 1/4096)
+    def samePlan(a: String, b: String): Boolean = {
+      val n = math.min(a.length, b.length)
+      n > 0 && a.take(n) == b.take(n)
+    }
+    (planOf(oldJson, kOld), planOf(newJson, kNew)) match {
+      case (Some(a), Some(b)) if !samePlan(a, b) => "PLAN-FLIP"
       case (Some(_), Some(_)) =>
-        val flatTask = (for (
-            t0 <- teleField(oldJson, kOld, "task_ms");
-            t1 <- teleField(newJson, kNew, "task_ms"))
-          yield t1.toDouble <= t0.toDouble * 1.15 + 50.0).getOrElse(false)
+        val flatTask = (for (t0 <- taskOf(oldJson, kOld); t1 <- taskOf(newJson, kNew))
+          yield t1 <= t0 * 1.15 + 50.0).getOrElse(false)
         val loads = for (
-            l0 <- teleField(oldJson, kOld, "load");
-            l1 <- teleField(newJson, kNew, "load"))
-          yield (l0.toDouble, l1.toDouble)
+            l0 <- loadOf(oldJson, kOld);
+            l1 <- loadOf(newJson, kNew))
+          yield (l0, l1)
         val elevatedLoad = loads.exists { case (l0, l1) => l1 >= 4.0 && l1 > l0 }
-        if (flatTask && elevatedLoad) {
+        // a driver-line re-measure that landed back near the old time is
+        // contention evidence even without the load/task channels: the
+        // same JVM reproduced the committed cost minutes later
+        val rmBack = remeasures(newJson).get(sn(kNew)).exists { rm =>
+          queryTimes(oldJson).map { case (k, v) => sn(k) -> v }
+            .get(sn(kOld)).exists(o => rm <= o * 2.0 + 0.1)
+        }
+        if (rmBack) "CONTENTION(same plan, in-run re-measure returned to baseline)"
+        else if (flatTask && elevatedLoad) {
           val (l0, l1) = loads.get
           f"CONTENTION(same plan, flat task_ms, load $l0%.1f->$l1%.1f)"
         } else "ENVIRONMENTAL(same plan)"

@@ -223,6 +223,54 @@ class BenchDiffSpec extends AnyFunSuite {
       tele("aa", 1000, 7.5), "q01", "q01_a") === "NO-HASH")
   }
 
+  test("positional driver-line decoders: ph, tt, load, rm (r15 attribution channels)") {
+    val line = """{"metric":"total","value":9.9,"unit":"sec","qprec":"ds",""" +
+      """"qt":[5,-1,2708],"errors":{},"load":27.50,"tt":[1,-1,271],""" +
+      """"ph":"a7c---f01","rm":{"q03":61},"gc_s":1.0,"spill_mb":0,"sf":"sf0.1"}"""
+    assert(BenchDiff.positionalPlans(line) === Map("q01" -> "a7c", "q03" -> "f01"))
+    assert(BenchDiff.positionalTaskMs(line) === Map("q01" -> 1000L, "q03" -> 271000L))
+    assert(BenchDiff.scalarLoad(line) === Some(27.5))
+    assert(BenchDiff.remeasures(line) === Map("q03" -> 6.1))
+    // a failed re-measure (-1) is dropped, not read as -0.1 s
+    val failedRm = line.replace(""""rm":{"q03":61}""", """"rm":{"q03":-1}""")
+    assert(BenchDiff.remeasures(failedRm) === Map.empty)
+    // bench_out.json (has a telemetry section): the scalar-load decoder
+    // must NOT grab some query's per-window sample
+    val benchOut = """{"metric":"total","telemetry":{"q01_a":{"load":3.10}}}"""
+    assert(BenchDiff.scalarLoad(benchOut) === None)
+  }
+
+  test("classify runs on the driver line itself (the r14 q120 incident shape)") {
+    // old = a committed bench_out snapshot (full 8-char hash, telemetry);
+    // new = the driver's printed line (3-char prefix, positional channels)
+    val snapshot =
+      """{"metric":"total","value":6.1,"unit":"sec","queries":{"q03_setsim":6.1},""" +
+        """"telemetry":{"q03_setsim":{"t1":9.5,"t2":6.1,"gc_ms":689,""" +
+        """"task_ms":195000,"plan":"a7c7693d","load":9.92}},"sf":"x"}"""
+    def driver(ph: String, rm: String) =
+      s"""{"metric":"total","value":270.8,"unit":"sec","qprec":"ds",""" +
+        s""""qt":[-1,-1,2708],"errors":{},"load":31.40,"tt":[-1,-1,3890],""" +
+        s""""ph":"------$ph"$rm,"gc_s":107.9,"spill_mb":0,"sf":"sf0.1"}"""
+    // same plan prefix + the in-run re-measure returned to the committed
+    // time: the artifact itself says CONTENTION — no manual re-run needed
+    assert(BenchDiff.classify(snapshot, driver("a7c", ""","rm":{"q03":63}"""),
+      "q03_setsim", "q03").startsWith("CONTENTION"))
+    // same plan prefix, no re-measure, task time GREW with the wall time:
+    // not provably queueing — stays ENVIRONMENTAL
+    assert(BenchDiff.classify(snapshot, driver("a7c", ""),
+      "q03_setsim", "q03") === "ENVIRONMENTAL(same plan)")
+    // different prefix: a real plan flip, whatever the load says
+    assert(BenchDiff.classify(snapshot, driver("b12", ""),
+      "q03_setsim", "q03") === "PLAN-FLIP")
+  }
+
+  test("Bench.loadBaseline reads the committed snapshot resource") {
+    val b = graft.Bench.loadBaseline()
+    assert(b.nonEmpty, "bench_baseline.json resource missing from classpath")
+    // the q120 incident query must be present with its snapshot-scale time
+    assert(b.get("q120_setsim_join").exists(t => t > 1.0 && t < 60.0))
+  }
+
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
     val driver = """{"n":10,"rc":0,"note":"outer \"escaped\" stays",""" +
       """"tail":"{\"metric\":\"total\",\"queries\":{\"q01\":0.5,\"q02\":1.2}}",""" +
