@@ -78,6 +78,16 @@ class SetSimilarityJoin(
     * what lets AQE keep the verify/prefix joins BROADCAST — worth far more
     * than compute-once. Bench telemetry (task_ms, plan hash) now makes any
     * full-run deviation from this plan attributable from the artifact.
+    *
+    * r15 incident follow-up (BENCHDIFF_r15 §1): after a contractual bench
+    * window read 270.8 s for q120, the quiet min-of-7 re-measure was
+    * 7.6 s with the SAME plan hash, and by-hand heap-capped runs at sf0.1
+    * measured the pressure envelope: -Xmx3g → 12.6 s warm, -Xmx2g (≈⅓ of
+    * the unconstrained 6.3 GB pool peak) → 11.3 s warm. No cliff; the
+    * reading was host CPU starvation. An explicit broadcast() pin was
+    * considered and REJECTED: the demotion-sensitive sides (dfreq =
+    * vocabulary, prefix = corpus × prefix-len) are unbounded at the
+    * design scale, so a pin that helps a bench input OOMs the real one.
     */
   private def sorted(sets: DataFrame): DataFrame = {
     val toks = graft.sql.functions.spread(

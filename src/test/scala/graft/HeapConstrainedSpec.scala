@@ -21,6 +21,13 @@ import scala.sys.process._
   * the same harness at sf0.1/-Xmx3g/32 threads was run by hand in round 9:
   * all five complete, q120 7.9 s vs 5.6 s unconstrained with the SAME
   * final plan hash (a7c7693d) — pressure costs GC time, not the plan.
+  *
+  * Round-15 by-hand tier (the q120 incident follow-up, BENCHDIFF_r15 §1):
+  * q120 alone at sf0.1/32 threads under -Xmx3g → 26.6 s cold / 12.6 s
+  * warm, and under -Xmx2g (≈⅓ of its unconstrained 6.3 GB pool peak) →
+  * 32.1 s cold / 11.3 s warm — completion with bounded GC even at a third
+  * of its preferred heap. Pressure sensitivity for q120 is a MEASURED
+  * ≤2× warm envelope, not a cliff.
   */
 class HeapConstrainedSpec extends AnyFunSuite {
 
