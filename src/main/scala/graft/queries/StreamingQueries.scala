@@ -104,6 +104,24 @@ object StreamingQueries {
         .select(unix_micros(col("window_start")).as("window_start_us"),
           col("event_type"), col("n_events"),
           round(col("psi"), 6).as("psi"))
+    }),
+
+    // windowed quantile monitor (batch replay of the one-aggregation
+    // streaming path): per (hour, event_type), interpolated histogram
+    // p50/p90/p99 of value over 32 bins of [0, 200) — width 6.25 exactly
+    // representable, the rank-target/interpolation arithmetic replayed by
+    // the oracle in the identical +,·,/ order, outputs rounded at 6dp
+    "q185_quantile_stream" -> ((s, dir) => {
+      graft.streaming.QuantileStream.quantiles(
+        Tables.events(s, dir).withColumn("ts_t", expr("cast(ts as timestamp)")),
+        qs = Seq(0.5, 0.9, 0.99), lo = 0.0, hi = 200.0, numBins = 32,
+        windowLength = "1 hour", watermark = "2 hours",
+        tsCol = "ts_t", groupCol = "event_type", valueCol = "value")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          round(col("q_50"), 6).as("q_50"),
+          round(col("q_90"), 6).as("q_90"),
+          round(col("q_99"), 6).as("q_99"))
     })
   )
 
@@ -255,6 +273,53 @@ object StreamingQueries {
         |SELECT w AS window_start_us, event_type, CAST(n AS BIGINT) AS n_events,
         |  CASE WHEN n > 0 THEN round($terms, 6) END AS psi
         |FROM c""".stripMargin
-    }
+    },
+
+    // q185: bins-as-rows replay of the quantile walk. The engine's
+    // estimator is replayed term-for-term: t = ceil(q · n) on doubles,
+    // pick = LEAST bin whose cumulative count reaches t, est = lo +
+    // width·(b + (t − cumBefore)/cnt) — +,·,/ only, same order, width
+    // 6.25 exact. The (window, group) key set comes from the unfiltered
+    // table (all-null buckets surface with n_events=0 / NULL quantiles,
+    // the monitor contract), and NaN is excluded with null.
+    "q185_quantile_stream" ->
+      """WITH ev AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w, event_type,
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |         ELSE greatest(0, least(31, CAST(floor((value - 0.0) / 6.25) AS INT)))
+        |         END AS b
+        |  FROM events
+        |), g AS (
+        |  SELECT w, event_type, count(b) AS n FROM ev GROUP BY 1, 2
+        |), bins AS (
+        |  SELECT w, event_type, b, count(*) AS cnt
+        |  FROM ev WHERE b IS NOT NULL GROUP BY 1, 2, 3
+        |), cum AS (
+        |  SELECT w, event_type, b, cnt,
+        |    sum(cnt) OVER (PARTITION BY w, event_type ORDER BY b) AS cum
+        |  FROM bins
+        |), qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+        |tgt AS (
+        |  SELECT g.w, g.event_type, qs.q,
+        |    ceil(qs.q * CAST(g.n AS DOUBLE)) AS t
+        |  FROM g CROSS JOIN qs WHERE g.n > 0
+        |), pick AS (
+        |  SELECT tgt.w, tgt.event_type, tgt.q, tgt.t, min(c.b) AS b
+        |  FROM tgt JOIN cum c ON c.w = tgt.w AND c.event_type = tgt.event_type
+        |    AND CAST(c.cum AS DOUBLE) >= tgt.t
+        |  GROUP BY 1, 2, 3, 4
+        |), vals AS (
+        |  SELECT p.w, p.event_type, p.q,
+        |    0.0 + 6.25 * (CAST(p.b AS DOUBLE)
+        |      + (p.t - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est
+        |  FROM pick p JOIN cum c
+        |    ON c.w = p.w AND c.event_type = p.event_type AND c.b = p.b
+        |)
+        |SELECT g.w AS window_start_us, g.event_type, CAST(g.n AS BIGINT) AS n_events,
+        |  round(v50.est, 6) AS q_50, round(v90.est, 6) AS q_90, round(v99.est, 6) AS q_99
+        |FROM g
+        |LEFT JOIN vals v50 ON v50.w = g.w AND v50.event_type = g.event_type AND v50.q = 0.5
+        |LEFT JOIN vals v90 ON v90.w = g.w AND v90.event_type = g.event_type AND v90.q = 0.9
+        |LEFT JOIN vals v99 ON v99.w = g.w AND v99.event_type = g.event_type AND v99.q = 0.99""".stripMargin
   )
 }

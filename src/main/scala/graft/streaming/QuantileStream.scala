@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Windowed quantile monitor: per (tumbling window, group), interpolated
+  * histogram quantiles of the value distribution — the p50/p95/p99
+  * dashboard primitive asked of a live feed ("what is this hour's p99
+  * latency per endpoint"), built on the same single-aggregation histogram
+  * trick as [[DriftStream]] so it is streaming-legal.
+  *
+  * Beyond-reference operator (LLM-pipeline extension from the build brief).
+  *
+  * == One aggregation, streaming-legal ==
+  *
+  * Structured Streaming allows one aggregation per query and its state
+  * must be bounded, which rules out both exact quantiles (whole-window
+  * value buffers) and the bin-keyed two-level groupBy. Each of the
+  * `numBins` histogram counters is a conditional `count(when(bin = i))`
+  * INSIDE the one (window, group) aggregation — algebraic partials,
+  * map-side combined, numBins longs of state per group — and the quantile
+  * walk over the counters is row-local arithmetic on the finished row.
+  * Works unchanged on batch frames (the q185 oracle surface).
+  *
+  * == The estimator (deterministic, engine-replayable) ==
+  *
+  * Binning is the [[graft.sql.HistogramSketch]] convention:
+  * `floor((v − lo)/width)` clamped to [0, numBins); null/NaN values are
+  * not observations (the [[DriftStream]] discipline). For quantile q over
+  * n observations the target rank is `t = ceil(q·n)` (the inverse-CDF /
+  * type-1 convention at histogram resolution); the estimate lives in the
+  * least bin whose cumulative count reaches t and interpolates linearly
+  * inside it:
+  *
+  *   est = lo + width · (b + (t − cumBefore(b)) / count(b))
+  *
+  * — every operation is +,·,/ on IEEE doubles in a FIXED left-to-right
+  * order, so an oracle replays it bit-faithfully (only the final output
+  * is rounded). Accuracy is the histogram's: the estimate is always
+  * within one bin width of a true q-th value, the standard trade for
+  * bounded state (Prometheus' histogram_quantile makes the same one).
+  * Values outside [lo, hi) clamp into the edge bins, so a p99 that lands
+  * in the last bin reads as "at least hi − width" — widen the range or
+  * add bins when the tail matters.
+  */
+object QuantileStream {
+
+  /** (window_start, group, n_events, q_<name>...) per tumbling window —
+    * one output column per requested quantile, named `q_50`/`q_99` etc.
+    * from the per-mille rendering of the fraction (0.5 → q_500 would
+    * over-promise; see `qName`). `n_events` counts non-null, non-NaN
+    * observations; all quantile columns are NULL when a (window, group)
+    * has zero observations — the row still surfaces (the monitor
+    * contract shared with [[DriftStream]]).
+    */
+  def quantiles(
+      events: DataFrame,
+      qs: Seq[Double],
+      lo: Double,
+      hi: Double,
+      numBins: Int = 32,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours",
+      tsCol: String = "ts",
+      groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+      s"quantiles ($qs) must each lie in (0, 1)")
+    require(qs.distinct.size == qs.size, s"duplicate quantiles in $qs")
+    require(numBins > 1 && numBins <= 64,
+      s"numBins ($numBins) must be in (1, 64] — one count aggregate per " +
+        "bin rides the single streaming aggregation")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val width = (hi - lo) / numBins
+    val v = col(valueCol).cast("double")
+    // null AND NaN excluded, explicitly (DriftStream's trap notes apply:
+    // least() skips nulls; the non-ANSI cast turns NaN into bin 0)
+    val bin: Column = when(v.isNull || isnan(v), lit(null).cast("int"))
+      .otherwise(greatest(lit(0), least(lit(numBins - 1),
+        floor((v - lit(lo)) / lit(width)).cast("int"))))
+
+    val binCounts = (0 until numBins).map(i =>
+      count(when(bin === i, 1)).as(s"__c$i"))
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(groupCol))
+      .agg(binCounts.head, binCounts.tail: _*)
+
+    val n = (0 until numBins).map(i => col(s"__c$i")).reduce(_ + _)
+    // cumulative counts as chained columns — codegen-friendly scalar adds,
+    // fixed order, no array allocation per row
+    val cums: Seq[Column] = (0 until numBins)
+      .scanLeft(lit(0L)) { case (acc, i) => acc + col(s"__c$i") }.tail
+
+    /** Least bin with cum >= t, interpolated: a right-to-left fold of
+      * `when(cums(i) >= t, est(i))` so the LEFTMOST satisfied branch wins
+      * (when() chains evaluate first-match). cumBefore(i) = cums(i-1).
+      */
+    def quantileCol(q: Double): Column = {
+      val t = ceil(lit(q) * col("__n").cast("double")) // target rank, >= 1
+      val branches = (0 until numBins).map { i =>
+        val cumBefore = if (i == 0) lit(0L) else cums(i - 1)
+        val est = lit(lo) + lit(width) *
+          (lit(i.toDouble) + (t - cumBefore.cast("double")) / col(s"__c$i").cast("double"))
+        (cums(i).cast("double") >= t, est)
+      }
+      val walk = branches.foldRight(lit(null).cast("double")) {
+        case ((cond, est), rest) => when(cond, est).otherwise(rest)
+      }
+      when(col("__n") > 0L, walk)
+    }
+
+    val out = agg
+      .withColumn("__n", n)
+      .select(
+        Seq(col("window.start").as("window_start"), col(groupCol),
+          col("__n").as("n_events")) ++
+          qs.map(q => quantileCol(q).as(qName(q))): _*)
+    out
+  }
+
+  /** Stable column name from the PERCENT rendering of the fraction —
+    * 0.5 → `q_50`, 0.9 → `q_90`, 0.99 → `q_99`, 0.999 → `q_99_9`,
+    * 0.25 → `q_25` — injective (the decimal point becomes `_`), so
+    * distinct quantiles can never collide on a name. Refuses fractions
+    * finer than basis-point precision (name those yourself via .as()).
+    */
+  private[streaming] def qName(q: Double): String = {
+    val pct = q * 100.0
+    require(math.abs(pct * 100.0 - math.rint(pct * 100.0)) < 1e-9,
+      s"quantile $q is finer than basis-point precision; rename via .as()")
+    val s = BigDecimal(math.rint(pct * 100.0) / 100.0)
+      .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+    s"q_$s"
+  }
+}

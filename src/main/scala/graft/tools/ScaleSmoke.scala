@@ -135,6 +135,16 @@ object ScaleSmoke {
         new graft.dedup.SetSimilarityJoin(0.8, "doc_id", "sh")
           .pairs(d.select(col("doc_id"), sh.as("sh"))).count()
       },
+      // q183's batch route: banding is row-local, candidates come from the
+      // (band, sig) equi-join with a time-range bound — mutated copies are
+      // not near-dups of each other, so pairs (and time) must grow
+      // linearly in copies, never with the cross-copy band population
+      "streaming_neardup_batch" -> { d: DataFrame =>
+        graft.streaming.StreamingNearDup.pairs(
+          d.withColumn("ts",
+            expr("timestamp_micros((doc_id % 1000) * 60000000)")),
+          "doc_id", "text", "ts", delay = "30 minutes").count()
+      },
       // q103 shape: synthesize an 8x8 PNG per doc, real javax.imageio
       // encode+decode via the batched kernel — row-local, linear in rows
       "png_decode" -> { d: DataFrame =>
