@@ -464,6 +464,20 @@ object TemporalQueries {
           round(sum(coalesce(col("value"), lit(0.0))), 6).as("revenue"))
     }),
 
+    // Poisson-bootstrap CI of the per-type mean value (Chamandy et al.
+    // 2012): 32 deterministic md5-coin replicate weights per row (the
+    // Poisson(1) inverse CDF as integer threshold compares — literals
+    // shared verbatim with the oracle), one single-scan aggregation with
+    // the point estimate riding as the weight-1 identity replicate,
+    // percentile-method 95% interval over the replicate means
+    "q186_bootstrap_ci" -> ((s, dir) => {
+      graft.stats.Bootstrap.meanCI(
+        Tables.events(s, dir).where(col("value").isNotNull),
+        "event_type", "value", "event_id", replicates = 32, alpha = 0.05)
+        .select(col("event_type"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"), round(col("ci_hi"), 6).as("ci_hi"))
+    }),
+
     // hash-randomized A/B readout: users split 50/50 by the deterministic
     // md5 coin, per-arm conversion (any purchase) rates plus the 2×2
     // chi-squared statistic — the full experimentation loop (assignment,
@@ -1330,6 +1344,41 @@ object TemporalQueries {
         |  count(*) AS n_purchases,
         |  round(sum(coalesce(value, 0.0)), 6) AS revenue
         |FROM j GROUP BY 1""".stripMargin,
+    // q186: same md5 coin per (event_id, replicate), the Poisson(1)
+    // thresholds as the SAME integer literals (Bootstrap.PoissonThresholds
+    // — never recomputed via exp/factorial, which drifts a ulp across
+    // libms), replicate means, quantile_cont percentile interval
+    "q186_bootstrap_ci" -> {
+      val wTerms = graft.stats.Bootstrap.PoissonThresholds
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ev AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |), reps AS (SELECT CAST(r AS INT) AS r FROM range(0, 32) t(r)),
+        |wu AS (
+        |  SELECT event_type, x, r,
+        |    ('0x' || substring(md5('boot:' || event_id || '|' || r), 1, 8))::BIGINT AS u
+        |  FROM ev CROSS JOIN reps
+        |), wts AS (
+        |  SELECT event_type, x, r, $wTerms AS w
+        |  FROM wu
+        |), m AS (
+        |  SELECT event_type, r, sum(w * x) / CAST(sum(w) AS DOUBLE) AS mr
+        |  FROM wts GROUP BY 1, 2 HAVING sum(w) > 0
+        |), pt AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM ev GROUP BY 1
+        |), ci AS (
+        |  SELECT event_type, quantile_cont(mr, 0.025) AS lo,
+        |    quantile_cont(mr, 0.975) AS hi
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT pt.event_type, pt.n, round(pt.mean, 6) AS mean,
+        |  round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
+        |FROM pt LEFT JOIN ci USING (event_type)""".stripMargin
+    },
+
     // same md5 coin, margins, and 2x2 chi2 formula
     "q160_ab_test" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
