@@ -30,6 +30,22 @@ object GraphQueries {
       graft.graph.TriangleCount.perNode(edges)
     }),
 
+    // 2-core of the SPARSE co-purchase graph (parts sharing an order,
+    // quantity <= 3 lineitems only — the dense full graph's 2-core is
+    // trivially everything): iterative degree peeling to the fixpoint.
+    // Measured peeling depth 3-6 across SFs; the operator requires
+    // convergence within 12 rounds and the oracle replays EXACTLY 12
+    // (peeling is idempotent at the fixpoint, so any R >= depth agrees).
+    "q187_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_quantity") <= 3)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("a")
+        .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      new graft.graph.KCore(k = 2, maxRounds = 12).vertices(edges)
+    }),
+
     // 3-iteration PageRank over the symmetrized part–supplier graph.
     // Node encoding keeps the two id spaces disjoint: part → 2k,
     // supplier → 2k+1. Ranks rounded to the 1e-9 grid (values ~1/N):
@@ -75,6 +91,35 @@ object GraphQueries {
         |  UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT wv FROM tri)
         |GROUP BY 1""".stripMargin,
+
+    // q187: 12 generated peeling rounds (engine converges in <= 6 and
+    // requires <= 12; peeling is idempotent at the fixpoint so fixed-R
+    // replay is exact). Integer-only — no float drift possible. Every
+    // CTE is MATERIALIZED: each round references its predecessor TWICE
+    // (degree filter + edge restriction), so default CTE inlining would
+    // expand se12 into 2^12 copies of the base scan — "too many open
+    // files" before it even gets slow.
+    "q187_kcore" -> {
+      val rounds = (1 to 12).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT s FROM se${i - 1} GROUP BY s HAVING count(*) >= 2),
+           |se$i AS MATERIALIZED (
+           |  SELECT c.s, c.d FROM se${i - 1} c
+           |  JOIN k$i a ON c.s = a.s JOIN k$i b ON c.d = b.s
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_quantity <= 3
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS x, b.p AS y
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |), se0 AS MATERIALIZED (
+        |  SELECT x AS s, y AS d FROM e UNION ALL SELECT y AS s, x AS d FROM e
+        |),
+        |$rounds
+        |SELECT s AS id, count(*) AS core_degree FROM se12 GROUP BY 1""".stripMargin
+    },
 
     // unrolled 3-iteration replay; damping constants written EXACTLY as
     // the operator computes them ((1.0 - 0.85), not 0.15 — they differ in
