@@ -94,6 +94,22 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // template-farm detection: the 2-core of the NEAR-DUP PAIR GRAPH —
+    // KCore composed over q20's MinHash-LSH pairs. A document survives
+    // only if it near-duplicates 2+ documents that ALSO near-duplicate
+    // 2+ (the planted triangles: originals divisible by 70 carry BOTH an
+    // exact and a mutated copy, and all three pair pairwise); star
+    // centers with many one-off copies peel away — the signal raw pair
+    // degree cannot give. core_degree = surviving neighbor count.
+    "q188_neardup_core" -> ((s, dir) => {
+      val pairs = new MinHashDeduplicator()
+        .setIdCol("doc_id").setTextCol("text")
+        .setShingleSize(8).setNumHashes(12).setNumBands(4).setThreshold(0.5)
+        .transform(seeded(s, dir))
+      new graft.graph.KCore(k = 2, maxRounds = 12)
+        .vertices(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    }),
+
     // exact dedup: normalize → sha2 fingerprint → keep lowest id per group.
     // The 50 seeded identical copies collapse onto their originals.
     "q19_dedup_exact" -> ((s, dir) => {
@@ -471,6 +487,66 @@ object DedupQueries {
           |WHERE jaccard >= 0.5
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
           |SELECT -1, -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
+
+    // q188: q20's full band replay down to the verified pair set, then
+    // the q187 fixed-12-round peeling. `pairs` and every round are
+    // MATERIALIZED — each is referenced twice downstream, and default
+    // CTE inlining would re-run the whole MinHash chain per reference
+    // (and expand round 12 into 2^12 copies of it).
+    "q188_neardup_core" -> {
+      val rounds = (1 to 12).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT s FROM se${i - 1} GROUP BY s HAVING count(*) >= 2),
+           |se$i AS MATERIALIZED (
+           |  SELECT c.s, c.d FROM se${i - 1} c
+           |  JOIN k$i a ON c.s = a.s JOIN k$i b ON c.d = b.s
+           |)""".stripMargin
+      }.mkString(",\n")
+      seededSql +
+        s""", sh AS (
+          |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
+          |  FROM norm CROSS JOIN range(1, 700) t(i)
+          |  WHERE i <= greatest(length(norm) - 7, 1)
+          |), hashed AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+          |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+          |  FROM sh
+          |), sig AS (
+          |  SELECT doc_id, CAST(j AS INT) AS seed,
+          |         min((h1 + j * h2) % 72057594037927936) AS minhash
+          |  FROM hashed CROSS JOIN range(0, 12) t(j)
+          |  GROUP BY 1, 2
+          |), bands AS (
+          |  SELECT doc_id, seed // 3 AS band,
+          |         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS bandsig
+          |  FROM sig GROUP BY doc_id, seed // 3
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a
+          |  JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+          |), inter AS (
+          |  SELECT c.id_a, c.id_b, count(*) AS i
+          |  FROM cand c
+          |  JOIN sh x ON x.doc_id = c.id_a
+          |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+          |  GROUP BY 1, 2
+          |), pairs AS MATERIALIZED (
+          |  SELECT id_a, id_b FROM inter
+          |  JOIN sizes sa ON sa.doc_id = id_a
+          |  JOIN sizes sb ON sb.doc_id = id_b
+          |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+          |), se0 AS MATERIALIZED (
+          |  SELECT id_a AS s, id_b AS d FROM pairs
+          |  UNION ALL SELECT id_b AS s, id_a AS d FROM pairs
+          |),
+          |$rounds
+          |SELECT s AS id, count(*) AS core_degree FROM se12 GROUP BY 1
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+          |SELECT -1, -1 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin
+    },
 
     "q25_simhash" -> simhashSql,
     "q36_simhash_pairs" ->
