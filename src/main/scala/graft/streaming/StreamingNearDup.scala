@@ -34,29 +34,46 @@ object StreamingNearDup {
       graft.sql.expressions.Shingles(
         org.apache.spark.sql.GraftBridge.expression(TextNormalizer.normalize(text)), k)))
 
-  /** (id, ts, norm, band, bandSig): row-local banding, same digests as
-    * `MinHashDeduplicator.bandSignatures`.
+  /** (id, ts, sh, band, bandSig): row-local banding, same digests as
+    * `MinHashDeduplicator.bandSignatures`. The verify's distinct shingle
+    * set `sh` is computed HERE — once per document, before the band
+    * explode — and carried through the join instead of the raw normalized
+    * text: computing it post-join re-ran the normalize+shingle kernel
+    * chain PER CANDIDATE ROW (× band multiplicity × the non-codegen
+    * path's repeated expression evaluation — the r15 bench caught q183 at
+    * 132 s where q20's join-back design costs 2 s on the same corpus).
+    * The carried array costs payload (bounded by the watermark window's
+    * rows), not kernel time.
     */
   private def banded(df: DataFrame, idCol: String, textCol: String, tsCol: String,
       k: Int, numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
     require(rowsPerBand * numBands == numHashes,
       s"numBands ($numBands) must divide numHashes ($numHashes)")
-    df.select(col(idCol).as("id"), col(tsCol).as("ts"),
-        TextNormalizer.normalize(col(textCol)).as("norm"))
+    // spread to full parallelism BEFORE the kernel chain — BATCH ROUTE
+    // ONLY: a single-file batch input otherwise runs every
+    // normalize/minhash/shingle kernel on ONE core (measured: q183's
+    // whole cost was this one serial stage). A streaming frame must not
+    // go through spread (its inputFiles probe batch-analyzes the plan and
+    // throws); micro-batch parallelism is the source's concern there.
+    val selected = df.select(col(idCol).as("id"), col(tsCol).as("ts"),
+      TextNormalizer.normalize(col(textCol)).as("norm"))
+    (if (df.isStreaming) selected
+     else graft.sql.functions.spread(selected, col("id")))
       .withColumn("mh", org.apache.spark.sql.GraftBridge.column(
         graft.sql.expressions.MinHashSignature(
           graft.sql.expressions.Shingles(
             org.apache.spark.sql.GraftBridge.expression(col("norm")), k),
           numHashes)))
+      .withColumn("sh", shingleSet(col("norm"), k))
       // outer explode: InferFiltersFromGenerate must not clone the kernel
       // chain into a filter (the batch pipeline's documented trap)
-      .select(col("id"), col("ts"), col("norm"), explode_outer(expr(
+      .select(col("id"), col("ts"), col("sh"), explode_outer(expr(
         s"""transform(sequence(0, ${numBands - 1}),
            |  b -> struct(CAST(b AS INT) AS band,
            |    md5(array_join(transform(slice(mh, b * $rowsPerBand + 1, $rowsPerBand),
            |      x -> CAST(x AS STRING)), ',')) AS bandSig))""".stripMargin)).as("bs"))
-      .select(col("id"), col("ts"), col("norm"),
+      .select(col("id"), col("ts"), col("sh"),
         col("bs.band").as("band"), col("bs.bandSig").as("bandSig"))
   }
 
@@ -77,9 +94,9 @@ object StreamingNearDup {
       delay: String, k: Int = 8, numHashes: Int = 12, numBands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val bands = banded(df, idCol, textCol, tsCol, k, numHashes, numBands)
-    val a = bands.toDF("id_a", "ts_a", "norm_a", "band_a", "sig_a")
+    val a = bands.toDF("id_a", "ts_a", "sh_a", "band_a", "sig_a")
       .withWatermark("ts_a", delay)
-    val b = bands.toDF("id_b", "ts_b", "norm_b", "band_b", "sig_b")
+    val b = bands.toDF("id_b", "ts_b", "sh_b", "band_b", "sig_b")
       .withWatermark("ts_b", delay)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     // pair ordering via least/greatest + dedup, NOT an `id_a < id_b` join
@@ -87,22 +104,30 @@ object StreamingNearDup {
     // constraint from every </<= conjunct of a stream-stream join
     // condition and hits an internal error on non-temporal attributes;
     // `=!=` takes a code path it skips.
-    val verified = a.join(b,
+    //
+    // Dedup runs BEFORE the verify, deliberately: a true pair collides in
+    // up to numBands bands, and a verify placed first gets pushed into
+    // the join condition and re-evaluated per COLLISION (the r15 bench
+    // finding) — per pair key only one arbitrary collision row survives
+    // to the exact-Jaccard check, whose value is identical on every
+    // orientation/collision of the same pair, so the pair set is
+    // unchanged.
+    val candidates = a.join(b,
         col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
           col("id_a") =!= col("id_b") &&
           col("ts_b").between(
             col("ts_a") - expr(s"INTERVAL $delay"),
             col("ts_a") + expr(s"INTERVAL $delay")))
-      .select(col("id_a"), col("id_b"), col("ts_a"),
-        shingleSet(col("norm_a"), k).as("sh_a"),
-        shingleSet(col("norm_b"), k).as("sh_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("ts_a"), col("sh_a"), col("sh_b"))
+    val deduped =
+      if (df.isStreaming) candidates.dropDuplicatesWithinWatermark("id_a", "id_b")
+      else candidates.dropDuplicates("id_a", "id_b")
+    deduped
       .withColumn("jaccard",
         inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
       .where(col("jaccard") >= threshold)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("ts_a"), col("jaccard"))
-    if (df.isStreaming) verified.dropDuplicatesWithinWatermark("id_a", "id_b")
-    else verified.dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("ts_a"), col("jaccard"))
   }
 }
