@@ -63,13 +63,15 @@ class KCore(
       .union(und.select(col("b").as("s"), col("a").as("d")))
       .localCheckpoint()
     var prevEdges = cur.count()
-    var round = 0
+    // only rounds that REMOVE edges count toward the cap: convergence is
+    // detected by one extra confirming round (equal edge count), and
+    // charging that round against maxRounds made the engine need
+    // depth <= maxRounds-1 while the doc (and the fixed-R oracle)
+    // promise depth <= maxRounds (r15 ADVICE off-by-one). A graph whose
+    // peeling depth equals maxRounds now converges instead of aborting.
+    var peelRounds = 0
     var converged = prevEdges == 0L
     while (!converged) {
-      round += 1
-      require(round <= maxRounds,
-        s"k-core peeling did not converge within maxRounds=$maxRounds " +
-          "(raise it; the cascade is deeper than this wiring expected)")
       // pinned so both semi-joins read ONE materialization of the same
       // survivor set (tiny: one row per surviving node)
       val keep = cur.groupBy(col("s")).agg(count(lit(1)).as("__deg"))
@@ -85,6 +87,12 @@ class KCore(
       // the fixpoint test, no node-set diff needed
       val nextEdges = next.count()
       converged = nextEdges == prevEdges
+      if (!converged) {
+        peelRounds += 1
+        require(peelRounds <= maxRounds,
+          s"k-core peeling did not converge within maxRounds=$maxRounds " +
+            "(raise it; the cascade is deeper than this wiring expected)")
+      }
       prevEdges = nextEdges
       cur = next
     }

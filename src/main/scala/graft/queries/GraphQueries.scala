@@ -40,9 +40,13 @@ object GraphQueries {
       val li = Tables.lineitem(s, dir)
         .where(col("l_quantity") <= 3)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = li.as("a")
-        .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      // one side's columns renamed BEFORE the self-join (the ts-slope
+      // discipline, r15 ADVICE): correctness must not ride on Spark's
+      // self-join attribute disambiguation heuristic
+      val rhs = li.select(col("o").as("o2"), col("p").as("p2"))
+      val edges = li
+        .join(rhs, col("o") === col("o2") && col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst")).distinct()
       new graft.graph.KCore(k = 2, maxRounds = 12).vertices(edges)
     }),
 

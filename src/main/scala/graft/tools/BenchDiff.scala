@@ -282,25 +282,40 @@ object BenchDiff {
     def taskOf(json: String, k: String): Option[Double] =
       teleField(json, k, "task_ms").map(_.toDouble)
         .orElse(positionalTaskMs(json).get(sn(k)).map(_.toDouble))
-    def loadOf(json: String, k: String): Option[Double] =
-      teleField(json, k, "load").map(_.toDouble).orElse(scalarLoad(json))
+    // the per-query `load` channel only exists in keyed telemetry; the
+    // driver line carries ONE run-wide max. The fallback is still useful
+    // evidence but it is a different measurement — the boolean rides
+    // along so the emitted string can say "run-max load" instead of
+    // presenting a run-level spike as this query's own sample (r15
+    // ADVICE: a spike during any other query could otherwise mislabel an
+    // unrelated same-plan regression as CONTENTION without saying so).
+    def loadOf(json: String, k: String): Option[(Double, Boolean)] =
+      teleField(json, k, "load").map(d => (d.toDouble, false))
+        .orElse(scalarLoad(json).map(d => (d, true)))
     // the printed channel truncates hashes to 3 hex chars — compare on the
     // common prefix, so a full 8-char snapshot hash and a driver-line
-    // prefix of the SAME plan read as same-plan (resolution 1/4096)
-    def samePlan(a: String, b: String): Boolean = {
+    // prefix of the SAME plan read as same-plan. A prefix-only match is
+    // LOW-RESOLUTION evidence (1/4096 collision odds at 3 hex) — the
+    // match width rides along so same-plan classifications can state the
+    // resolution instead of implying a full-hash comparison (r15 ADVICE).
+    def planMatch(a: String, b: String): (Boolean, Int) = {
       val n = math.min(a.length, b.length)
-      n > 0 && a.take(n) == b.take(n)
+      (n > 0 && a.take(n) == b.take(n), n)
     }
+    // full hashes are 8 hex chars (Bench.planHash); anything shorter on
+    // either side means the comparison ran at prefix resolution
+    def res(n: Int): String = if (n >= 8) "" else s" to $n-hex prefix"
     (planOf(oldJson, kOld), planOf(newJson, kNew)) match {
-      case (Some(a), Some(b)) if !samePlan(a, b) => "PLAN-FLIP"
-      case (Some(_), Some(_)) =>
+      case (Some(a), Some(b)) if !planMatch(a, b)._1 => "PLAN-FLIP"
+      case (Some(a), Some(b)) =>
+        val r = res(planMatch(a, b)._2)
         val flatTask = (for (t0 <- taskOf(oldJson, kOld); t1 <- taskOf(newJson, kNew))
           yield t1 <= t0 * 1.15 + 50.0).getOrElse(false)
         val loads = for (
             l0 <- loadOf(oldJson, kOld);
             l1 <- loadOf(newJson, kNew))
           yield (l0, l1)
-        val elevatedLoad = loads.exists { case (l0, l1) => l1 >= 4.0 && l1 > l0 }
+        val elevatedLoad = loads.exists { case ((l0, _), (l1, _)) => l1 >= 4.0 && l1 > l0 }
         // a driver-line re-measure that landed back near the old time is
         // contention evidence even without the load/task channels: the
         // same JVM reproduced the committed cost minutes later
@@ -308,11 +323,12 @@ object BenchDiff {
           queryTimes(oldJson).map { case (k, v) => sn(k) -> v }
             .get(sn(kOld)).exists(o => rm <= o * 2.0 + 0.1)
         }
-        if (rmBack) "CONTENTION(same plan, in-run re-measure returned to baseline)"
+        if (rmBack) s"CONTENTION(same plan$r, in-run re-measure returned to baseline)"
         else if (flatTask && elevatedLoad) {
-          val (l0, l1) = loads.get
-          f"CONTENTION(same plan, flat task_ms, load $l0%.1f->$l1%.1f)"
-        } else "ENVIRONMENTAL(same plan)"
+          val ((l0, f0), (l1, f1)) = loads.get
+          val src = if (f0 || f1) "run-max load" else "load"
+          f"CONTENTION(same plan$r, flat task_ms, $src $l0%.1f->$l1%.1f)"
+        } else s"ENVIRONMENTAL(same plan$r)"
       case _ => "NO-HASH"
     }
   }

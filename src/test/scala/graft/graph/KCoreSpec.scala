@@ -47,6 +47,17 @@ class KCoreSpec extends SparkTestBase {
     assert(core(chain, k = 2, maxRounds = 12).isEmpty) // enough rounds: empty core
   }
 
+  test("peeling depth EQUAL to maxRounds converges (r15 ADVICE off-by-one)") {
+    // chain 1..6 peels in exactly 3 edge-removing rounds at k=2 (ends,
+    // then 2-5, then 3-4); the confirming round (equal edge count) is
+    // free per the doc contract — so maxRounds = 3 must converge and
+    // maxRounds = 2 must refuse
+    val chain = (1L to 5L).map(i => (i, i + 1))
+    assert(core(chain, k = 2, maxRounds = 3).isEmpty)
+    val e = intercept[IllegalArgumentException](core(chain, k = 2, maxRounds = 2))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("empty input yields an empty frame with the contract schema") {
     val got = new KCore(2).vertices(Seq.empty[(Long, Long)].toDF("src", "dst"))
     assert(got.columns.toSeq === Seq("id", "core_degree"))

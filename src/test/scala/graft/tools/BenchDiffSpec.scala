@@ -210,11 +210,12 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(BenchDiff.classify(tele("aa", 1000, 1.0), tele("aa", 1050, 7.5),
       "q01_a", "q01_a").startsWith("CONTENTION"))
     // same plan but the task time itself grew: a real slowdown, not queueing
+    // (2-char test hashes => the r16 annotation states the prefix width)
     assert(BenchDiff.classify(tele("aa", 1000, 1.0), tele("aa", 2400, 7.5),
-      "q01_a", "q01_a") === "ENVIRONMENTAL(same plan)")
+      "q01_a", "q01_a") === "ENVIRONMENTAL(same plan to 2-hex prefix)")
     // same plan, flat work, but the host was NOT loaded: unexplained env
     assert(BenchDiff.classify(tele("aa", 1000, 1.0), tele("aa", 1050, 2.0),
-      "q01_a", "q01_a") === "ENVIRONMENTAL(same plan)")
+      "q01_a", "q01_a") === "ENVIRONMENTAL(same plan to 2-hex prefix)")
     // plan changed: always a flip, whatever the load says
     assert(BenchDiff.classify(tele("aa", 1000, 1.0), tele("bb", 1050, 7.5),
       "q01_a", "q01_a") === "PLAN-FLIP")
@@ -258,7 +259,7 @@ class BenchDiffSpec extends AnyFunSuite {
     // same plan prefix, no re-measure, task time GREW with the wall time:
     // not provably queueing — stays ENVIRONMENTAL
     assert(BenchDiff.classify(snapshot, driver("a7c", ""),
-      "q03_setsim", "q03") === "ENVIRONMENTAL(same plan)")
+      "q03_setsim", "q03") === "ENVIRONMENTAL(same plan to 3-hex prefix)")
     // different prefix: a real plan flip, whatever the load says
     assert(BenchDiff.classify(snapshot, driver("b12", ""),
       "q03_setsim", "q03") === "PLAN-FLIP")
@@ -269,6 +270,42 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(b.nonEmpty, "bench_baseline.json resource missing from classpath")
     // the q120 incident query must be present with its snapshot-scale time
     assert(b.get("q120_setsim_join").exists(t => t > 1.0 && t < 60.0))
+    // r16 rich shape: the resource carries its own sf and per-query plan
+    // hashes (the vd channel's comparison side)
+    val full = graft.Bench.loadBaselineFull()
+    assert(full.sf === Some("sf0.1"))
+    assert(full.plans.get("q120_setsim_join").exists(_.length === 8))
+    assert(full.plans.size === full.times.size)
+  }
+
+  test("Bench.loadBaselineFull parses both rich and legacy baseline shapes") {
+    // exercised via the regexes directly against literal text (the
+    // resource on the classpath is always the rich shape now)
+    val legacy = """{"q01_a": 0.5, "q02_b": 1.25}"""
+    val legacyTimes = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+      .findAllMatchIn(legacy).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(legacyTimes === Map("q01_a" -> 0.5, "q02_b" -> 1.25))
+    val rich = """{"_sf": "sf0.1","q01_a": {"t": 0.5, "ph": "aabbccdd"}}"""
+    val m = """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"t"\s*:\s*([0-9.]+)\s*,\s*"ph"\s*:\s*"([0-9a-f]*)"\s*\}""".r
+      .findAllMatchIn(rich).toSeq
+    assert(m.map(x => (x.group(1), x.group(2).toDouble, x.group(3))) ===
+      Seq(("q01_a", 0.5, "aabbccdd")))
+  }
+
+  test("Bench.verdictChar adjudicates the 2x-gate breakers (r16 vd channel)") {
+    import graft.Bench.verdictChar
+    // plan flipped vs the committed snapshot: the regression is real code
+    assert(verdictChar(Some("aabbccdd"), "11223344", 5.0, None) === "p")
+    // same plan + re-measure returned to baseline: demonstrated transient
+    assert(verdictChar(Some("aabbccdd"), "aabbccdd", 5.0, Some(6.0)) === "E")
+    // same plan but the re-measure ALSO read high: sustained — human needed
+    assert(verdictChar(Some("aabbccdd"), "aabbccdd", 5.0, Some(40.0)) === "r")
+    // a failed re-measure (-1 sentinel) is no evidence either way
+    assert(verdictChar(Some("aabbccdd"), "aabbccdd", 5.0, Some(-1.0)) === "e")
+    // same plan, rm never fired (2x < t < 3x): weaker environmental
+    assert(verdictChar(Some("aabbccdd"), "aabbccdd", 5.0, None) === "e")
+    // no committed hash to compare against
+    assert(verdictChar(None, "aabbccdd", 5.0, None) === "x")
   }
 
   test("normalize extracts and unescapes ONLY the driver artifact's tail value") {
