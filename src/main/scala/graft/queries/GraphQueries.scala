@@ -50,6 +50,23 @@ object GraphQueries {
       new graft.graph.KCore(k = 2, maxRounds = 12).vertices(edges)
     }),
 
+    // FULL coreness decomposition (k* per node) of the same sparse
+    // co-purchase graph as q187, via the h-index fixpoint iteration —
+    // "how deep is each node's dense neighborhood" answered for every
+    // node at once instead of per-threshold. Integer-only and monotone,
+    // so the oracle replays a FIXED 16 rounds (identity at the fixpoint;
+    // engine measures depth <= 8 across SFs and requires <= 24).
+    "q189_coreness" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_quantity") <= 3)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val rhs = li.select(col("o").as("o2"), col("p").as("p2"))
+      val edges = li
+        .join(rhs, col("o") === col("o2") && col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst")).distinct()
+      new graft.graph.Coreness(maxRounds = 24).run(edges)
+    }),
+
     // 3-iteration PageRank over the symmetrized part–supplier graph.
     // Node encoding keeps the two id spaces disjoint: part → 2k,
     // supplier → 2k+1. Ranks rounded to the 1e-9 grid (values ~1/N):
@@ -123,6 +140,41 @@ object GraphQueries {
         |),
         |$rounds
         |SELECT s AS id, count(*) AS core_degree FROM se12 GROUP BY 1""".stripMargin
+    },
+
+    // q189: 16 generated h-index refinement rounds (engine converges in
+    // <= 8 and requires <= 24; the iteration is monotone and identity at
+    // the fixpoint, so fixed-R replay is exact for any R >= depth).
+    // Integer-only. The h-index is computed from the (node, value) count
+    // histogram exactly as the engine does: running count of neighbors
+    // with value >= v over each node's DISTINCT values (no ties inside a
+    // window partition, so the running sum is frame-convention-proof),
+    // then max(least(v, cnt_ge)). MATERIALIZED for the same reason as
+    // q187: each round references its predecessor once but sits 16 deep.
+    "q189_coreness" -> {
+      val rounds = (1 to 16).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT n AS node, max(least(v, cnt_ge)) AS c FROM (
+           |    SELECT n, v, sum(cnt) OVER (PARTITION BY n ORDER BY v DESC) AS cnt_ge
+           |    FROM (
+           |      SELECT e.s AS n, p.c AS v, count(*) AS cnt
+           |      FROM se0 e JOIN c${i - 1} p ON p.node = e.d
+           |      GROUP BY 1, 2))
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_quantity <= 3
+        |), e AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS x, b.p AS y
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |), se0 AS MATERIALIZED (
+        |  SELECT x AS s, y AS d FROM e UNION ALL SELECT y AS s, x AS d FROM e
+        |), c0 AS MATERIALIZED (
+        |  SELECT s AS node, count(*) AS c FROM se0 GROUP BY 1
+        |),
+        |$rounds
+        |SELECT node AS id, CAST(c AS BIGINT) AS coreness FROM c16""".stripMargin
     },
 
     // unrolled 3-iteration replay; damping constants written EXACTLY as

@@ -478,6 +478,25 @@ object TemporalQueries {
           round(col("ci_lo"), 6).as("ci_lo"), round(col("ci_hi"), 6).as("ci_hi"))
     }),
 
+    // Poisson-bootstrap CI for a RATIO-OF-SUMS metric (revenue per unit:
+    // sum(extendedprice·(1−discount)) / sum(quantity) per return flag) —
+    // the Chamandy paper's production shape, where both sums reweight
+    // with the SAME per-row Poisson coin so within-row correlation is
+    // carried for free. Same single-scan fan-out and integer-threshold
+    // coin discipline as q186.
+    "q190_bootstrap_ratio" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+          col("l_quantity").as("qty"),
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")).as("rid"))
+      graft.stats.Bootstrap.ratioCI(li, "l_returnflag", "rev", "qty", "rid",
+        replicates = 32, alpha = 0.05)
+        .select(col("l_returnflag"), col("n"), round(col("ratio"), 6).as("ratio"),
+          round(col("ci_lo"), 6).as("ci_lo"), round(col("ci_hi"), 6).as("ci_hi"))
+    }),
+
     // hash-randomized A/B readout: users split 50/50 by the deterministic
     // md5 coin, per-arm conversion (any purchase) rates plus the 2×2
     // chi-squared statistic — the full experimentation loop (assignment,
@@ -1377,6 +1396,41 @@ object TemporalQueries {
         |SELECT pt.event_type, pt.n, round(pt.mean, 6) AS mean,
         |  round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
         |FROM pt LEFT JOIN ci USING (event_type)""".stripMargin
+    },
+
+    // q190: same md5 coin per (rid, replicate), same Poisson thresholds;
+    // both sums reweighted by the one per-row weight, ratio per replicate,
+    // quantile_cont percentile interval
+    "q190_bootstrap_ratio" -> {
+      val wTerms = graft.stats.Bootstrap.PoissonThresholds
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH li AS (
+        |  SELECT l_returnflag AS g,
+        |    l_extendedprice * (1.0 - l_discount) AS p,
+        |    CAST(l_quantity AS DOUBLE) AS q,
+        |    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS rid
+        |  FROM lineitem
+        |), reps AS (SELECT CAST(r AS INT) AS r FROM range(0, 32) t(r)),
+        |wu AS (
+        |  SELECT g, p, q, r,
+        |    ('0x' || substring(md5('boot:' || rid || '|' || r), 1, 8))::BIGINT AS u
+        |  FROM li CROSS JOIN reps
+        |), wts AS (
+        |  SELECT g, p, q, r, $wTerms AS w
+        |  FROM wu
+        |), m AS (
+        |  SELECT g, r, sum(w * p) / sum(w * q) AS rr
+        |  FROM wts GROUP BY 1, 2 HAVING sum(w * q) <> 0
+        |), pt AS (
+        |  SELECT g, count(*) AS n, sum(p) / sum(q) AS ratio FROM li GROUP BY 1
+        |), ci AS (
+        |  SELECT g, quantile_cont(rr, 0.025) AS lo,
+        |    quantile_cont(rr, 0.975) AS hi
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT pt.g AS l_returnflag, pt.n, round(pt.ratio, 6) AS ratio,
+        |  round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
+        |FROM pt LEFT JOIN ci USING (g)""".stripMargin
     },
 
     // same md5 coin, margins, and 2x2 chi2 formula

@@ -86,4 +86,56 @@ class BootstrapSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Bootstrap.meanCI(rows.toDF("g", "v", "id"), "g", "v", "id", alpha = 0.7))
   }
+
+  test("ratioCI: identity replicate IS the ratio of sums; CI brackets it") {
+    // ratio-of-sums != mean-of-ratios on this fixture (num/den correlated):
+    // rows (num, den) = (i, i%5+1)
+    val rows = (1L to 300L).map(i => ("g" + (i % 2), i.toDouble, (i % 5 + 1).toDouble, i))
+    val got = Bootstrap.ratioCI(rows.toDF("g", "p", "q", "id"), "g", "p", "q", "id")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val (_, n, ratio, lo, hi) = got(g)
+      val want = grp.map(_._2).sum / grp.map(_._3).sum
+      assert(n === grp.size.toLong)
+      assert(math.abs(ratio - want) < 1e-12, s"$g: $ratio != $want")
+      // and it is NOT the mean of per-row ratios — the estimand the
+      // operator exists to avoid
+      val meanOfRatios = grp.map(r => r._2 / r._3).sum / grp.size
+      assert(math.abs(ratio - meanOfRatios) > 1.0)
+      assert(lo <= ratio && ratio <= hi, s"CI [$lo, $hi] excludes ratio $ratio")
+      assert(hi - lo > 0.0)
+    }
+  }
+
+  test("ratioCI: replicate ratios reweight BOTH sums with the same coin") {
+    // one group, hand-replay replicate 0 through the reference coin: the
+    // replicate ratio must be sum(w*p)/sum(w*q) — not sum(w*p)/sum(q) or
+    // an independently-drawn denominator weight
+    val rows = Seq(("g", 10.0, 1.0, 1L), ("g", 30.0, 2.0, 2L), ("g", 50.0, 4.0, 3L))
+    // sum(w·p)/sum(w·q) is a CONVEX COMBINATION of the per-row ratios
+    // p_i/q_i (weights w_i·q_i / Σw·q), so every replicate ratio — and
+    // hence both interpolated CI bounds — must lie inside the per-row
+    // envelope [10, 15] when both sums share the weight; an independently
+    // drawn denominator weight escapes it (e.g. w_num=(1,0,0),
+    // w_den=(0,0,1) gives 10/4 = 2.5)
+    val got = Bootstrap.ratioCI(rows.toDF("g", "p", "q", "id"), "g", "p", "q", "id",
+      replicates = 8)
+      .as[(String, Long, Double, Option[Double], Option[Double])].head()
+    assert(math.abs(got._3 - 90.0 / 7.0) < 1e-12)
+    got._4.foreach(lo => assert(lo >= 10.0 - 1e-9, s"lo $lo below per-row envelope"))
+    got._5.foreach(hi => assert(hi <= 15.0 + 1e-9, s"hi $hi above per-row envelope"))
+  }
+
+  test("ratioCI: a zero weighted denominator excludes the replicate, not the group") {
+    // den = 0 rows only: every replicate's weighted denominator is 0, so
+    // ALL replicate ratios degenerate; the identity replicate (ratio
+    // NULL via 0 denominator) still keeps the group row with null CI
+    val rows = Seq(("z", 5.0, 0.0, 1L), ("z", 7.0, 0.0, 2L))
+    val got = Bootstrap.ratioCI(rows.toDF("g", "p", "q", "id"), "g", "p", "q", "id")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])].collect()
+    assert(got.length === 1)
+    assert(got.head._2 === 2L)
+    assert(got.head._3.isEmpty && got.head._4.isEmpty && got.head._5.isEmpty)
+  }
 }
