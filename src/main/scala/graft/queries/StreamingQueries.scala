@@ -122,6 +122,25 @@ object StreamingQueries {
           round(col("q_50"), 6).as("q_50"),
           round(col("q_90"), 6).as("q_90"),
           round(col("q_99"), 6).as("q_99"))
+    }),
+
+    // tail-precision variant (r15 verdict #7): LOG-SPACED bins over 4.7
+    // decades — p99.9 reads at ~25% relative error where q185's uniform
+    // grid is one coarse absolute bin wide at the tail. Bin assignment
+    // is integer threshold compares against the 49 shared edge literals
+    // (Q191_EDGES; no per-engine floor(log) — the Bootstrap discipline),
+    // interpolation linear inside the chosen bin
+    "q191_log_quantiles" -> ((s, dir) => {
+      graft.streaming.QuantileStream.logQuantiles(
+        Tables.events(s, dir).withColumn("ts_t", expr("cast(ts as timestamp)")),
+        qs = Seq(0.5, 0.99, 0.999), lo = 0.01, hi = 512.0, numBins = 48,
+        windowLength = "1 hour", watermark = "2 hours",
+        tsCol = "ts_t", groupCol = "event_type", valueCol = "value")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          round(col("q_50"), 6).as("q_50"),
+          round(col("q_99"), 6).as("q_99"),
+          round(col("q_99_9"), 6).as("q_99_9"))
     })
   )
 
@@ -130,6 +149,15 @@ object StreamingQueries {
     * (i+1)/136.0 are replayed by the oracle as CAST-double divisions.
     */
   private val DRIFT_REF: Seq[Double] = (1 to 16).map(_ / 136.0)
+
+  /** q191's bin grid: 48 log-spaced edges over [0.01, 512) — 4.7 decades,
+    * ~25% relative error cap per bin at ANY quantile depth. Computed once
+    * here; the Spark plan takes the doubles as lit()s and the oracle as
+    * CAST(<shortest-roundtrip rendering> AS DOUBLE) literals, so both
+    * engines compare against bit-identical thresholds.
+    */
+  private val Q191_EDGES: Seq[Double] =
+    graft.streaming.QuantileStream.logEdges(0.01, 512.0, 48)
 
   val oracles: Map[String, String] = Map(
     "q28_sessionize" ->
@@ -320,6 +348,58 @@ object StreamingQueries {
         |FROM g
         |LEFT JOIN vals v50 ON v50.w = g.w AND v50.event_type = g.event_type AND v50.q = 0.5
         |LEFT JOIN vals v90 ON v90.w = g.w AND v90.event_type = g.event_type AND v90.q = 0.9
-        |LEFT JOIN vals v99 ON v99.w = g.w AND v99.event_type = g.event_type AND v99.q = 0.99""".stripMargin
+        |LEFT JOIN vals v99 ON v99.w = g.w AND v99.event_type = g.event_type AND v99.q = 0.99""".stripMargin,
+
+    // q191: the q185 replay with the bin grid swapped for the shared
+    // log-edge literals — bin = (#edges <= v) - 1 clamped (integer
+    // compares, same as the engine), interpolation e_b + w_b·frac with
+    // e_b/w_b from the SAME Scala doubles the plan embeds
+    "q191_log_quantiles" -> {
+      def dlit(e: Double) = s"CAST($e AS DOUBLE)"
+      val binExpr = Q191_EDGES
+        .map(e => s"(CASE WHEN value >= ${dlit(e)} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val edgeRows = (0 until 48)
+        .map(i => s"($i, ${dlit(Q191_EDGES(i))}, ${dlit(Q191_EDGES(i + 1) - Q191_EDGES(i))})")
+        .mkString(", ")
+      s"""WITH ev AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w, event_type,
+        |    CASE WHEN value IS NULL OR isnan(value) THEN NULL
+        |         ELSE greatest(0, least(47, ($binExpr) - 1))
+        |         END AS b
+        |  FROM events
+        |), edges AS (SELECT * FROM (VALUES $edgeRows) t(b, elo, ew)),
+        |g AS (SELECT w, event_type, count(b) AS n FROM ev GROUP BY 1, 2),
+        |bins AS (
+        |  SELECT w, event_type, b, count(*) AS cnt
+        |  FROM ev WHERE b IS NOT NULL GROUP BY 1, 2, 3
+        |), cum AS (
+        |  SELECT w, event_type, b, cnt,
+        |    sum(cnt) OVER (PARTITION BY w, event_type ORDER BY b) AS cum
+        |  FROM bins
+        |), qs AS (SELECT * FROM (VALUES (0.5), (0.99), (0.999)) t(q)),
+        |tgt AS (
+        |  SELECT g.w, g.event_type, qs.q,
+        |    ceil(qs.q * CAST(g.n AS DOUBLE)) AS t
+        |  FROM g CROSS JOIN qs WHERE g.n > 0
+        |), pick AS (
+        |  SELECT tgt.w, tgt.event_type, tgt.q, tgt.t, min(c.b) AS b
+        |  FROM tgt JOIN cum c ON c.w = tgt.w AND c.event_type = tgt.event_type
+        |    AND CAST(c.cum AS DOUBLE) >= tgt.t
+        |  GROUP BY 1, 2, 3, 4
+        |), vals AS (
+        |  SELECT p.w, p.event_type, p.q,
+        |    e.elo + e.ew * ((p.t - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est
+        |  FROM pick p JOIN cum c
+        |    ON c.w = p.w AND c.event_type = p.event_type AND c.b = p.b
+        |  JOIN edges e ON e.b = p.b
+        |)
+        |SELECT g.w AS window_start_us, g.event_type, CAST(g.n AS BIGINT) AS n_events,
+        |  round(v50.est, 6) AS q_50, round(v99.est, 6) AS q_99, round(v999.est, 6) AS q_99_9
+        |FROM g
+        |LEFT JOIN vals v50 ON v50.w = g.w AND v50.event_type = g.event_type AND v50.q = 0.5
+        |LEFT JOIN vals v99 ON v99.w = g.w AND v99.event_type = g.event_type AND v99.q = 0.99
+        |LEFT JOIN vals v999 ON v999.w = g.w AND v999.event_type = g.event_type AND v999.q = 0.999""".stripMargin
+    }
   )
 }

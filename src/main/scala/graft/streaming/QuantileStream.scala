@@ -119,6 +119,100 @@ object QuantileStream {
     out
   }
 
+  /** Log-spaced bin edges for [[logQuantiles]]: numBins+1 doubles
+    * `lo · r^i` with `r = (hi/lo)^(1/numBins)`. Computed ONCE, engine-
+    * side, in Scala — the transcendentals (pow) never cross an engine
+    * boundary; both the Spark plan and any oracle consume the finished
+    * IEEE doubles as literals (the [[graft.stats.Bootstrap]] shared-
+    * threshold discipline — a floor(log(v)) computed independently per
+    * engine could bin an edge-adjacent value differently on last-ulp
+    * libm drift).
+    */
+  def logEdges(lo: Double, hi: Double, numBins: Int): Seq[Double] = {
+    require(lo > 0.0, s"log-spaced bins need lo > 0, got $lo")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val r = math.pow(hi / lo, 1.0 / numBins)
+    (0 to numBins).map(i => lo * math.pow(r, i))
+  }
+
+  /** [[quantiles]] with LOG-SPACED bins — the latency-shaped-data variant
+    * (r15 verdict: a uniform grid makes deep-tail reads one-coarse-bin
+    * wide; p999 of a heavy tail is useless at 64 linear bins). With
+    * edges `lo·r^i` the estimate's RELATIVE error is bounded by r − 1
+    * (~25% at 48 bins over 4.7 decades) at EVERY quantile depth, where
+    * the linear grid's absolute bin width swamps the tail. Same
+    * one-aggregation state shape (numBins longs per (window, group)),
+    * same null/NaN and empty-window contracts, same rank target
+    * t = ceil(q·n).
+    *
+    * Determinism: bin assignment is `(#edges <= v) − 1` clamped — pure
+    * integer threshold compares against the [[logEdges]] literals — and
+    * the estimate interpolates LINEARLY inside the chosen bin,
+    * `e_b + (e_{b+1} − e_b) · (t − cumBefore)/count_b`, so the whole
+    * estimator stays +,·,/ on shared literals: bit-faithfully
+    * oracle-replayable (the q191 surface). Values below `lo` clamp into
+    * bin 0, at/above `hi` into the last bin, as in [[quantiles]].
+    */
+  def logQuantiles(
+      events: DataFrame,
+      qs: Seq[Double],
+      lo: Double,
+      hi: Double,
+      numBins: Int = 48,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours",
+      tsCol: String = "ts",
+      groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+      s"quantiles ($qs) must each lie in (0, 1)")
+    require(qs.distinct.size == qs.size, s"duplicate quantiles in $qs")
+    require(numBins > 1 && numBins <= 64,
+      s"numBins ($numBins) must be in (1, 64] — one count aggregate per " +
+        "bin rides the single streaming aggregation")
+    val edges = logEdges(lo, hi, numBins)
+    val v = col(valueCol).cast("double")
+    // (#edges <= v) - 1, clamped: v < lo sums 0 -> clamps to bin 0;
+    // v >= the top edge sums numBins+1 -> clamps to numBins-1
+    val idx = edges.map(e => when(v >= e, 1).otherwise(0)).reduce(_ + _) - lit(1)
+    val bin: Column = when(v.isNull || isnan(v), lit(null).cast("int"))
+      .otherwise(greatest(lit(0), least(lit(numBins - 1), idx)).cast("int"))
+
+    val binCounts = (0 until numBins).map(i =>
+      count(when(bin === i, 1)).as(s"__c$i"))
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col(groupCol))
+      .agg(binCounts.head, binCounts.tail: _*)
+
+    val n = (0 until numBins).map(i => col(s"__c$i")).reduce(_ + _)
+    val cums: Seq[Column] = (0 until numBins)
+      .scanLeft(lit(0L)) { case (acc, i) => acc + col(s"__c$i") }.tail
+
+    def quantileCol(q: Double): Column = {
+      val t = ceil(lit(q) * col("__n").cast("double"))
+      val branches = (0 until numBins).map { i =>
+        val cumBefore = if (i == 0) lit(0L) else cums(i - 1)
+        // e_b and the bin width are FINISHED Scala doubles (edge
+        // subtraction happens here, once) — the plan only adds/multiplies
+        val est = lit(edges(i)) + lit(edges(i + 1) - edges(i)) *
+          ((t - cumBefore.cast("double")) / col(s"__c$i").cast("double"))
+        (cums(i).cast("double") >= t, est)
+      }
+      val walk = branches.foldRight(lit(null).cast("double")) {
+        case ((cond, est), rest) => when(cond, est).otherwise(rest)
+      }
+      when(col("__n") > 0L, walk)
+    }
+
+    agg
+      .withColumn("__n", n)
+      .select(
+        Seq(col("window.start").as("window_start"), col(groupCol),
+          col("__n").as("n_events")) ++
+          qs.map(q => quantileCol(q).as(qName(q))): _*)
+  }
+
   /** Stable column name from the PERCENT rendering of the fraction —
     * 0.5 → `q_50`, 0.9 → `q_90`, 0.99 → `q_99`, 0.999 → `q_99_9`,
     * 0.25 → `q_25` — injective (the decimal point becomes `_`), so

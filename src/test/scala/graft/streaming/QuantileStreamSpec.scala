@@ -124,4 +124,90 @@ class QuantileStreamSpec extends SparkTestBase {
       assert(batch.subsetOf(streamed), s"batch $batch not in streamed $streamed")
     } finally q.stop()
   }
+
+  test("log bins bound RELATIVE p999 error on a heavy tail; linear bins don't (bulk)") {
+    // Pareto-ish fixture spanning six decades: v_i = (i/n)^-2, i=1..n —
+    // p50=4, p99~9e3, p999~4.4e5. One 48-bin budget each way.
+    val n = 2000
+    val vals = (1 to n).map(i => math.pow(i.toDouble / n, -2.0))
+    val exact = vals.sorted
+    def exactQ(q: Double): Double = exact(math.ceil(q * n).toInt - 1)
+    // ts(0) is 22:13:20 — minutes 0..39 stay inside the same hour window
+    // (40+ would straddle 23:00 and split the fixture across two rows)
+    val events = vals.zipWithIndex.map { case (v, i) =>
+      QuantEv(ts(i % 40), "g", v)
+    }
+    val qs = Seq(0.5, 0.9, 0.99, 0.999)
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[Double, Double] = {
+      val row = df.collect().head
+      qs.zipWithIndex.map { case (q, i) => q -> row.getDouble(3 + i) }.toMap
+    }
+    val logEst = estimates(QuantileStream.logQuantiles(events.toDF(), qs,
+      lo = 1.0, hi = 1e6, numBins = 48))
+    val linEst = estimates(QuantileStream.quantiles(events.toDF(), qs,
+      lo = 1.0, hi = 1e6, numBins = 48))
+    // documented bound: relative error <= r - 1 at EVERY quantile depth
+    val bound = math.pow(1e6, 1.0 / 48) - 1.0 // ~0.333
+    qs.foreach { q =>
+      val rel = math.abs(logEst(q) - exactQ(q)) / exactQ(q)
+      assert(rel <= bound + 1e-9, f"log p$q rel error $rel%.3f > bound $bound%.3f")
+    }
+    // the linear grid under the same budget misreads the BULK by orders
+    // of magnitude when data spans decades (one linear bin swallows the
+    // first five decades) — the reason the log variant exists
+    Seq(0.5, 0.9).foreach { q =>
+      val relLin = math.abs(linEst(q) - exactQ(q)) / exactQ(q)
+      val relLog = math.abs(logEst(q) - exactQ(q)) / exactQ(q)
+      assert(relLin > 100 * math.max(relLog, 1e-6),
+        f"expected linear ($relLin%.3f) >> log ($relLog%.3f) at q=$q")
+    }
+  }
+
+  test("logQuantiles: clamping, null/NaN exclusion, and the lo>0 guard") {
+    val events = Seq(
+      QuantEv(ts(0), "g", 0.001), // below lo: clamps into bin 0
+      QuantEv(ts(1), "g", 5.0),
+      QuantEv(ts(2), "g", 2e7), // above hi: clamps into the last bin
+      QuantEv(ts(3), "g", null),
+      QuantEv(ts(4), "g", Double.NaN))
+    val got = QuantileStream.logQuantiles(events.toDF(), Seq(0.5),
+        lo = 1.0, hi = 1e6, numBins = 8)
+      .as[(java.sql.Timestamp, String, Long, Option[Double])].collect()
+    assert(got.length === 1)
+    assert(got.head._3 === 3L) // null and NaN are not observations
+    // t = ceil(0.5*3) = 2 -> the middle value's bin: 5.0 sits in bin
+    // floor(log_? ...) — by construction bin 1 of 8 ([10^0.75, 10^1.5));
+    // just pin that the estimate is finite and inside [lo edge of bin 0,
+    // top edge], i.e. the clamp kept everything in-range
+    got.head._4.foreach(e => assert(e >= 1.0 && e <= 1e6))
+    intercept[IllegalArgumentException](
+      QuantileStream.logQuantiles(events.toDF(), Seq(0.5), lo = 0.0, hi = 10.0))
+  }
+
+  test("logQuantiles streaming parity: MemoryStream emits the batch path's rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      QuantEv(ts(0), "click", 5.0), QuantEv(ts(1), "click", 50.0),
+      QuantEv(ts(2), "click", 500.0), QuantEv(ts(3), "view", 3.5),
+      QuantEv(ts(70), "click", 12.0))
+    val batch = QuantileStream.logQuantiles(events.toDF(), Seq(0.5, 0.999),
+        lo = 1.0, hi = 1000.0, numBins = 6)
+      .as[(Timestamp, String, Long, Option[Double], Option[Double])]
+      .collect().toSet
+    val input = MemoryStream[QuantEv]
+    val q = QuantileStream.logQuantiles(input.toDF(), Seq(0.5, 0.999),
+        lo = 1.0, hi = 1000.0, numBins = 6)
+      .writeStream.format("memory").queryName("logquant_out")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(QuantEv(ts(600), "wm", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("logquant_out")
+        .as[(Timestamp, String, Long, Option[Double], Option[Double])]
+        .collect().toSet
+      assert(batch.subsetOf(streamed), s"batch $batch not in streamed $streamed")
+    } finally q.stop()
+  }
 }
