@@ -50,7 +50,15 @@ class HeapConstrainedSpec extends AnyFunSuite {
     // segmented smoothers plus (key, tie) joins plus the lag/count
     // scoring window live in one plan; the doubled gather/window state
     // must spill, not OOM
-    "q178_anomaly")
+    "q178_anomaly",
+    // round-16 additions (r15 verdict #6): q184's full maintain cycle —
+    // bootstrap + six appends + TWO in-place compactions + reopen +
+    // search — is the round's biggest bench-tier query and its writer
+    // buffers/compaction read-backs are the newest memory shape; q183's
+    // band-signature self-join holds the per-band candidate pairs; the
+    // k-core peel's per-round localCheckpoints must not pin more than a
+    // bounded lineage under the cap
+    "q184_ivf_maintained_search", "q183_streaming_neardup", "q187_kcore")
 
   test("top expensive queries complete under a 1.5g heap cap") {
     val sfDir = "/root/testdata/sf0.01"

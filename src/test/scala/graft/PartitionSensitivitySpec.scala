@@ -41,7 +41,18 @@ class PartitionSensitivitySpec extends SparkTestBase {
     // segmented smoothers + (key, tie) joins + one lag window — doubles
     // must be byte-stable across reducer counts) and RRF fusion (leg
     // union, integer-min pivot, fixed-order float adds, grouped rank)
-    "q178_anomaly", "q180_hybrid_rrf")
+    "q178_anomaly", "q180_hybrid_rrf",
+    // round 15/16 (r15 verdict #6): the streaming near-dup batch route
+    // (band-signature join + per-pair verify under adversarial reducer
+    // counts), the iterative k-core peel and the h-index coreness loop
+    // (per-round degree aggregates + semi-joins across 97-way
+    // exchanges), the Poisson-bootstrap fan-out (coin must not depend on
+    // row placement), and the log-binned quantile walk (threshold-compare
+    // binning + chained cumulative adds)
+    "q183_streaming_neardup", "q184_ivf_maintained_search",
+    "q185_quantile_stream", "q186_bootstrap_ci", "q187_kcore",
+    "q188_neardup_core", "q189_coreness", "q190_bootstrap_ratio",
+    "q191_log_quantiles")
 
   representatives.foreach { name =>
     test(s"$name: identical result at 97 shuffle partitions") {
