@@ -497,6 +497,20 @@ object TemporalQueries {
           round(col("ci_lo"), 6).as("ci_lo"), round(col("ci_hi"), 6).as("ci_hi"))
     }),
 
+    // EXACT type-1 quantiles (rank ceil(q·n)) by iterative histogram
+    // narrowing — distributed selection, no global sort; the answer is an
+    // actual data element so the oracle is DuckDB's own quantile_disc
+    // with no estimator replay. maxFinal=2000 forces the narrowing loop
+    // to actually run at every SF (sf0.1's 600k rows take 2 levels)
+    "q192_exact_quantiles" -> ((s, dir) => {
+      val qs = Seq(0.5, 0.9, 0.99, 0.999)
+      val got = graft.stats.ExactQuantile.compute(
+        Tables.lineitem(s, dir), "l_extendedprice", qs,
+        numBuckets = 64, maxFinal = 2000L)
+      import s.implicits._
+      qs.flatMap(q => got(q).map(v => (q, v))).toDF("q", "value")
+    }),
+
     // hash-randomized A/B readout: users split 50/50 by the deterministic
     // md5 coin, per-arm conversion (any purchase) rates plus the 2×2
     // chi-squared statistic — the full experimentation loop (assignment,
@@ -1432,6 +1446,16 @@ object TemporalQueries {
         |  round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
         |FROM pt LEFT JOIN ci USING (g)""".stripMargin
     },
+
+    // q192: no replay needed — the engine's answer is exact, so the
+    // oracle is the reference implementation itself (quantile_disc is
+    // the same ceil(q·n) type-1 convention, pinned empirically)
+    "q192_exact_quantiles" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem)
+        |SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(x, 0.5) AS value FROM v
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_disc(x, 0.9) FROM v
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(x, 0.99) FROM v
+        |UNION ALL SELECT CAST(0.999 AS DOUBLE), quantile_disc(x, 0.999) FROM v""".stripMargin,
 
     // same md5 coin, margins, and 2x2 chi2 formula
     "q160_ab_test" ->

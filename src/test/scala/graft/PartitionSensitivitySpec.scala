@@ -52,7 +52,10 @@ class PartitionSensitivitySpec extends SparkTestBase {
     "q183_streaming_neardup", "q184_ivf_maintained_search",
     "q185_quantile_stream", "q186_bootstrap_ci", "q187_kcore",
     "q188_neardup_core", "q189_coreness", "q190_bootstrap_ratio",
-    "q191_log_quantiles")
+    "q191_log_quantiles",
+    // round 16: the multi-pass distributed selection — each level's
+    // histogram row and the final sort-limit must be reducer-count-proof
+    "q192_exact_quantiles")
 
   representatives.foreach { name =>
     test(s"$name: identical result at 97 shuffle partitions") {
