@@ -110,6 +110,20 @@ object DedupQueries {
         .vertices(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     }),
 
+    // name the duplicate FAMILIES: 5 synchronous label-propagation
+    // rounds over q20's verified near-dup pair graph — each document
+    // gets its community's label (which template farm it belongs to),
+    // complementing q188's "how dense" with "which family". Fixed-round
+    // deterministic contract (max-count/min-label votes, integer-only).
+    "q193_neardup_communities" -> ((s, dir) => {
+      val pairs = new MinHashDeduplicator()
+        .setIdCol("doc_id").setTextCol("text")
+        .setShingleSize(8).setNumHashes(12).setNumBands(4).setThreshold(0.5)
+        .transform(seeded(s, dir))
+      new graft.graph.LabelPropagation(rounds = 5)
+        .run(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    }),
+
     // exact dedup: normalize → sha2 fingerprint → keep lowest id per group.
     // The 50 seeded identical copies collapse onto their originals.
     "q19_dedup_exact" -> ((s, dir) => {
@@ -544,6 +558,67 @@ object DedupQueries {
           |),
           |$rounds
           |SELECT s AS id, count(*) AS core_degree FROM se12 GROUP BY 1
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+          |SELECT -1, -1 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin
+    },
+
+    // q193: the same band replay down to `pairs`, then 5 generated LPA
+    // rounds — per round: (node, label) vote counts, keep max-count rows
+    // (window max + filter ≡ the engine's struct-max), min label among
+    // them. Integer-only; MATERIALIZED for the q188 reasons.
+    "q193_neardup_communities" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT node, min(l) AS lbl FROM (
+           |    SELECT n AS node, l, cnt, max(cnt) OVER (PARTITION BY n) AS mx
+           |    FROM (SELECT e.s AS n, p.lbl AS l, count(*) AS cnt
+           |          FROM se0 e JOIN l${i - 1} p ON p.node = e.d GROUP BY 1, 2))
+           |  WHERE cnt = mx GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      seededSql +
+        s""", sh AS (
+          |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
+          |  FROM norm CROSS JOIN range(1, 700) t(i)
+          |  WHERE i <= greatest(length(norm) - 7, 1)
+          |), hashed AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+          |         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+          |  FROM sh
+          |), sig AS (
+          |  SELECT doc_id, CAST(j AS INT) AS seed,
+          |         min((h1 + j * h2) % 72057594037927936) AS minhash
+          |  FROM hashed CROSS JOIN range(0, 12) t(j)
+          |  GROUP BY 1, 2
+          |), bands AS (
+          |  SELECT doc_id, seed // 3 AS band,
+          |         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS bandsig
+          |  FROM sig GROUP BY doc_id, seed // 3
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a
+          |  JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+          |), inter AS (
+          |  SELECT c.id_a, c.id_b, count(*) AS i
+          |  FROM cand c
+          |  JOIN sh x ON x.doc_id = c.id_a
+          |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+          |  GROUP BY 1, 2
+          |), pairs AS MATERIALIZED (
+          |  SELECT id_a, id_b FROM inter
+          |  JOIN sizes sa ON sa.doc_id = id_a
+          |  JOIN sizes sb ON sb.doc_id = id_b
+          |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+          |), se0 AS MATERIALIZED (
+          |  SELECT id_a AS s, id_b AS d FROM pairs
+          |  UNION ALL SELECT id_b AS s, id_a AS d FROM pairs
+          |), l0 AS MATERIALIZED (
+          |  SELECT DISTINCT s AS node, s AS lbl FROM se0
+          |),
+          |$rounds
+          |SELECT node AS id, lbl AS label FROM l5
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
           |SELECT -1, -1 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin
     },

@@ -55,7 +55,10 @@ class PartitionSensitivitySpec extends SparkTestBase {
     "q191_log_quantiles",
     // round 16: the multi-pass distributed selection — each level's
     // histogram row and the final sort-limit must be reducer-count-proof
-    "q192_exact_quantiles")
+    "q192_exact_quantiles",
+    // round 16: fixed-round synchronous LPA — per-round vote counts and
+    // the struct-max tie rule across 97-way exchanges
+    "q193_neardup_communities")
 
   representatives.foreach { name =>
     test(s"$name: identical result at 97 shuffle partitions") {
