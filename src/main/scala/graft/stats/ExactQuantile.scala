@@ -58,7 +58,10 @@ object ExactQuantile {
       s"quantiles ($qs) must each lie in (0, 1]")
     require(qs.distinct.size == qs.size, s"duplicate quantiles in $qs")
     require(numBuckets >= 2, s"numBuckets ($numBuckets) must be >= 2")
-    require(maxFinal >= 1L && maxLevels >= 1, "need maxFinal >= 1, maxLevels >= 1")
+    require(maxFinal >= 1L && maxFinal <= Int.MaxValue.toLong,
+      s"maxFinal ($maxFinal) must be in [1, Int.MaxValue] — the final " +
+        "selection is a sort-limit and limit() takes an Int")
+    require(maxLevels >= 1, s"maxLevels ($maxLevels) must be >= 1")
 
     val v = col(valueCol).cast("double")
     val vals = df.select(v.as("__v")).where(col("__v").isNotNull && !isnan(col("__v")))
