@@ -73,4 +73,57 @@ class PageRank(
     }
     rank
   }
+
+  /** PERSONALIZED PageRank (the TrustRank shape, Gyöngyi et al. VLDB
+    * 2004): teleport mass goes to a SEED set instead of uniformly —
+    * rank_i(v) = (1-d)·t(v) + d·Σ_{u→v} rank_{i-1}(u)/outdeg(u), with
+    * t(v) = 1/|S| for seeds and 0 elsewhere. Authority then flows only
+    * outward from the seeds: a node unreachable from S reads EXACTLY 0
+    * at every iteration, so the scores rank documents by seeded trust,
+    * the crawl-curation signal [[BfsDistance]] gives in hop form.
+    *
+    * Same deterministic contract as [[run]]: fixed iterations, uniform
+    * seed init t(v), leak-accepting dangling policy. `seeds` is a
+    * one-column frame of node ids; ids absent from the edge list are
+    * dropped before |S| is counted (teleporting to an edgeless node
+    * would park dead mass). Throws if NO seed appears in the graph —
+    * an all-zero "ranking" is a config error, not a result. Empty
+    * graph -> empty result. Scale shape identical to [[run]]: the
+    * teleport frame is one more loop-invariant (node, double) column.
+    */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val s = seeds
+      .select(col(seeds.columns.head).cast("long").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .join(nodes, "node")
+    val ns = broadcast(s.agg(count(lit(1)).cast("double").as("__ns")))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val tele = nodes
+      .join(s.withColumn("__hit", lit(1.0)), Seq("node"), "left_outer")
+      .crossJoin(ns)
+      .select(col("node"), (coalesce(col("__hit"), lit(0.0)) / col("__ns")).as("__t"))
+
+    // one driver-side scalar up front: |S ∩ nodes| = 0 on a NONEMPTY
+    // graph is a config error (and would make __t read NaN = 0.0/0.0)
+    require(ns.head().getDouble(0) > 0.0 || nodes.isEmpty,
+      "no seed id appears in the edge list — personalized teleport has nowhere to go")
+
+    var rank = tele.select(col("node"), col("__t").as("rank"))
+    for (i <- 1 to iterations) {
+      val contrib = rank
+        .join(outdeg, rank("node") === outdeg("src"))
+        .join(e, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("__deg")).as("__in"))
+      rank = tele.join(contrib, tele("node") === contrib("dst"), "left_outer")
+        .select(col("node"),
+          ((lit(1.0) - damping) * col("__t")
+            + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+      if (i % 8 == 0 && i < iterations) rank = rank.localCheckpoint()
+    }
+    rank
+  }
 }

@@ -200,6 +200,29 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // EXACT asymmetric containment |A∩B|/|A| >= 0.9 over 16-char shingle
+    // sets — the pairs q120's symmetric Jaccard MISSES by design: a doc
+    // swallowed by a larger one (every seeded near-dup's original is
+    // fully contained in its probe-suffixed copy, C = 1.0, while its
+    // Jaccard shrinks with the suffix). Ordered pairs, both directions
+    // possible. 16-char shingles (vs q120's 8): containment is a
+    // near-verbatim-span notion, and on this templated corpus 8-char
+    // grams are ~16x less selective (sum df^2 878M vs 23M at sf0.1) —
+    // the k=8 first reading cost 11.9 s / 572 CPU-s in the prefix x
+    // inverted-index join for zero semantic gain. The oracle is
+    // exhaustive (every shingle-sharing ordered pair scored), so a pair
+    // missed by the prefix filter = hash mismatch.
+    "q197_containment_join" -> ((s, dir) => {
+      val sh = org.apache.spark.sql.GraftBridge.column(
+        graft.sql.expressions.Shingles(
+          org.apache.spark.sql.GraftBridge.expression(
+            graft.dedup.TextNormalizer.normalize(col("text"))), 16))
+      new graft.dedup.ContainmentJoin(0.9, "doc_id", "sh")
+        .pairs(seeded(s, dir).select(col("doc_id"), sh.as("sh")))
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+    }),
+
     // source-level resemblance WITHOUT pairwise doc scans: per-doc
     // minhash signatures min-merged into ONE 12-long signature per source
     // (bit-equal to signing the source's shingle UNION directly — the
@@ -384,6 +407,30 @@ object DedupQueries {
           |WHERE jaccard >= 0.8
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
           |SELECT -1, -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
+
+    // EXHAUSTIVE replay (no prefix filter): every shingle-sharing ORDERED
+    // pair's exact containment — any pair with C > 0 shares a shingle, so
+    // this is the complete ground truth the prefix-filtered join must equal.
+    "q197_containment_join" ->
+      (seededSql +
+        """, sh AS (
+          |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 16) AS shingle
+          |  FROM norm CROSS JOIN range(1, 700) t(i)
+          |  WHERE i <= greatest(length(norm) - 15, 1)
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+          |), inter AS (
+          |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+          |  FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id <> y.doc_id
+          |  GROUP BY 1, 2
+          |), cont AS (
+          |  SELECT id_a, id_b, i::DOUBLE / sa.sz AS containment
+          |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+          |)
+          |SELECT id_a, id_b, round(containment, 6) AS containment FROM cont
+          |WHERE containment >= 0.9
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+          |SELECT -1, -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 714""".stripMargin),
 
     "q19_dedup_exact" ->
       (seededSql +

@@ -78,6 +78,41 @@ object GraphQueries {
       val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       new PageRank(iterations = 3).run(sym)
         .select(col("node"), round(col("rank"), 9).as("rank"))
+    }),
+
+    // multi-source BFS: hop distance from the decile supplier seed set
+    // (s_suppkey % 10 = 0 — non-empty at every SF) over the q110
+    // part–supplier graph — "link distance from trusted
+    // seeds", the hop-count curation signal. Engine runs frontier
+    // expansion with early exit (requires depth <= 12); the oracle
+    // replays 12 FIXED min-relaxation rounds (identity at the fixpoint,
+    // so fixed-R is exact for any R >= the reachable eccentricity —
+    // the q187/q189 discipline). Integer-only.
+    "q194_bfs_distance" -> ((s, dir) => {
+      val ed = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val seeds = Tables.supplier(s, dir)
+        .where(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      new graft.graph.BfsDistance(maxRounds = 12).run(ed, seeds)
+    }),
+
+    // personalized (seeded-teleport) PageRank — the TrustRank shape —
+    // from the SAME decile supplier seeds over the SAME graph: q194
+    // gives trust distance in hops, this gives it as flow mass. 3
+    // iterations, unrolled replay; teleport written EXACTLY as the
+    // operator computes it (coalesce(hit, 0.0) / |S|, damping constants
+    // as (1.0 - 0.85)). Unreachable nodes read exactly 0.0.
+    "q195_seeded_pagerank" -> ((s, dir) => {
+      val ed = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.supplier(s, dir)
+        .where(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      new PageRank(iterations = 3).runPersonalized(sym, seeds)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
     })
   )
 
@@ -213,6 +248,83 @@ object GraphQueries {
         |), r3 AS (
         |  SELECT node, (1.0 - 0.85) / n + 0.85 * coalesce(s, 0.0) AS rank
         |  FROM nodes LEFT JOIN c3 ON c3.dst = node, nn
+        |)
+        |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin,
+
+    // q194: 12 generated Bellman-Ford-style min-relaxation rounds —
+    // d(v) <- min(d(v), min over neighbors d(u) + 1). Rounds past the
+    // reachable eccentricity are identity (the engine proves depth <= 12
+    // by requiring frontier exhaustion), so fixed-12 replay is exact.
+    // Integer-only. MATERIALIZED: each round references its predecessor
+    // twice (carry + relax) 12 levels deep — default CTE inlining would
+    // go exponential (the q187 lesson).
+    "q194_bfs_distance" -> {
+      val rounds = (1 to 12).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.d AS node, p.dist + 1 AS dist
+           |    FROM se0 e JOIN d${i - 1} p ON p.node = e.s
+           |  ) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS MATERIALIZED (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem
+        |), se0 AS MATERIALIZED (
+        |  SELECT src AS s, dst AS d FROM ed UNION ALL SELECT dst, src FROM ed
+        |), d0 AS MATERIALIZED (
+        |  SELECT DISTINCT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM supplier WHERE s_suppkey % 10 = 0
+        |),
+        |$rounds
+        |SELECT node AS id, dist FROM d12""".stripMargin
+    },
+
+    // q195: unrolled 3-iteration seeded-teleport replay; teleport and
+    // damping constants written EXACTLY as the operator computes them
+    "q195_seeded_pagerank" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem
+        |), e AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        |), sd AS (
+        |  SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+        |  WHERE s_suppkey % 10 = 0
+        |), seeds AS (SELECT sd.node FROM sd JOIN nodes ON nodes.node = sd.node),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+        |tele AS (
+        |  SELECT nodes.node,
+        |         coalesce(CASE WHEN seeds.node IS NOT NULL THEN 1.0 END, 0.0)
+        |           / ns.ns AS t
+        |  FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node, ns
+        |), deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT node, t AS rank FROM tele),
+        |c1 AS (
+        |  SELECT e.dst, sum(r0.rank / deg.d) AS s
+        |  FROM r0 JOIN deg ON deg.src = r0.node JOIN e ON e.src = r0.node
+        |  GROUP BY 1
+        |), r1 AS (
+        |  SELECT tele.node, (1.0 - 0.85) * tele.t + 0.85 * coalesce(c1.s, 0.0) AS rank
+        |  FROM tele LEFT JOIN c1 ON c1.dst = tele.node
+        |), c2 AS (
+        |  SELECT e.dst, sum(r1.rank / deg.d) AS s
+        |  FROM r1 JOIN deg ON deg.src = r1.node JOIN e ON e.src = r1.node
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT tele.node, (1.0 - 0.85) * tele.t + 0.85 * coalesce(c2.s, 0.0) AS rank
+        |  FROM tele LEFT JOIN c2 ON c2.dst = tele.node
+        |), c3 AS (
+        |  SELECT e.dst, sum(r2.rank / deg.d) AS s
+        |  FROM r2 JOIN deg ON deg.src = r2.node JOIN e ON e.src = r2.node
+        |  GROUP BY 1
+        |), r3 AS (
+        |  SELECT tele.node, (1.0 - 0.85) * tele.t + 0.85 * coalesce(c3.s, 0.0) AS rank
+        |  FROM tele LEFT JOIN c3 ON c3.dst = tele.node
         |)
         |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin
   )

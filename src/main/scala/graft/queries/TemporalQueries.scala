@@ -769,7 +769,59 @@ object TemporalQueries {
         .select(col("win").as("day"), col("n_days"),
           round(graft.sql.functions.hllEstimate(col("regs"), p), 6)
             .as("est_users"))
-    })
+    }),
+
+    // CUPED variance-reduced A/B readout (Deng et al. WSDM'13): per-user
+    // pre-period (days 1-14) spend is the covariate, post-period spend
+    // the metric, arms split by the deterministic md5 coin. Everything
+    // reduces to per-arm moment sums; theta/x-bar pooled across arms.
+    // The adjusted metric's variance contracts while its mean moves only
+    // by the (finite-sample) covariate imbalance — the full WSDM'13 loop
+    // as one declarative plan.
+    "q196_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      val split = lit("2024-01-15").cast("timestamp")
+      val units = ev.groupBy(col("user_id")).agg(
+        sum(when(col("ts") < split, col("value")).otherwise(lit(0.0))).as("x"),
+        sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))).as("y"))
+        .withColumn("variant",
+          when(graft.sql.functions.uniform32("ab", col("user_id")) % 2 === 0,
+            "A").otherwise("B"))
+      graft.stats.Cuped.adjust(units, "variant", "x", "y")
+        .select(col("variant"), col("n"),
+          round(col("mean_y"), 6).as("mean_y"),
+          round(col("mean_y_cuped"), 6).as("mean_y_cuped"),
+          round(col("var_y"), 4).as("var_y"),
+          round(col("var_y_cuped"), 4).as("var_y_cuped"),
+          round(col("theta"), 9).as("theta"))
+    }),
+
+    // delete-one-bucket jackknife SE for the per-event-type mean value,
+    // clustered by USER (20 md5-coin buckets): the closed-form companion
+    // to q186's bootstrap — B leave-one-out ratios from per-bucket sums,
+    // no resampling. Cluster-robust because whole users leave together.
+    "q198_jackknife" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      graft.stats.Jackknife.ratioCI(
+        ev, Seq("event_type"), col("value"), lit(1.0),
+        graft.sql.functions.uniform32("jk", col("user_id")) % 20)
+        .select(col("event_type"),
+          round(col("theta"), 6).as("theta"),
+          round(col("se_jack"), 9).as("se_jack"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"),
+          col("n_buckets"))
+    }),
+
+    // EXACT 7-day trailing distinct users per day — the ground-truth
+    // companion to q137's HLL estimate, via contribution fan-out (each
+    // distinct (user, day) pair explodes to its <= 7 window-end days;
+    // nothing rescans history, nothing sorts globally). Integer-only.
+    "q199_sliding_distinct_exact" -> ((s, dir) =>
+      graft.temporal.SlidingDistinct.perDay(
+        Tables.events(s, dir),
+        expr("(unix_micros(cast(ts as timestamp))) div 86400000000"),
+        col("user_id"), 7))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1770,6 +1822,98 @@ object TemporalQueries {
         |    THEN 1024.0 * ln(1024.0 / zero_regs)
         |    ELSE 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 / harm
         |    END, 6) AS est_users
-        |FROM st JOIN nd USING (win)""".stripMargin
+        |FROM st JOIN nd USING (win)""".stripMargin,
+
+    // q196: identical moment algebra — per-arm sums, pooled theta/x-bar
+    // from re-summing the arm rows, centered sums written EXACTLY as the
+    // operator computes them (syy - sy*sy/n, not n*syy - sy*sy)
+    "q196_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, value FROM events WHERE value IS NOT NULL
+        |), units AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN value ELSE 0.0 END) AS x,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value ELSE 0.0 END) AS y,
+        |    CASE WHEN ('0x' || substring(md5('ab:' || user_id), 1, 8))::BIGINT % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM ev GROUP BY user_id
+        |), arms AS (
+        |  SELECT variant, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM units GROUP BY 1
+        |), gmom AS (
+        |  SELECT CASE WHEN gsxx - gsx * gsx / gn <> 0.0
+        |           THEN (gsxy - gsx * gsy / gn) / (gsxx - gsx * gsx / gn)
+        |           ELSE 0.0 END AS theta,
+        |         gsx / gn AS xbar
+        |  FROM (SELECT CAST(sum(n) AS DOUBLE) AS gn, sum(sx) AS gsx,
+        |               sum(sy) AS gsy, sum(sxy) AS gsxy, sum(sxx) AS gsxx
+        |        FROM arms)
+        |), c AS (
+        |  SELECT variant, n, CAST(n AS DOUBLE) AS nd, sx, sy, theta, xbar,
+        |    syy - sy * sy / CAST(n AS DOUBLE) AS cyy,
+        |    sxy - sx * sy / CAST(n AS DOUBLE) AS cxy,
+        |    sxx - sx * sx / CAST(n AS DOUBLE) AS cxx
+        |  FROM arms, gmom
+        |)
+        |SELECT variant, n,
+        |  round(sy / nd, 6) AS mean_y,
+        |  round((sy - theta * (sx - nd * xbar)) / nd, 6) AS mean_y_cuped,
+        |  round(CASE WHEN n > 1 THEN cyy / (nd - 1) END, 4) AS var_y,
+        |  round(CASE WHEN n > 1 THEN
+        |    (cyy - 2.0 * theta * cxy + theta * theta * cxx) / (nd - 1) END, 4)
+        |    AS var_y_cuped,
+        |  round(theta, 9) AS theta
+        |FROM c""".stripMargin,
+
+    // q198: same md5 bucket coin, same leave-one-out fold — variance
+    // written EXACTLY as the operator computes it ((B-1)/B * (s2 -
+    // s1*s1/B)), clamped at zero before the sqrt
+    "q198_jackknife" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, value FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT event_type,
+        |    ('0x' || substring(md5('jk:' || user_id), 1, 8))::BIGINT % 20 AS bkt,
+        |    sum(value) AS bn, sum(1.0) AS bd
+        |  FROM ev GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, sum(bn) AS tn, sum(bd) AS td, count(*) AS nb
+        |  FROM b GROUP BY 1
+        |), loo AS (
+        |  SELECT b.event_type, (tn - bn) / (td - bd) AS theta_i, tn, td, nb
+        |  FROM b JOIN t USING (event_type)
+        |), agg AS (
+        |  SELECT event_type, first(tn / td) AS theta, first(nb) AS n_buckets,
+        |    sum(theta_i) AS s1, sum(theta_i * theta_i) AS s2
+        |  FROM loo GROUP BY 1
+        |), v AS (
+        |  SELECT event_type, theta, n_buckets, CAST(n_buckets AS DOUBLE) AS bd2,
+        |    (CAST(n_buckets AS DOUBLE) - 1) / CAST(n_buckets AS DOUBLE)
+        |      * (s2 - s1 * s1 / CAST(n_buckets AS DOUBLE)) AS var_jack
+        |  FROM agg
+        |), se AS (
+        |  SELECT event_type, theta, n_buckets,
+        |    sqrt(greatest(var_jack, 0.0)) AS se_jack
+        |  FROM v
+        |)
+        |SELECT event_type, round(theta, 6) AS theta,
+        |  round(se_jack, 9) AS se_jack,
+        |  round(theta - 1.959963984540054 * se_jack, 6) AS ci_lo,
+        |  round(theta + 1.959963984540054 * se_jack, 6) AS ci_hi,
+        |  n_buckets
+        |FROM se""".stripMargin,
+
+    // q199: ground-truth trailing window per observed day — the oracle
+    // states the SPEC (count distinct users over day-6..day) rather than
+    // replaying the fan-out, the strongest oracle form. Integer-only.
+    "q199_sliding_distinct_exact" ->
+      """WITH p AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events
+        |), d AS (SELECT DISTINCT day FROM p)
+        |SELECT d.day AS day, count(DISTINCT p.user_id) AS n_active
+        |FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1""".stripMargin
   )
 }

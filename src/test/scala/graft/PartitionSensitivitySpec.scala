@@ -58,7 +58,15 @@ class PartitionSensitivitySpec extends SparkTestBase {
     "q192_exact_quantiles",
     // round 16: fixed-round synchronous LPA — per-round vote counts and
     // the struct-max tie rule across 97-way exchanges
-    "q193_neardup_communities")
+    "q193_neardup_communities",
+    // round 16 (continued): frontier BFS (per-round anti-join against a
+    // growing visited set), seeded-teleport PageRank (teleport join +
+    // per-round float sums), CUPED moment algebra (two-level agg + 1-row
+    // broadcast), containment prefix×index join + exact verify, the
+    // jackknife bucket fold, and the sliding-distinct double-dedup fan-out
+    "q194_bfs_distance", "q195_seeded_pagerank", "q196_cuped",
+    "q197_containment_join", "q198_jackknife",
+    "q199_sliding_distinct_exact")
 
   representatives.foreach { name =>
     test(s"$name: identical result at 97 shuffle partitions") {
