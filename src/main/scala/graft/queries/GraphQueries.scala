@@ -113,6 +113,24 @@ object GraphQueries {
         .select((col("s_suppkey") * 2 + 1).as("node"))
       new PageRank(iterations = 3).runPersonalized(sym, seeds)
         .select(col("node"), round(col("rank"), 9).as("rank"))
+    }),
+
+    // link prediction over the q187 sparse co-purchase graph: for every
+    // NON-adjacent part pair sharing a neighbor, common-neighbor count,
+    // resource-allocation index (the transcendental-free Adamic-Adar
+    // sibling — 1/deg, exact rationals) and neighborhood Jaccard —
+    // "which parts are one co-purchase away from being linked".
+    "q202_link_prediction" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_quantity") <= 3)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val rhs = li.select(col("o").as("o2"), col("p").as("p2"))
+      val edges = li
+        .join(rhs, col("o") === col("o2") && col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst")).distinct()
+      graft.graph.LinkPrediction.scores(edges)
+        .select(col("id_a"), col("id_b"), col("cn"),
+          round(col("ra"), 6).as("ra"), round(col("jaccard"), 6).as("jaccard"))
     })
   )
 
@@ -326,6 +344,40 @@ object GraphQueries {
         |  SELECT tele.node, (1.0 - 0.85) * tele.t + 0.85 * coalesce(c3.s, 0.0) AS rank
         |  FROM tele LEFT JOIN c3 ON c3.dst = tele.node
         |)
-        |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin
+        |SELECT node, round(rank, 9) AS rank FROM r3""".stripMargin,
+
+    // q202: same wedge enumeration — symmetrized adjacency self-joined on
+    // the middle node — aggregated per candidate pair, existing edges
+    // anti-filtered, degree lookups for the Jaccard. Integer counts; RA
+    // sums identical 1/deg rationals (order drift ~1e-16 << the 1e-6 grid).
+    "q202_link_prediction" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_quantity <= 3
+        |), e AS (
+        |  SELECT DISTINCT a.p AS x, b.p AS y
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |), se AS (
+        |  SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e
+        |), deg AS (
+        |  SELECT s AS node, count(*) AS dg FROM se GROUP BY 1
+        |), nbr AS (
+        |  SELECT se.s AS w, se.d AS n, deg.dg AS dgw
+        |  FROM se JOIN deg ON deg.node = se.s
+        |), cand AS (
+        |  SELECT a.n AS id_a, b.n AS id_b,
+        |         count(*) AS cn, sum(1.0 / a.dgw) AS ra
+        |  FROM nbr a JOIN nbr b ON a.w = b.w AND a.n < b.n
+        |  GROUP BY 1, 2
+        |), ne AS (
+        |  SELECT cand.* FROM cand
+        |  LEFT JOIN e ON e.x = cand.id_a AND e.y = cand.id_b
+        |  WHERE e.x IS NULL
+        |)
+        |SELECT id_a, id_b, cn, round(ra, 6) AS ra,
+        |  round(CAST(cn AS DOUBLE) / (da.dg + db.dg - cn), 6) AS jaccard
+        |FROM ne
+        |JOIN deg da ON da.node = id_a
+        |JOIN deg db ON db.node = id_b""".stripMargin
   )
 }

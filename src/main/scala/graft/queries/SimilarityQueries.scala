@@ -90,6 +90,23 @@ object SimilarityQueries {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // retrieval-quality evaluation of the IVF index against brute force:
+    // recall@5 / MRR@5 / nDCG@5 per query, run = q35's 4-of-16-probe IVF
+    // search, truth = exact cosine top-5 — the "what recall does the
+    // index actually deliver" readout as one declarative plan. Discount
+    // weights are Scala-computed literals consumed by BOTH engines (no
+    // per-engine log2 — the q191 lesson).
+    "q201_ann_recall" -> ((s, dir) => {
+      val e = vectors(s, dir)
+      val qs = e.where(col("vec_id") < 5)
+      val ivf = new IvfCosineIndex(numCentroids = 16, nprobe = 4, dim = Some(64))
+      val run = ivf.search(qs, ivf.build(e), k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      val truth = new CosineTopK(5).search(qs, e)
+        .select(col("query_id"), col("vec_id"))
+      graft.evaluation.RankingMetrics.evaluate(run, truth, k = 5)
+    }),
+
     // embedding-cosine near-dup DEDUP: the q22 LSH pair pipeline collapsed
     // into clusters (connected components, cluster id = smallest member) —
     // "keep one per cluster" embedding dedup for a training corpus.
@@ -556,6 +573,7 @@ object SimilarityQueries {
         |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
         |SELECT -1, -1 WHERE (SELECT max(len(v)) FROM e) > 64""".stripMargin),
     "q35_ann_ivf" -> q35Sql,
+    "q201_ann_recall" -> q201Sql,
     "q46_embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (
@@ -1024,7 +1042,11 @@ object SimilarityQueries {
         |SELECT -1, -1, -1.0, -1 WHERE (SELECT max(len(v)) FROM e) != 64
         |   OR (SELECT min(len(v)) FROM e) != 64""".stripMargin
 
-  private lazy val q35Sql =
+  /** Shared IVF replay (build: lowest-id seeds + one Lloyd step; search:
+    * 4-of-16 probes) ending at the `ranked` CTE — consumed by q35's
+    * final select and composed with the exact leg + metric fold by q201.
+    */
+  private lazy val ivfRankedSql =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
@@ -1069,8 +1091,53 @@ object SimilarityQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
         |  FROM sims
         |)
-        |SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
+        |""".stripMargin
+
+  private lazy val q35Sql =
+    ivfRankedSql +
+      """SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 5
         |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
         |SELECT -1, -1, -1.0, -1 WHERE (SELECT max(len(v)) FROM e) > 64""".stripMargin
+
+  // q201: discount weights and ideal-DCG prefix sums as the SAME Scala
+  // literals the engine consumes (no per-engine log2 — the q191 lesson)
+  private lazy val q201Sql = {
+    val w = graft.evaluation.RankingMetrics.discounts(5)
+    val prefix = w.scanLeft(0.0)(_ + _).tail
+    val wCase = w.zipWithIndex
+      .map { case (x, i) => s"WHEN ${i + 1} THEN $x" }.mkString(" ")
+    val idcgCase = prefix.zipWithIndex
+      .map { case (x, i) => s"WHEN ${i + 1} THEN $x" }.mkString(" ")
+    ivfRankedSql +
+      s""", run AS (
+        |  SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= 5
+        |), truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rnk
+        |    FROM q JOIN e ON e.vec_id != q.query_id)
+        |  WHERE rnk <= 5
+        |), hits AS (
+        |  SELECT r.query_id, r.rnk,
+        |    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM run r LEFT JOIN truth t
+        |    ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+        |), tcount AS (SELECT query_id, count(*) AS nt FROM truth GROUP BY 1),
+        |m AS (
+        |  SELECT query_id, sum(hit) AS n_hits,
+        |    min(CASE WHEN hit = 1 THEN rnk END) AS first_hit,
+        |    sum(CASE WHEN hit = 1 THEN (CASE rnk $wCase END) ELSE 0.0 END) AS dcg
+        |  FROM hits GROUP BY 1
+        |)
+        |SELECT m.query_id, CAST(n_hits AS BIGINT) AS n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / nt, 6) AS recall_k,
+        |  round(CASE WHEN first_hit IS NOT NULL THEN 1.0 / first_hit
+        |        ELSE 0.0 END, 6) AS mrr,
+        |  round(dcg / (CASE least(5, nt) $idcgCase END), 6) AS ndcg
+        |FROM m JOIN tcount USING (query_id)
+        |UNION ALL -- guard: loud mismatch if vectors outgrow the range(1,65) dim bound
+        |SELECT -1, -1, -1.0, -1.0, -1.0 WHERE (SELECT max(len(v)) FROM e) > 64""".stripMargin
+  }
 }

@@ -822,6 +822,22 @@ object TemporalQueries {
         Tables.events(s, dir),
         expr("(unix_micros(cast(ts as timestamp))) div 86400000000"),
         col("user_id"), 7))
+,
+    // isotonic calibration of P(purchase | spend score) via distributed
+    // PAV on a quantized 3-decimal score grid. The oracle replays the
+    // MINIMAX characterization f(i) = max_{j<=i} min_{k>=i} mean(j..k)
+    // — a completely different algorithm agreeing only if the fit is the
+    // true isotonic solution. Binary labels -> integer sums -> the block
+    // structure is exact and partition-count-proof; float enters at the
+    // final division only.
+    "q200_isotonic" -> ((s, dir) => {
+      val pts = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(round(col("value") / 500.0, 3).as("x"),
+          when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"))
+      new graft.stats.IsotonicRegression(32).fit(pts, "x", "y")
+        .select(col("x"), round(col("fitted"), 9).as("fitted"),
+          col("w").cast("long").as("w"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1914,6 +1930,40 @@ object TemporalQueries {
         |), d AS (SELECT DISTINCT day FROM p)
         |SELECT d.day AS day, count(DISTINCT p.user_id) AS n_active
         |FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // q200: the minimax characterization, NOT a PAV replay — prefix sums
+    // over the pooled distinct-x sequence, the O(n^2) (j,k) mean grid,
+    // suffix-min along k per j, max per i. Agreement is a theorem
+    // (Robertson-Wright-Dykstra), so a PAV implementation bug that still
+    // produces a monotone fit would hash-mismatch here.
+    "q200_isotonic" ->
+      """WITH pts AS (
+        |  SELECT round(value / 500.0, 3) AS x,
+        |         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), pooled AS (
+        |  SELECT x, sum(y) AS sy, CAST(count(*) AS DOUBLE) AS w
+        |  FROM pts GROUP BY 1
+        |), ord AS (
+        |  SELECT x, sy, w, row_number() OVER (ORDER BY x) AS rn FROM pooled
+        |), c AS (
+        |  SELECT rn, x, w,
+        |    sum(sy) OVER (ORDER BY rn) AS csy,
+        |    sum(w) OVER (ORDER BY rn) AS cw
+        |  FROM ord
+        |), grid AS (
+        |  SELECT j.rn AS jn, k.rn AS kn,
+        |    (k.csy - coalesce(jp.csy, 0.0)) / (k.cw - coalesce(jp.cw, 0.0)) AS m
+        |  FROM c k JOIN c j ON j.rn <= k.rn
+        |  LEFT JOIN c jp ON jp.rn = j.rn - 1
+        |), sm AS (
+        |  SELECT jn, kn, min(m) OVER (PARTITION BY jn ORDER BY kn DESC) AS smin
+        |  FROM grid
+        |), f AS (
+        |  SELECT kn AS rn, max(smin) AS fitted FROM sm GROUP BY 1
+        |)
+        |SELECT o.x, round(f.fitted, 9) AS fitted, CAST(o.w AS BIGINT) AS w
+        |FROM f JOIN ord o USING (rn)""".stripMargin
   )
 }
