@@ -131,6 +131,30 @@ object GraphQueries {
       graft.graph.LinkPrediction.scores(edges)
         .select(col("id_a"), col("id_b"), col("cn"),
           round(col("ra"), 6).as("ra"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // densest-subgraph extraction (4-approx parallel peeling) over the
+    // sparse co-purchase graph with a PLANTED 24-clique in a disjoint id
+    // space (the dedup-seeding discipline: the synthetic graph is
+    // near-regular, so an unseeded densest subgraph is just round 0) —
+    // peeling must strip ~6k noise nodes and surface exactly the clique
+    // (density 11.5). Integer-only peel test and argmax; the oracle
+    // replays 10 fixed rounds (identity once the edge set empties).
+    "q203_densest_subgraph" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_quantity") <= 3)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val rhs = li.select(col("o").as("o2"), col("p").as("p2"))
+      val copurchase = li
+        .join(rhs, col("o") === col("o2") && col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst")).distinct()
+      val clique = (for {
+        i <- 1 to 24; j <- (i + 1) to 24
+      } yield (10000000L + i, 10000000L + j)).toDF("src", "dst")
+      new graft.graph.DensestSubgraph(maxRounds = 16)
+        .run(copurchase.union(clique))
+        .select(col("id"), round(col("density"), 9).as("density"))
     })
   )
 
@@ -378,6 +402,173 @@ object GraphQueries {
         |  round(CAST(cn AS DOUBLE) / (da.dg + db.dg - cn), 6) AS jaccard
         |FROM ne
         |JOIN deg da ON da.node = id_a
-        |JOIN deg db ON db.node = id_b""".stripMargin
+        |JOIN deg db ON db.node = id_b""".stripMargin,
+
+    // q203: 10 generated peel rounds (engine needs <= 3 across SFs and
+    // requires <= 16; rounds past the empty edge set are identity), the
+    // per-round (E, V) stat table, argmax density with earliest-round
+    // ties, node snapshot lookup. Integer peel test (dg*v > 4*e);
+    // density compared as CAST(e AS DOUBLE)/v — distinct small-int
+    // rationals are far beyond a double ulp apart, equal ones tie to
+    // the earlier round in both engines. MATERIALIZED for the q187
+    // reason (each round references its predecessor multiple times).
+    "q203_densest_subgraph" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_quantity <= 3
+        |), cop AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS x, b.p AS y
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |), e0 AS MATERIALIZED (
+        |  SELECT x AS a, y AS b FROM cop
+        |  UNION
+        |  SELECT 10000000 + CAST(i AS BIGINT), 10000000 + CAST(j AS BIGINT)
+        |  FROM range(1, 25) t(i), range(1, 25) u(j) WHERE i < j
+        |), d0 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1
+        |), st0 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e0) AS e, (SELECT count(*) FROM d0) AS v
+        |),
+        |k0 AS MATERIALIZED (
+        |  SELECT s FROM d0, st0 WHERE dg * v > 4 * st0.e),
+        |e1 AS MATERIALIZED (
+        |  SELECT ed.a, ed.b FROM e0 ed
+        |  JOIN k0 ka ON ka.s = ed.a JOIN k0 kb ON kb.s = ed.b),
+        |d1 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |st1 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e1) AS e,
+        |         (SELECT count(*) FROM d1) AS v),
+k1 AS MATERIALIZED (
+        |  SELECT s FROM d1, st1 WHERE dg * v > 4 * st1.e),
+        |e2 AS MATERIALIZED (
+        |  SELECT ed.a, ed.b FROM e1 ed
+        |  JOIN k1 ka ON ka.s = ed.a JOIN k1 kb ON kb.s = ed.b),
+        |d2 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+        |st2 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e2) AS e,
+        |         (SELECT count(*) FROM d2) AS v),
+k2 AS MATERIALIZED (
+        |  SELECT s FROM d2, st2 WHERE dg * v > 4 * st2.e),
+        |e3 AS MATERIALIZED (
+        |  SELECT ed.a, ed.b FROM e2 ed
+        |  JOIN k2 ka ON ka.s = ed.a JOIN k2 kb ON kb.s = ed.b),
+        |d3 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+        |st3 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e3) AS e,
+        |         (SELECT count(*) FROM d3) AS v),
+k3 AS MATERIALIZED (
+        |  SELECT s FROM d3, st3 WHERE dg * v > 4 * st3.e),
+        |e4 AS MATERIALIZED (
+        |  SELECT ed.a, ed.b FROM e3 ed
+        |  JOIN k3 ka ON ka.s = ed.a JOIN k3 kb ON kb.s = ed.b),
+        |d4 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1),
+        |st4 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e4) AS e,
+        |         (SELECT count(*) FROM d4) AS v),
+k4 AS MATERIALIZED (
+        |  SELECT s FROM d4, st4 WHERE dg * v > 4 * st4.e),
+        |e5 AS MATERIALIZED (
+        |  SELECT ed.a, ed.b FROM e4 ed
+        |  JOIN k4 ka ON ka.s = ed.a JOIN k4 kb ON kb.s = ed.b),
+        |d5 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e5 UNION ALL SELECT b FROM e5) GROUP BY 1),
+        |st5 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e5) AS e,
+        |         (SELECT count(*) FROM d5) AS v),
+k5 AS MATERIALIZED (
+        |  SELECT s FROM d5, st5 WHERE dg * v > 4 * st5.e),
+        |e6 AS MATERIALIZED (
+        |  SELECT ed.a, ed.b FROM e5 ed
+        |  JOIN k5 ka ON ka.s = ed.a JOIN k5 kb ON kb.s = ed.b),
+        |d6 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1),
+        |st6 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e6) AS e,
+        |         (SELECT count(*) FROM d6) AS v),
+k6 AS MATERIALIZED (
+        |  SELECT s FROM d6, st6 WHERE dg * v > 4 * st6.e),
+        |e7 AS MATERIALIZED (
+        |  SELECT ed.a, ed.b FROM e6 ed
+        |  JOIN k6 ka ON ka.s = ed.a JOIN k6 kb ON kb.s = ed.b),
+        |d7 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e7 UNION ALL SELECT b FROM e7) GROUP BY 1),
+        |st7 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e7) AS e,
+        |         (SELECT count(*) FROM d7) AS v),
+k7 AS MATERIALIZED (
+        |  SELECT s FROM d7, st7 WHERE dg * v > 4 * st7.e),
+        |e8 AS MATERIALIZED (
+        |  SELECT ed.a, ed.b FROM e7 ed
+        |  JOIN k7 ka ON ka.s = ed.a JOIN k7 kb ON kb.s = ed.b),
+        |d8 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e8 UNION ALL SELECT b FROM e8) GROUP BY 1),
+        |st8 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e8) AS e,
+        |         (SELECT count(*) FROM d8) AS v),
+k8 AS MATERIALIZED (
+        |  SELECT s FROM d8, st8 WHERE dg * v > 4 * st8.e),
+        |e9 AS MATERIALIZED (
+        |  SELECT ed.a, ed.b FROM e8 ed
+        |  JOIN k8 ka ON ka.s = ed.a JOIN k8 kb ON kb.s = ed.b),
+        |d9 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e9 UNION ALL SELECT b FROM e9) GROUP BY 1),
+        |st9 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e9) AS e,
+        |         (SELECT count(*) FROM d9) AS v),
+k9 AS MATERIALIZED (
+        |  SELECT s FROM d9, st9 WHERE dg * v > 4 * st9.e),
+        |e10 AS MATERIALIZED (
+        |  SELECT ed.a, ed.b FROM e9 ed
+        |  JOIN k9 ka ON ka.s = ed.a JOIN k9 kb ON kb.s = ed.b),
+        |d10 AS MATERIALIZED (
+        |  SELECT s, count(*) AS dg FROM (
+        |    SELECT a AS s FROM e10 UNION ALL SELECT b FROM e10) GROUP BY 1),
+        |st10 AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e10) AS e,
+        |         (SELECT count(*) FROM d10) AS v),
+        |stats AS (
+        |  SELECT 0 AS r, e, v FROM st0
+        |  UNION ALL SELECT 1 AS r, e, v FROM st1
+        |  UNION ALL SELECT 2 AS r, e, v FROM st2
+        |  UNION ALL SELECT 3 AS r, e, v FROM st3
+        |  UNION ALL SELECT 4 AS r, e, v FROM st4
+        |  UNION ALL SELECT 5 AS r, e, v FROM st5
+        |  UNION ALL SELECT 6 AS r, e, v FROM st6
+        |  UNION ALL SELECT 7 AS r, e, v FROM st7
+        |  UNION ALL SELECT 8 AS r, e, v FROM st8
+        |  UNION ALL SELECT 9 AS r, e, v FROM st9
+        |  UNION ALL SELECT 10 AS r, e, v FROM st10
+        |), best AS (
+        |  SELECT r, e, v FROM stats WHERE e > 0
+        |  ORDER BY CAST(e AS DOUBLE) / v DESC, r ASC LIMIT 1
+        |), nodes AS (
+        |  SELECT 0 AS r, s FROM d0
+        |  UNION ALL SELECT 1 AS r, s FROM d1
+        |  UNION ALL SELECT 2 AS r, s FROM d2
+        |  UNION ALL SELECT 3 AS r, s FROM d3
+        |  UNION ALL SELECT 4 AS r, s FROM d4
+        |  UNION ALL SELECT 5 AS r, s FROM d5
+        |  UNION ALL SELECT 6 AS r, s FROM d6
+        |  UNION ALL SELECT 7 AS r, s FROM d7
+        |  UNION ALL SELECT 8 AS r, s FROM d8
+        |  UNION ALL SELECT 9 AS r, s FROM d9
+        |  UNION ALL SELECT 10 AS r, s FROM d10
+        |)
+        |SELECT n.s AS id, round(CAST(best.e AS DOUBLE) / best.v, 9) AS density
+        |FROM best JOIN nodes n ON n.r = best.r""".stripMargin
   )
 }

@@ -837,6 +837,53 @@ object TemporalQueries {
       new graft.stats.IsotonicRegression(32).fit(pts, "x", "y")
         .select(col("x"), round(col("fitted"), 9).as("fitted"),
           col("w").cast("long").as("w"))
+    }),
+
+    // market-basket association over (user, day) baskets of event types:
+    // pairwise support / lift / both conditional confidences — "which
+    // behaviors co-occur beyond chance", the classic basket analysis as
+    // one self-join + three integer-count ratios. Baskets are distinct
+    // (user, day, type) triples; all metrics are ratios of exact counts.
+    "q204_basket_lift" -> ((s, dir) => {
+      val b = Tables.events(s, dir)
+        .select(col("user_id").as("u"),
+          expr("(unix_micros(cast(ts as timestamp))) div 86400000000").as("day"),
+          col("event_type").as("et"))
+        .distinct()
+      val rhs = b.select(col("u").as("u2"), col("day").as("day2"),
+        col("et").as("et2"))
+      val pairs = b
+        .join(rhs, col("u") === col("u2") && col("day") === col("day2") &&
+          col("et") < col("et2"))
+        .groupBy(col("et").as("et_a"), col("et2").as("et_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val singles = b.groupBy(col("et")).agg(count(lit(1)).as("n1"))
+      val nb = b.select(col("u"), col("day")).distinct()
+        .agg(count(lit(1)).as("nb"))
+      pairs
+        .join(singles.select(col("et").as("et_a"), col("n1").as("na")), "et_a")
+        .join(singles.select(col("et").as("et_b"), col("n1").as("nb_")), "et_b")
+        .crossJoin(broadcast(nb))
+        .select(col("et_a"), col("et_b"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("nb"), 6).as("support"),
+          round(col("n_ab").cast("double") * col("nb")
+            / (col("na") * col("nb_")), 6).as("lift"),
+          round(col("n_ab").cast("double") / col("na"), 6).as("conf_ab"),
+          round(col("n_ab").cast("double") / col("nb_"), 6).as("conf_ba"))
+    }),
+
+    // offline CUSUM change-point per event type over the rounded daily
+    // revenue series: where does the running mass diverge most from a
+    // flat mean — the "when did this source change level" monitor. All
+    // sums are ordered window folds (bit-stable across engines); |S_k|
+    // is rounded to the 1e-6 grid before the argmax (earliest-day ties).
+    "q205_changepoint" -> ((s, dir) => {
+      val daily = Tables.events(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("(unix_micros(cast(ts as timestamp))) div 86400000000").as("day"))
+        .agg(round(sum(col("value")), 6).as("x"))
+      graft.temporal.ChangePoint.detect(
+        daily, Seq("event_type"), col("day"), col("x"))
     })
   )
 
@@ -1964,6 +2011,59 @@ object TemporalQueries {
         |  SELECT kn AS rn, max(smin) AS fitted FROM sm GROUP BY 1
         |)
         |SELECT o.x, round(f.fitted, 9) AS fitted, CAST(o.w AS BIGINT) AS w
-        |FROM f JOIN ord o USING (rn)""".stripMargin
+        |FROM f JOIN ord o USING (rn)""".stripMargin,
+
+    // q204: identical basket derivation and count ratios (ratios of
+    // exact integers -> bit-identical divisions)
+    "q204_basket_lift" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day,
+        |         event_type AS et
+        |  FROM events
+        |), pairs AS (
+        |  SELECT a.et AS et_a, b2.et AS et_b, count(*) AS n_ab
+        |  FROM b a JOIN b b2 ON a.u = b2.u AND a.day = b2.day AND a.et < b2.et
+        |  GROUP BY 1, 2
+        |), singles AS (
+        |  SELECT et, count(*) AS n1 FROM b GROUP BY 1
+        |), nbt AS (
+        |  SELECT count(*) AS nb FROM (SELECT DISTINCT u, day FROM b)
+        |)
+        |SELECT et_a, et_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / nb, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) * nb / (sa.n1 * sb.n1), 6) AS lift,
+        |  round(CAST(n_ab AS DOUBLE) / sa.n1, 6) AS conf_ab,
+        |  round(CAST(n_ab AS DOUBLE) / sb.n1, 6) AS conf_ba
+        |FROM pairs
+        |JOIN singles sa ON sa.et = et_a
+        |JOIN singles sb ON sb.et = et_b
+        |CROSS JOIN nbt""".stripMargin,
+
+    // q205: same ordered-fold windows (whole-partition sums under an
+    // ORDER BY fold the sorted sequence in both engines), same 1e-6
+    // pre-argmax rounding, earliest-day tie via the QUALIFY ordering
+    "q205_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         round(sum(value), 6) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day, x,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), s AS (
+        |  SELECT event_type, day, rn, n,
+        |    round(abs(pre - rn * (tot / n)), 6) AS st
+        |  FROM w
+        |)
+        |SELECT event_type, day AS t_star, st AS cusum_max, CAST(n AS BIGINT) AS n
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY st DESC, rn ASC) = 1""".stripMargin
   )
 }
