@@ -438,6 +438,34 @@ object CoreQueries {
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
           round(col("robust_z"), 6).as("robust_z"))
+    }),
+
+    // Benford leading-digit audit of order totals — the classic
+    // fabricated-data / unit-mixing detector: observed first-digit
+    // distribution vs log10(1 + 1/d) expecteds (Scala-computed literals
+    // consumed by BOTH engines — no per-engine log10) plus the chi^2
+    // statistic. The leading digit comes from integer-cents string form
+    // (floor + BIGINT + substring — CAST(double AS BIGINT) rounds in
+    // DuckDB but truncates in Spark, so floor() is explicit).
+    "q207_benford" -> ((s, dir) => {
+      val probs = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+      val digits = Tables.orders(s, dir)
+        .where(col("o_totalprice") >= 0.01)
+        .select(substring(floor(col("o_totalprice") * 100).cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).cast("double").as("tn"))
+      val terms = counts.crossJoin(broadcast(tot))
+        .withColumn("expected",
+          col("tn") * element_at(array(probs.map(lit): _*), col("digit")))
+        .withColumn("chi_part",
+          (col("n") - col("expected")) * (col("n") - col("expected"))
+            / col("expected"))
+      val chi = terms.agg(round(sum(col("chi_part")), 6).as("chi2"))
+      terms.select(col("digit"), col("n"),
+          round(col("n") / col("tn"), 6).as("share"),
+          round(col("expected"), 6).as("expected"))
+        .crossJoin(broadcast(chi))
     })
   )
 
@@ -770,6 +798,33 @@ object CoreQueries {
         |FROM events e
         |JOIN med m USING (event_type)
         |JOIN mad d USING (event_type)
-        |WHERE d.mad > 0 AND abs(e.value - m.med) / d.mad > 3.5""".stripMargin
+        |WHERE d.mad > 0 AND abs(e.value - m.med) / d.mad > 3.5""".stripMargin,
+
+    // q207: identical integer-cents digit derivation and the SAME
+    // interpolated probability literals; chi^2 folded exactly as the
+    // engine writes it ((n - e)^2 / e summed, rounded at 1e-6)
+    "q207_benford" -> {
+      val pCase = (1 to 9)
+        .map(d => s"WHEN $d THEN ${math.log10(1.0 + 1.0 / d)}")
+        .mkString(" ")
+      s"""WITH src AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 0.01
+        |), counts AS (
+        |  SELECT digit, count(*) AS n FROM src GROUP BY 1
+        |), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn FROM counts),
+        |terms AS (
+        |  SELECT digit, n, tn,
+        |    tn * (CASE digit $pCase END) AS expected
+        |  FROM counts, tot
+        |), chi AS (
+        |  SELECT round(sum((n - expected) * (n - expected) / expected), 6) AS chi2
+        |  FROM terms
+        |)
+        |SELECT digit, n, round(n / tn, 6) AS share,
+        |  round(expected, 6) AS expected, chi2
+        |FROM terms, chi""".stripMargin
+    }
   )
 }

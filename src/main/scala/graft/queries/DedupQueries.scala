@@ -223,6 +223,26 @@ object DedupQueries {
           round(col("containment"), 6).as("containment"))
     }),
 
+    // the THIRD blocking family (after LSH bands and prefix filtering):
+    // sorted-neighborhood — sort by the normalized 24-char prefix key,
+    // pair every record with its 10 sort-neighbors, verify exact shingle
+    // Jaccard >= 0.5. O(n*w) candidates whatever the key skew; recall is
+    // the method's contract (pairs sorted > w apart are missed) and the
+    // oracle replays the same method, so the gate pins the mechanics.
+    "q206_sorted_neighborhood" -> ((s, dir) => {
+      val sh = org.apache.spark.sql.GraftBridge.column(
+        graft.sql.expressions.Shingles(
+          org.apache.spark.sql.GraftBridge.expression(
+            graft.dedup.TextNormalizer.normalize(col("text"))), 8))
+      val recs = seeded(s, dir).select(col("doc_id"),
+        substring(graft.dedup.TextNormalizer.normalize(col("text")), 1, 24)
+          .as("key"),
+        sh.as("sh"))
+      new graft.dedup.SortedNeighborhoodJoin(10, "doc_id", "key")
+        .pairs(recs, "sh", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // source-level resemblance WITHOUT pairwise doc scans: per-doc
     // minhash signatures min-merged into ONE 12-long signature per source
     // (bit-equal to signing the source's shingle UNION directly — the
@@ -431,6 +451,42 @@ object DedupQueries {
           |WHERE containment >= 0.9
           |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
           |SELECT -1, -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 714""".stripMargin),
+
+    // same sorted neighborhood (row_number over the (key, doc_id) total
+    // order — identical to the engine's two-phase rank by construction),
+    // same in-window pairing, same exact-Jaccard verify
+    "q206_sorted_neighborhood" ->
+      (seededSql +
+        """, keyed AS (
+          |  SELECT doc_id, substring(norm, 1, 24) AS k FROM norm
+          |), rnk AS (
+          |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r FROM keyed
+          |), cand AS (
+          |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+          |         greatest(a.doc_id, b.doc_id) AS id_b
+          |  FROM rnk a JOIN rnk b ON b.r > a.r AND b.r <= a.r + 10
+          |), sh AS (
+          |  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 8) AS shingle
+          |  FROM norm CROSS JOIN range(1, 700) t(i)
+          |  WHERE i <= greatest(length(norm) - 7, 1)
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+          |), inter AS (
+          |  SELECT c.id_a, c.id_b, count(*) AS i
+          |  FROM cand c
+          |  JOIN sh x ON x.doc_id = c.id_a
+          |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+          |  GROUP BY 1, 2
+          |), jac AS (
+          |  SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+          |  FROM inter
+          |  JOIN sizes sa ON sa.doc_id = id_a
+          |  JOIN sizes sb ON sb.doc_id = id_b
+          |)
+          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
+          |WHERE jaccard >= 0.5
+          |UNION ALL -- guard: loud mismatch if a doc outgrows the range(1,700) shingle bound
+          |SELECT -1, -1, -1.0 WHERE (SELECT max(length(norm)) FROM norm) > 706""".stripMargin),
 
     "q19_dedup_exact" ->
       (seededSql +

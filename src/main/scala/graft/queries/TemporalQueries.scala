@@ -884,6 +884,41 @@ object TemporalQueries {
         .agg(round(sum(col("value")), 6).as("x"))
       graft.temporal.ChangePoint.detect(
         daily, Seq("event_type"), col("day"), col("x"))
+    }),
+
+    // RFM segmentation: per-user recency / frequency / monetary with
+    // exact quintile scores from TWO-PHASE global ranks (GroupedNtile —
+    // never a one-task global sort; the oracle's row_number() over the
+    // (metric, user) total order is identical by construction). Monetary
+    // is rounded BEFORE ranking so float-sum drift cannot flip an order.
+    "q208_rfm" -> ((s, dir) => {
+      val day = expr("(unix_micros(cast(ts as timestamp))) div 86400000000")
+      val ev = Tables.events(s, dir)
+      val gmax = broadcast(ev.agg(max(day).as("gmax")))
+      val users = ev
+        .groupBy(col("user_id"))
+        .agg(max(day).as("umax"), count(lit(1)).as("f"),
+          round(sum(coalesce(col("value"), lit(0.0))), 6).as("m"))
+        .crossJoin(gmax)
+        .withColumn("r", col("gmax") - col("umax"))
+        .withColumn("__g", lit("all"))
+      val ranked = Seq(
+        ("r", false, "r_rnk"), ("f", true, "f_rnk"), ("m", true, "m_rnk"))
+        .foldLeft(users) { case (df, (c, desc, nm)) =>
+          graft.sql.GroupedNtile.rankByValue(
+            df, "__g", c, descending = desc,
+            tieCols = Seq(col("user_id")), rankName = nm)
+        }
+      val nu = broadcast(users.agg(count(lit(1)).as("nu")))
+      ranked.crossJoin(nu)
+        .select(col("user_id"), col("r").as("recency"), col("f").as("freq"),
+          col("m").as("monetary"),
+          expr("CAST((r_rnk - 1) * 5 DIV nu AS INT) + 1").as("r_score"),
+          expr("CAST((f_rnk - 1) * 5 DIV nu AS INT) + 1").as("f_score"),
+          expr("CAST((m_rnk - 1) * 5 DIV nu AS INT) + 1").as("m_score"))
+        .withColumn("segment", concat(
+          col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
     })
   )
 
@@ -2064,6 +2099,35 @@ object TemporalQueries {
         |SELECT event_type, day AS t_star, st AS cusum_max, CAST(n AS BIGINT) AS n
         |FROM s
         |QUALIFY row_number() OVER (PARTITION BY event_type
-        |  ORDER BY st DESC, rn ASC) = 1""".stripMargin
+        |  ORDER BY st DESC, rn ASC) = 1""".stripMargin,
+
+    // q208: plain row_number over the same (metric, user) total orders —
+    // identical to the two-phase rank by construction; same integer
+    // quintile formula
+    "q208_rfm" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events
+        |), gmax AS (SELECT max(day) AS gmax FROM base),
+        |u AS (
+        |  SELECT user_id, max(day) AS umax, count(*) AS f,
+        |         round(sum(coalesce(value, 0.0)), 6) AS m
+        |  FROM base GROUP BY 1
+        |), ur AS (
+        |  SELECT user_id, gmax - umax AS r, f, m FROM u, gmax
+        |), rk AS (
+        |  SELECT user_id, r, f, m,
+        |    row_number() OVER (ORDER BY r ASC, user_id) AS r_rnk,
+        |    row_number() OVER (ORDER BY f DESC, user_id) AS f_rnk,
+        |    row_number() OVER (ORDER BY m DESC, user_id) AS m_rnk
+        |  FROM ur
+        |), nt AS (SELECT count(*) AS nu FROM u)
+        |SELECT user_id, r AS recency, f AS freq, m AS monetary,
+        |  CAST((r_rnk - 1) * 5 // nu AS INT) + 1 AS r_score,
+        |  CAST((f_rnk - 1) * 5 // nu AS INT) + 1 AS f_score,
+        |  CAST((m_rnk - 1) * 5 // nu AS INT) + 1 AS m_score,
+        |  CAST((r_rnk - 1) * 5 // nu AS INT) + 1 ||
+        |    CAST((f_rnk - 1) * 5 // nu AS INT) + 1 ||
+        |    CAST((m_rnk - 1) * 5 // nu AS INT) + 1 AS segment
+        |FROM rk, nt""".stripMargin
   )
 }
