@@ -66,7 +66,16 @@ class PartitionSensitivitySpec extends SparkTestBase {
     // jackknife bucket fold, and the sliding-distinct double-dedup fan-out
     "q194_bfs_distance", "q195_seeded_pagerank", "q196_cuped",
     "q197_containment_join", "q198_jackknife",
-    "q199_sliding_distinct_exact")
+    "q199_sliding_distinct_exact",
+    // round 16 (wave 2-4): the distributed PAV (range-partitioned stack
+    // passes MUST be partition-count-proof for integer-valued labels),
+    // the two-retrieval-leg metric fold, the wedge aggregation, the
+    // peel loop's integer snapshots, basket-count ratios, the two-phase
+    // CUSUM fold, the sorted-neighborhood rank+verify, Benford counts,
+    // and the two-phase RFM quintile ranks
+    "q200_isotonic", "q201_ann_recall", "q202_link_prediction",
+    "q203_densest_subgraph", "q204_basket_lift", "q205_changepoint",
+    "q206_sorted_neighborhood", "q207_benford", "q208_rfm")
 
   representatives.foreach { name =>
     test(s"$name: identical result at 97 shuffle partitions") {
