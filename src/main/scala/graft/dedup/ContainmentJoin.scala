@@ -62,7 +62,14 @@ class ContainmentJoin(
     */
   def pairs(sets: DataFrame): DataFrame = {
     val t = threshold
-    val ordered = sorted(sets)
+    // r16 (the SetSimilarityJoin restructure, measured there): all
+    // consumers derive from the shared tokenBase shape so ReuseExchange
+    // dedupes the caller's tokenizer kernel to one pass, and the verify
+    // joins the UNSORTED base arrays — intersection size is
+    // order-independent, so only the prefix/index legs need the
+    // df-sorted derivation.
+    val base = SetSimilarityJoin.tokenBase(sets, idCol, tokensCol)
+    val ordered = SetSimilarityJoin.dfSortedFrom(base)
     // contained side: rarest-token prefix, 1-based position for the bound
     val prefix = ordered.select(col("id"), col("sz"),
       posexplode_outer(expr(
@@ -73,37 +80,37 @@ class ContainmentJoin(
       posexplode_outer(col("ts")))
       .select(col("id").as("id_b"), col("sz").as("sz_b"),
         (col("pos") + 1).as("rn_b"), col("col").as("tok"))
-    val cands = prefix
-      .join(index,
-        prefix("tok") === index("tok") && prefix("id") =!= index("id_b") &&
-          index("sz_b").cast("double") >= ceil(lit(t) * prefix("sz") - lit(eps)) &&
-          (least(prefix("sz") - prefix("rn"), index("sz_b") - index("rn_b")) + lit(1))
-            .cast("double") >= ceil(lit(t) * prefix("sz") - lit(eps)))
-      .select(prefix("id").as("id_a"), index("id_b"))
+    // the prefix×index join keeps the planner's broadcast shape: a keyed
+    // (repartition-by-tok, sort-merge) variant was A/B-ed in r16 and cost
+    // +76% task CPU (330 s vs 187 s focused) for the same wall time —
+    // unlike SetSimilarityJoin's SYMMETRIC self-join, the two sides here
+    // differ, so forcing identical exchanges buys no ReuseExchange and
+    // only pays the full-index shuffle+sort
+    val pk = prefix
+    val ik = index
+    val cands = pk
+      .join(ik,
+        pk("tok") === ik("tok") && pk("id") =!= ik("id_b") &&
+          ik("sz_b").cast("double") >= ceil(lit(t) * pk("sz") - lit(eps)) &&
+          (least(pk("sz") - pk("rn"), ik("sz_b") - ik("rn_b")) + lit(1))
+            .cast("double") >= ceil(lit(t) * pk("sz") - lit(eps)))
+      .select(pk("id").as("id_a"), ik("id_b"))
       .distinct()
-    cands
-      .join(ordered.select(col("id").as("id_a"), col("ts").as("ta"), col("sz").as("sa")), "id_a")
-      .join(ordered.select(col("id").as("id_b"), col("ts").as("tb")), "id_b")
+    // verify once per candidate behind a first() aggregate barrier (the
+    // r16 SetSimilarityJoin finding: an unbarriered containment filter is
+    // pushed into the join condition and the projection recomputes the
+    // same array_intersect per candidate); the barrier pipelines with no
+    // exchange because the join output is already partitioned on id_a
+    graft.sql.functions.spread(cands, col("id_a"))
+      .join(base.select(col("id").as("id_a"), col("ts0").as("ta"),
+        size(col("ts0")).as("sa")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("ts0").as("tb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("ta"), col("tb"))).cast("double") / col("sa"))
-          .as("containment"))
+        size(array_intersect(col("ta"), col("tb"))).as("i"), col("sa"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("i")).as("i"), first(col("sa")).as("sa"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / col("sa")).as("containment"))
       .where(col("containment") >= t)
-  }
-
-  /** (id, ts, sz): each set re-sorted in the global (df asc, tok asc)
-    * order — the [[SetSimilarityJoin]] derivation (deliberately unpinned
-    * there for measured reasons that apply identically here).
-    */
-  private def sorted(sets: DataFrame): DataFrame = {
-    val toks = graft.sql.functions.spread(
-      sets.select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("ts0")),
-      col("id"))
-      .select(col("id"), explode_outer(col("ts0")).as("tok"))
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    toks.join(dfreq, "tok")
-      .groupBy(col("id"))
-      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), x -> x.tok)")
-        .as("ts"))
-      .select(col("id"), col("ts"), size(col("ts")).as("sz"))
   }
 }

@@ -51,56 +51,54 @@ class SetSimilarityJoin(
 
   /** All pairs (id_a, id_b, jaccard) with id_a < id_b and exact Jaccard
     * >= threshold over the distinct-token sets.
+    *
+    * r16 restructure (guide §1.2 step 1, measured): the verify no longer
+    * joins the df-SORTED arrays — intersection size is order-independent,
+    * so it joins the raw distinct-token frame (`base`), which skips two
+    * full re-derivations of the sort (explode → df join → collect_list)
+    * that the old plan instantiated per verify side.
     */
-  def pairs(sets: DataFrame): DataFrame = pairsFrom(sorted(sets))
+  def pairs(sets: DataFrame): DataFrame = {
+    val t = threshold
+    val base = SetSimilarityJoin.tokenBase(sets, idCol, tokensCol)
+    // The verify intersect must be computed ONCE per candidate: without a
+    // barrier, the jaccard filter gets pushed into the last join's
+    // condition and the projection recomputes the SAME array_intersect a
+    // second time per candidate (r16 plan audit — the q183 "verify pushed
+    // into the join" pattern in its batch form). The groupBy(id_a, id_b)
+    // + first() barrier costs nothing extra: candidates are already
+    // unique per pair, and the verify-join output is hash-partitioned on
+    // id_a (a subset of the grouping keys), so the aggregate pipelines
+    // with no exchange — but a filter cannot be pushed below first().
+    // spread the candidates before the verify kernels: the post-distinct
+    // exchange is tiny in bytes, AQE coalesces it to ~1 partition, and
+    // the whole verify stage (both probes + the intersect) would
+    // serialize onto one core (the q183/q206 lesson — re-measured here:
+    // 30 s of stage task time on one partition without it)
+    graft.sql.functions.spread(
+      candidatesFrom(SetSimilarityJoin.dfSortedFrom(base)), col("id_a"))
+      .join(base.select(col("id").as("id_a"), col("ts0").as("ta"),
+        size(col("ts0")).as("sa")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("ts0").as("tb"),
+        size(col("ts0")).as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("i"), col("sa"), col("sb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("i")).as("i"), first(col("sa")).as("sa"),
+        first(col("sb")).as("sb"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+      .where(col("jaccard") >= t)
+  }
 
   /** Candidate pairs (id_a, id_b) surviving the prefix + length +
     * positional filters, BEFORE the exact verify — a superset of the true
     * result. Public so callers can plug their own verification (e.g. a
     * containment or weighted-overlap scorer) behind the same pruning.
     */
-  def candidates(sets: DataFrame): DataFrame = candidatesFrom(sorted(sets))
-
-  /** (id, ts, sz): each set re-sorted in the global (df asc, tok asc)
-    * order — a total order, so every engine derives the identical prefix.
-    *
-    * Deliberately NOT pinned (no persist/localCheckpoint), measured, not
-    * guessed (round 9 A/B, q120 @ sf0.1, local[32], focused):
-    *   - unpinned (this code): 5.6 s, task CPU ≈ wall × 32 (fully parallel)
-    *   - `persist()`:          7.4 s, 2.4× the task CPU, ~10× the shuffle
-    *   - `localCheckpoint`:   29.5 s — the stats-less `LogicalRDD` demotes
-    *     every downstream broadcast join to a sort-merge join on the
-    *     skewed `tok` key, collapsing effective parallelism to ~4.6/32
-    *     cores
-    * The static plan instantiates this subtree once per consumer, but the
-    * per-copy cost is small, runtime exchange reuse dedupes the identical
-    * inner exchanges, and keeping the subtree as a plain logical plan is
-    * what lets AQE keep the verify/prefix joins BROADCAST — worth far more
-    * than compute-once. Bench telemetry (task_ms, plan hash) now makes any
-    * full-run deviation from this plan attributable from the artifact.
-    *
-    * r15 incident follow-up (BENCHDIFF_r15 §1): after a contractual bench
-    * window read 270.8 s for q120, the quiet min-of-7 re-measure was
-    * 7.6 s with the SAME plan hash, and by-hand heap-capped runs at sf0.1
-    * measured the pressure envelope: -Xmx3g → 12.6 s warm, -Xmx2g (≈⅓ of
-    * the unconstrained 6.3 GB pool peak) → 11.3 s warm. No cliff; the
-    * reading was host CPU starvation. An explicit broadcast() pin was
-    * considered and REJECTED: the demotion-sensitive sides (dfreq =
-    * vocabulary, prefix = corpus × prefix-len) are unbounded at the
-    * design scale, so a pin that helps a bench input OOMs the real one.
-    */
-  private def sorted(sets: DataFrame): DataFrame = {
-    val toks = graft.sql.functions.spread(
-      sets.select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("ts0")),
-      col("id"))
-      .select(col("id"), explode_outer(col("ts0")).as("tok"))
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    toks.join(dfreq, "tok")
-      .groupBy(col("id"))
-      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), x -> x.tok)")
-        .as("ts"))
-      .select(col("id"), col("ts"), size(col("ts")).as("sz"))
-  }
+  def candidates(sets: DataFrame): DataFrame =
+    candidatesFrom(SetSimilarityJoin.dfSortedFrom(
+      SetSimilarityJoin.tokenBase(sets, idCol, tokensCol)))
 
   private def candidatesFrom(ordered: DataFrame): DataFrame = {
     val t = threshold
@@ -118,8 +116,15 @@ class SetSimilarityJoin(
     // only impossible ones. J >= t needs overlap >= t/(1+t)*(sz_a+sz_b).
     // On templated corpora (many moderately-shared tokens inside
     // prefixes) this prunes the candidate set ~7x before the verify.
-    prefix.as("a")
-      .join(prefix.as("b"),
+    // repartition BOTH self-join sides by the join key: the identical
+    // explicit exchanges make ReuseExchange collapse the whole
+    // ordered+prefix derivation to one physical execution (the unkeyed
+    // shape broadcast one side, and a BroadcastExchange can never reuse
+    // the stream side's exchange — the r16 plan audit measured the full
+    // collect_list re-derivation running twice because of it)
+    val p = prefix.repartition(col("tok"))
+    p.as("a")
+      .join(p.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")).cast("double") >=
             lit(t) * greatest(col("a.sz"), col("b.sz")) - lit(eps) &&
@@ -130,15 +135,59 @@ class SetSimilarityJoin(
       .distinct()
   }
 
-  private def pairsFrom(ordered: DataFrame): DataFrame = {
-    val t = threshold
-    candidatesFrom(ordered)
-      .join(ordered.select(col("id").as("id_a"), col("ts").as("ta"), col("sz").as("sa")), "id_a")
-      .join(ordered.select(col("id").as("id_b"), col("ts").as("tb"), col("sz").as("sb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).as("i"), col("sa"), col("sb"))
-      .select(col("id_a"), col("id_b"),
-        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
-      .where(col("jaccard") >= t)
+}
+
+object SetSimilarityJoin {
+
+  /** The (id, ts0) distinct-token base frame every downstream consumer
+    * derives from — NOT cached, but shaped so runtime exchange reuse
+    * dedupes the tokenizer kernel across consumers.
+    *
+    * The r16 plan audit found the previous shape ran the caller's
+    * tokenizer kernel (an expensive shingle/normalize chain) 8× per
+    * execution: 4 consumer subtrees (prefix join's two sides + two
+    * verify sides), each containing its own kernel pass plus the df
+    * aggregation's second pass, and ZERO ReuseExchange hits — because
+    * the consumers' INFERRED IsNotNull(id) filters landed asymmetrically
+    * (the verify/prefix branches infer one from their id equi-joins; the
+    * df-aggregation branch, which drops id, does not), so the spread
+    * exchanges canonicalized differently. Making the filter EXPLICIT
+    * here puts the identical filter below every consumer's exchange and
+    * ReuseExchange collapses them to ONE kernel pass.
+    *
+    * Caching A/Bs, for the record (sf0.1, focused, honest per-invocation
+    * cache clears): persist() of this frame costs ~2.5 s of columnar
+    * array encode AND demotes every downstream broadcast join to
+    * sort-merge (InMemoryRelation planning stats) — net wash or worse;
+    * localCheckpoint was 4× worse still (r9: stats-less LogicalRDD).
+    * Null ids cannot reach the output either way (a null id never
+    * equi-joins and never passes id_a < id_b), so the explicit filter
+    * changes no result.
+    */
+  private[graft] def tokenBase(
+      sets: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    graft.sql.functions.spread(
+      sets.select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("ts0"))
+        .where(col("id").isNotNull),
+      col("id"))
+
+  /** Shared (id, ts, sz) derivation for the prefix-filter family
+    * ([[SetSimilarityJoin]], [[ContainmentJoin]]) from a pinned
+    * (id, ts0) base: each set re-sorted in the global (df asc, tok asc)
+    * order. A window-count formulation of `df` was A/B-ed in r16 and
+    * measured WORSE (pairs leg 7.0 s → 8.8 s at sf0.1): the groupBy side
+    * partial-aggregates map-side and the df join broadcasts, so the join
+    * form never shuffles the raw token stream for the join — while the
+    * window form forces a full exchange+sort of every token row. Kept as
+    * the join.
+    */
+  private[graft] def dfSortedFrom(base: DataFrame): DataFrame = {
+    val toks = base.select(col("id"), explode_outer(col("ts0")).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "tok")
+      .groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), x -> x.tok)")
+        .as("ts"))
+      .select(col("id"), col("ts"), size(col("ts")).as("sz"))
   }
 }
