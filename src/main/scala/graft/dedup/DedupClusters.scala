@@ -36,8 +36,16 @@ object DedupClusters {
       hopsPerRound: Int = 2): DataFrame = {
     require(maxRounds > 0 && hopsPerRound > 0,
       s"need positive maxRounds ($maxRounds) and hopsPerRound ($hopsPerRound)")
-    val edgesCk = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // symmetrize via a row-local explode, not a union of two selects: the
+    // union instantiates the whole upstream `pairs` plan (often a full
+    // near-dup candidate/verify pipeline) TWICE in the materialization
+    // job, and the differing output projections defeat exchange reuse
+    // (r16, guide §2.4). One explode reads pairs once for identical rows.
+    val edgesCk = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     val labelsCk = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)

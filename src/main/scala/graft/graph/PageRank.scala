@@ -50,8 +50,9 @@ class PageRank(
     */
   def run(edges: DataFrame): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // one explode, not a two-select union: the union instantiates the
+    // dedup'd edge subtree twice under this distinct (r16, guide §2.4)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node")).distinct()
     val n = broadcast(nodes.agg(count(lit(1)).cast("double").as("__n")))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
 
@@ -93,8 +94,8 @@ class PageRank(
     */
   def runPersonalized(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // one explode, not a two-select union (see run())
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node")).distinct()
     val s = seeds
       .select(col(seeds.columns.head).cast("long").as("node"))
       .where(col("node").isNotNull).distinct()

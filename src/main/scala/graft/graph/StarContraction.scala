@@ -72,8 +72,12 @@ object StarContraction {
       spark.sparkContext.defaultParallelism.toLong, rows / (1L << 20) + 1)).toInt
 
     def largeStar(e: DataFrame): DataFrame = {
-      val n = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
+      // symmetrize with one explode, not a two-select union (one read of
+      // the round's edge frame instead of two — r16, guide §2.4)
+      val n = e.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("s"))
+        .select(col("s.u").as("u"), col("s.v").as("v"))
       val m = n.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       n.join(m, "u").where(col("v") > col("u"))

@@ -56,7 +56,10 @@ object TriangleCount {
       least(col("id_a"), col("id_b")).as("x"),
       greatest(col("id_a"), col("id_b")).as("y"))
       .where(col("x") =!= col("y")).distinct()
-    val deg = e.select(col("x").as("n")).union(e.select(col("y").as("n")))
+    // both endpoints via one row-local explode instead of a union of two
+    // selects — the union form instantiates the dedup'd edge subtree
+    // twice in this aggregation (r16, guide §2.4)
+    val deg = e.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val xFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
     val dir0 = e

@@ -72,10 +72,15 @@ object GraphQueries {
     // supplier → 2k+1. Ranks rounded to the 1e-9 grid (values ~1/N):
     // float-sum order across engines drifts ~1e-16, far inside the grid.
     "q110_pagerank" -> ((s, dir) => {
+      // symmetrize row-locally (explode) without a pre-distinct: PageRank
+      // distincts its edge input anyway, and the old union-of-selects
+      // instantiated the dedup'd scan twice (r16, guide §2.4)
       val ed = Tables.lineitem(s, dir)
         .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val sym = ed.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       new PageRank(iterations = 3).run(sym)
         .select(col("node"), round(col("rank"), 9).as("rank"))
     }),
@@ -104,10 +109,13 @@ object GraphQueries {
     // operator computes it (coalesce(hit, 0.0) / |S|, damping constants
     // as (1.0 - 0.85)). Unreachable nodes read exactly 0.0.
     "q195_seeded_pagerank" -> ((s, dir) => {
+      // same explode symmetrization as q110 (r16)
       val ed = Tables.lineitem(s, dir)
         .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val sym = ed.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val seeds = Tables.supplier(s, dir)
         .where(col("s_suppkey") % 10 === 0)
         .select((col("s_suppkey") * 2 + 1).as("node"))

@@ -67,8 +67,22 @@ object GroupedNtile {
     val part = withB.withColumn("__rin", row_number().over(wIn).cast("long"))
 
     // per-(group, bucket) counts → ranks carried in from earlier buckets of
-    // the same group (triangle join over a tiny frame, fully parallel)
-    val bt = withB.groupBy(g, col("__bkt")).agg(count(lit(1)).as("__bn"))
+    // the same group (triangle join over a tiny frame, fully parallel).
+    // Derived from `part` (the post-window frame), NOT from `withB`
+    // (r16, guide §2.4): the window's exchange already clusters rows by
+    // (group, bucket), so this aggregate adds NO exchange — and because
+    // the offsets branch now contains the IDENTICAL exchange subtree as
+    // the ranked branch, ReuseExchange collapses them to one physical
+    // upstream execution. The old withB-keyed aggregate partial-agged
+    // BELOW its own exchange, which shared nothing, so every rank() call
+    // recomputed its entire input twice — and a caller chaining k ranks
+    // (the RFM shape) paid ~2^k upstream instantiations.
+    // __bn = max(row_number) == the bucket's row count — max over __rin
+    // rather than count(1), because an aggregate that ignores the window
+    // column lets the optimizer ELIMINATE the window node from this
+    // branch and silently restore the unshared two-pass shape (observed:
+    // identical plan hash with count(1))
+    val bt = part.groupBy(g, col("__bkt")).agg(max(col("__rin")).as("__bn"))
     val offsets = bt.as("x")
       .join(bt.select(g.as("__yg"), col("__bkt").as("__yb"), col("__bn").as("__ybn")),
         col("__yg") === col(s"x.$groupCol") && col("__yb") < col("x.__bkt"), "left")
