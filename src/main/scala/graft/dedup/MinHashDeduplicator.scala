@@ -167,13 +167,40 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
     */
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    val sets = shingleArray(dataset).select(id, array_distinct(col("sh")).as("shset"))
-    candidatePairs(dataset)
-      .join(sets.select(col($(idCol)).as("id_a"), col("shset").as("sh_a")), "id_a")
-      .join(sets.select(col($(idCol)).as("id_b"), col("shset").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    // r16 restructure (the q183 carry-through pattern, batch form): the
+    // shingle SET rides through the band join as payload instead of being
+    // re-derived by two verify-side joins — the old shape instantiated
+    // the normalize+shingle kernel once per verify side (the sets frame
+    // cannot be exchange-shared: its consumers join on different keys).
+    // One frame computes sh once, derives (shset, mh) side by side, and
+    // the keyed band self-join (PairJoins) dedupes ITS two sides via
+    // ReuseExchange. Dedup runs BEFORE the verify (one arbitrary
+    // collision row per pair survives; shset is identical on every
+    // collision of the same pair), and the jaccard filter cannot be
+    // pushed below the dedup's first()-aggregate barrier, so the
+    // intersect is computed exactly once per candidate pair.
+    val rowsPerBand = $(numHashes) / $(numBands)
+    require(rowsPerBand * $(numBands) == $(numHashes),
+      s"numBands (${$(numBands)}) must divide numHashes (${$(numHashes)})")
+    val bands = shingleArray(dataset)
+      .select(id, array_distinct(col("sh")).as("shset"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.sql.expressions.MinHashSignature(
+            org.apache.spark.sql.GraftBridge.expression(col("sh")), $(numHashes)))
+          .as("mh"))
+      .select(id, col("shset"), explode_outer(expr(
+        s"""transform(sequence(0, ${$(numBands) - 1}),
+           |  b -> struct(CAST(b AS INT) AS band,
+           |    md5(array_join(transform(slice(mh, b * $rowsPerBand + 1, $rowsPerBand),
+           |      x -> CAST(x AS STRING)), ',')) AS bandSig))""".stripMargin)).as("bs"))
+      .select(id, col("bs.band").as("band"), col("bs.bandSig").as("bandSig"),
+        col("shset"))
+    graft.sql.PairJoins.bucketedSelfPairs(
+      bands, $(idCol), Seq("band", "bandSig"), payload = Seq("shset"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("inter", size(array_intersect(col("shset_a"), col("shset_b"))))
       .select(col("id_a"), col("id_b"),
-        (col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        (col("inter") / (size(col("shset_a")) + size(col("shset_b")) - col("inter")))
           .as("jaccard"))
       .where(col("jaccard") >= $(threshold))
   }

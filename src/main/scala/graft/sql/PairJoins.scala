@@ -28,6 +28,13 @@ object PairJoins {
       idCol: String,
       keyCols: Seq[String],
       payload: Seq[String] = Nil): DataFrame = {
+    // NOTE (r16): a keyed variant (repartition both sides by keyCols so
+    // ReuseExchange shares the bucket derivation, as SetSimilarityJoin's
+    // symmetric self-join does) was A/B-ed and measured 2-3x MORE task
+    // CPU across all three LSH callers (q22 30->94 s, q36 63->126 s) —
+    // these bucket frames are cheap to recompute and the forced
+    // shuffle+sort-merge costs more than the duplicate derivation saves.
+    // Kept unkeyed: the planner broadcasts one side.
     val a = buckets.select(col(idCol).as("id_a") +: keyCols.map(col) ++:
       payload.map(c => col(c).as(s"${c}_a")): _*)
     val b = buckets.select(col(idCol).as("id_b") +: keyCols.map(col) ++:
