@@ -213,8 +213,9 @@ object SimilarityQueries {
       // tree behind indefinitely on long-lived hosts — sweep it when the
       // JVM exits (registered once per process; the path is pid-constant)
       SimilarityQueries.cleanupOnExit(root)
-      // offline half: fit and persist (overwrite keeps reruns idempotent)
-      ivf.build(e).save(s"$root/ivf")
+      // offline half: fit and persist (overwrite keeps reruns idempotent);
+      // buildTo fuses the centroid train into its own write action (r16)
+      ivf.buildTo(e, s"$root/ivf")
       ProductQuantizer.saveCodebook(
         new ProductQuantizer(numSubspaces = 8, codebookSize = 16, dim = 64).fit(e),
         s"$root/pq")

@@ -117,6 +117,22 @@ class IvfCosineIndex(
     IvfIndex(cents, listRows(candidates, cents))
   }
 
+  /** [[build]] + [[IvfIndex.save]] fused for the offline-train half of a
+    * train-then-serve pipeline (r16): the centroids are computed INSIDE
+    * their own write action and the lists are assigned against the
+    * written copy (parquet round-trips doubles bit-exactly), which drops
+    * the separate centroid-localCheckpoint action `build(...).save(...)`
+    * pays. One corpus pass for training, one for listing — same passes,
+    * one fewer blocking job.
+    */
+  def buildTo(candidates: DataFrame, path: String): Unit = {
+    centroids(candidates).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    val spark = candidates.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").localCheckpoint()
+    IvfIndex(cents, listRows(candidates, cents)).saveListsOnly(path)
+  }
+
   /** Index build against EXTERNALLY-trained centroids (cid, centroid) —
     * the [[KMeans]] integration: train real cluster structure with
     * multi-step Lloyd offline, then list the corpus under those cells
@@ -220,6 +236,13 @@ case class IvfIndex(centroids: DataFrame, lists: DataFrame) {
     */
   def save(path: String): Unit = {
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    saveListsOnly(path)
+  }
+
+  /** The lists half of [[save]] — shared with
+    * [[IvfCosineIndex.buildTo]], which writes the centroids itself.
+    */
+  private[similarity] def saveListsOnly(path: String): Unit = {
     // cluster the write on cid first: without it every task holds rows of
     // every cid and partitionBy fans each task out into every directory
     // (tasks × cids small files — and as many open writers per task);

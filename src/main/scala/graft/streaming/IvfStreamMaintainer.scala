@@ -112,15 +112,25 @@ class IvfStreamMaintainer(
     * discovery; the maintainer owns its layout end-to-end.)
     */
   def bootstrap(corpus: DataFrame): Unit = {
-    val idx = ivf.build(corpus)
+    val spark = corpus.sparkSession
     // estimator contract (the KMeans/forCodebook discipline): empty
     // centroids would make every future appendBatch assign against
-    // nothing and silently index zero vectors forever
-    require(!idx.centroids.isEmpty,
+    // nothing and silently index zero vectors forever. Checked on the
+    // corpus (take-1 scan) BEFORE anything is written: a non-empty
+    // corpus always yields >= 1 centroid (its lowest-id seed wins at
+    // least itself), and the guard must not leave a half-written layout.
+    require(!corpus.isEmpty,
       "cannot bootstrap a maintained IVF index on an empty corpus")
-    idx.centroids.coalesce(1).write.mode("overwrite")
+    // write the trained centroids DIRECTLY (one action computes and
+    // persists them), then list the corpus against the written copy —
+    // r16: the previous ivf.build(...) route localCheckpoint-ed the
+    // centroids as an extra blocking action before the same two writes;
+    // parquet round-trips doubles bit-exactly, so assignment against the
+    // loaded copy is assignment against the trained one
+    ivf.centroids(corpus).coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids")
-    writeBatch(idx.lists, batchId = 0L)
+    centsCache = null // a failed earlier bootstrap may have cached debris
+    writeBatch(ivf.listRows(corpus, centroids(spark)), batchId = 0L)
   }
 
   // the centroids are immutable for this maintainer's lifetime (only
@@ -235,7 +245,14 @@ class IvfStreamMaintainer(
     val fs = hfs(spark)
     val lists = spark.read.parquet(cur)
       .withColumn("batch", col("batch").cast("long"))
-    val b0 = lists.agg(min(col("batch"))).head().getLong(0)
+    // baseline era from the partition DIRECTORY names, not a Spark
+    // aggregation job (r16): an era directory exists iff a write landed
+    // rows in it (zero-row appends write no batch= dirs, and dynamic
+    // overwrite only ever replaces same-batch partitions), so the
+    // minimum dir name IS min(batch) — one listStatus instead of a scan
+    val b0 = fs.listStatus(new Path(cur)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).min
     val gen = cur.substring(cur.lastIndexOf('/') + 1) match {
       case "lists" => 0
       case g => g.stripPrefix("lists@").toInt
