@@ -59,6 +59,11 @@ class ContainmentJoin(
 
   /** All ordered pairs (id_a, id_b, containment) with id_a != id_b and
     * exact |A∩B|/|A| >= threshold over the distinct-token sets.
+    *
+    * PRECONDITION: ids are unique (one row per id) — same contract and
+    * reason as [[SetSimilarityJoin.pairs]]: the verify joins the
+    * un-aggregated token frame behind a first() barrier, so duplicate ids
+    * with differing token arrays would score an arbitrary one.
     */
   def pairs(sets: DataFrame): DataFrame = {
     val t = threshold
@@ -106,7 +111,8 @@ class ContainmentJoin(
         size(col("ts0")).as("sa")), "id_a")
       .join(base.select(col("id").as("id_b"), col("ts0").as("tb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).as("i"), col("sa"))
+        graft.sql.functions.sortedIntersectCount(col("ta"), col("tb")).as("i"),
+        col("sa"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("i")).as("i"), first(col("sa")).as("sa"))
       .select(col("id_a"), col("id_b"),

@@ -160,8 +160,8 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
       .distinct()
 
   /** Verified near-duplicate pairs: (id_a, id_b, jaccard ≥ threshold).
-    * Verification is row-local set math over the candidates' shingle-set
-    * arrays (`array_intersect` dedups, matching the oracle's DISTINCT
+    * Verification is row-local set math over the candidates' DISTINCT
+    * shingle-set arrays (sortedDistinct, matching the oracle's DISTINCT
     * semantics exactly) — no distinct-shingle shuffle, no per-shingle
     * intersection join; only the ~candidate-count rows do real work.
     */
@@ -182,8 +182,11 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
     val rowsPerBand = $(numHashes) / $(numBands)
     require(rowsPerBand * $(numBands) == $(numHashes),
       s"numBands (${$(numBands)}) must divide numHashes (${$(numHashes)})")
+    // r17: shset is sortedDistinct (same element set as array_distinct,
+    // sorted once per document) so the per-pair verify merge-counts
+    // instead of building an array_intersect hash set per pair.
     val bands = shingleArray(dataset)
-      .select(id, array_distinct(col("sh")).as("shset"),
+      .select(id, graft.sql.functions.sortedDistinct(col("sh")).as("shset"),
         org.apache.spark.sql.GraftBridge.column(
           graft.sql.expressions.MinHashSignature(
             org.apache.spark.sql.GraftBridge.expression(col("sh")), $(numHashes)))
@@ -198,7 +201,8 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
     graft.sql.PairJoins.bucketedSelfPairs(
       bands, $(idCol), Seq("band", "bandSig"), payload = Seq("shset"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("inter", size(array_intersect(col("shset_a"), col("shset_b"))))
+      .withColumn("inter",
+        graft.sql.functions.sortedIntersectCount(col("shset_a"), col("shset_b")))
       .select(col("id_a"), col("id_b"),
         (col("inter") / (size(col("shset_a")) + size(col("shset_b")) - col("inter")))
           .as("jaccard"))

@@ -52,6 +52,13 @@ class SetSimilarityJoin(
   /** All pairs (id_a, id_b, jaccard) with id_a < id_b and exact Jaccard
     * >= threshold over the distinct-token sets.
     *
+    * PRECONDITION: ids are unique (one row per id). The verify joins the
+    * un-aggregated token frame and picks one row per pair behind a
+    * first() barrier, so duplicate ids with DIFFERING token arrays would
+    * score an arbitrary one of them (the candidates, by contrast, derive
+    * from a groupBy(id)-merged frame). Every declared query feeds one row
+    * per document; dedupe ids upstream if yours does not.
+    *
     * r16 restructure (guide §1.2 step 1, measured): the verify no longer
     * joins the df-SORTED arrays — intersection size is order-independent,
     * so it joins the raw distinct-token frame (`base`), which skips two
@@ -82,7 +89,8 @@ class SetSimilarityJoin(
       .join(base.select(col("id").as("id_b"), col("ts0").as("tb"),
         size(col("ts0")).as("sb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).as("i"), col("sa"), col("sb"))
+        graft.sql.functions.sortedIntersectCount(col("ta"), col("tb")).as("i"),
+        col("sa"), col("sb"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("i")).as("i"), first(col("sa")).as("sa"),
         first(col("sb")).as("sb"))
@@ -163,11 +171,21 @@ object SetSimilarityJoin {
     * Null ids cannot reach the output either way (a null id never
     * equi-joins and never passes id_a < id_b), so the explicit filter
     * changes no result.
+    *
+    * r17: `ts0` is [[graft.sql.functions.sortedDistinct]] rather than
+    * `array_distinct` — same element set, but sorted ONCE per document so
+    * the verify legs can merge-count each candidate pair
+    * ([[graft.sql.functions.sortedIntersectCount]]) instead of building
+    * an `array_intersect` hash set per pair (the r16 profile's largest
+    * remaining compute block: q120 343 s + q197 187 s focused task CPU).
+    * Every ts0 consumer is order-independent (size, explode+groupBy df
+    * aggregation, intersection size), so no result changes.
     */
   private[graft] def tokenBase(
       sets: DataFrame, idCol: String, tokensCol: String): DataFrame =
     graft.sql.functions.spread(
-      sets.select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("ts0"))
+      sets.select(col(idCol).as("id"),
+        graft.sql.functions.sortedDistinct(col(tokensCol)).as("ts0"))
         .where(col("id").isNotNull),
       col("id"))
 

@@ -75,8 +75,10 @@ class SortedNeighborhoodJoin(
   def pairs(records: DataFrame, tokensCol: String, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold ($threshold) must be in (0, 1]")
+    // r17: sortedDistinct (same element set) so the verify merge-counts
+    // per pair instead of an array_intersect hash-set build per pair
     val toks = records.select(col(idCol).as("id"),
-      array_distinct(col(tokensCol)).as("ts"))
+      graft.sql.functions.sortedDistinct(col(tokensCol)).as("ts"))
     // sized is consumed by BOTH verify sides — pinned for the same
     // measured reason as `ranked` (A/B at sf0.1: unpinned 8.2 s, pinned
     // 6.1 s — the token-set derivation re-ran per side); and the
@@ -92,7 +94,8 @@ class SortedNeighborhoodJoin(
       // PASS the >= filter under Spark's NaN-is-largest ordering)
       .where(col("sa") > 0 && col("sb") > 0)
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).as("i"), col("sa"), col("sb"))
+        graft.sql.functions.sortedIntersectCount(col("ta"), col("tb")).as("i"),
+        col("sa"), col("sb"))
       .select(col("id_a"), col("id_b"),
         (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)

@@ -61,6 +61,31 @@ object functions {
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** `array_distinct` + ascending sort (UTF8String binary order, nulls
+    * last) of an ARRAY&lt;STRING&gt; column in one native codegen pass
+    * ([[graft.sql.expressions.SortedDistinct]]). Same element SET as
+    * `array_distinct` — only the in-array order differs — so any
+    * order-independent consumer (size, explode+groupBy, intersection
+    * size) is unchanged. Sorting once per document makes every
+    * per-candidate-pair verify a merge count ([[sortedIntersectCount]])
+    * instead of an `array_intersect` hash-set build.
+    */
+  def sortedDistinct(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.SortedDistinct(
+        org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** `size(array_intersect(a, b))` over two [[sortedDistinct]] arrays as
+    * one allocation-free two-pointer merge
+    * ([[graft.sql.expressions.SortedIntersectCount]]). PRECONDITION: both
+    * inputs sorted ascending and distinct ([[sortedDistinct]] output).
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.SortedIntersectCount(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** Repartition a narrow input to the session's default parallelism before
     * CPU-heavy row-local kernels (minhash/simhash/signature/cosine loops).
     * No-op when the input already has enough partitions — on a real cluster

@@ -116,11 +116,14 @@ class IvfStreamMaintainer(
     // estimator contract (the KMeans/forCodebook discipline): empty
     // centroids would make every future appendBatch assign against
     // nothing and silently index zero vectors forever. Checked on the
-    // corpus (take-1 scan) BEFORE anything is written: a non-empty
-    // corpus always yields >= 1 centroid (its lowest-id seed wins at
-    // least itself), and the guard must not leave a half-written layout.
-    require(!corpus.isEmpty,
-      "cannot bootstrap a maintained IVF index on an empty corpus")
+    // corpus (take-1 scan) BEFORE anything is written, and the guard must
+    // not leave a half-written layout. The guard counts rows with a
+    // NON-NULL id: Seeding.kLowestIdRanks drops null ids, so a corpus of
+    // only null-id rows would train ZERO centroids even though it is
+    // non-empty (r17, per-round advice).
+    require(!corpus.where(col(ivf.idCol).isNotNull).isEmpty,
+      "cannot bootstrap a maintained IVF index on a corpus with no " +
+        "non-null-id rows (null ids train no centroids)")
     // write the trained centroids DIRECTLY (one action computes and
     // persists them), then list the corpus against the written copy —
     // r16: the previous ivf.build(...) route localCheckpoint-ed the

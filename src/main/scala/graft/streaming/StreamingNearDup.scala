@@ -27,10 +27,12 @@ import graft.dedup.TextNormalizer
 object StreamingNearDup {
 
   /** Distinct shingle set of normalized text — the batch verifier's
-    * identity, exposed for parity tests.
+    * identity, exposed for parity tests. r17: sortedDistinct (same element
+    * set as array_distinct, sorted once per document) so the per-pair
+    * verify merge-counts instead of building a hash set per pair.
     */
   def shingleSet(text: Column, k: Int): Column =
-    array_distinct(org.apache.spark.sql.GraftBridge.column(
+    graft.sql.functions.sortedDistinct(org.apache.spark.sql.GraftBridge.column(
       graft.sql.expressions.Shingles(
         org.apache.spark.sql.GraftBridge.expression(TextNormalizer.normalize(text)), k)))
 
@@ -98,7 +100,7 @@ object StreamingNearDup {
       .withWatermark("ts_a", delay)
     val b = bands.toDF("id_b", "ts_b", "sh_b", "band_b", "sig_b")
       .withWatermark("ts_b", delay)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = graft.sql.functions.sortedIntersectCount(col("sh_a"), col("sh_b"))
     // pair ordering via least/greatest + dedup, NOT an `id_a < id_b` join
     // predicate: StreamingJoinHelper tries to extract a state-watermark
     // constraint from every </<= conjunct of a stream-stream join

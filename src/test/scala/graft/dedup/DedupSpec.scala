@@ -74,6 +74,34 @@ class DedupSpec extends SparkTestBase {
     assert(ek(0) === Seq("ab") && ek(1) === Seq(""))
   }
 
+  test("transform jaccard equals the declarative verify on a band-collision fixture") {
+    // r17 regression net for the verify-path restructures (shset payload
+    // carry-through + sortedDistinct/sortedIntersectCount): transform()
+    // must equal an INDEPENDENT reference — candidates from
+    // candidatePairs, verified by declarative-HOF shingle sets and
+    // array_intersect/array_union — on a fixture with band collisions
+    // (docs 1/2 are exact dups: every band collides; 1/3 near dups).
+    val k = 5
+    val thr = 0.3
+    val m = new MinHashDeduplicator()
+      .setIdCol("doc_id").setTextCol("text")
+      .setShingleSize(k).setNumHashes(12).setNumBands(6).setThreshold(thr)
+    val got = m.transform(docs)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val sets = docs.select($"doc_id", array_distinct(
+      expr(s"transform(sequence(1, greatest(length($normSql) - $k + 1, 1))," +
+        s" i -> substring($normSql, i, $k))")).as("ss"))
+    val want = m.candidatePairs(docs)
+      .join(sets.select($"doc_id".as("id_a"), $"ss".as("sa")), "id_a")
+      .join(sets.select($"doc_id".as("id_b"), $"ss".as("sb")), "id_b")
+      .select($"id_a", $"id_b",
+        (size(array_intersect($"sa", $"sb")).cast("double") /
+          size(array_union($"sa", $"sb"))).as("jaccard"))
+      .where($"jaccard" >= thr)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   // mirrors TextNormalizer.normalize as Spark SQL text: whitespace map
   // (the Spark-flavored translate fragment — chr() is mod-256 in Spark,
   // so the DuckDB oracles' chr-concat form would silently map the wrong

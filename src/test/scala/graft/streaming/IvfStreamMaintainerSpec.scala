@@ -83,11 +83,26 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] {
       m.bootstrap((0L until 100L).map(vec).toDF().limit(0))
     }
-    assert(e.getMessage.contains("empty corpus"))
+    assert(e.getMessage.contains("no non-null-id rows"))
 
     m.bootstrap((0L until 100L).map(vec).toDF())
     m.appendBatch((0L until 100L).map(vec).toDF().limit(0), batchId = 1L)
     assert(m.load(spark).lists.count() === 100L)
+  }
+
+  test("bootstrap on an all-null-id corpus fails loudly instead of training zero centroids") {
+    // Seeding.kLowestIdRanks drops null ids, so a NON-EMPTY corpus whose
+    // ids are all null would train zero centroids and every future
+    // appendBatch would silently index nothing — the guard must catch it
+    // before anything is written (r17, per-round advice)
+    val path = Files.createTempDirectory("graft-ivf-nullid").toString
+    val m = new IvfStreamMaintainer(ivf, path)
+    val allNull = (0L until 50L).map(vec).toDF()
+      .withColumn("vec_id", lit(null).cast("long"))
+    val e = intercept[IllegalArgumentException] { m.bootstrap(allNull) }
+    assert(e.getMessage.contains("no non-null-id rows"))
+    // nothing half-written: the layout dir has no centroids/lists
+    assert(!new java.io.File(s"$path/centroids").exists())
   }
 
   test("all-empty stream prefix: schema fallback written, then cleared by the first real batch") {
@@ -244,6 +259,32 @@ class IvfStreamMaintainerSpec extends SparkTestBase {
     val loaded = m.load(spark)
     assert(loaded.lists.count() === 180L)
     assert(loaded.lists.select("vec_id").distinct().count() === 180L)
+  }
+
+  test("compaction is correct when the LOWEST era was itself replayed/overwritten") {
+    // the r16 dir-name-as-min(batch) invariant under its edge: the
+    // baseline era (lowest batch id) gets REPLAYED by an at-least-once
+    // restart before any compaction — dynamic overwrite replaces its own
+    // partitions, the batch=0 dir survives, and compactInPlace's
+    // listStatus-derived b0 must still label the baseline era correctly
+    val path = Files.createTempDirectory("graft-ivf-replaybase").toString
+    val m = new IvfStreamMaintainer(ivf, path, maxFilesPerCell = 4)
+    m.bootstrap((0L until 100L).map(vec).toDF())
+    // process restart (fresh maintainer = fresh maxSeenEra probe), then
+    // the engine replays era 0's content — same rows, same batch id
+    val m2 = new IvfStreamMaintainer(ivf, path, maxFilesPerCell = 4)
+    m2.appendBatch((0L until 100L).map(vec).toDF(), batchId = 0L)
+    assert(m2.load(spark).lists.count() === 100L, "replay must overwrite, not duplicate")
+    (1 to 4).foreach { b =>
+      m2.appendBatch((100L + b * 20L until 120L + b * 20L).map(vec).toDF(), b.toLong)
+    }
+    // compaction fired inside appendBatch(4); baseline keeps its label
+    assert(m2.eraCount(spark) === 3)
+    val loaded = m2.load(spark)
+    assert(loaded.lists.count() === 180L)
+    assert(loaded.lists.select("vec_id").distinct().count() === 180L)
+    assert(loaded.lists.where(col("batch") === 0L).count() === 100L,
+      "the replayed baseline era must keep batch=0 through compaction")
   }
 
   test("a crash mid-first-compaction cannot strand resolution on a partial generation") {
