@@ -46,18 +46,76 @@ class IvfCosineIndex(
     graft.sql.functions.spread(
       candidates.select(col(idCol), dvec(col(vecCol)).as("cv")), col(idCol))
 
-  /** (id, cid): nearest centroid per vector (ties: lowest cid).
-    * `max_by` over (cos, -cid) instead of a row_number window: the argmax
-    * partial-aggregates map-side, so the shuffle carries one row per
-    * vector rather than numCentroids rows — and there is no per-key sort.
+  /** The row-local nearest-centroid column (see
+    * [[graft.sql.expressions.NearestCentroidId]]) against the COLLECTED
+    * centroid set — centroids are driver-tiny by contract (numCentroids
+    * rows, the same bound the previous `broadcast(cents)` relied on).
+    * None when the set is empty. r17 (guide §2.4): the previous
+    * `crossJoin(broadcast) → groupBy(id).max_by → join-back` shape paid an
+    * argmax shuffle plus a corpus-side join-back shuffle on EVERY
+    * assignment pass (bootstrap, each micro-batch append, each Lloyd
+    * step); the expression replicates `max_by(cid, struct(cos, -cid))`
+    * bit-exactly (same cosine loop, same tie/NaN/null ordering) with zero
+    * shuffles.
+    */
+  private def collectCells(cents: DataFrame) =
+    cents.select(col("cid").cast("long"),
+      dvec(col("centroid")).as("centroid")).collect()
+      .sortBy(r => (r.isNullAt(0), if (r.isNullAt(0)) 0L else r.getLong(0)))
+
+  private def cellLiterals(rows: Array[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    (Literal.create(rows.map(r =>
+        if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))).toSeq,
+        ArrayType(LongType)),
+      Literal.create(rows.map(r =>
+        if (r.isNullAt(1)) null else r.getSeq[Double](1)).toSeq,
+        ArrayType(ArrayType(DoubleType))))
+  }
+
+  private def nearestCidCol(cents: DataFrame): Option[Column] = {
+    val rows = collectCells(cents)
+    if (rows.isEmpty) None
+    else {
+      val (cidLit, centLit) = cellLiterals(rows)
+      Some(org.apache.spark.sql.GraftBridge.column(
+        graft.sql.expressions.NearestCentroidId(
+          org.apache.spark.sql.GraftBridge.expression(col("cv")),
+          cidLit, centLit)))
+    }
+  }
+
+  /** Row-local top-nprobe probe-cell array for a query-vector column —
+    * replaces the crossJoin + per-query row_number window in [[probes]]
+    * (same ordering: cos DESC with NaN first / nulls last, ties by cid).
+    */
+  private def probeCidsCol(vecCol2: Column, cents: DataFrame): Column = {
+    val (cidLit, centLit) = cellLiterals(collectCells(cents))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.sql.expressions.NearestCentroidIds(
+        org.apache.spark.sql.GraftBridge.expression(vecCol2),
+        cidLit, centLit, nprobe))
+  }
+
+  /** The corpus frame with a row-local `cid` column; empty (same schema)
+    * when the centroid set is empty — the previous crossJoin shape joined
+    * nothing against an empty broadcast.
+    */
+  private def withNearest(e: DataFrame, cents: DataFrame): DataFrame =
+    nearestCidCol(cents) match {
+      case Some(c) => e.withColumn("cid", c)
+      case None => e.withColumn("cid", lit(null).cast("long")).where(lit(false))
+    }
+
+  /** (id, cid): nearest centroid per vector (ties: lowest cid), computed
+    * row-locally — no argmax shuffle. PRECONDITION (shared by every
+    * declared query): one row per non-null id; the old groupBy(id) shape
+    * collapsed duplicate ids to one arbitrary-winner row where this
+    * assigns each row independently.
     */
   private def assign(vectors: DataFrame, cents: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(cents))
-      .select(col(idCol), col("cid"),
-        cosineSimilarity(col("cv"), col("centroid")).as("cos"))
-      .groupBy(col(idCol))
-      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
-      .select(col(idCol), col("cid"))
+    withNearest(vectors, cents).select(col(idCol), col("cid"))
 
   /** Learned centroids (cid, centroid): lowest-id seeds + one Lloyd step.
     * A cell that wins no members drops out of the Lloyd means — harmless
@@ -75,7 +133,10 @@ class IvfCosineIndex(
     // pick the same seed id keys would.
     val seeds = Seeding.kLowestIdRanks(e, idCol, numCentroids, "cid")
       .select(col("cid"), col("cv").as("centroid"))
-    val members = e.join(assign(e, seeds), idCol)
+    // row-local seed assignment (r17): the old e.join(assign(e, seeds),
+    // idCol) paid the argmax shuffle + a join-back; the null-id filter
+    // replicates the equi-join's drop of null-id rows from the Lloyd means
+    val members = withNearest(e, seeds).where(col(idCol).isNotNull)
     dim match {
       // known dimensionality: one partial-aggregated groupBy of d scalar
       // avgs — no per-component explode, no second shuffle
@@ -174,7 +235,11 @@ class IvfCosineIndex(
   def listRows(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val c = cents.select(col("cid"), dvec(col("centroid")).as("centroid"))
     val e = corpus(vectors)
-    e.join(assign(e, c), idCol)
+    // row-local cid (r17) — the old e.join(assign(e, c), idCol) re-keyed
+    // the corpus by id just to attach a column computable in place; the
+    // null-id filter replicates the equi-join's drop of null-id rows
+    withNearest(e, c).where(col(idCol).isNotNull)
+      .select(col(idCol), col("cv"), col("cid"))
   }
 
   /** (query_id, qv, cid): each query's `nprobe` nearest cells — the probe
@@ -183,12 +248,13 @@ class IvfCosineIndex(
     */
   def probes(queries: DataFrame, index: IvfIndex): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), dvec(col(vecCol)).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
-    qv.crossJoin(broadcast(index.centroids))
-      .select(col("query_id"), col("qv"), col("cid"),
-        cosineSimilarity(col("qv"), col("centroid")).as("cos"))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= nprobe)
+    // row-local top-nprobe (r17, guide §2.4): the old shape cross-joined
+    // every query against the broadcast centroids and ranked the cells
+    // with a per-query row_number window — a query-keyed exchange + sort
+    // per search — when the whole selection is computable in place
+    // against centroid literals with the identical ordering
+    qv.withColumn("cid",
+        explode(probeCidsCol(col("qv"), index.centroids)))
       .select(col("query_id"), col("qv"), col("cid"))
   }
 
