@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   * BFS does O(|E reachable|) total join work across ALL rounds combined
   * (each edge is expanded from its endpoint's discovery round only), vs
   * the oracle's fixed-R full relaxation doing O(R x |E|) — the engine
-  * shape is the one that holds at 100 TB. The visited set is the only
-  * frame that grows; it re-materializes per round via `localCheckpoint`
-  * so lineage stays flat. The loop-invariant symmetrized edge frame is
-  * pinned once (the [[PageRank]] discipline).
+  * shape is the one that holds at 100 TB. The visited set is a lazy
+  * union of the per-round checkpointed frontiers (each piece is
+  * materialized once, the union is lineage-flat — never re-copied). The
+  * loop-invariant symmetrized edge frame is pinned once (the
+  * [[PageRank]] discipline).
   */
 class BfsDistance(
     maxRounds: Int = 16,
@@ -64,14 +65,22 @@ class BfsDistance(
       .distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint()
-    var visited = s0
+    // the visited set is a UNION of per-round checkpointed frontiers,
+    // never re-materialized (r17, guide §1.2 job-count audit): the old
+    // loop ran visited.union(next).localCheckpoint() every round — a
+    // second blocking action per round that re-copied the ENTIRE visited
+    // set (O(rounds × |V|) churn). Each piece is already checkpointed, so
+    // the union is lineage-flat; the per-round anti-join reads the
+    // ≤ maxRounds-way union of memory-backed scans directly.
+    var frontiers = Vector(s0)
     var frontier = s0
     var round = 0
     var done = frontier.isEmpty
     while (!done) {
+      val visitedIds = frontiers.map(_.select("id")).reduce(_ union _)
       val next = sym.join(frontier, sym("s") === frontier("id"))
         .select(sym("d").as("id")).distinct()
-        .join(visited.select("id"), Seq("id"), "left_anti")
+        .join(visitedIds, Seq("id"), "left_anti")
         .withColumn("dist", lit(round + 1L))
         .localCheckpoint()
       done = next.isEmpty
@@ -80,10 +89,10 @@ class BfsDistance(
         require(round <= maxRounds,
           s"BFS did not exhaust the reachable set within maxRounds=$maxRounds " +
             "(raise it; the graph is deeper than this wiring expected)")
-        visited = visited.union(next).localCheckpoint()
+        frontiers :+= next
         frontier = next
       }
     }
-    visited.select(col("id"), col("dist"))
+    frontiers.reduce(_ union _).select(col("id"), col("dist"))
   }
 }

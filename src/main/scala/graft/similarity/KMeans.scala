@@ -69,9 +69,18 @@ class KMeans(
       .select(lit(0L).as("cid"), col("cv").as("centroid"))
       .localCheckpoint()
     for (i <- 1 until k) {
-      val next = e.crossJoin(broadcast(chosen))
-        .select(col(idCol), col("cv"), squaredL2(col("cv"), col("centroid")).as("d2"))
-        .groupBy(col(idCol)).agg(min(col("d2")).as("md"), first(col("cv")).as("cv"))
+      // row-local min-distance (r17): the old crossJoin + groupBy(id)
+      // .agg(min(d2), first(cv)) shuffled the whole corpus per seed round
+      // to compute a per-row reduction; MinSquaredL2 replicates SQL min
+      // (nulls ignored, NaN largest) in place, leaving only the top-1
+      // TakeOrdered — note the old groupBy emitted one row per DISTINCT
+      // id, which for the unique-id corpora every caller feeds is the
+      // same row set
+      val (_, _, centLit) = cellLiterals(chosen)
+      val next = e
+        .withColumn("md", org.apache.spark.sql.GraftBridge.column(
+          graft.sql.expressions.MinSquaredL2(
+            org.apache.spark.sql.GraftBridge.expression(col("cv")), centLit)))
         .orderBy(col("md").desc, col(idCol)).limit(1)
         .select(lit(i.toLong).as("cid"), col("cv").as("centroid"))
       chosen = chosen.unionByName(next).localCheckpoint()
@@ -94,21 +103,50 @@ class KMeans(
     Seeding.kLowestIdRanks(corpus(vectors), idCol, k, "cid")
       .select(col("cid"), col("cv").as("centroid"))
 
+  /** The collected (driver-tiny, k rows — the same bound
+    * `broadcast(centroids)` relied on) cell set as array literals for the
+    * row-local assignment expressions (r17, guide §2.4 — the previous
+    * crossJoin → groupBy(id).min_by → join-back shape paid an argmax
+    * shuffle plus a corpus join-back per Lloyd round).
+    */
+  private def cellLiterals(centroids: DataFrame) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val rows = centroids.select(col("cid").cast("long"),
+      col("centroid").cast("array<double>").as("centroid")).collect()
+      .sortBy(r => (r.isNullAt(0), if (r.isNullAt(0)) 0L else r.getLong(0)))
+    (rows.isEmpty,
+      Literal.create(rows.map(r =>
+        if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))).toSeq,
+        ArrayType(LongType)),
+      Literal.create(rows.map(r =>
+        if (r.isNullAt(1)) null else r.getSeq[Double](1)).toSeq,
+        ArrayType(ArrayType(DoubleType))))
+  }
+
   /** (id, cid, d2): nearest centroid per vector under squared L2; ties to
-    * the lowest cid. `min_by` over (d2, cid) partial-aggregates map-side —
-    * the shuffle carries one row per vector, not k.
+    * the lowest cid — computed row-locally against centroid literals
+    * ([[graft.sql.expressions.NearestCellL2]] replicates the old
+    * `min_by(struct(cid, d2), struct(d2, cid))` bit-exactly). PRECONDITION
+    * (every declared query satisfies it): one row per non-null id — the
+    * old groupBy(id) collapsed duplicate ids to one arbitrary-winner row.
     */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     assignCv(corpus(vectors), centroids)
 
   /** [[assign]] over an already-projected (id, cv) frame. */
-  private def assignCv(cvFrame: DataFrame, centroids: DataFrame): DataFrame =
-    cvFrame.crossJoin(broadcast(centroids))
-      .select(col(idCol), col("cid"), squaredL2(col("cv"), col("centroid")).as("d2"))
-      .groupBy(col(idCol))
-      .agg(
-        min_by(struct(col("cid"), col("d2")), struct(col("d2"), col("cid"))).as("b"))
-      .select(col(idCol), col("b.cid").as("cid"), col("b.d2").as("d2"))
+  private def assignCv(cvFrame: DataFrame, centroids: DataFrame): DataFrame = {
+    val (empty, cidLit, centLit) = cellLiterals(centroids)
+    if (empty)
+      // the old crossJoin against an empty broadcast joined nothing
+      cvFrame.select(col(idCol), lit(null).cast("long").as("cid"),
+        lit(null).cast("double").as("d2")).where(lit(false))
+    else
+      cvFrame.withColumn("b", org.apache.spark.sql.GraftBridge.column(
+          graft.sql.expressions.NearestCellL2(
+            org.apache.spark.sql.GraftBridge.expression(col("cv")), cidLit, centLit)))
+        .select(col(idCol), col("b.cid").as("cid"), col("b.d2").as("d2"))
+  }
 
   /** Centroids after `iters` Lloyd refinements of the seeds. Each round's
     * k-row result is localCheckpoint-ed: the next round (and the caller's
@@ -129,7 +167,15 @@ class KMeans(
     // seeds are already materialized, so this check costs no extra pass.
     require(!cents.isEmpty, "cannot fit k-means on an empty vector column")
     for (_ <- 0 until iters) {
-      val means = e.join(assignCv(e, cents).select(col(idCol), col("cid")), idCol)
+      // row-local assignment (r17): the old e.join(assignCv(e, cents)
+      // .select(id, cid), idCol) paid the argmax shuffle + a join-back per
+      // round; the null-id filter replicates the equi-join's null drop
+      val (_, cidLit, centLit) = cellLiterals(cents) // non-empty (require above)
+      val means = e.where(col(idCol).isNotNull)
+        .withColumn("b", org.apache.spark.sql.GraftBridge.column(
+          graft.sql.expressions.NearestCellL2(
+            org.apache.spark.sql.GraftBridge.expression(col("cv")), cidLit, centLit)))
+        .select(col("b.cid").as("cid"), col("cv"))
         .groupBy(col("cid"))
         .agg(array((0 until dim).map(i => avg(col("cv")(i))): _*).as("m"))
       cents = cents.as("c")
